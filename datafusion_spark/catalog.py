@@ -1,0 +1,59 @@
+"""Table catalog over the driver-generated parquet data.
+
+DataFusion exposes tables through SessionContext::register_parquet /
+register_listing_table (reference: datafusion/datasource-parquet/src/mod.rs,
+datafusion/catalog-listing).  Spark-native equivalent: ``spark.read.parquet``
+which gives us predicate pushdown, column pruning, partition pruning and
+vectorized Arrow-compatible scans for free.
+
+At 100 TB these tables would be directory-partitioned (e.g. orders by
+o_orderdate month); ``spark.read.parquet`` on a directory picks up hive-style
+partition columns automatically, so nothing here changes — only the paths do.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always be broadcast in joins.  At 100 TB
+# region/nation stay tiny (fixed cardinality); supplier/part/customer grow but
+# remain orders of magnitude smaller than the fact tables.
+BROADCAST_TABLES = {"region", "nation"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Filters/projections compose onto this scan and reach
+    the parquet reader via Catalyst (check .explain: PushedFilters/ReadSchema)."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql(...) can see them —
+    the equivalent of DataFusion's SessionContext::register_table."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

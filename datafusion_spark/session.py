@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Mirrors DataFusion's SessionContext defaults (reference:
+datafusion/core/src/execution/context/mod.rs — target_partitions, batch
+size, pushdown all on by default) with the Spark-native equivalents:
+AQE for runtime re-planning, parquet filter pushdown, Arrow transfer for
+any pandas interchange, UTC session time zone for deterministic
+timestamp semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32]/128GiB harness but expressed so they
+# scale: shuffle partitions ~= 2-3x total cores on a real cluster; AQE
+# coalesces them back down at runtime so oversizing is cheap.
+_DEF_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None):
+    """Apply engine configs to a builder (shared by tests/bench/driver)."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _DEF_CPUS))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+
+
+def get_spark(
+    app_name: str = "datafusion_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller's spark-submit master wins.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{_DEF_CPUS}]")
+    return tune(builder, shuffle_partitions).getOrCreate()

@@ -1,0 +1,123 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle on the same
+parquet tables, then compares row count, column names and (order-
+insensitively) values.  Exact match is required for non-float columns;
+floats are compared bit-exact first, with a max-abs-diff report when they
+differ so determinism bugs are visible immediately.
+
+Usage:
+    python tools/oracle_check.py [--sf DIR] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    from datafusion_spark.catalog import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    if list(s.columns) != list(d.columns):
+        problems.append(f"columns differ: spark={list(s.columns)} duck={list(d.columns)}")
+        return problems
+    if len(s) != len(d):
+        problems.append(f"row count differs: spark={len(s)} duck={len(d)}")
+        return problems
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sa = sv.astype("float64").to_numpy()
+            da = dv.astype("float64").to_numpy()
+            mask = ~(pd.isna(sa) & pd.isna(da))
+            diff = abs(sa - da)
+            mx = float(diff[mask].max()) if mask.any() and len(sa) else 0.0
+            if not (mx == 0.0 or math.isnan(mx)):
+                problems.append(f"col {c}: max abs diff {mx:g} (NOT bit-exact)")
+        else:
+            if not sv.astype(str).equals(dv.astype(str)):
+                bad = (sv.astype(str) != dv.astype(str)).idxmax()
+                problems.append(
+                    f"col {c}: values differ, e.g. row {bad}: spark={sv[bad]!r} duck={dv[bad]!r}"
+                )
+        if str(sv.dtype) != str(dv.dtype):
+            problems.append(f"col {c}: dtype spark={sv.dtype} duck={dv.dtype} (warn)")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from datafusion_spark import get_spark
+    from datafusion_spark.queries import ORACLES, QUERIES
+
+    names = args.names or sorted(QUERIES)
+    spark = get_spark("oracle_check", shuffle_partitions=8)
+    con = duck_connection(args.sf)
+
+    failures = 0
+    for name in names:
+        if name not in QUERIES:
+            print(f"?? {name}: not registered")
+            failures += 1
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = QUERIES[name](spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in ORACLES:
+            print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        hard = [p for p in problems if "(warn)" not in p]
+        tag = "FAIL" if hard else "ok  "
+        if hard:
+            failures += 1
+        print(f"{tag} {name}: {len(spark_pdf)} rows, {time.time()-t0:.1f}s"
+              + ("".join(f"\n       - {p}" for p in problems)))
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
