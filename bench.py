@@ -1,0 +1,53 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is end-to-end per query (plan + execute + fetch), after a small
+warm-up query so JVM/codegen startup isn't billed to the first entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from datafusion_spark import get_spark
+    from datafusion_spark.queries import QUERIES, TAGS
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch the biggest table so JVM + parquet footers are hot
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    names = [n for n in sorted(QUERIES) if "bench" in TAGS.get(n, ()) or n.startswith("tpch_")]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        rows = QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = len(rows)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

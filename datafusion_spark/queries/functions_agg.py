@@ -1,0 +1,259 @@
+"""Aggregate function library parity.
+
+Reference: datafusion/functions-aggregate/src/ (sum, avg, count, min/max,
+median, percentile_cont, stddev, variance, correlation, covariance, regr,
+bool_and_or, bit_and_or_xor, string_agg, array_agg, first_last, nth_value,
+approx_distinct [HLL], approx_percentile_cont).
+
+Engine-parity notes:
+  - Spark skewness/kurtosis are population (g1/g2); DuckDB's are sample
+    (G1/G2) → the oracle applies the textbook conversion, rounded to 4dp.
+  - approx_* sketches (HLL, t-digest/GK) are implementation-defined →
+    registered without an oracle (driver records rows-only), with the
+    exact counterpart oracle-checked alongside.
+  - max_by/min_by tie-break on the value column is undefined in both
+    engines → ordering keys here are unique (orderkey/custkey suffix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "agg_stats_variance",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(STDDEV_SAMP(c_acctbal), 6) AS sd_samp,
+           ROUND(STDDEV_POP(c_acctbal), 6) AS sd_pop,
+           ROUND(VAR_SAMP(c_acctbal), 4) AS var_samp,
+           ROUND(VAR_POP(c_acctbal), 4) AS var_pop,
+           ROUND(CORR(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS cor,
+           ROUND(COVAR_SAMP(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS cov_samp,
+           ROUND(COVAR_POP(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS cov_pop
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats_variance(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    key_d = F.col("c_custkey").cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_samp"),
+        F.round(F.stddev_pop("c_acctbal"), 6).alias("sd_pop"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_samp"),
+        F.round(F.var_pop("c_acctbal"), 4).alias("var_pop"),
+        F.round(F.corr(F.col("c_acctbal"), key_d), 6).alias("cor"),
+        F.round(F.covar_samp(F.col("c_acctbal"), key_d), 4).alias("cov_samp"),
+        F.round(F.covar_pop(F.col("c_acctbal"), key_d), 4).alias("cov_pop"),
+    )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    SELECT o_orderpriority, n,
+           ROUND(g1, 4) AS skew_pop, ROUND(g2, 4) AS kurt_pop
+    FROM (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SKEWNESS(o_totalprice) * (COUNT(*) - 2)
+               / SQRT(COUNT(*) * (COUNT(*) - 1.0)) AS g1,
+             KURTOSIS(o_totalprice) * (COUNT(*) - 2.0) * (COUNT(*) - 3.0)
+               / ((COUNT(*) - 1.0) * (COUNT(*) + 1.0)) - 6.0 / (COUNT(*) + 1.0) AS g2
+      FROM orders GROUP BY o_orderpriority) t
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.skewness("o_totalprice"), 4).alias("skew_pop"),
+        F.round(F.kurtosis("o_totalprice"), 4).alias("kurt_pop"),
+    )
+
+
+@query(
+    "agg_median_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(l_extendedprice) AS med_price,
+           QUANTILE_CONT(l_extendedprice, 0.25) AS p25,
+           QUANTILE_CONT(l_extendedprice, 0.90) AS p90,
+           QUANTILE_CONT(l_quantity, 0.5) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_median_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price"),
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.90).alias("p90"),
+        F.percentile("l_quantity", 0.5).alias("med_qty"),
+    )
+
+
+@query(
+    "agg_approx_sketches",
+    oracle=None,  # HLL / t-digest estimates are implementation-defined
+    tags=("aggregate", "approx"),
+)
+def agg_approx_sketches(spark, sf_dir):
+    """approx_count_distinct (HLL++) + approx_percentile (GK) — the scale
+    path: sketches merge map-side, so a 100-TB distinct-count never
+    materializes the distinct set (reference:
+    datafusion/functions-aggregate/src/approx_distinct.rs, hyperloglog.rs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           ARG_MAX(o_orderkey, o_totalprice) AS biggest_order,
+           ARG_MIN(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "minmax"),
+)
+def agg_min_max_by(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT p_type,
+           STRING_AGG(DISTINCT p_brand, ',' ORDER BY p_brand) AS brands
+    FROM part
+    WHERE p_size <= 3
+    GROUP BY p_type
+    """,
+    tags=("aggregate", "string"),
+)
+def agg_string_agg(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    return p.groupBy("p_type").agg(
+        F.array_join(F.array_sort(F.collect_set("p_brand")), ",").alias("brands")
+    )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+    SELECT l_linestatus,
+           BOOL_AND(l_quantity > 0) AS all_positive,
+           BOOL_OR(l_quantity >= 50) AS any_max_qty,
+           BIT_AND(CAST(l_quantity AS BIGINT)) AS qty_bit_and,
+           BIT_OR(CAST(l_quantity AS BIGINT)) AS qty_bit_or,
+           BIT_XOR(CAST(l_quantity AS BIGINT)) AS qty_bit_xor
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("aggregate", "bitwise"),
+)
+def agg_bool_bit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    return li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_quantity") >= 50).alias("any_max_qty"),
+        F.bit_and(qty).alias("qty_bit_and"),
+        F.bit_or(qty).alias("qty_bit_or"),
+        F.bit_xor(qty).alias("qty_bit_xor"),
+    )
+
+
+@query(
+    "agg_count_variants",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_keys,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) FILTER (WHERE o_totalprice > 250000) AS n_big
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "count"),
+)
+def agg_count_variants(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_keys"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count_if(F.col("o_totalprice") > 250000).alias("n_big"),
+    )
+
+
+@query(
+    "agg_any_value",
+    oracle="""
+    SELECT c_nationkey, ANY_VALUE(n_name) AS nation_name, COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_nationkey
+    """,
+    tags=("aggregate", "minmax"),
+)
+def agg_any_value(spark, sf_dir):
+    # any_value is only deterministic when the value is functionally
+    # dependent on the key — which it is here (nationkey → name).
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_nationkey")
+        .agg(F.any_value("n_name").alias("nation_name"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_regr_linear",
+    oracle="""
+    SELECT ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(REGR_AVGX(l_extendedprice, l_quantity), 6) AS avgx,
+           ROUND(REGR_AVGY(l_extendedprice, l_quantity), 4) AS avgy
+    FROM lineitem
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_regr_linear(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+        F.round(F.regr_avgy(y, x), 4).alias("avgy"),
+    )

@@ -1,0 +1,546 @@
+"""Core relational operators: join types, set operations, distinct,
+grouping sets/rollup/cube, sort/limit/offset, pivot/unpivot, subqueries.
+
+Reference parity: DataFusion's physical plan operators (reference:
+datafusion/physical-plan/src/joins/*, union.rs, limit.rs, sorts/,
+aggregates/) and its SQL surface (datafusion/sqllogictest/test_files/
+joins.slt, union.slt, aggregate.slt, window.slt).  Spark-first: every
+entry is DataFrame API (grouping sets via spark.sql, the one construct
+the DataFrame API lacks pre-4.0 groupingSets).
+
+Scale notes are per-entry; the common rules: dimension sides broadcast,
+aggregations are partial map-side, and ORDER BY ... LIMIT plans as
+TakeOrderedAndProject (per-partition top-k, no global sort shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.helpers import DEC, dsum
+from datafusion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- join types ------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("relational", "join"),
+)
+def join_inner(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT s_suppkey, s_name, COUNT(l_orderkey) AS n_lines
+    FROM supplier
+    LEFT JOIN lineitem ON s_suppkey = l_suppkey
+      AND l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY s_suppkey, s_name
+    """,
+    tags=("relational", "join"),
+)
+def join_left_outer(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+    return (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM supplier
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("relational", "join"),
+)
+def join_right_outer(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(nat, F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    """,
+    tags=("relational", "join"),
+)
+def join_full_outer(spark, sf_dir):
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, F.col("ck") == F.col("sk"), "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_name < r2.r_name
+    """,
+    tags=("relational", "join"),
+)
+def join_cross(spark, sf_dir):
+    reg = _t(spark, sf_dir, "region")
+    r1 = reg.select(F.col("r_name").alias("from_region"))
+    r2 = reg.select(F.col("r_name").alias("to_region"))
+    return r1.crossJoin(r2).filter(F.col("from_region") < F.col("to_region"))
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    GROUP BY p_brand
+    """,
+    tags=("relational", "join"),
+)
+def join_semi(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY p_brand
+    """,
+    tags=("relational", "join"),
+)
+def join_anti(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select("l_partkey")
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# --- set operations --------------------------------------------------------
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) u
+    GROUP BY k HAVING COUNT(*) > 1 ORDER BY k
+    """,
+    tags=("relational", "setop"),
+)
+def setop_union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (
+        c.unionAll(s).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).select("k").orderBy("k")
+    )
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_mktsegment AS segment FROM customer
+    UNION
+    SELECT o_orderpriority AS segment FROM orders
+    """,
+    tags=("relational", "setop"),
+)
+def setop_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("segment"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("segment"))
+    return c.union(o).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    tags=("relational", "setop"),
+)
+def setop_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 8000
+    """,
+    tags=("relational", "setop"),
+)
+def setop_except(spark, sf_dir):
+    n = (_t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("c_nationkey").alias("k")).distinct())
+    s = (_t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 8000)
+         .select(F.col("s_nationkey").alias("k")))
+    return n.exceptAll(s).distinct()
+
+
+# --- distinct / sort / limit ----------------------------------------------
+
+
+@query(
+    "distinct_multi_col",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("relational", "distinct"),
+)
+def distinct_multi_col(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 10
+    """,
+    tags=("relational", "sort"),
+)
+def sort_limit_offset(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(15)
+    )
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    WITH j AS (
+      SELECT s_suppkey, s_name, MAX(l_shipdate) AS last_ship
+      FROM supplier
+      LEFT JOIN lineitem ON s_suppkey = l_suppkey
+        AND l_shipdate >= TIMESTAMP '2001-10-01 00:00:00'
+      GROUP BY s_suppkey, s_name
+    )
+    SELECT s_suppkey, s_name, last_ship
+    FROM j
+    ORDER BY last_ship DESC NULLS LAST, s_suppkey
+    LIMIT 20
+    """,
+    tags=("relational", "sort"),
+)
+def sort_nulls_ordering(spark, sf_dir):
+    # Explicit NULLS LAST: Spark's default (nulls first on ASC) differs from
+    # DuckDB/Postgres (nulls last) — DataFusion makes this explicit too
+    # (reference: datafusion/physical-expr-common/src/sort_expr.rs).
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-10-01").cast("timestamp")
+    )
+    return (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .orderBy(F.col("last_ship").desc_nulls_last(), "s_suppkey")
+        .limit(20)
+    )
+
+
+# --- grouping sets / rollup / cube ----------------------------------------
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(c_custkey) AS n_cust,
+           CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("relational", "grouping"),
+)
+def agg_rollup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_cust"),
+            F.grouping("r_name").cast("long").alias("g_region"),
+            F.grouping("n_name").cast("long").alias("g_nation"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "grouping"),
+)
+def agg_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("relational", "grouping"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --- pivot / unpivot -------------------------------------------------------
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "pivot"),
+)
+def pivot_status_by_priority(spark, sf_dir):
+    # Explicit value list → no extra pass to discover pivot values (matters
+    # at scale: the implicit form runs a distinct over the fact table).
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, m.measure, m.value
+    FROM part,
+         LATERAL (VALUES ('retailprice', p_retailprice),
+                         ('size', CAST(p_size AS DOUBLE))) AS m(measure, value)
+    WHERE p_partkey < 100
+    """,
+    tags=("relational", "unpivot"),
+)
+def unpivot_part_measures(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 100)
+        .select("p_partkey", F.col("p_retailprice").alias("retailprice"),
+                F.col("p_size").cast("double").alias("size"))
+        .unpivot("p_partkey", ["retailprice", "size"], "measure", "value")
+    )
+
+
+# --- subqueries ------------------------------------------------------------
+
+
+@query(
+    "subquery_scalar_uncorrelated",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.9 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("relational", "subquery"),
+)
+def subquery_scalar_uncorrelated(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    avg_price = orders.agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("ap")
+    )
+    return (
+        orders.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > 1.9 * F.col("ap"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 100)
+    ORDER BY c_custkey
+    LIMIT 50
+    """,
+    tags=("relational", "subquery"),
+)
+def subquery_exists_correlated(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_totalprice") > F.col("c_acctbal") * 100),
+            "left_semi",
+        )
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
+@query(
+    "case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY bucket
+    """,
+    tags=("relational", "case"),
+)
+def case_when_bucketing(spark, sf_dir):
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "values_inline",
+    oracle="""
+    SELECT v.region_code, r.r_name
+    FROM (VALUES (0, 'AFRICA'), (1, 'AMERICA'), (2, 'ASIA')) AS v(region_code, region)
+    JOIN region r ON v.region = r.r_name
+    """,
+    tags=("relational", "values"),
+)
+def values_inline(spark, sf_dir):
+    vals = spark.createDataFrame(
+        [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")], "region_code int, region string"
+    )
+    reg = _t(spark, sf_dir, "region")
+    return vals.join(F.broadcast(reg), F.col("region") == F.col("r_name")).select(
+        "region_code", "r_name"
+    )

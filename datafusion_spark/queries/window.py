@@ -1,0 +1,277 @@
+"""Window functions: ranking, offsets, frames, running aggregates.
+
+Reference parity: datafusion/functions-window/src/ (row_number, rank,
+dense_rank, percent_rank, cume_dist, ntile, lead/lag, nth_value) and
+datafusion/physical-plan/src/windows/.
+
+Determinism: every ORDER BY inside a window spec is a unique total order
+(tie-broken by a key column) so offset/frame functions are well-defined;
+running sums accumulate in decimal.  Scale: window partitions hash-shuffle
+on the partition key — partition keys here (custkey/suppkey/user_id) have
+high cardinality, so no single-partition bottleneck; none of these specs
+use a global (un-partitioned) ORDER BY except the explicitly-global ntile
+demo, which at 100 TB would be replaced by approx quantiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.helpers import DEC
+from datafusion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "window_row_number_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+    tags=("window", "dedup"),
+)
+def window_row_number_latest(spark, sf_dir):
+    """Latest order per customer — the canonical keep-one dedup pattern."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+@query(
+    "window_rank_dense_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_dense_rank(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           LAG(l_extendedprice) OVER w AS prev_price,
+           LEAD(l_extendedprice) OVER w AS next_price
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+    tags=("window", "offset"),
+)
+def window_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 5)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.lag("l_extendedprice").over(w).alias("prev_price"),
+            F.lead("l_extendedprice").over(w).alias("next_price"),
+        )
+    )
+
+
+@query(
+    "window_moving_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS qty_4row_sum
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 5)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("qty_4row_sum"),
+        )
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    tags=("window", "frame"),
+)
+def window_running_total(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+        )
+    )
+
+
+@query(
+    "window_ntile_percentiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer) t
+    GROUP BY quartile
+    """,
+    tags=("window", "rank"),
+)
+def window_ntile_percentiles(spark, sf_dir):
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           ROUND(PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS cume
+    FROM supplier
+    """,
+    tags=("window", "rank"),
+)
+def window_percent_rank_cume_dist(spark, sf_dir):
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "offset"),
+)
+def window_first_last_nth(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal
+    FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 customers by balance per nation — the QUALIFY idiom.  At scale
+    this is the shuffle-once pattern; contrast with a self-join top-k which
+    shuffles twice."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal")
+    )
