@@ -1,0 +1,17 @@
+"""Plan-audit helpers (DataFusion's EXPLAIN/ANALYZE surface)."""
+
+from datafusion_spark.plans.audit import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+
+__all__ = [
+    "explain_str",
+    "pushed_filters",
+    "scan_columns",
+    "shuffle_count",
+    "has_broadcast_join",
+]

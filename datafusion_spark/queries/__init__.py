@@ -26,6 +26,8 @@ _MODULES = [
     "pipeline_dedup",
     "pipeline_similarity",
     "pipeline_text",
+    "pipeline_multimodal",
+    "sources_io",
 ]
 
 

@@ -1,0 +1,228 @@
+"""Event-stream analytics over the `events` table (batch forms).
+
+These are the batch twins of the Structured Streaming operators in
+datafusion_spark/streaming/ — same window/sessionization semantics, so
+the oracle-checked batch results also validate the streaming logic.
+Reference: DataFusion's streaming scans + window aggregates
+(datafusion/physical-plan/src/streaming.rs, windows/).
+
+Scale notes: all aggregations key on (user_id | time bucket) — high
+cardinality, shuffle-friendly.  Sessionization is one shuffle + two
+window passes; the funnel is a single groupBy(user) with conditional
+min aggregates (no self-joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.operators.asof import asof_join
+from datafusion_spark.queries.helpers import DEC
+from datafusion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("events", "time-window", "bench"),
+)
+def events_tumbling_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP)) AS b, value
+      FROM events
+    ), exploded AS (
+      SELECT b AS window_start, value FROM buckets
+      UNION ALL
+      SELECT b - INTERVAL 30 MINUTES AS window_start, value FROM buckets
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM exploded
+    GROUP BY window_start
+    """,
+    tags=("events", "time-window"),
+)
+def events_sliding_windows(spark, sf_dir):
+    # 1h windows sliding every 30m → each event lands in exactly 2 windows.
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("events", "session"),
+)
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessions (30-min inactivity) — lag → flag → running sum →
+    aggregate.  One shuffle on user_id; both window passes reuse it."""
+    e = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev_ts = F.lag("ts").over(w_ord)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60)
+    ).cast("int")
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_no", F.sum("new_session").over(w_run).cast("long"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_total,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS DOUBLE) / COUNT(*) AS k_avg,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def events_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_total"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("k_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS viewed,
+           CAST(COUNT(CASE WHEN t_view < t_click THEN 1 END) AS BIGINT) AS clicked_after_view,
+           CAST(COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+                AS BIGINT) AS full_funnel
+    FROM per_user
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark, sf_dir):
+    """view → click → purchase funnel as ONE aggregation pass — no
+    self-joins, so it scales linearly in events and users."""
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("viewed"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click")) & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+    tags=("events", "asof-join"),
+)
+def events_asof_join(spark, sf_dir):
+    """Each purchase matched to the user's most recent signup at-or-before
+    it — DuckDB ASOF JOIN semantics via the union+carry-forward operator
+    (datafusion_spark/operators/asof.py)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.col("ts").alias("ts")
+    ).select("user_id", "ts", "signup_ts")
+    joined = asof_join(purchases, signups, on="ts", by="user_id", value_cols=["signup_ts"])
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("signup_ts_right").alias("signup_ts")
+    )

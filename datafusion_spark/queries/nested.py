@@ -1,0 +1,160 @@
+"""Nested types: arrays, explode/unnest, lambdas, structs, sequences.
+
+Reference: datafusion/functions-nested/src/ (array_element, array_slice,
+array_has, array_position, array_distinct, flatten, ...), physical-plan
+unnest.rs, and functions-table/src (generate_series).
+
+Spark-first notes: explode/posexplode are the Unnest equivalents and run
+inside whole-stage codegen; higher-order functions (transform/aggregate/
+zip_with/filter) evaluate JVM-side — no Python UDF needed for array math.
+Exact-sum determinism for float arrays uses per-element decimal casts in
+the fold, same trick as the scalar aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "nested_posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 20
+    """,
+    tags=("nested", "unnest"),
+)
+def nested_posexplode_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@query(
+    "nested_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS first_elem,
+           list_aggregate(embedding, 'max') AS max_elem,
+           list_aggregate(embedding, 'min') AS min_elem,
+           embedding[1] + embedding[64] AS ends_sum
+    FROM embeddings WHERE vec_id < 200
+    """,
+    tags=("nested", "array"),
+)
+def nested_array_ops(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.array_max("embedding").alias("max_elem"),
+        F.array_min("embedding").alias("min_elem"),
+        (F.element_at("embedding", 1) + F.element_at("embedding", 64)).alias("ends_sum"),
+    )
+
+
+@query(
+    "nested_lambda_fold",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * 2.0 AS DECIMAL(20,8)))) AS DOUBLE)
+             AS doubled_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings WHERE vec_id < 200
+    """,
+    tags=("nested", "lambda"),
+)
+def nested_lambda_fold(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    doubled_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("decimal(30,8)"),
+        lambda acc, x: (acc + (x.cast("double") * 2.0).cast("decimal(20,8)")).cast(
+            "decimal(30,8)"
+        ),
+    ).cast("double")
+    return e.select(
+        "vec_id",
+        doubled_sum.alias("doubled_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "nested_array_membership",
+    oracle="""
+    SELECT doc_id,
+           list_contains(string_split(text, ' '), 'hash') AS has_hash,
+           CAST(COALESCE(list_position(string_split(text, ' '), 'scan'), 0) AS BIGINT)
+             AS scan_pos,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("nested", "array"),
+)
+def nested_array_membership(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_contains(toks, "hash").alias("has_hash"),
+        F.array_position(toks, "scan").cast("long").alias("scan_pos"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "nested_struct_pack_unpack",
+    oracle="""
+    SELECT c_custkey,
+           struct_pack(key := c_custkey, bal := c_acctbal).key AS packed_key,
+           struct_pack(key := c_custkey, bal := c_acctbal).bal AS packed_bal
+    FROM customer WHERE c_custkey < 100
+    """,
+    tags=("nested", "struct"),
+)
+def nested_struct_pack_unpack(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    packed = F.struct(F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal"))
+    return c.select(
+        "c_custkey",
+        packed.getField("key").alias("packed_key"),
+        packed.getField("bal").alias("packed_bal"),
+    )
+
+
+@query(
+    "nested_generate_series",
+    oracle="""
+    SELECT p_partkey, CAST(SUM(s) AS BIGINT) AS series_sum, COUNT(*) AS n_terms
+    FROM (
+      SELECT p_partkey, unnest(generate_series(1, p_size)) AS s
+      FROM part WHERE p_partkey < 20) t
+    GROUP BY p_partkey
+    """,
+    tags=("nested", "table-function"),
+)
+def nested_generate_series(spark, sf_dir):
+    # DataFusion's generate_series table function ≙ Spark sequence()+explode
+    # (reference: datafusion/functions-table/src/generate_series.rs).
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 20)
+    return (
+        p.select("p_partkey", F.explode(F.sequence(F.lit(1), F.col("p_size"))).alias("s"))
+        .groupBy("p_partkey")
+        .agg(F.sum("s").alias("series_sum"), F.count(F.lit(1)).alias("n_terms"))
+    )

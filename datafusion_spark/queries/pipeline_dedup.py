@@ -1,0 +1,360 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over the `documents` / `embeddings` tables:
+  exact (content hash), normalized-exact, MinHash+LSH banding,
+  SimHash (bit-majority fingerprint) + hamming pairs, n-gram Jaccard.
+
+Every hash is derived from md5 so Spark and DuckDB agree bit-for-bit —
+engine-native hash() functions differ, md5 doesn't.  MinHash signatures
+are string-mins of salted md5s; SimHash bits test a hex nibble's top bit
+("digit >= '8'", valid because hex chars sort 0-9a-f in ASCII).
+
+Scale design (the point of these operators):
+  - exact dedup: one hash-shuffle on the digest, min() combiner is
+    map-side partial — no document text travels beyond its digest+id.
+  - MinHash: signatures reduce each doc to k strings in ONE aggregation
+    pass (k min() aggs, no row explosion); LSH banding turns the O(n²)
+    pair search into an equi-join on band keys — the only join is between
+    docs that already collide.  At 100 TB, band keys are high-cardinality
+    → well-distributed shuffle; skewed bands (boilerplate docs) are the
+    known hot spot and AQE skew-join splits them.
+  - SimHash pairs: banded by the top byte so the self-join never goes
+    quadratic; hamming distance is a cheap bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.registry import query
+
+K_MINHASH = 8  # signature length; banded 4 x 2 below
+SHINGLE = 3  # word n-gram size
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    )
+    SELECT MD5(text) AS content_hash,
+           MIN(doc_id) AS kept_doc_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY MD5(text)
+    """,
+    tags=("pipeline", "dedup", "bench"),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash over a corpus with known duplicates
+    (the table unioned with a re-keyed copy of itself): keep min doc_id.
+    At scale: shuffle carries (digest, id) only — ~48 bytes/doc."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(copy)
+    return (
+        corpus.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT MD5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_hash,
+           MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY norm_hash
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact_normalized(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return (
+        docs.select(F.md5(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+_SQL_SHINGLES = f"""
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM words, unnest(generate_series(1, len(ws) - {SHINGLE - 1})) AS t(i)
+      WHERE len(ws) >= {SHINGLE}
+    )
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """doc_id, sh: distinct word 3-grams.  transform+slice stays JVM-side."""
+    ws = F.split("text", " ")
+    return (
+        docs.filter(F.size(ws) >= SHINGLE)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (SHINGLE - 1)),
+                    lambda i: F.array_join(F.slice(ws, i, SHINGLE), " "),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def _minhash_cols() -> list[Column]:
+    return [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
+        for i in range(K_MINHASH)
+    ]
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}
+    SELECT doc_id,
+           {", ".join(f"MIN(MD5(sh || '#{i}')) AS m{i}" for i in range(K_MINHASH))}
+    FROM shingles
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """k=8 MinHash signature per doc in one aggregation pass (k min()
+    combiners, map-side partial — no shingle explosion beyond the per-doc
+    distinct)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _shingles(docs).groupBy("doc_id").agg(*_minhash_cols())
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(MD5(sh || '#{i}')) AS m{i}" for i in range(K_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_key
+      FROM sigs, LATERAL (VALUES
+        (0, m0 || m1), (1, m2 || m3), (2, m4 || m5), (3, m6 || m7)
+      ) AS b(band_id, band_key)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+    tags=("pipeline", "dedup", "minhash", "bench"),
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """LSH banding (4 bands x 2 rows): candidate pairs are produced by an
+    equi-join on band keys — never an n² comparison.  P(candidate | J=s)
+    = 1-(1-s²)⁴."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = _shingles(docs).groupBy("doc_id").agg(*_minhash_cols())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("band_key"),
+            )
+            for b in range(K_MINHASH // 2)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def _hex_bit(md5_col: Column, j: int) -> Column:
+    """+1 / -1 weight from the top bit of md5 hex digit j (1-based)."""
+    return F.when(F.substring(md5_col, j, 1) >= "8", 1).otherwise(-1)
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, MD5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sim} AS BIGINT) AS simhash16 FROM sums
+    """.format(
+        sums=", ".join(
+            f"SUM(CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{j}"
+            for j in range(16)
+        ),
+        sim=" + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)),
+    ),
+    tags=("pipeline", "dedup", "simhash"),
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash: token-frequency-weighted bit majority.  One explode +
+    one aggregation — the sums are map-side partial, so at scale the
+    shuffle carries 16 ints per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[F.sum(_hex_bit(F.col("h"), j + 1)).alias(f"s{j}") for j in range(16)]
+    )
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, MD5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    sums AS (
+      SELECT doc_id, {sums} FROM toks GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, CAST({sim} AS BIGINT) AS sig FROM sums
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b
+      ON (a.sig >> 8) = (b.sig >> 8) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """.format(
+        sums=", ".join(
+            f"SUM(CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{j}"
+            for j in range(16)
+        ),
+        sim=" + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)),
+    ),
+    tags=("pipeline", "dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs: hamming(simhash) <= 2, candidate-limited by equal
+    top byte (prefix banding) so the self-join stays near-linear."""
+    sigs = dedup_simhash(spark, sf_dir).withColumnRenamed("simhash16", "sig")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.shiftright(F.col("a.sig"), 8) == F.shiftright(F.col("b.sig"), 8))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    meta AS (
+      SELECT s.doc_id, s.sh, d.lang, d.source
+      FROM shingles s JOIN documents d USING (doc_id)
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM meta a JOIN meta b
+        ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+    """,
+    tags=("pipeline", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for pairs sharing at least one shingle within
+    the same (lang, source) stratum — the shared-shingle equi-join bounds
+    candidates; strata keep the hot shingles from going quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs.select("doc_id", "text"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    meta = sh.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    a, b = meta.alias("a"), meta.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,244 @@
+"""Text-analysis operators for training-data pipelines over `documents`:
+token statistics, quality scoring, n-gram language ID, content
+fingerprinting, corpus n-gram frequencies.
+
+All heuristics are pure column expressions (JVM-side, codegen'd) — no
+Python UDFs — so they run at scan throughput.  Ratio outputs are plain
+double arithmetic with identical expression trees on both engines →
+bit-deterministic (same IEEE ops in the same order).
+
+Scale: every operator is a single scan + (at most) one aggregation.
+Corpus-level n-gram counting shuffles (ngram, count) partials — the
+classic map-side-combine word count shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.registry import query
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in"],
+    "de": ["der", "die", "und", "ist", "ein"],
+    "fr": ["le", "et", "les", "des", "une"],
+    "es": ["el", "que", "los", "una", "por"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # tie preference, fixed
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+           n_chars AS n_chars_declared,
+           CAST(LENGTH(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+    tags=("pipeline", "text", "bench"),
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace + regex tokenization counts.  avg token length is derived
+    arithmetically from char/space counts — stays exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).cast("long")
+        .alias("n_word_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_declared"),
+        ((F.length("text") - n_tokens + 1).cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','of','and','to','in'], t))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / LENGTH(text) AS punct_ratio,
+           CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / LENGTH(text) AS digit_ratio,
+           0.5 * (CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','of','and','to','in'], t))) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+           + 0.3 * (1.0 - CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                          / LENGTH(text))
+           + 0.2 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+             AS quality_score
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+)
+def text_quality_score(spark, sf_dir):
+    """Length/punctuation/stopword quality heuristics → weighted score,
+    the standard pre-filter before expensive model-based scoring."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double") / F.size(toks)
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double") / F.length("text")
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / F.length("text")
+    )
+    score = (
+        0.5 * stop_ratio
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.2 * F.least(F.lit(1.0), F.size(toks).cast("double") / 100.0)
+    )
+    return d.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def _sql_lang_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{words}], t))) AS BIGINT)"
+    )
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS declared_lang,
+             {", ".join(f"{_sql_lang_count(lang)} AS c_{lang}" for lang in LANG_ORDER)}
+      FROM documents
+    )
+    SELECT doc_id, declared_lang,
+           CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           c_en + c_de + c_fr + c_es AS n_stopword_hits
+    FROM scored
+    """,
+    tags=("pipeline", "text", "langid"),
+)
+def text_language_id(spark, sf_dir):
+    """Stopword-vote language ID with a fixed tie-preference order — the
+    cheap n-gram heuristic used to bucket corpora before model-based LID."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def _counter(lang):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+
+    counts = {lang: _counter(lang) for lang in LANG_ORDER}
+    c = {k: F.col(f"c_{k}") for k in LANG_ORDER}
+    pred = (
+        F.when((c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), "en")
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), "de")
+        .when(c["fr"] >= c["es"], "fr")
+        .otherwise("es")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("declared_lang"),
+            *[counts[lang].alias(f"c_{lang}") for lang in LANG_ORDER],
+        )
+        .select(
+            "doc_id",
+            "declared_lang",
+            pred.alias("predicted_lang"),
+            (c["en"] + c["de"] + c["fr"] + c["es"]).alias("n_stopword_hits"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS sorted_token_fingerprint,
+           MD5(text) AS exact_fingerprint,
+           SUBSTR(MD5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 16)
+             AS normalized_prefix
+    FROM documents
+    """,
+    tags=("pipeline", "text", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprints: order-insensitive (sorted distinct tokens),
+    exact, and normalized — the keys used for cross-shard dedup joins."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "sorted_token_fingerprint"
+        ),
+        F.md5("text").alias("exact_fingerprint"),
+        F.substring(F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")), 1, 16).alias(
+            "normalized_prefix"
+        ),
+    )
+
+
+@query(
+    "text_bigram_top20",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bigrams AS (
+      SELECT w[i] || ' ' || w[i+1] AS bigram
+      FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    tags=("pipeline", "text", "ngram"),
+)
+def text_bigram_top20(spark, sf_dir):
+    """Corpus bigram frequencies — map-side-combined word-count shape; the
+    final top-20 is a TakeOrdered, not a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    bigrams = (
+        d.filter(F.size(ws) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.array_join(F.slice(ws, i, 2), " "),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

@@ -1,0 +1,87 @@
+"""Source/sink round-trip entries: CSV and NDJSON scans (written once to a
+scratch dir from the canonical parquet, then read back and queried), plus a
+hive-partitioned parquet write + pruned read.
+
+The oracle reads the ORIGINAL parquet, so a round-trip through the text
+format must preserve values exactly for the hash to match — this checks
+quoting, type round-trip, and schema application, which is the point.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.registry import query
+from datafusion_spark.sources.io import copy_to, read_csv, read_json
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "datafusion_spark_io")
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT n.n_regionkey, COUNT(*) AS n_nations,
+           MIN(n.n_name) AS first_nation
+    FROM nation n
+    GROUP BY n.n_regionkey
+    """,
+    tags=("sources", "csv"),
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """parquet → COPY TO csv → CSV scan with explicit schema → aggregate.
+    Explicit schema avoids the inference double-read (scale note in
+    sources/io.py)."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(_SCRATCH, "nation_csv")
+    copy_to(nation, path, fmt="csv")
+    back = read_csv(
+        spark, path, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_nation")
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+    tags=("sources", "json"),
+)
+def source_json_roundtrip(spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    path = os.path.join(_SCRATCH, "region_json")
+    copy_to(region, path, fmt="json")
+    return read_json(spark, path, schema="r_regionkey int, r_name string").select(
+        "r_regionkey", "r_name"
+    )
+
+
+@query(
+    "source_partitioned_write_prune",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sources", "partitioning"),
+)
+def source_partitioned_write_prune(spark, sf_dir):
+    """Write orders hive-partitioned by o_orderstatus, read back with a
+    partition filter — the scan lists only the o_orderstatus=F directory
+    (partition pruning; check .explain PartitionFilters)."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_by_status")
+    copy_to(orders, path, fmt="parquet", partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+    )

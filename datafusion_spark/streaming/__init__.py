@@ -1,0 +1,15 @@
+"""Structured Streaming counterparts of the batch operators."""
+
+from datafusion_spark.streaming.ops import (
+    read_events_stream,
+    sessionize_stateful,
+    sliding_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "sessionize_stateful",
+]

@@ -1,0 +1,178 @@
+"""Streaming operators over the events stream.
+
+DataFusion executes unbounded inputs through the same physical operators
+with streaming-friendly execution modes (reference:
+datafusion/physical-plan/src/streaming.rs, memory.rs); the Spark-native
+counterpart is Structured Streaming: readStream → the SAME DataFrame
+transformations as batch → writeStream with watermarks bounding state.
+
+The transformation functions below are written against a plain DataFrame
+so the identical code path serves batch (oracle-checked via the batch
+twins in queries/events.py) and streaming (exercised in
+tests/test_streaming.py with availableNow + memory sink).
+
+Scale: watermarks bound the window state store; sessionization uses
+applyInPandasWithState with per-user state and an inactivity timeout —
+state size is O(active users), not O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (ts arrives as raw nanos — same
+    nanosAsLong handling as the batch catalog).
+
+    A file-source stream needs a directory; the read-only single-file
+    table is staged via symlink into a scratch dir.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "datafusion_spark_stream",
+        hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts+sums.  On a stream the watermark lets Spark
+    evict window state once event time passes start+window+watermark."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+GAP_SECONDS = 30 * 60
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful session operator: emits a session row whenever the
+    inactivity gap exceeds GAP_SECONDS (or the state times out)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+        return
+
+    rows = []
+    if state.exists:
+        start_us, last_us, n, total = state.get
+    else:
+        start_us = last_us = None, None  # type: ignore[assignment]
+        start_us, last_us, n, total = None, None, 0, 0.0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if start_us is None:
+                start_us, last_us, n, total = us, us, 1, float(value)
+            elif us - last_us > GAP_SECONDS * 1_000_000:
+                rows.append((user_id, start_us, last_us, n, total))
+                start_us, last_us, n, total = us, us, 1, float(value)
+            else:
+                last_us, n, total = us, n + 1, total + float(value)
+    state.update((start_us, last_us, n, total))
+    state.setTimeoutDuration(GAP_SECONDS * 1000)
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                "n_events": [r[3] for r in rows],
+                "total_value": [r[4] for r in rows],
+            }
+        )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState sessionization: per-user state, 30-min gap,
+    processing-time timeout flushes idle sessions."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,75 @@
+"""Unit tests for custom operators on hand-built inputs (known answers)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from datafusion_spark.operators.asof import asof_join
+from datafusion_spark.operators.multimodal import decode_media
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T12:00:00"), "b"),
+            (2, _ts("2024-01-01T09:00:00"), "c"),
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 10.0),
+            (1, _ts("2024-01-01T11:00:00"), 20.0),
+            (2, _ts("2024-01-01T09:30:00"), 30.0),  # after left row → no match
+        ],
+        "user_id long, ts timestamp, price double",
+    )
+    out = asof_join(left, right, on="ts", by="user_id", value_cols=["price"])
+    got = {(r.user_id, r.tag): r.price_right for r in out.collect()}
+    assert got == {(1, "a"): 10.0, (1, "b"): 20.0, (2, "c"): None}
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "x")], "user_id long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 5.0)], "user_id long, ts timestamp, price double"
+    )
+    out = asof_join(left, right, on="ts", by="user_id", value_cols=["price"])
+    assert out.collect()[0].price_right == 5.0
+
+
+def test_decode_media_deterministic(spark):
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"hello world")), (2, "audio/wav", bytearray(b"payload"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out1 = {r.doc_id: r for r in decode_media(media).collect()}
+    out2 = {r.doc_id: r for r in decode_media(media).collect()}
+    assert out1.keys() == out2.keys() == {1, 2}
+    for k in out1:
+        assert out1[k] == out2[k]  # deterministic stub
+        assert 64 <= out1[k].width < 256
+        assert out1[k].n_bytes > 0
+        assert len(out1[k].sha1_prefix) == 12
+
+
+def test_dedup_exact_collapses_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    kept = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("kept"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_n = {r.kept: r.n for r in kept}
+    assert by_n == {1: 2, 3: 1}

@@ -1,0 +1,49 @@
+"""DuckDB-oracle parity at sf0.01 — the same comparison the driver runs.
+
+The full sweep is tools/oracle_check.py; here a representative subset
+keeps the pytest loop fast while still covering every module family.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_spark.queries import ORACLES, QUERIES
+from tests.conftest import SF_ORACLE
+from tools.oracle_check import compare, duck_connection
+
+SUBSET = [
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q17",
+    "tpch_q21",
+    "join_full_outer",
+    "agg_rollup",
+    "window_topk_per_group",
+    "fn_string_basic",
+    "agg_median_percentiles",
+    "nested_lambda_fold",
+    "events_sessionization",
+    "events_asof_join",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_ivf_assign",
+    "text_quality_score",
+    "source_csv_roundtrip",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_ORACLE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_match(spark, duck, name):
+    spark_pdf = QUERIES[name](spark, SF_ORACLE).toPandas()
+    duck_pdf = duck.execute(ORACLES[name]).df()
+    problems = [p for p in compare(name, spark_pdf, duck_pdf) if "(warn)" not in p]
+    assert not problems, problems

@@ -1,0 +1,53 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast — the properties
+that make the queries scale, checked structurally."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+from datafusion_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").filter(F.col("l_quantity") < 24)
+    assert any("l_quantity" in f for f in pushed_filters(li))
+
+
+def test_column_pruning(spark):
+    df = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    scans = scan_columns(df)
+    assert scans and all(set(cols) <= {"l_orderkey", "l_quantity"} for cols in scans)
+
+
+def test_q6_scan_only_needed_columns(spark):
+    df = QUERIES["tpch_q6"](spark, SF_SMALL)
+    scans = scan_columns(df)
+    assert scans
+    # q6 needs only 4 columns; the scan must not read the whole table
+    assert all(len(cols) <= 4 for cols in scans), scans
+
+
+def test_dimension_join_broadcasts(spark):
+    df = QUERIES["tpch_q5"](spark, SF_SMALL)
+    assert has_broadcast_join(df)
+
+
+def test_topk_has_no_global_sort_shuffle(spark):
+    df = QUERIES["tpch_q3"](spark, SF_SMALL)
+    # TakeOrderedAndProject handles the LIMIT; the only exchanges should be
+    # for joins/aggregations, and a small fixed number of them.
+    assert "TakeOrderedAndProject" in str(df._jdf.queryExecution().executedPlan().toString())
+
+
+def test_single_shuffle_sessionization(spark):
+    df = QUERIES["events_sessionization"](spark, SF_SMALL)
+    # one hash exchange on user_id feeds both window passes + the aggregate
+    assert shuffle_count(df) <= 2

@@ -1,0 +1,70 @@
+"""Structured Streaming end-to-end: the streaming operators produce the
+same results as their oracle-checked batch twins (availableNow trigger +
+memory sink)."""
+
+from __future__ import annotations
+
+import uuid
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.streaming import read_events_stream, tumbling_counts
+from tests.conftest import SF_SMALL
+
+
+def _run_available_now(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_SMALL)
+    assert stream.isStreaming
+    q = _run_available_now(tumbling_counts(stream), name)
+    try:
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        batch = tumbling_counts(load_table(spark, SF_SMALL, "events"))
+        want = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in batch.collect()
+        }
+        assert got == want
+        assert len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_incremental_files(spark, tmp_path):
+    """Multi-file source processed incrementally (maxFilesPerTrigger=1)
+    still converges to the batch answer."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, SF_SMALL, "events").limit(200)
+    src = str(tmp_path / "stream_src")
+    events.withColumn("ts", F.col("ts").cast("long") * 1_000_000_000).repartition(4).write.parquet(src)
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, props string, ts long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = _run_available_now(tumbling_counts(stream), name)
+    try:
+        total = spark.sql(f"SELECT SUM(n_events) AS n FROM {name}").collect()[0].n
+        assert total == 200
+    finally:
+        q.stop()
