@@ -124,10 +124,16 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+# 8 hash functions from 2 md5 digests: concat(md5(sh), md5(sh||'#')) is 64
+# hex chars; slice i*8+1..+8 is an independent 32-bit hash. Halves the
+# dominant cost (md5 per shingle) 4x vs salting md5 once per function.
+_H64 = 'MD5(sh) || MD5(sh || \'#\')'
+
+
 def _minhash_cols() -> list[Column]:
+    h64 = F.concat(F.md5("sh"), F.md5(F.concat(F.col("sh"), F.lit("#"))))
     return [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
-        for i in range(K_MINHASH)
+        F.min(F.substring(h64, i * 8 + 1, 8)).alias(f"m{i}") for i in range(K_MINHASH)
     ]
 
 
@@ -136,7 +142,7 @@ def _minhash_cols() -> list[Column]:
     oracle=f"""
     WITH {_SQL_SHINGLES}
     SELECT doc_id,
-           {", ".join(f"MIN(MD5(sh || '#{i}')) AS m{i}" for i in range(K_MINHASH))}
+           {", ".join(f"MIN(SUBSTR(MD5(sh) || MD5(sh || '#'), {i * 8 + 1}, 8)) AS m{i}" for i in range(K_MINHASH))}
     FROM shingles
     GROUP BY doc_id
     """,
@@ -156,7 +162,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     WITH {_SQL_SHINGLES},
     sigs AS (
       SELECT doc_id,
-             {", ".join(f"MIN(MD5(sh || '#{i}')) AS m{i}" for i in range(K_MINHASH))}
+             {", ".join(f"MIN(SUBSTR(MD5(sh) || MD5(sh || '#'), {i * 8 + 1}, 8)) AS m{i}" for i in range(K_MINHASH))}
       FROM shingles GROUP BY doc_id
     ),
     bands AS (
