@@ -20,6 +20,7 @@ _MODULES = [
     "relational",
     "window",
     "functions_scalar",
+    "functions_encoding",
     "functions_agg",
     "nested",
     "events",
@@ -28,6 +29,8 @@ _MODULES = [
     "pipeline_text",
     "pipeline_multimodal",
     "sources_io",
+    "recursive_cte",
+    "catalog_meta",
 ]
 
 

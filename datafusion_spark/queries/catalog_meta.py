@@ -1,0 +1,71 @@
+"""information_schema / catalog surface (reference: datafusion/catalog/src/
+information_schema.rs — tables, columns, df_settings virtual tables).
+
+Spark equivalent: the catalog API + DataFrame schemas.  The column listing
+is driver-side metadata (parquet footers), same as DataFusion's catalog
+provider — there is no data-path work here, so building the tiny result
+with ``createDataFrame`` is the right call at any scale.  The row-count
+entry, by contrast, is a real distributed query: a UNION ALL of per-table
+``COUNT(*)`` jobs, each served from parquet row-group statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import TABLES, load_table
+from datafusion_spark.queries.registry import query
+
+
+def information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(table_name, column_name, ordinal_position) for every registered table."""
+    rows = []
+    for t in TABLES:
+        for i, f_ in enumerate(load_table(spark, sf_dir, t).schema.fields):
+            rows.append((t, f_.name, i + 1))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal_position long"
+    )
+
+
+@query(
+    "catalog_columns",
+    oracle="""
+    SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    """,
+    tags=("catalog",),
+)
+def catalog_columns(spark, sf_dir):
+    return information_schema_columns(spark, sf_dir)
+
+
+@query(
+    "catalog_table_stats",
+    oracle="""
+    SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM region
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+    tags=("catalog",),
+)
+def catalog_table_stats(spark, sf_dir):
+    """Row count per table — Spark serves COUNT(*) from parquet footer
+    statistics (no full scan; see InMemoryFileIndex + row-group counts)."""
+    counts = None
+    for t in TABLES:
+        c = load_table(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).select(F.lit(t).alias("table_name"), "n_rows")
+        counts = c if counts is None else counts.unionAll(c)
+    return counts

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from datafusion_spark.catalog import load_table
 from datafusion_spark.queries.registry import query
-from datafusion_spark.sources.io import copy_to, read_csv, read_json
+from datafusion_spark.sources.io import (
+    copy_to,
+    copy_to_arrow_ipc,
+    read_arrow_ipc,
+    read_csv,
+    read_json,
+)
 
 _SCRATCH = os.path.join(tempfile.gettempdir(), "datafusion_spark_io")
 
@@ -84,4 +90,30 @@ def source_partitioned_write_prune(spark, sf_dir):
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "source_arrow_ipc_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+           MIN(s_name) AS first_supplier
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    tags=("sources", "arrow"),
+)
+def source_arrow_ipc_roundtrip(spark, sf_dir):
+    """parquet → Arrow IPC files (executor-written, one per partition) →
+    distributed IPC scan → aggregate.  Reference: datafusion/datasource-
+    arrow; exact value round-trip is the check (Arrow is lossless here)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = os.path.join(_SCRATCH, "supplier_arrow")
+    copy_to_arrow_ipc(supplier, path)
+    back = read_arrow_ipc(spark, path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
+        F.min("s_name").alias("first_supplier"),
     )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datafusion_spark.operators.asof import asof_join
@@ -73,3 +75,43 @@ def test_dedup_exact_collapses_duplicates(spark):
     )
     by_n = {r.kept: r.n for r in kept}
     assert by_n == {1: 2, 3: 1}
+
+
+def test_recursive_fixpoint_chain(spark):
+    from datafusion_spark.operators.recursive import recursive_fixpoint
+
+    # path graph 0→1→2→3→4: depth of each node from 0
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(4)], "node long, parent long"
+    )
+    base = spark.createDataFrame([(0, 0)], "node long, depth long")
+
+    def step(f):
+        return edges.join(
+            f.select(F.col("node").alias("p"), "depth"), edges.parent == F.col("p")
+        ).select("node", (F.col("depth") + F.lit(1)).alias("depth"))
+
+    out = {r.node: r.depth for r in recursive_fixpoint(base, step).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_recursive_fixpoint_raises_on_runaway(spark):
+    from datafusion_spark.operators.recursive import recursive_fixpoint
+
+    base = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        recursive_fixpoint(base, lambda f: f, max_iter=3)  # self-loop never empties
+
+
+def test_arrow_ipc_roundtrip_exact(spark, tmp_path):
+    from datafusion_spark.sources.io import copy_to_arrow_ipc, read_arrow_ipc
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i) / 3) for i in range(1000)],
+        "k long, s string, v double",
+    ).repartition(4)
+    path = str(tmp_path / "arrow_rt")
+    copy_to_arrow_ipc(df, path)
+    back = read_arrow_ipc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
