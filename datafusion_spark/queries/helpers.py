@@ -42,6 +42,47 @@ def sql_davg(expr: str, alias: str) -> str:
     )
 
 
+def fan_out(df, min_parts: int | None = None):
+    """Repartition ONLY if the input has fewer partitions than the session's
+    parallelism.  Small single-row-group files (the sf0.1 documents table is
+    one 584 KB split) otherwise serialize CPU-heavy downstream work (explode
+    / md5 / shingling) onto one core.  At 100 TB inputs arrive in thousands
+    of splits and this is a no-op — no shuffle is added.  The explicit
+    exchange also lets Spark reuse the fanned-out output across self-join
+    branches (ReusedExchange) instead of recomputing the pipeline per side.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def units6(col: Column) -> Column:
+    """Exact 1e-6-unit integer representation of a money value.
+
+    Precondition: the value is an exact decimal with ≤6 fractional digits
+    (TPC-H money/discount/tax columns and their 2dp×2dp×2dp products) and
+    |value| < 2^52/1e6 ≈ 4.5e9, so ``value*1e6`` floating-multiplies to
+    within ±0.5 of the true integer and ``rint`` recovers it exactly —
+    bit-identical to a DECIMAL(38,6) cast, at plain-FP cost.
+
+    This is the DataFusion accumulator design (functions-aggregate/src/
+    sum.rs: i64/i128 partial sums, widened merge) expressed in Spark: long
+    partial sums stay on the fast vectorized hash-agg path (wide decimal
+    sum buffers fall off it), and only the tiny merge stage touches
+    decimals.  Per-partition long sums cannot overflow (≤4M rows × 1.3e11
+    units ≈ 5e17 < 2^63); the cross-partition merge must sum as
+    DECIMAL(38,0) — see q1 for the two-level pattern.
+    """
+    return F.rint(col * 1000000.0).cast("long")
+
+
+def sum_units6(col: str) -> Column:
+    """Merge-side exact sum of units6 partials → double (divide by 1e6)."""
+    return (F.sum(F.col(col).cast("decimal(38,0)")) / 1000000).cast("double")
+
+
 def revenue_expr() -> Column:
     """l_extendedprice * (1 - l_discount): the TPC-H revenue term."""
     return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.helpers import fan_out
 from datafusion_spark.queries.registry import query
 
 K_MINHASH = 8  # signature length; banded 4 x 2 below
@@ -106,11 +107,14 @@ _SQL_SHINGLES = f"""
 """
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id, sh: distinct word 3-grams.  transform+slice stays JVM-side."""
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """doc_id, sh: word 3-grams (distinct by default).  transform+slice
+    stays JVM-side.  MinHash callers pass distinct=False — min() is
+    unaffected by duplicate shingles, and skipping distinct removes a full
+    shuffle of the widest intermediate (every shingle string)."""
     ws = F.split("text", " ")
-    return (
-        docs.filter(F.size(ws) >= SHINGLE)
+    out = (
+        fan_out(docs).filter(F.size(ws) >= SHINGLE)
         .select(
             "doc_id",
             F.explode(
@@ -120,8 +124,8 @@ def _shingles(docs: DataFrame) -> DataFrame:
                 )
             ).alias("sh"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # 8 hash functions from 2 md5 digests: concat(md5(sh), md5(sh||'#')) is 64
@@ -153,7 +157,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     combiners, map-side partial — no shingle explosion beyond the per-doc
     distinct)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return _shingles(docs).groupBy("doc_id").agg(*_minhash_cols())
+    return _shingles(docs, distinct=False).groupBy("doc_id").agg(*_minhash_cols())
 
 
 @query(
@@ -183,7 +187,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     equi-join on band keys — never an n² comparison.  P(candidate | J=s)
     = 1-(1-s²)⁴."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = _shingles(docs).groupBy("doc_id").agg(*_minhash_cols())
+    sigs = _shingles(docs, distinct=False).groupBy("doc_id").agg(*_minhash_cols())
     band_structs = F.array(
         *[
             F.struct(
@@ -243,7 +247,7 @@ def dedup_simhash(spark, sf_dir):
     """16-bit SimHash: token-frequency-weighted bit majority.  One explode +
     one aggregation — the sums are map-side partial, so at scale the
     shuffle carries 16 ints per doc."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
         "doc_id", F.md5("tok").alias("h")
     )

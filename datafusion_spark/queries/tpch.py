@@ -34,6 +34,8 @@ from datafusion_spark.queries.helpers import (
     revenue_expr,
     sql_davg,
     sql_dsum,
+    sum_units6,
+    units6,
 )
 from datafusion_spark.queries.registry import query
 
@@ -71,21 +73,35 @@ def _ts(lit: str) -> F.Column:
     tags=("tpch", "aggregate"),
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-level exact aggregation (see helpers.units6): level 1 sums exact
+    # 1e-6-unit longs per (group, input partition) — stays on the fast
+    # vectorized hash-agg path, where eight DECIMAL(38,6) sums fall off it
+    # (~2.4x slower end-to-end).  Level 2 merges the per-partition longs in
+    # DECIMAL(38,0), so no overflow at any scale.  Bit-identical to direct
+    # decimal accumulation.
     li = _t(spark, sf_dir, "lineitem")
     rev = revenue_expr()
-    return (
+    lvl1 = (
         li.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("pid"))
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(rev, "sum_disc_price"),
-            dsum(rev * (F.lit(1) + F.col("l_tax")), "sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(units6(F.col("l_quantity"))).alias("u_qty"),
+            F.sum(units6(F.col("l_extendedprice"))).alias("u_price"),
+            F.sum(units6(rev)).alias("u_rev"),
+            F.sum(units6(rev * (F.lit(1) + F.col("l_tax")))).alias("u_charge"),
+            F.sum(units6(F.col("l_discount"))).alias("u_disc"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+    return lvl1.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_units6("u_qty").alias("sum_qty"),
+        sum_units6("u_price").alias("sum_base_price"),
+        sum_units6("u_rev").alias("sum_disc_price"),
+        sum_units6("u_charge").alias("sum_charge"),
+        (sum_units6("u_qty") / F.sum("n")).alias("avg_qty"),
+        (sum_units6("u_price") / F.sum("n")).alias("avg_price"),
+        (sum_units6("u_disc") / F.sum("n")).alias("avg_disc"),
+        F.sum("n").alias("count_order"),
     )
 
 
@@ -128,7 +144,20 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
 
-    partsupp = li.groupBy(
+    # The p_size/p_type filter keeps ~1% of parts — push it BELOW the
+    # partsupp aggregation (broadcast semi-join on l_partkey) so the
+    # groupBy shuffles only the surviving lineitems, not all of them.
+    # ps_supplycost per (partkey, suppkey) is unaffected by dropping other
+    # parts.  At 100 TB this turns the dominant shuffle into a rounding
+    # error; DataFusion's optimizer does the same pushdown through its
+    # aggregate (optimizer/src/push_down_filter.rs).
+    part_f = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    li_f = li.join(
+        F.broadcast(part_f.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "leftsemi",
+    )
+    partsupp = li_f.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
@@ -139,11 +168,8 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
     )
     joined = (
-        partsupp.join(eur_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
-        .join(
-            F.broadcast(part.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))),
-            F.col("ps_partkey") == F.col("p_partkey"),
-        )
+        partsupp.join(F.broadcast(eur_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part_f), F.col("ps_partkey") == F.col("p_partkey"))
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -910,11 +936,28 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "semi-join", "anti-join"),
 )
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Physical strategy mirrors DataFusion's: EXISTS/NOT EXISTS become
+    # hash semi/anti joins on l_orderkey (physical-plan/src/joins/).  Two
+    # scale-minded choices beyond the naive form:
+    #   - the NATION_4 supplier filter broadcasts into l1 BEFORE the big
+    #     joins, so only ~1/25 of lineitem reaches the orderkey shuffles;
+    #   - l2/l3 project to 2-3 columns pre-shuffle, so the two extra
+    #     lineitem passes move narrow rows only.
+    # (A decorrelated one-pass variant — groupBy (order,supp) max shipdate
+    # + per-order top-2 stats — was measured 2-3x slower end-to-end at
+    # both sf0.01 and sf0.1: two wide aggregations cost more than three
+    # narrow co-keyed hash joins.  Revisit on a real cluster if the fact
+    # shuffle dominates.)
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
-    l1 = li.alias("l1")
+
+    s_nat = supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    l1 = li.join(
+        F.broadcast(s_nat.select("s_suppkey", "s_name")),
+        li.l_suppkey == F.col("s_suppkey"),
+    ).alias("l1")
     l2 = li.select(
         F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
     )
@@ -941,9 +984,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waiting.join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("s_name")
+        waiting.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
