@@ -1,6 +1,7 @@
 """Plan-audit helpers (DataFusion's EXPLAIN/ANALYZE surface)."""
 
 from datafusion_spark.plans.audit import (
+    explain_analyze,
     explain_str,
     has_broadcast_join,
     pushed_filters,
@@ -10,6 +11,7 @@ from datafusion_spark.plans.audit import (
 
 __all__ = [
     "explain_str",
+    "explain_analyze",
     "pushed_filters",
     "scan_columns",
     "shuffle_count",

@@ -50,3 +50,27 @@ def shuffle_count(df: DataFrame) -> int:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+
+
+def explain_analyze(df: DataFrame) -> dict:
+    """EXPLAIN ANALYZE equivalent (reference: datafusion/physical-plan/src/
+    analyze.rs): execute the query and report the FINAL adaptive plan (after
+    AQE re-planning — coalesced partitions, runtime-selected join
+    strategies) plus row count and wall time.
+
+    Returns {"rows", "wall_sec", "final_plan", "initial_plan"} — diffing
+    the two plans shows what AQE changed at runtime.
+    """
+    import time
+
+    initial = explain_str(df)
+    t0 = time.perf_counter()
+    n = df.count()
+    wall = time.perf_counter() - t0
+    final = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "rows": n,
+        "wall_sec": round(wall, 3),
+        "final_plan": final,
+        "initial_plan": initial,
+    }

@@ -158,3 +158,90 @@ def nested_generate_series(spark, sf_dir):
         .groupBy("p_partkey")
         .agg(F.sum("s").alias("series_sum"), F.count(F.lit(1)).alias("n_terms"))
     )
+
+
+@query(
+    "nested_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ')[1:12] AS ta,
+             string_split(text, ' ')[7:20] AS tb
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(list_concat(ta, tb))) AS INT) AS n_union,
+           CAST(len(list_distinct(list_intersect(ta, tb))) AS INT) AS n_intersect,
+           CAST(len(list_filter(list_distinct(ta),
+                                x -> NOT list_contains(tb, x))) AS INT) AS n_except,
+           array_to_string(list_sort(list_distinct(list_intersect(ta, tb))), ',')
+             AS common_sorted,
+           CAST(len(flatten([ta, tb])) AS INT) AS n_flat
+    FROM t
+    """,
+    tags=("nested", "array"),
+)
+def nested_array_setops(spark, sf_dir):
+    """array_union/intersect/except + flatten (reference:
+    functions-nested/src/set_ops.rs, flatten.rs).  Outputs are scalar
+    summaries of the (distinct-semantics) results so the cross-engine hash
+    compares values, not array encodings."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ws = F.split("text", " ")
+    d = d.select("doc_id", F.slice(ws, 1, 12).alias("ta"), F.slice(ws, 7, 14).alias("tb"))
+    inter = F.array_sort(F.array_intersect("ta", "tb"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_union("ta", "tb")).alias("n_union"),
+        F.size(F.array_intersect("ta", "tb")).alias("n_intersect"),
+        F.size(F.array_except("ta", "tb")).alias("n_except"),
+        F.array_join(inter, ",").alias("common_sorted"),
+        F.size(F.flatten(F.array("ta", "tb"))).alias("n_flat"),
+    )
+
+
+@query(
+    "nested_map_ops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')[1:3]) AS ks,
+             string_split(text, ' ')[1] AS w1
+      FROM documents WHERE doc_id < 200
+    ),
+    m AS (
+      SELECT doc_id, w1, MAP(ks, list_transform(ks, x -> length(x))) AS mp FROM t
+    )
+    SELECT doc_id,
+           CAST(mp[w1][1] AS BIGINT) AS first_word_len,
+           CAST(cardinality(mp) AS INT) AS n_keys,
+           array_to_string(list_sort(map_keys(mp)), ',') AS keys_sorted,
+           CAST(list_sum(map_values(mp)) AS BIGINT) AS vals_sum
+    FROM m
+    """,
+    tags=("nested", "map"),
+)
+def nested_map_ops(spark, sf_dir):
+    """Map type round-trip: build from arrays, key lookup, keys/values
+    introspection (reference: functions-nested/src/map.rs, map_keys.rs,
+    map_values.rs, map_extract.rs)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ws = F.split("text", " ")
+    d = d.select(
+        "doc_id",
+        F.array_distinct(F.slice(ws, 1, 3)).alias("ks"),
+        F.element_at(ws, 1).alias("w1"),
+    )
+    m = d.select(
+        "doc_id",
+        "w1",
+        F.map_from_arrays("ks", F.transform("ks", lambda x: F.length(x))).alias("mp"),
+    )
+    return m.select(
+        "doc_id",
+        F.element_at("mp", F.col("w1")).cast("long").alias("first_word_len"),
+        F.size("mp").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("mp")), ",").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values("mp"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("vals_sum"),
+    )

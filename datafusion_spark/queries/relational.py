@@ -544,3 +544,38 @@ def values_inline(spark, sf_dir):
     return vals.join(F.broadcast(reg), F.col("region") == F.col("r_name")).select(
         "region_code", "r_name"
     )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("relational", "setop"),
+)
+def setop_intersect_all(spark, sf_dir):
+    """Multiset INTERSECT ALL (min of per-side multiplicities) — Spark
+    intersectAll ⇔ DuckDB INTERSECT ALL."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("p"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("p"))
+    return a.intersectAll(b)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("relational", "setop"),
+)
+def setop_except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL (multiplicity subtraction)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("p"))
+    b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_orderpriority").alias("p"))
+    return a.exceptAll(b)

@@ -1,6 +1,8 @@
 """Structured Streaming counterparts of the batch operators."""
 
 from datafusion_spark.streaming.ops import (
+    click_purchase_join,
+    dedup_within_watermark,
     read_events_stream,
     sessionize_stateful,
     sliding_counts,
@@ -12,4 +14,6 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "sessionize_stateful",
+    "click_purchase_join",
+    "dedup_within_watermark",
 ]

@@ -163,6 +163,60 @@ def _session_fn(
         )
 
 
+def click_purchase_join(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join (reference: datafusion/physical-plan/src/
+    joins/symmetric_hash_join.rs — DataFusion's streaming-capable join):
+    per-user 'click' events joined to 'purchase' events that follow within
+    ``within``.  Both sides carry watermarks and the join condition has a
+    time bound in BOTH directions, so Spark can evict join state — state
+    size is O(events inside the watermark horizon), not O(stream).
+
+    Works identically on batch DataFrames (no watermark needed) — the
+    batch twin is oracle-checked as events_funnel-style SQL.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"),
+        "c_event_id",
+        "p_event_id",
+        "c_ts",
+        "p_ts",
+        "p_value",
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
+    keeps state only for ids newer than the watermark horizon — the
+    streaming twin of the batch dedup_exact operator (state O(horizon),
+    not O(stream history))."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 def sessionize_stateful(events: DataFrame) -> DataFrame:
     """applyInPandasWithState sessionization: per-user state, 30-min gap,
     processing-time timeout flushes idle sessions."""

@@ -51,3 +51,12 @@ def test_single_shuffle_sessionization(spark):
     df = QUERIES["events_sessionization"](spark, SF_SMALL)
     # one hash exchange on user_id feeds both window passes + the aggregate
     assert shuffle_count(df) <= 2
+
+
+def test_explain_analyze_reports_final_plan(spark):
+    from datafusion_spark.plans import explain_analyze
+
+    out = explain_analyze(QUERIES["tpch_q6"](spark, SF_SMALL))
+    assert out["rows"] == 1
+    assert "AdaptiveSparkPlan" in out["initial_plan"] or out["initial_plan"]
+    assert "HashAggregate" in out["final_plan"]

@@ -68,3 +68,69 @@ def test_streaming_incremental_files(spark, tmp_path):
         assert total == 200
     finally:
         q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from datafusion_spark.streaming import click_purchase_join, read_events_stream
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_SMALL)
+    q = (
+        click_purchase_join(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            (r.c_event_id, r.p_event_id)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        batch = click_purchase_join(load_table(spark, SF_SMALL, "events"))
+        want = {(r.c_event_id, r.p_event_id) for r in batch.collect()}
+        assert got == want
+        assert len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """A source with duplicated event_ids collapses to one row per id."""
+    import pyspark.sql.functions as F
+
+    from datafusion_spark.streaming import dedup_within_watermark
+
+    events = load_table(spark, SF_SMALL, "events").limit(100)
+    dup = events.unionByName(events)  # every id twice
+    src = str(tmp_path / "dedup_src")
+    dup.withColumn("ts", F.col("ts").cast("long") * 1_000_000_000).repartition(
+        3
+    ).write.parquet(src)
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, props string, ts long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        rows = spark.sql(f"SELECT event_id, COUNT(*) AS n FROM {name} GROUP BY event_id").collect()
+        assert len(rows) == 100
+        assert all(r.n == 1 for r in rows)
+    finally:
+        q.stop()
