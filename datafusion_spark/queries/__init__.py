@@ -24,6 +24,7 @@ _MODULES = [
     "functions_agg",
     "nested",
     "events",
+    "clickbench",
     "pipeline_dedup",
     "pipeline_similarity",
     "pipeline_text",

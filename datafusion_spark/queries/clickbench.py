@@ -1,0 +1,179 @@
+"""ClickBench / h2o-style wide-aggregation suite.
+
+Reference: benchmarks/src/clickbench.rs and benchmarks/src/h2o.rs —
+DataFusion's other two acceptance benchmarks besides TPC-H: high-cardinality
+GROUP BYs, top-k heavy hitters, time bucketing, JSON field aggregation,
+exact quantiles.  Adapted to the events/documents tables (no 100-column
+hits table here; the aggregation *shapes* are what's exercised).
+
+Scale notes: every entry is partial-agg + single shuffle on the group key;
+top-k uses TakeOrderedAndProject (never a global sort); the JSON entry
+parses with get_json_object once per row, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "cb_overview_counts",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    """,
+    tags=("clickbench", "bench"),
+)
+def cb_overview_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count_distinct(F.col("event_type")).alias("n_types"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "cb_top_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY user_id
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+    tags=("clickbench", "bench"),
+)
+def cb_top_users(spark, sf_dir):
+    """Heavy-hitter top-k: partial agg → shuffle on user_id → TakeOrdered
+    (no global sort; each partition contributes its local top 10)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_daily_activity",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("clickbench", "bench"),
+)
+def cb_daily_activity(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("user_id")).alias("dau"),
+    )
+
+
+@query(
+    "cb_json_k_histogram",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY n DESC, k
+    LIMIT 20
+    """,
+    tags=("clickbench",),
+)
+def cb_json_k_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "k")
+        .limit(20)
+    )
+
+
+@query(
+    "cb_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+           ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90,
+           ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("clickbench",),
+)
+def cb_value_quantiles(spark, sf_dir):
+    """Exact quantiles (interpolated).  At 100 TB use approx_percentile —
+    the exact form requires a per-group sort; kept exact here to hash-match
+    the oracle (the approx twin is agg_approx_sketches)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query(
+    "h2o_groupby_lang",
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("clickbench", "h2o"),
+)
+def h2o_groupby_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+    )
+
+
+@query(
+    "h2o_groupby_two_keys",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("clickbench", "h2o"),
+)
+def h2o_groupby_two_keys(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -275,3 +275,38 @@ def window_topk_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("n_name", "c_custkey", "c_acctbal")
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over event time (per-customer trailing-30-day spend) —
+    value-based frames are DataFusion's window_frame RANGE mode
+    (physical-plan/src/windows/).  RANGE includes ALL rows with equal
+    order keys, so ties don't need a tiebreak for determinism; the sum is
+    decimal-accumulated (exact) per SURVEY §4."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.expr(
+            """
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+            ) AS DOUBLE)
+            """
+        ).alias("spend_30d"),
+    )
