@@ -45,3 +45,38 @@ def recursive_fixpoint(
     else:
         raise RuntimeError(f"recursive_fixpoint: no fixpoint within {max_iter} iterations")
     return acc
+
+
+def recursive_fixpoint_distinct(
+    base: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    max_iter: int = 100,
+) -> DataFrame:
+    """UNION (distinct) semantics — the recursive CTE form that terminates
+    on cyclic graphs: each iteration keeps only rows never seen before
+    (left anti join against the accumulated set), exactly how DataFusion's
+    recursive query dedups its work table under UNION.  Required for graph
+    walks (connected components, reachability) where UNION ALL would loop
+    forever.
+
+    Scale: the anti join shuffles frontier ∪ acc each round; acc is
+    checkpointed so its plan stays flat.  For very deep graphs prefer
+    alternating-direction label propagation (fewer rounds)."""
+    acc = base.distinct().localCheckpoint(eager=True)
+    frontier = acc
+    for _ in range(max_iter):
+        fresh = (
+            step(frontier)
+            .distinct()
+            .join(acc, on=list(acc.columns), how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if fresh.isEmpty():
+            break
+        acc = acc.unionAll(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    else:
+        raise RuntimeError(
+            f"recursive_fixpoint_distinct: no fixpoint within {max_iter} iterations"
+        )
+    return acc

@@ -257,3 +257,54 @@ def agg_regr_linear(spark, sf_dir):
         F.round(F.regr_avgx(y, x), 6).alias("avgx"),
         F.round(F.regr_avgy(y, x), 4).alias("avgy"),
     )
+
+
+@query(
+    "agg_array_agg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS names_asc,
+           array_to_string(list(n_nationkey ORDER BY n_nationkey DESC), ',') AS keys_desc
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("aggregate", "array_agg"),
+)
+def agg_array_agg_ordered(spark, sf_dir):
+    """Ordered array_agg / string_agg (reference: functions-aggregate/src/
+    array_agg.rs with order-by).  Spark collect_list has no ordering
+    guarantee → sort the collected array explicitly (array_sort / reverse),
+    which is the deterministic distributed form."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names_asc"),
+        F.array_join(
+            F.reverse(F.array_sort(F.collect_list("n_nationkey"))), ","
+        ).alias("keys_desc"),
+    )
+
+
+@query(
+    "agg_distinct_sums",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_distinct_price,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_distinct_sums(spark, sf_dir):
+    """DISTINCT aggregates (SUM/COUNT DISTINCT) — planned as expand +
+    two-phase agg by Catalyst; the distinct set shuffles once per key."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_custs"),
+        F.sum_distinct(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_distinct_price"),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
+    )

@@ -323,3 +323,63 @@ def fn_cast_conversions(spark, sf_dir):
         F.col("c_custkey").cast("string").alias("key_str"),
         F.floor("c_acctbal").alias("bal_floor_int"),
     )
+
+
+@query(
+    "fn_datetime_bin",
+    oracle="""
+    SELECT event_id,
+           time_bucket(INTERVAL '15 minutes', ts) AS bin15m,
+           time_bucket(INTERVAL '90 minutes', ts) AS bin90m,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_trunc
+    FROM events WHERE event_id < 500
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime_bin(spark, sf_dir):
+    """date_bin parity (reference: datafusion/functions/src/datetime/
+    date_bin.rs): arbitrary-interval bucketing ⇔ Spark window().start /
+    DuckDB time_bucket.  Both engines' default origins are midnight-aligned
+    for sub-day intervals, so buckets coincide."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+
+    def bin_secs(secs: int):
+        # floor-to-interval arithmetic (Spark allows only one window() per
+        # plan); unix epoch is midnight-aligned so this equals time_bucket
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / secs).cast("long") * secs
+        )
+
+    return e.select(
+        "event_id",
+        bin_secs(15 * 60).alias("bin15m"),
+        bin_secs(90 * 60).alias("bin90m"),
+        F.date_trunc("hour", "ts").alias("hour_trunc"),
+    )
+
+
+@query(
+    "fn_string_predicates",
+    oracle="""
+    SELECT p_partkey,
+           starts_with(p_name, 'a') AS sw,
+           ends_with(p_type, 'D') AS ew,
+           contains(p_name, 'qu') AS ct,
+           trim(p_brand, 'B#') AS btrimmed,
+           ltrim(p_brand, 'B') AS ltrimmed,
+           rtrim(p_type, 'DE') AS rtrimmed
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("functions", "string"),
+)
+def fn_string_predicates(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.startswith(F.col("p_name"), F.lit("a")).alias("sw"),
+        F.endswith(F.col("p_type"), F.lit("D")).alias("ew"),
+        F.contains(F.col("p_name"), F.lit("qu")).alias("ct"),
+        F.btrim(F.col("p_brand"), F.lit("B#")).alias("btrimmed"),
+        F.expr("TRIM(LEADING 'B' FROM p_brand)").alias("ltrimmed"),
+        F.expr("TRIM(TRAILING 'DE' FROM p_type)").alias("rtrimmed"),
+    )

@@ -368,3 +368,82 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .filter(jac >= 0.05)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --- near-dup clustering (connected components over LSH pairs) --------------
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(SUBSTR(MD5(sh) || MD5(sh || '#'), {i * 8 + 1}, 8)) AS m{i}" for i in range(K_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_key
+      FROM sigs, LATERAL (VALUES
+        (0, m0 || m1), (1, m2 || m3), (2, m4 || m5), (3, m6 || m7)
+      ) AS b(band_id, band_key)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc, label) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+      UNION
+      SELECT e.d, w.label FROM edges e JOIN walk w ON e.s = w.doc
+    ),
+    comp AS (
+      SELECT doc, MIN(label) AS component_id FROM walk GROUP BY doc
+    )
+    SELECT component_id, COUNT(*) AS n_docs,
+           string_agg(doc, ',' ORDER BY doc) AS docs_csv
+    FROM comp GROUP BY component_id
+    """,
+    tags=("pipeline", "dedup", "graph"),
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the LSH candidate
+    pair graph, via distinct-fixpoint label propagation (operators/
+    recursive.py) — the step every real dedup pipeline needs after pair
+    generation (keep one doc per component, not per pair).  The oracle is
+    DuckDB's native recursive UNION walk, so the loop is checked against
+    true recursive-query semantics.
+
+    Scale: iterations = graph diameter (dup clusters are shallow — mostly
+    2-5 docs); each round is one frontier⋈edges join + anti-join dedup,
+    all shuffles on doc_id.  Component id := min doc_id in the component.
+    """
+    from datafusion_spark.operators.recursive import recursive_fixpoint_distinct
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionAll(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    base = edges.select(F.col("s").alias("doc")).distinct().select(
+        "doc", F.col("doc").alias("label")
+    )
+
+    def step(frontier):
+        f = frontier.select(F.col("doc").alias("src"), "label")
+        return edges.join(f, edges.s == F.col("src")).select(
+            F.col("d").alias("doc"), "label"
+        )
+
+    walk = recursive_fixpoint_distinct(base, step, max_iter=24)
+    comp = walk.groupBy("doc").agg(F.min("label").alias("component_id"))
+    return comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_list("doc")), ",").alias("docs_csv"),
+    )

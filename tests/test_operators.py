@@ -115,3 +115,30 @@ def test_arrow_ipc_roundtrip_exact(spark, tmp_path):
     back = read_arrow_ipc(spark, path)
     assert back.schema == df.schema
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_recursive_fixpoint_distinct_terminates_on_cycle(spark):
+    from datafusion_spark.operators.recursive import recursive_fixpoint_distinct
+
+    # triangle 1-2-3 plus isolated pair 4-5: label propagation must
+    # terminate (UNION-distinct) and find the two components
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "s long, d long"
+    )
+    base = edges.select(F.col("s").alias("doc")).distinct().select(
+        "doc", F.col("doc").alias("label")
+    )
+
+    def step(frontier):
+        f = frontier.select(F.col("doc").alias("src"), "label")
+        return edges.join(f, edges.s == F.col("src")).select(
+            F.col("d").alias("doc"), "label"
+        )
+
+    walk = recursive_fixpoint_distinct(base, step, max_iter=10)
+    comp = {
+        r.doc: r.c
+        for r in walk.groupBy("doc").agg(F.min("label").alias("c")).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
