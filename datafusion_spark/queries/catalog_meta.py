@@ -69,3 +69,40 @@ def catalog_table_stats(spark, sf_dir):
         ).select(F.lit(t).alias("table_name"), "n_rows")
         counts = c if counts is None else counts.unionAll(c)
     return counts
+
+
+@query(
+    "catalog_column_stats",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS ndv,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_v,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    """,
+    tags=("catalog", "statistics"),
+)
+def catalog_column_stats(spark, sf_dir):
+    """ANALYZE-style column statistics (reference: datafusion/common/src/
+    stats.rs + ANALYZE TABLE): count / non-null / NDV / min / max per
+    column — the inputs a cost-based optimizer needs.  One pass per column
+    set; at scale NDV would switch to approx_count_distinct (HLL)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def stats(col):
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col(col)).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("ndv"),
+            F.min(F.col(col)).cast("double").alias("min_v"),
+            F.max(F.col(col)).cast("double").alias("max_v"),
+        ).select("column_name", "n_rows", "n_nonnull", "ndv", "min_v", "max_v")
+
+    return stats("o_totalprice").unionAll(stats("o_custkey"))

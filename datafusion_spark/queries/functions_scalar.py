@@ -383,3 +383,30 @@ def fn_string_predicates(spark, sf_dir):
         F.expr("TRIM(LEADING 'B' FROM p_brand)").alias("ltrimmed"),
         F.expr("TRIM(TRAILING 'DE' FROM p_type)").alias("rtrimmed"),
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INTEGER) AS lang_as_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_roundtrip,
+           TRY_CAST(source AS DOUBLE) AS source_as_double,
+           TRY_CAST(CAST(doc_id AS VARCHAR) || 'x' AS BIGINT) AS bad_suffix
+    FROM documents WHERE doc_id < 300
+    """,
+    tags=("functions", "cast"),
+)
+def fn_try_cast(spark, sf_dir):
+    """Failable casts return NULL instead of erroring (reference:
+    DataFusion's arrow_cast with safe=true; sqllogictest cast.slt)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        F.try_to_number(F.col("lang"), F.lit("999")).cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("int").alias("chars_roundtrip"),
+        F.col("source").try_cast("double").alias("source_as_double"),
+        F.concat(F.col("doc_id").cast("string"), F.lit("x"))
+        .try_cast("long")
+        .alias("bad_suffix"),
+    )

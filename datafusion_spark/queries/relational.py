@@ -579,3 +579,42 @@ def setop_except_all(spark, sf_dir):
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("p"))
     b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_orderpriority").alias("p"))
     return a.exceptAll(b)
+
+
+@query(
+    "join_range_nonequi",
+    oracle="""
+    WITH bands(band_name, lo, hi) AS (
+      VALUES ('low', 0.0, 2000.0), ('mid', 2000.0, 6000.0), ('high', 6000.0, 10000.0)
+    )
+    SELECT band_name, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer JOIN bands
+      ON c_acctbal >= lo AND c_acctbal < hi
+    GROUP BY band_name
+    """,
+    tags=("relational", "join", "range"),
+)
+def join_range_nonequi(spark, sf_dir):
+    """Pure non-equi (range/interval) join — DataFusion plans this as a
+    nested-loop join (physical-plan/src/joins/nested_loop_join.rs); Spark's
+    scale answer is BroadcastNestedLoopJoin: the tiny band table broadcasts,
+    so the big side is never shuffled and the 'loop' is a per-row band
+    probe.  Never range-join two big tables directly — bucket one side
+    first."""
+    c = load_table(spark, sf_dir, "customer")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 2000.0), ("mid", 2000.0, 6000.0), ("high", 6000.0, 10000.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        c.join(
+            F.broadcast(bands),
+            (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi")),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
+        )
+    )
