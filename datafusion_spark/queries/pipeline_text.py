@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.helpers import fan_out
 from datafusion_spark.queries.registry import query
 
 STOPWORDS = {
@@ -30,7 +31,10 @@ LANG_ORDER = ["en", "de", "fr", "es"]  # tie preference, fixed
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    # fan_out: the per-row work here (64-dim folds, tokenization, regex)
+    # is CPU-bound and the test files are single-split — spread it; no-op
+    # when the input already has enough partitions (real scale).
+    return fan_out(load_table(spark, sf_dir, name))
 
 
 @query(

@@ -618,3 +618,78 @@ def join_range_nonequi(spark, sf_dir):
             F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
         )
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "join", "skew"),
+)
+def join_skew_salted(spark, sf_dir):
+    """Salted join (operators/salting.py): results identical to the plain
+    join — the oracle IS the unsalted query — while the big side's key
+    space is spread across 8 salts.  The demo tool for when one l_orderkey
+    (or LSH band, or user_id) would otherwise own a straggler task."""
+    from datafusion_spark.operators.salting import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        n_salts=8,
+        spread_col="l_extendedprice",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "sql_frontend_cte",
+    oracle="""
+    WITH big_nations AS (
+      SELECT n_nationkey, n_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('AMERICA', 'ASIA')
+    ),
+    cust AS (
+      SELECT c_nationkey, COUNT(*) AS n_custs,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT n_name, n_custs, total_bal
+    FROM big_nations JOIN cust ON n_nationkey = c_nationkey
+    """,
+    tags=("relational", "sql"),
+)
+def sql_frontend_cte(spark, sf_dir):
+    """The SQL-string frontend (DataFusion's primary surface — datafusion/
+    sql/): views registered in the session catalog, multi-CTE query through
+    spark.sql — same Catalyst plan as the DataFrame form."""
+    from datafusion_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH big_nations AS (
+          SELECT n_nationkey, n_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name IN ('AMERICA', 'ASIA')
+        ),
+        cust AS (
+          SELECT c_nationkey, COUNT(*) AS n_custs,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+          FROM customer GROUP BY c_nationkey
+        )
+        SELECT n_name, n_custs, total_bal
+        FROM big_nations JOIN cust ON n_nationkey = c_nationkey
+        """
+    )

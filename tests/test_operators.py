@@ -142,3 +142,38 @@ def test_recursive_fixpoint_distinct_terminates_on_cycle(spark):
         for r in walk.groupBy("doc").agg(F.min("label").alias("c")).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from datafusion_spark.operators.salting import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, i * 1.0) for i in range(300)], "k long, v double"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, tag string")
+    plain = sorted(big.join(small, "k").collect())
+    salted = sorted(salted_join(big, small, on="k", n_salts=4, spread_col="v").collect())
+    assert salted == plain
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from datafusion_spark.operators.salting import salted_agg
+
+    df = spark.createDataFrame(
+        [(i % 2, i) for i in range(1000)], "k long, v long"
+    ).repartition(8)
+    out = salted_agg(
+        df,
+        keys=["k"],
+        aggs=[F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")],
+        finals=[F.sum("s").alias("total"), F.sum("n").alias("cnt")],
+        n_salts=4,
+    )
+    got = {r.k: (r.total, r.cnt) for r in out.collect()}
+    want = {
+        r.k: (r.total, r.cnt)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
