@@ -79,6 +79,54 @@ def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
     return df.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms long, frame_digest string, frame_mean double"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling for video payloads: one input row → ``n_frames``
+    output rows (uniform temporal stride).  STUB decode: without a real
+    video codec the 'frame' is a deterministic byte-slice digest; the
+    Spark contract — mapInPandas fan-out, bounded batches, stable output
+    schema — is the real deliverable and survives a codec swap.
+
+    Scale: fan-out is row-local (no shuffle); output rows are small
+    (digests, not pixels), so a downstream repartition is only needed if
+    frames feed a heavy per-frame model.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, digs, means = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(p)
+                span = max(len(data) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = data[i * span : (i + 1) * span] or b"\x00"
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    tss.append(i * 1000)  # fake 1 fps timeline
+                    digs.append(hashlib.sha1(chunk).hexdigest()[:12])
+                    means.append(sum(chunk) / (len(chunk) * 255.0))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_digest": digs,
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Model the documents table as a media table: text bytes stand in for
     an encoded payload (binary column + typed metadata)."""

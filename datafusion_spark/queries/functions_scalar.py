@@ -410,3 +410,34 @@ def fn_try_cast(spark, sf_dir):
         .try_cast("long")
         .alias("bad_suffix"),
     )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 1 MONTH AS plus_1mo,
+           o_orderdate + INTERVAL '1 month 15 days' AS plus_mixed,
+           o_orderdate - INTERVAL 90 MINUTE AS minus_90min,
+           o_orderdate + INTERVAL 1 YEAR + INTERVAL 1 DAY AS plus_1y1d,
+           CAST(o_orderdate + INTERVAL 1 MONTH >= TIMESTAMP '1995-01-01' AS BOOLEAN)
+             AS in_range
+    FROM orders WHERE o_orderkey < 400
+    """,
+    tags=("functions", "datetime", "interval"),
+)
+def fn_interval_arith(spark, sf_dir):
+    """Interval arithmetic incl. mixed units and month-end clamping (both
+    engines clamp Jan 31 + 1 month to Feb 28) — reference:
+    datafusion/functions/src/datetime/ + arrow interval kernels."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 1 MONTH")).alias("plus_1mo"),
+        (d + F.expr("INTERVAL 1 MONTH") + F.expr("INTERVAL 15 DAY")).alias("plus_mixed"),
+        (d - F.expr("INTERVAL 90 MINUTE")).alias("minus_90min"),
+        (d + F.expr("INTERVAL 1 YEAR") + F.expr("INTERVAL 1 DAY")).alias("plus_1y1d"),
+        ((d + F.expr("INTERVAL 1 MONTH")) >= F.lit("1995-01-01").cast("timestamp"))
+        .alias("in_range"),
+    )

@@ -40,3 +40,24 @@ def multimodal_metadata_agg(spark, sf_dir):
         )
         .orderBy("media_type")
     )
+
+
+@query("multimodal_frame_sample", oracle=None, tags=("pipeline", "multimodal"))
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-shaped fan-out: each 'video/mp4' payload yields 4 sampled
+    frame rows (stubbed decode; see operators/multimodal.py
+    sample_frames), then per-video frame statistics."""
+    from datafusion_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_table_from_documents(docs).filter(F.col("media_type") == "video/mp4")
+    frames = sample_frames(media, n_frames=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.avg("frame_mean"), 6).alias("avg_frame_mean"),
+            F.min("frame_digest").alias("first_digest_sorted"),
+        )
+        .orderBy("doc_id")
+    )

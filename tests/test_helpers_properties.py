@@ -1,0 +1,59 @@
+"""Property tests (hypothesis) for the exact-accumulation helpers — the
+correctness core of the money-aggregate fast path (helpers.units6)."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _units6_py(v: float) -> int:
+    """Python mirror of F.rint(v * 1e6) (rint = round-half-even on the
+    double product)."""
+    import math
+
+    x = v * 1000000.0
+    f = math.floor(x)
+    diff = x - f
+    if diff > 0.5:
+        return f + 1
+    if diff < 0.5:
+        return f
+    return f if f % 2 == 0 else f + 1
+
+
+def _decimal_cast_units(v: float) -> int:
+    """The reference semantics: CAST(v AS DECIMAL(38,6)) scaled by 1e6
+    (half-up on the exact binary expansion, as Spark/DuckDB casts do)."""
+    return int(
+        (Decimal(v) * 1000000).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+
+
+@given(
+    cents=st.integers(min_value=-(10**11), max_value=10**11),
+    scale=st.sampled_from([100, 10000, 1000000]),
+)
+@settings(max_examples=2000, deadline=None)
+def test_units6_equals_decimal_cast_for_money_values(cents, scale):
+    """For any value that is an exact ≤6dp decimal (stored as the nearest
+    double), rint(v*1e6) recovers the same integer as the decimal cast."""
+    v = cents / scale  # nearest double to an exact ≤6dp decimal
+    assert _units6_py(v) == _decimal_cast_units(v), v
+
+
+@given(
+    a=st.integers(min_value=0, max_value=10**7),   # price in cents
+    b=st.integers(min_value=0, max_value=100),     # discount in %
+)
+@settings(max_examples=2000, deadline=None)
+def test_units6_exact_on_revenue_products(a, b):
+    """price*(1-disc) is an exact 4dp value; the double product is within
+    half an ulp — rint must recover the true integer in 1e-6 units."""
+    price = a / 100
+    disc = b / 100
+    rev = price * (1 - disc)
+    true_units = a * (100 - b) * 100  # exact integer arithmetic
+    assert _units6_py(rev) == true_units

@@ -177,3 +177,21 @@ def test_salted_agg_equals_plain_agg(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sample_frames_fanout_deterministic(spark):
+    from datafusion_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "video/mp4", bytearray(b"0123456789abcdef")), (2, "video/mp4", bytearray(b"xy"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out1 = sorted(sample_frames(media, n_frames=4).collect())
+    out2 = sorted(sample_frames(media, n_frames=4).collect())
+    assert out1 == out2
+    by_doc = {}
+    for r in out1:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 4 and len(by_doc[2]) == 4
+    assert [r.frame_idx for r in by_doc[1]] == [0, 1, 2, 3]
+    assert all(len(r.frame_digest) == 12 for r in out1)
