@@ -44,8 +44,12 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges in the plan (AQE may merge at runtime)."""
-    return explain_str(df).count("Exchange")
+    """Number of shuffle exchanges in the static plan (AQE may merge at
+    runtime).  Counts the formatted-mode operator list entries —
+    ``(n) Exchange`` — so each exchange is counted once (the tree section
+    repeats them), and broadcast exchanges are excluded (they move a small
+    table, not the data)."""
+    return len(re.findall(r"^\(\d+\) Exchange", explain_str(df), re.MULTILINE))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -226,3 +226,50 @@ def events_asof_join(spark, sf_dir):
     return joined.select(
         "event_id", "user_id", "ts", F.col("signup_ts_right").alias("signup_ts")
     )
+
+
+@query(
+    "events_retention_wow",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week_start
+      FROM events
+    )
+    SELECT a.week_start,
+           COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained
+    FROM uw a
+    LEFT JOIN uw b
+      ON b.user_id = a.user_id AND b.week_start = a.week_start + INTERVAL 7 DAY
+    GROUP BY a.week_start
+    """,
+    tags=("events", "retention"),
+)
+def events_retention_wow(spark, sf_dir):
+    """Week-over-week cohort retention: distinct (user, week) grid
+    self-joined at +7 days.  Scale: the grid is tiny relative to events
+    (distinct collapses first — one shuffle), and the self-join co-keys on
+    user_id."""
+    e = _t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).distinct()
+    b = uw.select(
+        F.col("user_id").alias("b_user"), F.col("week_start").alias("b_week")
+    )
+    return (
+        uw.join(
+            b,
+            (F.col("b_user") == F.col("user_id"))
+            & (F.col("b_week") == F.date_add(F.col("week_start"), 7)),
+            "left",
+        )
+        .groupBy("week_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+        )
+    )

@@ -308,3 +308,36 @@ def agg_distinct_sums(spark, sf_dir):
         .alias("sum_distinct_price"),
         F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    ranked AS (
+      SELECT c_nationkey, c_mktsegment, n,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY n DESC, c_mktsegment) AS rn
+      FROM counts
+    )
+    SELECT c_nationkey, c_mktsegment AS mode_segment, CAST(n AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("aggregate", "mode"),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """mode() with an explicit tiebreak (count desc, value asc) — native
+    mode is tie-nondeterministic in both engines, so the distributed form
+    is count + arg-max, which also shows the scalable pattern (two partial
+    aggs, no per-group sort of raw rows)."""
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_mktsegment, struct(n, -ascii(c_mktsegment)))").alias(
+            "mode_segment"
+        ),
+        F.max(F.struct("n", "c_mktsegment")).getField("n").alias("n_occurrences"),
+    )

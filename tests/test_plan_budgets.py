@@ -1,0 +1,58 @@
+"""Shuffle budgets for the TPC-H suite: every query's plan must stay
+within a declared exchange count — the structural property that decides
+100 TB behavior.  A regression that adds an unplanned shuffle (lost
+broadcast, dropped pushdown, accidental repartition) fails here even
+though results stay correct.
+
+Budgets are the audited counts at the time each plan was tuned (static
+plan, before AQE runtime merging — AQE only ever reduces them).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_spark.plans import has_broadcast_join, shuffle_count
+from datafusion_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+# name -> max shuffle exchanges in the static plan at SF_SMALL (all
+# dimension joins broadcast at this size, so the budget is the agg/join
+# shuffles that remain; a regression that adds a repartition or loses a
+# broadcast shows up as +1 here)
+SHUFFLE_BUDGETS = {
+    "tpch_q1": 2,   # two-level exact agg: partial + merge
+    "tpch_q3": 1,
+    "tpch_q4": 1,
+    "tpch_q5": 1,
+    "tpch_q6": 1,   # scan + scalar agg only
+    "tpch_q10": 1,
+    "tpch_q12": 1,
+    "tpch_q14": 1,
+    "tpch_q19": 1,  # broadcast join, no fact shuffle
+    "dedup_exact": 1,
+    "dedup_minhash_signatures": 2,  # fan_out repartition + signature agg
+    "text_token_stats": 1,
+    "events_tumbling_hourly": 1,
+    "cb_top_users": 1,
+    "h2o_groupby_lang": 1,
+}
+
+BROADCAST_EXPECTED = ["tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q19", "tpch_q21"]
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget(spark, name):
+    df = QUERIES[name](spark, SF_SMALL)
+    n = shuffle_count(df)
+    assert n <= SHUFFLE_BUDGETS[name], (
+        f"{name}: {n} exchanges > budget {SHUFFLE_BUDGETS[name]} — "
+        "a shuffle crept into the plan"
+    )
+
+
+@pytest.mark.parametrize("name", BROADCAST_EXPECTED)
+def test_dimension_joins_broadcast(spark, name):
+    assert has_broadcast_join(QUERIES[name](spark, SF_SMALL)), (
+        f"{name}: expected at least one broadcast join (dimension side)"
+    )
