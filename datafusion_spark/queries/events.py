@@ -273,3 +273,39 @@ def events_retention_wow(spark, sf_dir):
             .alias("n_retained"),
         )
     )
+
+
+@query(
+    "events_session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "session"),
+)
+def events_session_window_native(spark, sf_dir):
+    """Spark-NATIVE gap sessionization: F.session_window(ts, gap) — the
+    built-in session operator (also streaming-capable), vs the window-
+    function island formulation the oracle uses and DataFusion would need.
+    Semantics coincide: maximal event chains with inter-event gaps ≤ 30min.
+    One shuffle on (user_id); session merging is operator-internal."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )

@@ -246,3 +246,56 @@ def text_bigram_top20(spark, sf_dir):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             substr(text, 1, 80) || ' contact: ' || lang || doc_id || '@' || source
+               || '.example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS raw
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '[EMAIL]', 'g'),
+             '\\+?1?-?555-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+           CAST(length(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
+                AS BIGINT) AS len_wo_emails,
+           regexp_matches(raw, '@') AS had_email
+    FROM enriched
+    """,
+    tags=("pipeline", "text", "pii"),
+)
+def text_pii_redaction(spark, sf_dir):
+    """PII scrubbing — the redaction pass every training-data pipeline runs
+    before tokenization.  Deterministic contact strings are injected (the
+    corpus has none) so the email/phone regexes exercise real matches; at
+    scale this is a pure narrow map (regexp_replace, JVM-side, no
+    shuffle)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    raw = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact: "),
+        F.col("lang"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?1?-?555-[0-9]{4}"
+    d = d.select("doc_id", raw.alias("raw"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email_re, "[EMAIL]"), phone_re, "[PHONE]"
+        ).alias("redacted"),
+        F.length(F.regexp_replace(F.col("raw"), email_re, "")).cast("long")
+        .alias("len_wo_emails"),
+        F.col("raw").rlike("@").alias("had_email"),
+    )
