@@ -32,6 +32,7 @@ _MODULES = [
     "sources_io",
     "recursive_cte",
     "catalog_meta",
+    "udf_ops",
 ]
 
 
