@@ -33,6 +33,7 @@ _MODULES = [
     "recursive_cte",
     "catalog_meta",
     "udf_ops",
+    "functions_extended",
 ]
 
 

@@ -1,0 +1,238 @@
+"""Extended scalar/aggregate function parity — second sweep.
+
+Reference: datafusion/functions/src/{math,string,unicode,regex,datetime}/
+families not yet covered by functions_scalar.py: hyperbolics and cbrt/
+hypot/cot (math/src/trigonometry.rs), overlay/elt/find_in_set/char/conv
+(string+unicode), regexp_count/regexp_substr/regexp_instr (regex/src/),
+months_between/next_day/unix_date (datetime/src/), JSON struct round-trip
+(DataFusion ships json via functions-json crate), count_if
+(functions-aggregate/src/count.rs FILTER idiom).
+
+DuckDB lacks some of these (sinh, overlay, months_between, find_in_set,
+next_day) — the oracle emulates them with portable SQL so the check stays
+independent: two implementations, one expected answer.
+
+All expressions are JVM-side built-ins → whole-stage codegen, no shuffle
+beyond the aggregate entries; scan-level column pruning applies (each
+entry selects a narrow projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "fn_math_extended",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(cbrt(p_retailprice), 6) AS cbrt_price,
+           ROUND(sqrt(p_retailprice * p_retailprice + p_size * p_size), 6) AS hyp,
+           ROUND((exp(p_size / 50.0) - exp(-p_size / 50.0)) / 2, 6) AS sinh_v,
+           ROUND((exp(p_size / 50.0) + exp(-p_size / 50.0)) / 2, 6) AS cosh_v,
+           ROUND((exp(2 * p_size / 25.0) - 1) / (exp(2 * p_size / 25.0) + 1), 6)
+             AS tanh_v,
+           ROUND(ln(p_size + sqrt(CAST(p_size AS DOUBLE) * p_size + 1)), 6) AS asinh_v,
+           ROUND(cot(1.0 + p_size), 6) AS cot_v,
+           ROUND(pi() * p_size, 6) AS pi_scaled,
+           ROUND(log(2, p_retailprice), 6) AS log2_price,
+           isnan(CASE WHEN p_size % 5 = 0 THEN CAST('NaN' AS DOUBLE)
+                      ELSE p_retailprice END) AS is_nan,
+           CASE WHEN isnan(CASE WHEN p_size % 5 = 0 THEN CAST('NaN' AS DOUBLE)
+                                ELSE p_retailprice END)
+                THEN 0.0 ELSE p_retailprice END AS nan_cleaned
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("functions", "math"),
+)
+def fn_math_extended(spark, sf_dir):
+    """Hyperbolics/cbrt/hypot/cot/pi/log-base/isnan/nanvl.  DuckDB has no
+    sinh/cosh/tanh/asinh → oracle uses the exp/ln identities; rounded to
+    6dp to absorb libm ulp differences (§4 rule 2)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    nan_injected = F.when(
+        F.col("p_size") % 5 == 0, F.lit(float("nan"))
+    ).otherwise(F.col("p_retailprice"))
+    return p.select(
+        "p_partkey",
+        F.round(F.cbrt("p_retailprice"), 6).alias("cbrt_price"),
+        F.round(F.hypot(F.col("p_retailprice"), F.col("p_size")), 6).alias("hyp"),
+        F.round(F.sinh(F.col("p_size") / 50.0), 6).alias("sinh_v"),
+        F.round(F.cosh(F.col("p_size") / 50.0), 6).alias("cosh_v"),
+        F.round(F.tanh(F.col("p_size") / 25.0), 6).alias("tanh_v"),
+        F.round(F.asinh(F.col("p_size").cast("double")), 6).alias("asinh_v"),
+        F.round(F.cot(F.lit(1.0) + F.col("p_size")), 6).alias("cot_v"),
+        F.round(F.lit(3.141592653589793) * F.col("p_size"), 6).alias("pi_scaled"),
+        F.round(F.log(2.0, F.col("p_retailprice")), 6).alias("log2_price"),
+        F.isnan(nan_injected).alias("is_nan"),
+        F.nanvl(nan_injected, F.lit(0.0)).alias("nan_cleaned"),
+    )
+
+
+@query(
+    "fn_string_extended",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 2) || 'XX' || substr(p_name, 5) AS overlaid,
+           CASE 1 + p_size % 3 WHEN 1 THEN p_brand
+                               WHEN 2 THEN p_type
+                               ELSE p_name END AS elt_pick,
+           CAST(COALESCE(list_position(string_split('Brand#1,Brand#2,Brand#3', ','),
+                                       p_brand), 0) AS INT) AS brand_slot,
+           chr(65 + p_size % 26) AS letter,
+           CAST(bit_length(p_name) AS INT) AS bits,
+           to_base(p_partkey, 16) AS hex_key,
+           CAST(CASE WHEN strpos(substr(p_name, 3), 'e') = 0 THEN 0
+                     ELSE strpos(substr(p_name, 3), 'e') + 2 END AS INT) AS loc_e_from3
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("functions", "string"),
+)
+def fn_string_extended(spark, sf_dir):
+    """overlay / elt / find_in_set / char / bit_length / conv / 3-arg
+    locate.  DuckDB lacks overlay, elt, find_in_set, conv and 3-arg
+    position → the oracle emulates each with substr/CASE/list_position/
+    to_base, so the check is two independent derivations."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.expr("overlay(p_name PLACING 'XX' FROM 3 FOR 2)").alias("overlaid"),
+        F.expr("elt(1 + p_size % 3, p_brand, p_type, p_name)").alias("elt_pick"),
+        F.expr("find_in_set(p_brand, 'Brand#1,Brand#2,Brand#3')").alias("brand_slot"),
+        F.expr("char(65 + p_size % 26)").alias("letter"),
+        F.expr("bit_length(p_name)").alias("bits"),
+        F.expr("conv(CAST(p_partkey AS STRING), 10, 16)").alias("hex_key"),
+        F.expr("locate('e', p_name, 3)").alias("loc_e_from3"),
+    )
+
+
+@query(
+    "fn_regex_extended",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           NULLIF(regexp_extract(text, '[a-z]{6,}'), '') AS long_word,
+           CAST(CASE WHEN regexp_extract(text, 'doc[0-9]+') = '' THEN 0
+                     ELSE strpos(text, regexp_extract(text, 'doc[0-9]+'))
+                END AS BIGINT) AS doc_ref_pos,
+           array_to_string(string_split_regex(substr(text, 1, 40), '[aeiou]'), '|')
+             AS devoweled_parts
+    FROM documents WHERE doc_id < 150
+    """,
+    tags=("functions", "regex"),
+)
+def fn_regex_extended(spark, sf_dir):
+    """regexp_count / regexp_substr / regexp_instr / regex split-to-array.
+    Oracle notes: DuckDB regexp_extract returns '' on miss (Spark
+    regexp_substr → NULL) → NULLIF; regexp_instr emulated via strpos of the
+    extracted match (sound because the matched substring's first occurrence
+    is itself the first regex match for this self-matching pattern)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return d.select(
+        "doc_id",
+        F.expr("regexp_count(text, '[0-9]')").cast("long").alias("n_digits"),
+        F.expr("regexp_substr(text, '[a-z]{6,}')").alias("long_word"),
+        F.expr("regexp_instr(text, 'doc[0-9]+')").cast("long").alias("doc_ref_pos"),
+        F.array_join(F.split(F.substring("text", 1, 40), "[aeiou]"), "|")
+        .alias("devoweled_parts"),
+    )
+
+
+@query(
+    "fn_datetime_extended",
+    oracle="""
+    SELECT event_id,
+           ROUND((CAST(year(CAST(ts AS DATE)) AS BIGINT) - 2024) * 12
+                 + (CAST(month(CAST(ts AS DATE)) AS BIGINT) - 1)
+                 + CASE WHEN day(CAST(ts AS DATE)) = 15 THEN 0
+                        ELSE (day(CAST(ts AS DATE)) - 15) / 31.0 END, 8)
+             AS months_since,
+           CAST(CAST(ts AS DATE)
+                + to_days(CAST(((7 - isodow(CAST(ts AS DATE))) % 7) + 1 AS INT))
+                AS DATE) AS next_monday,
+           dayname(CAST(ts AS DATE)) AS day_name,
+           make_timestamp((epoch_us(ts) // 1000000) * 1000000) AS ts_seconds,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+             AS days_since_epoch,
+           CAST(ts AS DATE) AS d_roundtrip
+    FROM events WHERE event_id < 1500
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime_extended(spark, sf_dir):
+    """months_between / next_day / dayname / timestamp_seconds / unix_date /
+    date_from_unix_date.  DuckDB lacks months_between and next_day → oracle
+    reimplements Spark's documented formulas (fractional part = day-diff/31,
+    integer when days match; next strictly-later weekday).  Session TZ is
+    UTC on both engines so epoch arithmetic lines up."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    d = F.col("ts").cast("date")
+    return e.select(
+        "event_id",
+        F.months_between(d, F.to_date(F.lit("2024-01-15"))).alias("months_since"),
+        F.next_day(d, "Mon").alias("next_monday"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_seconds"),
+        F.unix_date(d).cast("long").alias("days_since_epoch"),
+        F.date_from_unix_date(F.unix_date(d)).alias("d_roundtrip"),
+    )
+
+
+@query(
+    "fn_json_struct_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           json_extract_string(props, '$.k') AS k_str,
+           to_json({'t': event_type, 'k': CAST(json_extract(props, '$.k') AS INT)})
+             AS js
+    FROM events WHERE event_id < 1500
+    """,
+    tags=("functions", "json"),
+)
+def fn_json_struct_roundtrip(spark, sf_dir):
+    """from_json → typed struct field, get_json_object string extraction,
+    and to_json re-serialization (compact, key-ordered — both engines emit
+    {"t":...,"k":...} with no whitespace)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    parsed = F.from_json(F.col("props"), "k int")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"), parsed.getField("k").alias("k")
+            )
+        ).alias("js"),
+    )
+
+
+@query(
+    "agg_count_if",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_heavy,
+           CAST(count_if(l_discount = 0.0) AS BIGINT) AS n_no_discount,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregates",),
+)
+def agg_count_if(spark, sf_dir):
+    """count_if (DataFusion: COUNT(*) FILTER / count_if UDAF) — partial
+    aggregation map-side, single shuffle on the group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_heavy"),
+        F.count_if(F.col("l_discount") == 0.0).alias("n_no_discount"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

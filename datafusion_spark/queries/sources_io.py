@@ -94,6 +94,58 @@ def source_partitioned_write_prune(spark, sf_dir):
 
 
 @query(
+    "source_multifile_listing",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("sources", "listing"),
+)
+def source_multifile_listing(spark, sf_dir):
+    """Listing-table over multiple roots: events split across two
+    directories (each itself multi-file), read back as ONE scan by passing
+    both paths — the reference's ListingTable with several location URLs
+    (datafusion/catalog-listing).  One FileScan node lists all files and
+    assigns splits; no union operator appears in the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    path_a = os.path.join(_SCRATCH, "events_listing_a")
+    path_b = os.path.join(_SCRATCH, "events_listing_b")
+    copy_to(ev.filter(F.col("event_id") % 2 == 0).repartition(4), path_a)
+    copy_to(ev.filter(F.col("event_id") % 2 == 1).repartition(4), path_b)
+    back = spark.read.parquet(path_a, path_b)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "source_parquet_zstd_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sources", "compression"),
+)
+def source_parquet_zstd_roundtrip(spark, sf_dir):
+    """COPY TO parquet with zstd compression → scan → aggregate.  Exercises
+    the writer codec option (reference: COPY ... OPTIONS (compression
+    'zstd'), datafusion/common/src/file_options); zstd is the right codec
+    at 100 TB (≈2× better ratio than snappy at similar scan speed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(_SCRATCH, "lineitem_zstd")
+    li.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+        .alias("total"),
+    )
+
+
+@query(
     "source_arrow_ipc_roundtrip",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n_suppliers,
