@@ -34,6 +34,7 @@ _MODULES = [
     "catalog_meta",
     "udf_ops",
     "functions_extended",
+    "advanced_ops",
 ]
 
 

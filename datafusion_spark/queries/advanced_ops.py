@@ -1,0 +1,269 @@
+"""Advanced relational/nested/window operators — third sweep.
+
+Covers reference surfaces not yet in the inventory:
+- bucketed co-located join (DataFusion's pre-partitioned ExecutionPlan
+  output_partitioning contract, physical-plan/src/joins/hash_join.rs:
+  a join whose inputs are already hash-partitioned on the key skips the
+  repartition) — Spark-native: bucketBy tables, SortMergeJoin with NO
+  Exchange on either side.
+- array_sort/slice/repeat/compact/insert/remove (functions-nested/src/)
+- map higher-order ops (transform_values/map_filter over map columns)
+- window lag/lead defaults, IGNORE NULLS, numeric RANGE frames
+  (physical-plan/src/windows/)
+- DISTINCT ON (sql/src/ — DataFusion supports DISTINCT ON natively;
+  Spark expresses it as row_number()=1, DuckDB oracle uses native
+  DISTINCT ON so the two derivations are independent)
+- width_bucket histogramming (functions/src/math/)
+
+Scale notes: bucketed tables are THE 100 TB join strategy for repeated
+fact-fact joins (pay the shuffle once at write time, never again);
+everything else here is narrow map-side work or a single keyed shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.registry import query
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "datafusion_spark_bucketed")
+
+
+def build_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
+    """Write lineitem+orders as bucketed tables (hash-partitioned by the
+    join key at write time, per-bucket sorted).  Idempotent per (sf_dir);
+    re-registers the catalog entries if the session changed."""
+    li_tbl, ord_tbl = "li_bucketed", "ord_bucketed"
+    marker = os.path.join(_SCRATCH, f"done_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(marker) or not spark.catalog.tableExists(li_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {ord_tbl}")
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(_SCRATCH, "lineitem"))
+            .saveAsTable(li_tbl)
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(_SCRATCH, "orders"))
+            .saveAsTable(ord_tbl)
+        )
+        os.makedirs(_SCRATCH, exist_ok=True)
+        open(marker, "w").close()
+    return spark.table(li_tbl), spark.table(ord_tbl)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("joins", "bucketing", "scale"),
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Fact-fact join on pre-bucketed tables: both sides hash-partitioned
+    on the key at WRITE time, so the SortMergeJoin consumes bucket splits
+    directly — zero Exchange on either join input (asserted in
+    tests/test_operators.py).  At 100 TB this converts every repeated
+    orders⋈lineitem from a 2-sided shuffle into a local merge."""
+    li, orders = build_bucketed_tables(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "nested_array_advanced",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(l[1:6], 'DESC'), '|') AS first6_desc,
+           array_to_string(l[2:4], '|') AS sliced_2_3,
+           array_to_string(list_transform(generate_series(1, 3), i -> l[1]), '|')
+             AS head_x3,
+           CAST(len(list_filter(list_transform(l, t -> nullif(t, 'the')),
+                                x -> x IS NOT NULL)) AS INT) AS n_non_the,
+           array_to_string(l[1:1] || ['XX'] || l[2:3], '|') AS inserted,
+           array_to_string(list_filter(l[1:5], x -> x != l[1]), '|') AS head_removed
+    FROM toks
+    """,
+    tags=("nested", "arrays"),
+)
+def nested_array_advanced(spark, sf_dir):
+    """sort_array(desc) / slice / array_repeat / array_compact /
+    array_insert / array_remove.  DuckDB lacks repeat/insert on lists →
+    oracle rebuilds them from slices and generate_series, keeping the two
+    derivations independent.  All element-wise — no shuffle."""
+    d = _docs(spark, sf_dir)
+    l = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.sort_array(F.slice(l, 1, 6), asc=False), "|")
+        .alias("first6_desc"),
+        F.array_join(F.slice(l, 2, 3), "|").alias("sliced_2_3"),
+        F.array_join(F.array_repeat(l.getItem(0), 3), "|").alias("head_x3"),
+        F.size(
+            F.array_compact(F.transform(l, lambda t: F.nullif(t, F.lit("the"))))
+        ).alias("n_non_the"),
+        F.array_join(F.array_insert(F.slice(l, 1, 3), 2, F.lit("XX")), "|")
+        .alias("inserted"),
+        F.array_join(F.array_remove(F.slice(l, 1, 5), l.getItem(0)), "|")
+        .alias("head_removed"),
+    )
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+
+@query(
+    "nested_map_higher_order",
+    oracle="""
+    SELECT p_partkey,
+           p_size * 4 + 1 AS b_doubled_plus1,
+           CAST((CASE WHEN p_size > 25 THEN 1 ELSE 0 END)
+                + (CASE WHEN p_size * 2 > 25 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           CAST(p_size + p_size * 2 AS BIGINT) AS values_total
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("nested", "maps"),
+)
+def nested_map_higher_order(spark, sf_dir):
+    """transform_values / map_filter / aggregate-over-map_values on a map
+    built with map_from_arrays.  DuckDB has no map lambdas, so the oracle
+    computes the same answers directly from the scalars the map was built
+    from — the entry verifies Spark's map algebra composes to the known
+    closed form."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.col("p_size"), F.col("p_size") * 2),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2 + 1)
+    kept = F.map_filter(m, lambda k, v: v > 25)
+    return p.select(
+        "p_partkey",
+        F.element_at(doubled, F.lit("b")).alias("b_doubled_plus1"),
+        F.size(kept).alias("n_kept"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("values_total"),
+    )
+
+
+@query(
+    "window_extended_frames",
+    oracle="""
+    SELECT event_id, event_type,
+           lag(value, 1, -1.0) OVER w AS prev_v,
+           lead(value, 2, -1.0) OVER w AS next2_v,
+           first_value(CASE WHEN value > 10 THEN value END IGNORE NULLS)
+             OVER w AS first_big,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER
+                 (PARTITION BY event_type ORDER BY event_id
+                  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS near_sum
+    FROM events WHERE event_id < 3000
+    WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+    """,
+    tags=("window", "frames"),
+)
+def window_extended_frames(spark, sf_dir):
+    """lag/lead with explicit defaults, IGNORE NULLS first_value, and a
+    NUMERIC (non-interval) RANGE frame — value-based frames need the order
+    key itself, not row counts, so both engines bound the frame by
+    event_id distance.  Decimal accumulation keeps the running sum
+    order-deterministic (§4 rule 1)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    wr = w.rangeBetween(-100, Window.currentRow)
+    big = F.when(F.col("value") > 10, F.col("value"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.lag("value", 1, -1.0).over(w).alias("prev_v"),
+        F.lead("value", 2, -1.0).over(w).alias("next2_v"),
+        F.first(big, ignorenulls=True).over(w).alias("first_big"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(wr)
+        .cast("double")
+        .alias("near_sum"),
+    )
+
+
+@query(
+    "distinct_on_latest_event",
+    oracle="""
+    SELECT DISTINCT ON (user_id) user_id, event_type, value
+    FROM events
+    ORDER BY user_id, ts DESC, event_id DESC
+    """,
+    tags=("relational", "distinct-on"),
+)
+def distinct_on_latest_event(spark, sf_dir):
+    """DISTINCT ON (latest row per key).  DataFusion and DuckDB support it
+    natively; Spark's idiom is row_number()=1 over (key, ORDER BY ts DESC)
+    — same single keyed shuffle, and AQE handles key skew.  The oracle
+    uses native DISTINCT ON so the implementations are independent."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+
+
+@query(
+    "fn_width_bucket_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN p_size < 0 THEN 0
+                     WHEN p_size >= 64 THEN 9
+                     ELSE FLOOR(p_size * 8.0 / 64.0) + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS n, CAST(MIN(p_size) AS INT) AS lo, CAST(MAX(p_size) AS INT) AS hi
+    FROM part GROUP BY 1
+    """,
+    tags=("functions", "histogram"),
+)
+def fn_width_bucket_histogram(spark, sf_dir):
+    """width_bucket equi-width histogramming (DuckDB lacks it → arithmetic
+    emulation; exact because p_size·8/64 is a dyadic rational).  The
+    histogram itself is a partial-aggregated single shuffle on ≤10 keys."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.width_bucket(F.col("p_size"), F.lit(0), F.lit(64), F.lit(8))
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_size").alias("lo"),
+            F.max("p_size").alias("hi"),
+        )
+    )

@@ -51,6 +51,23 @@ def test_shuffle_budget(spark, name):
     )
 
 
+def test_bucketed_join_no_input_shuffle(spark):
+    """The bucketed fact-fact join must read bucket splits directly: with
+    broadcast disabled, the ONLY exchange in the plan is the final
+    re-aggregation on o_orderpriority — neither join input shuffles."""
+    from datafusion_spark.plans import shuffle_count as sc
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_bucketed_colocated"](spark, SF_SMALL)
+        n = sc(df)
+        assert n <= 1, f"bucketed join shuffled an input ({n} exchanges)"
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 @pytest.mark.parametrize("name", BROADCAST_EXPECTED)
 def test_dimension_joins_broadcast(spark, name):
     assert has_broadcast_join(QUERIES[name](spark, SF_SMALL)), (
