@@ -267,3 +267,24 @@ def fn_width_bucket_histogram(spark, sf_dir):
             F.max("p_size").alias("hi"),
         )
     )
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregates", "rollup"),
+)
+def agg_grouping_id(spark, sf_dir):
+    """grouping_id() over ROLLUP — distinguishes which grouping-set level
+    produced each row (reference: datafusion aggregates with grouping-set
+    internal column).  Spark expands grouping sets map-side; one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )

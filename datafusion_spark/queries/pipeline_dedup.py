@@ -373,9 +373,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # --- near-dup clustering (connected components over LSH pairs) --------------
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
+# Shared oracle prefix: shingles → minhash sigs → LSH bands → candidate
+# pairs → undirected edges → recursive label-propagation walk → components.
+_SQL_COMPONENTS = f"""
     WITH RECURSIVE {_SQL_SHINGLES},
     sigs AS (
       SELECT doc_id,
@@ -407,6 +407,37 @@ def dedup_ngram_jaccard(spark, sf_dir):
     comp AS (
       SELECT doc, MIN(label) AS component_id FROM walk GROUP BY doc
     )
+"""
+
+
+def _near_dup_components(spark, sf_dir) -> DataFrame:
+    """(doc, component_id) for every doc that has at least one near-dup
+    edge; component_id := min doc_id in the component (label propagation
+    to distinct-fixpoint, operators/recursive.py)."""
+    from datafusion_spark.operators.recursive import recursive_fixpoint_distinct
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionAll(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    base = edges.select(F.col("s").alias("doc")).distinct().select(
+        "doc", F.col("doc").alias("label")
+    )
+
+    def step(frontier):
+        f = frontier.select(F.col("doc").alias("src"), "label")
+        return edges.join(f, edges.s == F.col("src")).select(
+            F.col("d").alias("doc"), "label"
+        )
+
+    walk = recursive_fixpoint_distinct(base, step, max_iter=24)
+    return walk.groupBy("doc").agg(F.min("label").alias("component_id"))
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    {_SQL_COMPONENTS}
     SELECT component_id, COUNT(*) AS n_docs,
            string_agg(doc, ',' ORDER BY doc) AS docs_csv
     FROM comp GROUP BY component_id
@@ -425,25 +456,37 @@ def dedup_connected_components(spark, sf_dir):
     2-5 docs); each round is one frontier⋈edges join + anti-join dedup,
     all shuffles on doc_id.  Component id := min doc_id in the component.
     """
-    from datafusion_spark.operators.recursive import recursive_fixpoint_distinct
-
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionAll(
-        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
-    )
-    base = edges.select(F.col("s").alias("doc")).distinct().select(
-        "doc", F.col("doc").alias("label")
-    )
-
-    def step(frontier):
-        f = frontier.select(F.col("doc").alias("src"), "label")
-        return edges.join(f, edges.s == F.col("src")).select(
-            F.col("d").alias("doc"), "label"
-        )
-
-    walk = recursive_fixpoint_distinct(base, step, max_iter=24)
-    comp = walk.groupBy("doc").agg(F.min("label").alias("component_id"))
+    comp = _near_dup_components(spark, sf_dir)
     return comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.array_join(F.array_sort(F.collect_list("doc")), ",").alias("docs_csv"),
+    )
+
+@query(
+    "dedup_apply_canonical",
+    oracle=f"""
+    {_SQL_COMPONENTS}
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT doc FROM comp WHERE doc != component_id)
+    """,
+    tags=("pipeline", "dedup", "apply"),
+)
+def dedup_apply_canonical(spark, sf_dir):
+    """END-TO-END near-dup dedup: the surviving corpus.  Keep the minimum
+    doc_id of every LSH/connected-component cluster, drop the rest — an
+    anti-join of documents against the non-canonical member set.  This is
+    the operator a training-data pipeline actually runs (pairs and
+    clusters are intermediates).
+
+    Scale: non-canonical members are a small fraction of the corpus, so
+    the anti-join broadcasts them; documents itself is never shuffled."""
+    comp = _near_dup_components(spark, sf_dir)
+    non_canonical = comp.filter(F.col("doc") != F.col("component_id")).select(
+        F.col("doc").alias("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(non_canonical), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
     )

