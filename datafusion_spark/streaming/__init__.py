@@ -3,7 +3,10 @@
 from datafusion_spark.streaming.ops import (
     click_purchase_join,
     dedup_within_watermark,
+    foreach_batch_append_sink,
     read_events_stream,
+    read_latest_per_user,
+    session_window_counts,
     sessionize_stateful,
     sliding_counts,
     tumbling_counts,
@@ -13,7 +16,10 @@ __all__ = [
     "read_events_stream",
     "tumbling_counts",
     "sliding_counts",
+    "session_window_counts",
     "sessionize_stateful",
     "click_purchase_join",
     "dedup_within_watermark",
+    "foreach_batch_append_sink",
+    "read_latest_per_user",
 ]

