@@ -288,3 +288,87 @@ def agg_grouping_id(spark, sf_dir):
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n"),
     )
+
+@query(
+    "nested_arrays_zip",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id < 150
+    )
+    SELECT doc_id, i AS pos, w AS word,
+           CAST(length(w) AS INT) AS wlen
+    FROM t, LATERAL (
+      SELECT UNNEST(generate_series(1, least(len(ws), 4))) AS i,
+             UNNEST(ws[1:4]) AS w
+    ) z
+    """,
+    tags=("nested", "zip"),
+)
+def nested_arrays_zip(spark, sf_dir):
+    """arrays_zip + inline explode (reference: functions-nested/src/
+    arrays_zip.rs + unnest): zip a token array with its per-token lengths
+    and flatten to rows — structural zip checked by exploding to plain
+    columns both engines can hash."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    ws = F.slice(F.split(F.col("text"), " "), 1, 4)
+    pos = F.sequence(F.lit(1), F.size(ws))
+    zipped = F.arrays_zip(pos.alias("pos"), ws.alias("word"))
+    return (
+        d.select("doc_id", F.explode(zipped).alias("z"))
+        .select(
+            "doc_id",
+            F.col("z.pos").alias("pos"),
+            F.col("z.word").alias("word"),
+            F.length("z.word").cast("int").alias("wlen"),
+        )
+    )
+
+
+@query(
+    "nested_vector_math",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS dot,
+           ROUND(list_distance(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 5) AS l2,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 5) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250
+    WHERE a.vec_id < 50
+    """,
+    tags=("nested", "vectors"),
+)
+def nested_vector_math(spark, sf_dir):
+    """Vector math as first-class column algebra (reference:
+    functions-nested/src/{inner_product,distance,cosine_distance}.rs):
+    inner product, L2 distance, cosine similarity via zip_with +
+    sequential aggregate fold — JVM-side, no UDF.  DuckDB natives are the
+    oracle; both sides fold in float64 sequentially, rounded to 5dp to
+    absorb any accumulation-order slack."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    j = a.join(F.broadcast(b), F.col("vec_b") == F.col("vec_a") + 250)
+
+    def to_d(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    ea, eb = to_d(F.col("ea")), to_d(F.col("eb"))
+    dot = fold_sum(F.zip_with(ea, eb, lambda x, y: x * y))
+    na = fold_sum(F.zip_with(ea, ea, lambda x, y: x * y))
+    nb = fold_sum(F.zip_with(eb, eb, lambda x, y: x * y))
+    l2 = F.sqrt(fold_sum(F.zip_with(ea, eb, lambda x, y: (x - y) * (x - y))))
+    return j.select(
+        "vec_a",
+        "vec_b",
+        F.round(dot, 5).alias("dot"),
+        F.round(l2, 5).alias("l2"),
+        F.round(dot / F.sqrt(na * nb), 5).alias("cos_sim"),
+    )

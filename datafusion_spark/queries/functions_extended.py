@@ -236,3 +236,109 @@ def agg_count_if(spark, sf_dir):
         F.count_if(F.col("l_discount") == 0.0).alias("n_no_discount"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+@query(
+    "fn_conditional_nvl",
+    oracle="""
+    SELECT event_id,
+           ifnull(NULLIF(event_type, 'error'), 'n/a') AS type_or_na,
+           CASE WHEN NULLIF(event_type, 'error') IS NOT NULL
+                THEN value ELSE -1.0 END AS nvl2_value,
+           COALESCE(NULLIF(event_type, 'error'), NULLIF(event_type, 'click'),
+                    'both') AS first_non_null
+    FROM events WHERE event_id < 1500
+    """,
+    tags=("functions", "conditional"),
+)
+def fn_conditional_nvl(spark, sf_dir):
+    """nvl / nvl2 / multi-arg coalesce (reference: functions/src/core/
+    {nvl,nvl2,coalesce}.rs).  DuckDB has ifnull but no nvl2 → CASE
+    emulation."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    nulled = F.nullif(F.col("event_type"), F.lit("error"))
+    return e.select(
+        "event_id",
+        F.nvl(nulled, F.lit("n/a")).alias("type_or_na"),
+        F.nvl2(nulled, F.col("value"), F.lit(-1.0)).alias("nvl2_value"),
+        F.coalesce(
+            nulled, F.nullif(F.col("event_type"), F.lit("click")), F.lit("both")
+        ).alias("first_non_null"),
+    )
+
+
+@query(
+    "fn_math_gcd_lcm",
+    oracle="""
+    SELECT p_partkey,
+           gcd(p_partkey + 1, p_size) AS g,
+           lcm(p_size, 6) AS l,
+           (p_retailprice - p_retailprice) = 0.0 AS zero_check
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("functions", "math"),
+)
+def fn_math_gcd_lcm(spark, sf_dir):
+    """gcd / lcm / iszero (reference: functions/src/math/{gcd,lcm,
+    iszero}.rs).  Spark has no gcd builtin — implemented as a BOUNDED
+    EUCLID FOLD entirely JVM-side: fold 20 Euclid steps over a constant
+    sequence with aggregate(); 20 steps cover any pair < 10^8 (worst case
+    is consecutive Fibonaccis).  No UDF, stays in codegen.
+    lcm(a,b) = a*b / gcd(a,b)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+
+    def gcd_fold(a, b):
+        pair = F.struct(a.cast("long").alias("a"), b.cast("long").alias("b"))
+        out = F.aggregate(
+            F.sequence(F.lit(1), F.lit(20)),
+            pair,
+            lambda acc, _: F.when(
+                acc.getField("b") == 0, acc
+            ).otherwise(
+                F.struct(
+                    acc.getField("b").alias("a"),
+                    (acc.getField("a") % acc.getField("b")).alias("b"),
+                )
+            ),
+        )
+        return out.getField("a")
+
+    g = gcd_fold(F.col("p_partkey") + 1, F.col("p_size"))
+    lcm = (F.col("p_size").cast("long") * 6 / gcd_fold(F.col("p_size"), F.lit(6))).cast(
+        "long"
+    )
+    return p.select(
+        "p_partkey",
+        g.alias("g"),
+        lcm.alias("l"),
+        ((F.col("p_retailprice") - F.col("p_retailprice")) == 0.0).alias("zero_check"),
+    )
+
+
+@query(
+    "fn_timezone_convert",
+    oracle="""
+    SELECT event_id,
+           CAST(timezone('America/New_York', timezone('UTC', ts)) AS TIMESTAMP)
+             AS ny_wall,
+           CAST(timezone('Asia/Tokyo', timezone('UTC', ts)) AS TIMESTAMP)
+             AS tokyo_wall,
+           CAST(timezone('UTC', timezone('America/New_York',
+                CAST(timezone('America/New_York', timezone('UTC', ts))
+                     AS TIMESTAMP))) AS TIMESTAMP) AS utc_roundtrip
+    FROM events WHERE event_id < 1500
+    """,
+    tags=("functions", "datetime", "timezone"),
+)
+def fn_timezone_convert(spark, sf_dir):
+    """from_utc_timestamp / to_utc_timestamp (reference: functions/src/
+    datetime/to_local_time.rs).  Both engines use the IANA tzdb, so wall
+    clocks agree across DST transitions; round-trip back to UTC is the
+    inverse check."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return e.select(
+        "event_id",
+        ny.alias("ny_wall"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_wall"),
+        F.to_utc_timestamp(ny, "America/New_York").alias("utc_roundtrip"),
+    )
