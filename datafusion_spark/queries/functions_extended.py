@@ -342,3 +342,56 @@ def fn_timezone_convert(spark, sf_dir):
         F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_wall"),
         F.to_utc_timestamp(ny, "America/New_York").alias("utc_roundtrip"),
     )
+
+@query(
+    "fn_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), '|'), '')
+             AS long_words,
+           COALESCE(array_to_string(regexp_extract_all(text, '([0-9]+)'), '|'), '')
+             AS numbers
+    FROM documents WHERE doc_id < 150
+    """,
+    tags=("functions", "regex"),
+)
+def fn_regexp_extract_all(spark, sf_dir):
+    """regexp_extract_all — every match, not just the first (reference:
+    functions/src/regex/regexpmatch.rs).  Joined to a string for the
+    order-sensitive hash (match order is positional in both engines)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("([a-z]{6,})"), 0), "|"
+        ).alias("long_words"),
+        F.array_join(F.regexp_extract_all("text", F.lit("([0-9]+)"), 1), "|")
+        .alias("numbers"),
+    )
+
+
+@query(
+    "agg_nth_value_ordered",
+    oracle="""
+    SELECT event_type,
+           (list_sort(list(event_id)))[3] AS third_lowest_id,
+           (list_sort(list(event_id), 'DESC'))[2] AS second_highest_id,
+           (list_sort(list(event_id)))[1] AS first_id
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregates", "nth"),
+)
+def agg_nth_value_ordered(spark, sf_dir):
+    """nth_value as an ORDERED AGGREGATE (reference: functions-aggregate/
+    src/nth_value.rs — NTH_VALUE(x ORDER BY y)).  Spark has no nth
+    aggregate → collect_list + array_sort + element_at, which is exactly
+    DataFusion's accumulator (ordered buffer, emit slot n).  Bounded per
+    group by the collect; for unbounded groups use the window nth_value
+    (window_first_last_nth) instead."""
+    e = _t(spark, sf_dir, "events")
+    ids = F.array_sort(F.collect_list("event_id"))
+    return e.groupBy("event_type").agg(
+        F.element_at(ids, 3).alias("third_lowest_id"),
+        F.element_at(F.reverse(ids), 2).alias("second_highest_id"),
+        F.element_at(ids, 1).alias("first_id"),
+    )
