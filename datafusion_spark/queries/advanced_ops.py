@@ -372,3 +372,58 @@ def nested_vector_math(spark, sf_dir):
         F.round(l2, 5).alias("l2"),
         F.round(dot / F.sqrt(na * nb), 5).alias("cos_sim"),
     )
+
+@query(
+    "nested_stack_inline",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+      FROM part WHERE p_partkey < 200
+      UNION ALL
+      SELECT p_partkey, 'price', p_retailprice FROM part WHERE p_partkey < 200
+      UNION ALL
+      SELECT p_partkey, 'half_price', p_retailprice / 2
+      FROM part WHERE p_partkey < 200) t
+    """,
+    tags=("nested", "generators"),
+)
+def nested_stack_inline(spark, sf_dir):
+    """stack() generator (row fan-out without a join; ⇔ DataFusion unnest
+    of a struct array / UNION ALL).  Spark expands it map-side — the
+    oracle's 3-scan UNION ALL is what stack saves at 100 TB."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(3, 'size', CAST(p_size AS DOUBLE), "
+            "'price', p_retailprice, "
+            "'half_price', p_retailprice / 2) AS (metric, val)"
+        ),
+    )
+
+
+@query(
+    "nested_sequence_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(unnest(generate_series(o_orderdate,
+                                       o_orderdate + to_days(3),
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM orders WHERE o_orderkey < 100
+    """,
+    tags=("nested", "table-function", "datetime"),
+)
+def nested_sequence_dates(spark, sf_dir):
+    """Date-stepped sequence (generate_series over DATE with an INTERVAL
+    step) — calendar fan-out for densification joins (fill missing days)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(
+                F.col("o_orderdate"),
+                F.date_add(F.col("o_orderdate"), 3),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+    )

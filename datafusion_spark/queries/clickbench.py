@@ -177,3 +177,57 @@ def h2o_groupby_two_keys(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+@query(
+    "h2o_join_small",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("clickbench", "h2o", "join"),
+)
+def h2o_join_small(spark, sf_dir):
+    """h2o join benchmark, small-dimension shape (x join small): the dim
+    side broadcasts, the fact side never shuffles for the join — one
+    exchange total (the group-by)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "h2o_join_big",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+    tags=("clickbench", "h2o", "join"),
+)
+def h2o_join_big(spark, sf_dir):
+    """h2o join benchmark, big-join shape (x join big): both sides above
+    broadcast threshold at scale → co-keyed shuffle join; AQE picks
+    broadcast at small SF.  Partial aggregation runs before the group-by
+    shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+            .alias("revenue"),
+        )
+    )

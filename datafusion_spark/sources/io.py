@@ -135,3 +135,25 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             "add org.apache.spark:spark-avro_2.13 to spark.jars.packages"
         )
     return spark.read.format("avro").load(path)
+
+def compact_files(
+    spark: "SparkSession", src: str, dst: str, target_file_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target_file_mb files (the maintenance job every long-lived 100 TB
+    table needs — streaming sinks and per-partition writers accumulate
+    small files, and scan/listing overhead grows linearly with file
+    count).  Sizing uses the on-disk byte total, so the output file count
+    tracks data volume, not the input's fragmentation.
+
+    Returns the number of output files written."""
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n

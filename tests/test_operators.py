@@ -195,3 +195,35 @@ def test_sample_frames_fanout_deterministic(spark):
     assert len(by_doc[1]) == 4 and len(by_doc[2]) == 4
     assert [r.frame_idx for r in by_doc[1]] == [0, 1, 2, 3]
     assert all(len(r.frame_digest) == 12 for r in out1)
+
+
+def test_compact_files(spark, tmp_path):
+    """16-way fragmented parquet dir compacts to 1 file with identical
+    content (tiny input, target 128 MB -> single output file)."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from datafusion_spark.catalog import load_table
+    from datafusion_spark.sources.io import compact_files
+    from tests.conftest import SF_SMALL
+
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    events.repartition(16).write.parquet(src)
+    assert len(_glob.glob(src + "/*.parquet")) == 16
+
+    n = compact_files(spark, src, dst)
+    assert n == 1
+    assert len(_glob.glob(dst + "/*.parquet")) == 1
+
+    a = events.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+    ).collect()[0]
+    b = spark.read.parquet(dst).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+    ).collect()[0]
+    assert (a.n, a.s) == (b.n, b.s)
