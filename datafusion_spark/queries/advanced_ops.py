@@ -427,3 +427,43 @@ def nested_sequence_dates(spark, sf_dir):
             )
         ).alias("d"),
     )
+
+@query(
+    "dml_ctas_insert_into",
+    oracle="""
+    WITH ins AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100, n_name || '_COPY', n_regionkey FROM nation
+    )
+    SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+    FROM ins GROUP BY n_regionkey
+    """,
+    tags=("dml", "catalog"),
+)
+def dml_ctas_insert_into(spark, sf_dir):
+    """CREATE TABLE AS SELECT + INSERT INTO ... SELECT (reference:
+    DataFusion's DML surface, datafusion/core dataframe write_table /
+    insert_into).  The table is dropped and rebuilt per call so the
+    result is deterministic; the appended batch lands as new parquet
+    files — appends never rewrite existing data."""
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(), "datafusion_spark_dml", "nation_ins")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    spark.sql("DROP TABLE IF EXISTS nation_ins")
+    nation.write.mode("overwrite").option("path", scratch).saveAsTable("nation_ins")
+    nation.createOrReplaceTempView("nation_src")
+    spark.sql(
+        """
+        INSERT INTO nation_ins
+        SELECT n_nationkey + 100, n_name || '_COPY', n_regionkey FROM nation_src
+        """
+    )
+    return (
+        spark.table("nation_ins")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("n_name").alias("first_name"))
+    )
