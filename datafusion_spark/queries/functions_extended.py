@@ -280,16 +280,17 @@ def fn_conditional_nvl(spark, sf_dir):
 def fn_math_gcd_lcm(spark, sf_dir):
     """gcd / lcm / iszero (reference: functions/src/math/{gcd,lcm,
     iszero}.rs).  Spark has no gcd builtin — implemented as a BOUNDED
-    EUCLID FOLD entirely JVM-side: fold 20 Euclid steps over a constant
-    sequence with aggregate(); 20 steps cover any pair < 10^8 (worst case
-    is consecutive Fibonaccis).  No UDF, stays in codegen.
+    EUCLID FOLD entirely JVM-side: fold 92 Euclid steps over a constant
+    sequence with aggregate(); Euclid needs ~log_phi(min(a,b)) steps
+    (worst case consecutive Fibonaccis), so 92 covers any 64-bit pair.
+    No UDF, stays in codegen; converged pairs hit the b=0 no-op branch.
     lcm(a,b) = a*b / gcd(a,b)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
 
     def gcd_fold(a, b):
         pair = F.struct(a.cast("long").alias("a"), b.cast("long").alias("b"))
         out = F.aggregate(
-            F.sequence(F.lit(1), F.lit(20)),
+            F.sequence(F.lit(1), F.lit(92)),
             pair,
             lambda acc, _: F.when(
                 acc.getField("b") == 0, acc

@@ -57,3 +57,36 @@ def test_units6_exact_on_revenue_products(a, b):
     rev = price * (1 - disc)
     true_units = a * (100 - b) * 100  # exact integer arithmetic
     assert _units6_py(rev) == true_units
+
+
+def test_gcd_fold_matches_math_gcd(spark):
+    """The bounded Euclid fold (fn_math_gcd_lcm) equals math.gcd for
+    arbitrary positive pairs — 92 steps cover any 64-bit pair."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F
+
+    from datafusion_spark.queries.functions_extended import fn_math_gcd_lcm  # noqa: F401
+
+    rng = random.Random(7)
+    pairs = [(rng.randint(1, 10**7), rng.randint(1, 10**7)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+
+    def gcd_fold(a, b):
+        pair = F.struct(a.cast("long").alias("a"), b.cast("long").alias("b"))
+        out = F.aggregate(
+            F.sequence(F.lit(1), F.lit(92)),
+            pair,
+            lambda acc, _: F.when(acc.getField("b") == 0, acc).otherwise(
+                F.struct(
+                    acc.getField("b").alias("a"),
+                    (acc.getField("a") % acc.getField("b")).alias("b"),
+                )
+            ),
+        )
+        return out.getField("a")
+
+    got = df.select("a", "b", gcd_fold(F.col("a"), F.col("b")).alias("g")).collect()
+    for r in got:
+        assert r.g == math.gcd(r.a, r.b), (r.a, r.b, r.g)
