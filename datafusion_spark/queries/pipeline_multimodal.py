@@ -61,3 +61,26 @@ def multimodal_frame_sample(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+@query("multimodal_audio_features", oracle=None, tags=("pipeline", "multimodal"))
+def multimodal_audio_features(spark, sf_dir):
+    """Audio-shaped pipeline: 'audio/wav' payloads → windowed RMS /
+    zero-crossing features (operators/multimodal.py extract_audio_windows,
+    stubbed PCM decode) → per-doc loudness profile.  [no-oracle]: the stub
+    decode has no SQL equivalent; the driver's rows-only check pins the
+    schema and determinism."""
+    from datafusion_spark.operators.multimodal import (
+        extract_audio_windows,
+        media_table_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = media_table_from_documents(docs).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    feats = extract_audio_windows(media)
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.max("rms"), 6).alias("peak_rms"),
+        F.sum("zero_crossings").cast("long").alias("total_zero_crossings"),
+    )

@@ -227,3 +227,27 @@ def test_compact_files(spark, tmp_path):
         F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
     ).collect()[0]
     assert (a.n, a.s) == (b.n, b.s)
+
+
+def test_audio_windows_deterministic(spark):
+    """Stubbed audio decode is deterministic and shapes correctly: 4
+    windows per audio row, stable values across runs."""
+    import pyspark.sql.functions as F
+
+    from datafusion_spark.catalog import load_table
+    from datafusion_spark.operators.multimodal import (
+        extract_audio_windows,
+        media_table_from_documents,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(30)
+    media = media_table_from_documents(docs).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    n_audio = media.count()
+    a = extract_audio_windows(media).orderBy("doc_id", "window_idx").collect()
+    b = extract_audio_windows(media).orderBy("doc_id", "window_idx").collect()
+    assert a == b
+    assert len(a) == 4 * n_audio
+    assert all(r.rms >= 0 for r in a)
