@@ -299,3 +299,89 @@ def text_pii_redaction(spark, sf_dir):
         .alias("len_wo_emails"),
         F.col("raw").rlike("@").alias("had_email"),
     )
+
+
+@query(
+    "text_train_test_split",
+    oracle="""
+    SELECT doc_id,
+           substr(md5('split:' || doc_id), 1, 2) AS bucket_hex,
+           CASE WHEN substr(md5('split:' || doc_id), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5('split:' || doc_id), 1, 2) < 'e7' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("pipeline", "text", "split"),
+)
+def text_train_test_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-independent key
+    hash (~80/10/10 via the first md5 byte) — the reproducible-split
+    primitive every training pipeline needs: stable under re-runs,
+    re-partitioning, and corpus growth (a doc never changes split when
+    other docs are added).  Scale: pure narrow map, no shuffle; the split
+    column is a natural partition key for the output write."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
+    return d.select(
+        "doc_id",
+        b.alias("bucket_hex"),
+        F.when(b < "cd", "train").when(b < "e7", "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf DESC, df ASC, term) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+    tags=("pipeline", "text", "tfidf"),
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the classic corpus-statistics
+    join: term frequencies (map-side-combined groupBy), document
+    frequencies (vocabulary-sized), corpus size as a broadcast scalar.
+    Ranking is tie-broken on integers (tf desc, df asc, term) so the
+    selected rows are engine-independent; the float score itself is
+    rounded to absorb ln() ulp noise.  Scale: df is vocab-sized (zipf →
+    far smaller than the corpus) and broadcastable; tf keeps partial
+    aggregation before its shuffle; no global sort — the per-doc window
+    partitions by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )

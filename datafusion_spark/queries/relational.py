@@ -693,3 +693,72 @@ def sql_frontend_cte(spark, sf_dir):
         FROM big_nations JOIN cust ON n_nationkey = c_nationkey
         """
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, t.o_orderkey AS best_orderkey,
+           t.o_totalprice AS best_price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    WHERE c.c_custkey < 500
+    """,
+    tags=("relational", "join", "lateral"),
+)
+def join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery join (reference: datafusion/sql/src/
+    relation/join.rs lateral support + optimizer decorrelation).  Spark
+    parses the same ANSI LATERAL syntax and Catalyst decorrelates it into
+    a window-rank plan — no per-row re-execution.  Scale: decorrelation is
+    what makes this viable at 100 TB; a naive nested loop would be O(rows)
+    subquery runs."""
+    from datafusion_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey AS best_orderkey,
+               t.o_totalprice AS best_price
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        WHERE c.c_custkey < 500
+        """
+    )
+
+
+@query(
+    "sql_prepared_params",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 50000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql", "prepared"),
+)
+def sql_prepared_params(spark, sf_dir):
+    """Parameterized SQL — the PREPARE/EXECUTE surface (reference:
+    datafusion/sql/src/statement.rs PREPARE + LogicalPlan::Prepare,
+    placeholder inference).  Spark's named-parameter binding
+    (spark.sql(query, args=...)) is the same contract: the plan is built
+    once with typed placeholders, values bound at execution — safe from
+    injection and plan-cacheable."""
+    from datafusion_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 50000.0, "status": "F"},
+    )
