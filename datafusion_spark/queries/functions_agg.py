@@ -341,3 +341,38 @@ def agg_mode_deterministic(spark, sf_dir):
         ),
         F.max(F.struct("n", "c_mktsegment")).getField("n").alias("n_occurrences"),
     )
+
+
+@query("agg_hll_sketch_mergeable", oracle=None, tags=("aggregates", "sketch"))
+def agg_hll_sketch_mergeable(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+ native —
+    reference: functions-aggregate/src/approx_distinct.rs HyperLogLog).
+    Unlike approx_count_distinct, the SKETCH itself is a column: per-group
+    sketches are built in one pass, then UNIONED — the pattern that lets a
+    100 TB pipeline maintain per-partition/per-day sketches and merge them
+    for any rollup without re-scanning.  [no-oracle]: DuckDB has no
+    DataSketches; tests/test_operators.py pins estimate-vs-exact error."""
+    from datafusion_spark.catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("est_distinct"),
+            "exact_distinct",
+        )
+        .unionAll(
+            per_type.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
+            ).select(
+                F.lit("__ALL_MERGED__").alias("event_type"),
+                "est_distinct",
+                F.lit(None).cast("long").alias("exact_distinct"),
+            )
+        )
+        .orderBy("event_type")
+    )

@@ -385,3 +385,149 @@ def text_tfidf_topterms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS s
+      FROM ws
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(w, s, s + 31)) AS INTEGER) AS chunk_tokens,
+           array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text
+    FROM starts
+    """,
+    tags=("pipeline", "text", "chunking"),
+)
+def text_chunk_documents(spark, sf_dir):
+    """Fixed-size token chunking with overlap (window 32, stride 24 → 8
+    tokens of overlap) — the pre-tokenization packing step for context-
+    window-bounded training.  Row-local explode: no shuffle, output rows
+    ≈ tokens/stride.  At 100 TB the chunker runs at scan speed; chunk_idx
+    keys downstream shard writes."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(24))
+    return (
+        d.select("doc_id", w.alias("w"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (((F.col("s") - 1) / 24).cast("long")).alias("chunk_idx"),
+            F.size(F.slice("w", F.col("s"), 32)).alias("chunk_tokens"),
+            F.array_join(F.slice("w", F.col("s"), 32), " ").alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "text_contamination_check",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, i, i + 2), ' ')) AS g
+      FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    bench AS (SELECT DISTINCT doc_id AS bench_doc_id, g FROM grams WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+    SELECT train.doc_id,
+           CAST(COUNT(DISTINCT train.g) AS BIGINT) AS n_contaminated_ngrams,
+           CAST(COUNT(DISTINCT bench.bench_doc_id) AS BIGINT) AS n_benchmark_docs
+    FROM train JOIN bench ON train.g = bench.g
+    GROUP BY train.doc_id
+    """,
+    tags=("pipeline", "text", "contamination"),
+)
+def text_contamination_check(spark, sf_dir):
+    """Benchmark-contamination detection: n-gram hash overlap between the
+    training corpus and a held-out benchmark set (docs with doc_id % 97
+    == 0 stand in for the benchmark).  The standard decontam pass (GPT-3
+    appendix-C style 13-gram match; window 3 here so the synthetic corpus
+    exercises real matches).  Scale: the benchmark side is filtered
+    BEFORE the explode (predicate on the pre-explode column) and
+    deduplicated — it stays tiny → broadcast hash join; the train side is
+    never globally deduplicated (that would shuffle every gram) — dup
+    grams are absorbed by COUNT(DISTINCT) inside the per-doc aggregate.
+    Gram keys are md5 (16 bytes) regardless of n-gram width."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+
+    def grams(df):
+        return df.filter(F.size(w) >= 3).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 2),
+                    lambda i: F.md5(F.array_join(F.slice(w, i, 3), " ")),
+                )
+            ).alias("g"),
+        )
+
+    bench = (
+        grams(d.filter(F.col("doc_id") % 97 == 0))
+        .withColumnRenamed("doc_id", "bench_doc_id")
+        .distinct()
+    )
+    train = grams(d.filter(F.col("doc_id") % 97 != 0))
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_contaminated_ngrams"),
+            F.countDistinct("bench_doc_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+@query(
+    "text_global_shuffle",
+    oracle="""
+    SELECT doc_id, md5('shuf7:' || doc_id) AS shuffle_key,
+           CAST(row_number() OVER (ORDER BY md5('shuf7:' || doc_id)) AS BIGINT) - 1
+             AS global_pos
+    FROM documents
+    """,
+    tags=("pipeline", "text", "shuffle"),
+)
+def text_global_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle with a DISTRIBUTED
+    global index: seed-keyed md5 ordering, position computed as (count of
+    rows in lower hash-buckets) + (rank within bucket).  The oracle is a
+    single global row_number; the Spark plan never materializes a global
+    window — rank windows partition on the first hex char (256+ buckets at
+    real scale) and the bucket offsets come from a tiny broadcast
+    cumulative-sum, the classic distributed zip-with-index."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf7:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "bucket", F.substring("shuffle_key", 1, 1)
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("offset"),
+    ).fillna(0, subset=["offset"])
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("shuffle_key")
+    )
+    return (
+        keyed.withColumn("rank_in_bucket", rn)
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("offset") + F.col("rank_in_bucket") - 1).cast("long")
+            .alias("global_pos"),
+        )
+    )

@@ -169,3 +169,30 @@ def source_arrow_ipc_roundtrip(spark, sf_dir):
         F.sum(F.col("s_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
         F.min("s_name").alias("first_supplier"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+           MIN(s_name) AS first_name
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("sources", "orc"),
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """parquet → COPY TO ORC → ORC scan → aggregate.  ORC is the columnar
+    format the reference lacks but Spark ships natively (vectorized reader,
+    predicate pushdown, zlib/zstd) — the oracle reads the ORIGINAL parquet
+    so the hash proves exact value round-trip through the second columnar
+    format."""
+    sup = load_table(spark, sf_dir, "supplier")
+    path = os.path.join(_SCRATCH, "supplier_orc")
+    copy_to(sup, path, fmt="orc")
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
+        F.min("s_name").alias("first_name"),
+    )

@@ -251,3 +251,27 @@ def test_audio_windows_deterministic(spark):
     assert a == b
     assert len(a) == 4 * n_audio
     assert all(r.rms >= 0 for r in a)
+
+
+def test_hll_sketch_accuracy(spark):
+    """HLL sketch estimates stay within 5% of exact distincts, and the
+    merged (union) sketch matches the global exact count — mergeability is
+    the property that makes sketches the 100 TB distinct-count path."""
+    import pyspark.sql.functions as F
+
+    from datafusion_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    e = load_table(spark, SF_SMALL, "events")
+    per = (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+    )
+    rows = per.select(F.hll_sketch_estimate("sk").alias("est"), "exact").collect()
+    assert rows and all(abs(r.est - r.exact) <= max(1, 0.05 * r.exact) for r in rows)
+    merged = per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m")).collect()[0].m
+    exact_all = e.select("user_id").distinct().count()
+    assert abs(merged - exact_all) <= max(1, 0.05 * exact_all)
