@@ -106,3 +106,37 @@ def catalog_column_stats(spark, sf_dir):
         ).select("column_name", "n_rows", "n_nonnull", "ndv", "min_v", "max_v")
 
     return stats("o_totalprice").unionAll(stats("o_custkey"))
+
+
+@query(
+    "catalog_external_table",
+    oracle="""
+    SELECT n_name, r_name AS region_name, n_nationkey
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name <> 'EUROPE'
+    """,
+    tags=("catalog", "ddl", "external-table"),
+)
+def catalog_external_table(spark, sf_dir):
+    """CREATE EXTERNAL TABLE + CREATE VIEW DDL surface (reference:
+    datafusion/sql/src/statement.rs CreateExternalTable — the primary way
+    DataFusion attaches parquet locations to names).  Spark: CREATE TABLE
+    ... USING parquet LOCATION registers a metadata-only external table
+    (no data copy, scans prune/pushdown like any parquet source); a view
+    stacks on it.  Entry is idempotent (DROP IF EXISTS first) because the
+    driver may re-run it in one session."""
+    loc_n = f"{sf_dir}/nation.parquet"
+    loc_r = f"{sf_dir}/region.parquet"
+    spark.sql("DROP VIEW IF EXISTS ext_nation_named")
+    spark.sql("DROP TABLE IF EXISTS ext_nation")
+    spark.sql("DROP TABLE IF EXISTS ext_region")
+    spark.sql(f"CREATE TABLE ext_nation USING parquet LOCATION '{loc_n}'")
+    spark.sql(f"CREATE TABLE ext_region USING parquet LOCATION '{loc_r}'")
+    spark.sql(
+        """CREATE VIEW ext_nation_named AS
+           SELECT n_name, r_name AS region_name, n_nationkey
+           FROM ext_nation JOIN ext_region ON n_regionkey = r_regionkey"""
+    )
+    return spark.sql(
+        "SELECT * FROM ext_nation_named WHERE region_name <> 'EUROPE'"
+    )

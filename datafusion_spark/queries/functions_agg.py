@@ -376,3 +376,51 @@ def agg_hll_sketch_mergeable(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median_price,
+           CAST(MIN(tw) AS DOUBLE) AS total_weight
+    FROM cum WHERE cw >= tw / 2.0
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregates", "weighted-percentile"),
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median (reference: functions-aggregate/src/
+    approx_percentile_cont_with_weight.rs — computed here EXACTLY): the
+    smallest value whose cumulative weight reaches half the group's total.
+    One window pass (cumulative + total over the same partition spec →
+    one shuffle/sort) + a filtered min.  Weights are integral quantities
+    so cw/tw are exact; no float-order nondeterminism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    ws = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(ws.rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("l_quantity").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min("tw").cast("double").alias("total_weight"),
+        )
+    )

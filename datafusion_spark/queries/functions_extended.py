@@ -473,3 +473,31 @@ def fn_bitwise_family(spark, sf_dir):
         F.shiftleft(x, 2).alias("shl"),
         F.shiftright(x, 3).alias("shr"),
     )
+
+
+@query(
+    "fn_timestamp_precision",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_ms(o_orderdate) AS ms,
+           epoch_us(o_orderdate) AS us,
+           epoch_ms(epoch_ms(o_orderdate)) AS ts_from_ms,
+           make_timestamp(epoch_us(o_orderdate) + 123456) AS ts_plus_us
+    FROM orders WHERE o_orderkey < 3000
+    """,
+    tags=("functions", "datetime", "precision"),
+)
+def fn_timestamp_precision(spark, sf_dir):
+    """Epoch↔timestamp at millisecond/microsecond precision (reference:
+    functions/src/datetime/{to_timestamp,from_unixtime}.rs micros/millis
+    variants).  Round-trips prove no precision loss through the int64
+    epoch representation."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    ts = F.col("o_orderdate").cast("timestamp")  # NTZ → UTC instant (session tz)
+    return o.select(
+        "o_orderkey",
+        F.unix_millis(ts).alias("ms"),
+        F.unix_micros(ts).alias("us"),
+        F.timestamp_millis(F.unix_millis(ts)).alias("ts_from_ms"),
+        F.timestamp_micros(F.unix_micros(ts) + 123456).alias("ts_plus_us"),
+    )

@@ -762,3 +762,72 @@ def sql_prepared_params(spark, sf_dir):
         """,
         args={"min_price": 50000.0, "status": "F"},
     )
+
+
+@query(
+    "subquery_any_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > ALL (
+            SELECT o_totalprice FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'P')
+      AND o_totalprice >= ANY (
+            SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F')
+    """,
+    tags=("relational", "subquery", "quantified"),
+)
+def subquery_any_all(spark, sf_dir):
+    """Quantified comparisons — x > ALL(sub) / x >= ANY(sub) (reference:
+    datafusion/sql/src/expr/subquery.rs; the optimizer rewrites them to
+    MAX/MIN scalar aggregates).  Spark's parser lacks ALL/ANY subqueries,
+    so this entry IS that optimizer rewrite, written by hand: > ALL ⇔
+    > MAX (non-null, non-empty), >= ANY ⇔ >= MIN — each a broadcast
+    scalar, no per-row subquery execution."""
+    o = load_table(spark, sf_dir, "orders")
+    all_max = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "P")
+    ).agg(F.max("o_totalprice").alias("all_max"))
+    any_min = o.filter(F.col("o_orderstatus") == "F").agg(
+        F.min("o_totalprice").alias("any_min")
+    )
+    return (
+        o.crossJoin(F.broadcast(all_max))
+        .crossJoin(F.broadcast(any_min))
+        .filter(
+            (F.col("o_totalprice") > F.col("all_max"))
+            & (F.col("o_totalprice") >= F.col("any_min"))
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_nationkey AS key, n_name AS name, CAST(NULL AS VARCHAR) AS region_name
+      FROM nation WHERE n_regionkey = 0)
+    UNION ALL BY NAME
+    (SELECT r_name AS region_name, r_regionkey + 100 AS key, r_name AS name
+     FROM region)
+    """,
+    tags=("relational", "setop", "by-name"),
+)
+def setop_union_by_name(spark, sf_dir):
+    """UNION by column NAME, not position (reference: DataFusion
+    DataFrame::union_by_name, core/src/dataframe/).  Spark's
+    unionByName(allowMissingColumns=True) aligns reordered schemas and
+    null-fills missing columns — schema evolution's bread and butter when
+    appending shards written by different pipeline versions."""
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    reg = load_table(spark, sf_dir, "region")
+    a = nat.select(
+        F.col("n_nationkey").alias("key"), F.col("n_name").alias("name")
+    )
+    b = reg.select(
+        F.col("r_name").alias("region_name"),
+        (F.col("r_regionkey") + 100).alias("key"),
+        F.col("r_name").alias("name"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)

@@ -310,3 +310,49 @@ def window_range_frame(spark, sf_dir):
             """
         ).alias("spend_30d"),
     )
+
+
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH days AS (
+      SELECT event_id, event_type, date_trunc('day', ts) AS day,
+             dense_rank() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('day', ts)) AS dr
+      FROM events WHERE event_id < 5000
+    )
+    SELECT event_id, event_type, day,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_group_window,
+           CAST(sum(event_id) OVER w AS BIGINT) AS sum_in_group_window
+    FROM days
+    WINDOW w AS (PARTITION BY event_type ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    """,
+    tags=("window", "frames", "groups"),
+)
+def window_groups_frame(spark, sf_dir):
+    """GROUPS window frame (reference: datafusion/physical-plan windows
+    support GROUPS BETWEEN; SQL:2016 T620).  Neither Spark nor DuckDB
+    parses GROUPS — the portable emulation is the point: dense_rank gives
+    each peer group an integer coordinate, then a RANGE frame over that
+    coordinate is exactly GROUPS (frame = neighboring VALUE groups, not
+    neighboring rows).  Scale: two window passes over the same partition
+    key → one shuffle, the second pass reuses the partitioning+sort."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    day = F.date_trunc("day", F.col("ts"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    days = e.select("event_id", "event_type", day.alias("day")).withColumn(
+        "dr", F.dense_rank().over(wd)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("dr")
+        .rangeBetween(-1, 1)
+    )
+    return days.select(
+        "event_id",
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wf).alias("n_in_group_window"),
+        F.sum("event_id").over(wf).alias("sum_in_group_window"),
+    )
