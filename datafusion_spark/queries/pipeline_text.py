@@ -531,3 +531,116 @@ def text_global_shuffle(spark, sf_dir):
             .alias("global_pos"),
         )
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch,
+             LENGTH(text) AS n
+      FROM documents WHERE doc_id < 400 AND LENGTH(text) > 0
+    ),
+    freqs AS (
+      SELECT doc_id, ch, n, COUNT(*) AS c FROM chars GROUP BY doc_id, ch, n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+                 / ln(2.0), 6) AS entropy_bits
+    FROM freqs GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap
+    perplexity proxy: gibberish/binary spam scores high, repetitive
+    boilerplate scores low, both get filtered before expensive model
+    scoring.  Scale: explode(chars) is row-local; per-doc frequency
+    aggregation combines map-side (doc_id, ch) partials; the final
+    entropy reduce moves one row per distinct (doc, char).  Rounded to
+    absorb ln() ulp noise; ordering-free otherwise (sum of independent
+    terms over exact rationals c/n... same-magnitude terms, and round(6)
+    gives 4+ digits of slack)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & (F.length("text") > 0)
+    )
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(F.split("text", "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    freqs = chars.groupBy("doc_id", "ch", "n").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c").cast("double") / F.col("n")
+    return freqs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round((-F.sum(p * F.log(p))) / F.log(F.lit(2.0)), 6).alias("entropy_bits"),
+    )
+
+
+@query(
+    "text_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5('samp3:' || doc_id), doc_id) AS rn
+      FROM documents) WHERE rn <= 25
+    """,
+    tags=("pipeline", "text", "sampling"),
+)
+def text_sample_stratified(spark, sf_dir):
+    """Exact-size stratified sampling: k docs per stratum, chosen by
+    seeded hash order — deterministic (re-runs and repartitioning can't
+    change the sample), unlike sampleBy's Bernoulli draws which only hit
+    the fraction in expectation.  Scale: per-stratum top-k is a
+    WindowGroupLimit (map-side partial top-k per partition, then final) —
+    never a global sort; strata (languages) partition the shuffle."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("samp3:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(W.partitionBy("lang").orderBy(key, F.col("doc_id")))
+    return (
+        d.select("doc_id", "lang", key.alias("k"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "text_class_reweighting",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_classes FROM counts)
+    SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+           ROUND(CAST(total AS DOUBLE) / (n_classes * n), 6) AS balance_weight,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS class_share
+    FROM counts CROSS JOIN tot
+    """,
+    tags=("pipeline", "text", "reweighting"),
+)
+def text_class_reweighting(spark, sf_dir):
+    """Inverse-frequency class rebalancing weights per (lang, source)
+    stratum — w = N / (K·n_k), the standard upweighting for rare slices
+    in a training mix.  Scale: the class table is tiny (one row per
+    stratum) → the totals join is a broadcast of one row; documents
+    themselves are never reshuffled, downstream joins the weights back by
+    stratum key."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_classes")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(
+            F.col("total").cast("double") / (F.col("n_classes") * F.col("n")), 6
+        ).alias("balance_weight"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("class_share"),
+    )

@@ -36,9 +36,29 @@ SHUFFLE_BUDGETS = {
     "events_tumbling_hourly": 1,
     "cb_top_users": 1,
     "h2o_groupby_lang": 1,
+    # pipeline ops (the 1s below are the deliberate fan_out repartition):
+    "text_train_test_split": 1,   # pure map otherwise
+    "text_chunk_documents": 1,    # row-local explode, no agg shuffle
+    "text_sample_stratified": 2,  # fan_out + per-stratum WindowGroupLimit
+    "text_char_entropy": 3,       # fan_out + (doc,ch) agg + doc agg
+    "text_global_shuffle": 5,     # no global window: bucket ranks + tiny offsets
+    "text_contamination_check": 5,  # bench side broadcast; train never pre-deduped
+    "text_tfidf_topterms": 8,     # tf/df branches + per-doc window; df broadcast
+    # SQL-surface ops:
+    "join_lateral_topk": 1,       # decorrelated → WindowGroupLimit, no NL join
+    "agg_weighted_median": 1,     # cum + total share one window shuffle
+    "window_groups_frame": 1,     # dense_rank + RANGE reuse one sort
+    "subquery_any_all": 2,        # two scalar aggs, broadcast back
 }
 
-BROADCAST_EXPECTED = ["tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q19", "tpch_q21"]
+BROADCAST_EXPECTED = [
+    "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q19", "tpch_q21",
+    "join_lateral_topk",        # top-1-per-key side broadcast into customer
+    "text_tfidf_topterms",      # vocab-sized df + corpus-size scalar broadcast
+    "text_contamination_check", # benchmark gram set broadcast
+    "text_class_reweighting",   # one-row totals broadcast
+    "text_global_shuffle",      # bucket-offset table broadcast
+]
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
