@@ -501,3 +501,33 @@ def fn_timestamp_precision(spark, sf_dir):
         F.timestamp_millis(F.unix_millis(ts)).alias("ts_from_ms"),
         F.timestamp_micros(F.unix_micros(ts) + 123456).alias("ts_plus_us"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE ROUND(o_totalprice / (o_orderkey % 7), 6) END AS safe_div,
+           CASE WHEN o_orderkey > 9223372036854775807 // 1125899906842624
+                THEN NULL ELSE o_orderkey * 1125899906842624 END AS safe_mul,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderkey // (o_orderkey % 7) END AS safe_intdiv
+    FROM orders WHERE o_orderkey < 30000
+    """,
+    tags=("functions", "try-arithmetic", "ansi"),
+)
+def fn_try_arithmetic(spark, sf_dir):
+    """try_* arithmetic — NULL instead of error on /0 and int64 overflow
+    (reference: DataFusion's non-ANSI kernels return NULL the same way;
+    Spark's ANSI mode pairs every operator with a try_ twin).  The
+    oracle spells out the guard conditions by hand, proving the NULL
+    semantics rather than restating them."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 30000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), k % 7), 6).alias("safe_div"),
+        F.try_multiply(k, F.lit(1125899906842624).cast("long")).alias("safe_mul"),
+        F.try_divide(k, k % 7).cast("long").alias("safe_intdiv"),
+    )

@@ -831,3 +831,64 @@ def setop_union_by_name(spark, sf_dir):
         F.col("r_name").alias("name"),
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+_PRICE_BANDS = [
+    (0, 0.0, 1000.0), (1, 1000.0, 2500.0), (2, 2500.0, 5000.0),
+    (3, 5000.0, 10000.0), (4, 10000.0, 25000.0), (5, 25000.0, 60000.0),
+    (6, 60000.0, 150000.0), (7, 150000.0, 400000.0), (8, 400000.0, 1000000.0),
+]
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    WITH bands(band_id, lo, hi) AS (VALUES
+      {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)})
+    SELECT band_id, lo, hi, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id, lo, hi
+    """,
+    tags=("relational", "join", "range", "binned"),
+)
+def join_range_binned(spark, sf_dir):
+    """BINNED range join — the scale answer to point-in-interval joins.
+    The naive plan (and the oracle) is a nested-loop inequality join:
+    O(rows × bands).  Here each irregular band is exploded into the
+    fixed-width bins it covers and the fact side computes its bin with a
+    floor-division, turning the predicate into an EQUI-join on bin_id +
+    a residual filter — hash join, broadcastable, linear in rows.  Same
+    trick Databricks' range-join hints apply; works for any interval
+    join (IP→geo, time→maintenance-window, value→band).
+    tests/test_plans.py asserts the plan has no BroadcastNestedLoopJoin."""
+    step = 1000.0
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band_id int, lo double, hi double"
+    )
+    binned_bands = bands.select(
+        "band_id", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / step).cast("long"),
+                F.floor((F.col("hi") - 0.000001) / step).cast("long"),
+            )
+        ).alias("bin_id"),
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "bin_id", F.floor(F.col("o_totalprice") / step).cast("long")
+    )
+    return (
+        o.join(F.broadcast(binned_bands), "bin_id")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+            .alias("total"),
+        )
+    )

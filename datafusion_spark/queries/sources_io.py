@@ -196,3 +196,34 @@ def source_orc_roundtrip(spark, sf_dir):
         F.sum(F.col("s_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
         F.min("s_name").alias("first_name"),
     )
+
+
+@query(
+    "source_schema_evolution_merge",
+    oracle="""
+    SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS shard_version
+    FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, 2 AS shard_version FROM region
+    """,
+    tags=("sources", "schema-evolution"),
+)
+def source_schema_evolution_merge(spark, sf_dir):
+    """Schema evolution on read: shard v1 lacks a column that shard v2
+    added; mergeSchema=true unifies the footers and null-fills v1 —
+    how a long-lived parquet dataset absorbs pipeline upgrades without
+    rewrites.  Scale note: merged-schema inference reads ALL footers —
+    on a million-file dataset pin the schema explicitly and keep
+    mergeSchema for the occasional migration read."""
+    reg = load_table(spark, sf_dir, "region")
+    base = os.path.join(_SCRATCH, "evolve_region")
+    v1 = reg.select("r_regionkey", "r_name")
+    v2 = reg.select(
+        "r_regionkey", "r_name", F.lit(2).cast("long").alias("shard_version")
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "v=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "v=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(base, "v=1"), os.path.join(base, "v=2")
+    )
+    return merged.select("r_regionkey", "r_name", "shard_version")

@@ -60,3 +60,22 @@ def test_explain_analyze_reports_final_plan(spark):
     assert out["rows"] == 1
     assert "AdaptiveSparkPlan" in out["initial_plan"] or out["initial_plan"]
     assert "HashAggregate" in out["final_plan"]
+
+
+def test_binned_range_join_is_equi_hash_join(spark):
+    """The binned range join must plan as a (broadcast) HASH join on
+    bin_id — the whole point is avoiding the nested-loop inequality join
+    the naive formulation produces."""
+    df = QUERIES["join_range_binned"](spark, SF_SMALL)
+    plan = str(df._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_lateral_join_decorrelated(spark):
+    """LATERAL correlated subquery must decorrelate to WindowGroupLimit
+    (partial per-partition top-1), never a per-row re-execution."""
+    df = QUERIES["join_lateral_topk"](spark, SF_SMALL)
+    plan = str(df._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

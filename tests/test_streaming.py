@@ -220,3 +220,45 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_join_matches_batch(spark):
+    """Stream-static broadcast enrichment converges to the batch answer
+    under availableNow."""
+    import pyspark.sql.functions as F
+
+    from datafusion_spark.streaming.ops import (
+        enrich_with_static_dim,
+        read_events_stream,
+    )
+
+    user_dim = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(F.lit("seg_"), (F.col("user_id") % 5).cast("string")).alias(
+                "segment"
+            ),
+        )
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = _run_available_now(
+        enrich_with_static_dim(read_events_stream(spark, SF_SMALL), user_dim), name
+    )
+    try:
+        got = {
+            (r.window_start, r.segment): (r.n_events, r.total_value)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        batch = enrich_with_static_dim(
+            load_table(spark, SF_SMALL, "events"), user_dim
+        )
+        want = {
+            (r.window_start, r.segment): (r.n_events, r.total_value)
+            for r in batch.collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
