@@ -227,3 +227,35 @@ def source_schema_evolution_merge(spark, sf_dir):
         os.path.join(base, "v=1"), os.path.join(base, "v=2")
     )
     return merged.select("r_regionkey", "r_name", "shard_version")
+
+
+@query(
+    "source_avro_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+           MIN(s_name) AS first_name
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("sources", "avro"),
+)
+def source_avro_roundtrip(spark, sf_dir):
+    """parquet → Avro object-container write → distributed Avro scan →
+    aggregate (reference: datafusion/datasource-avro).  The spark-avro
+    jar is absent offline, so this runs on sources/avro_lite.py — a
+    pure-Python implementation of the public Avro container spec
+    (zigzag varints, null-union encoding), executor-side in both
+    directions.  Oracle reads the ORIGINAL parquet: the hash match
+    proves exact value round-trip through the binary format."""
+    from datafusion_spark.sources.avro_lite import read_avro_lite, write_avro
+
+    sup = load_table(spark, sf_dir, "supplier")
+    path = os.path.join(_SCRATCH, "supplier_avro")
+    write_avro(sup.repartition(4), path)
+    back = read_avro_lite(spark, path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(38,6)")).cast("double")
+        .alias("total_bal"),
+        F.min("s_name").alias("first_name"),
+    )

@@ -1,0 +1,284 @@
+"""Pure-Python Avro object-container reader/writer (no spark-avro jar).
+
+Closes the Avro gap (reference: datafusion/datasource-avro — DataFusion
+reads Avro natively; Spark needs the spark-avro connector jar, absent in
+this offline container).  Implements the Avro 1.x object container spec
+(header `Obj\\x01` + metadata map + 16-byte sync; blocks of
+count/size/payload/sync; zigzag-varint primitives) for FLAT record
+schemas over null/boolean/int/long/float/double/string/bytes and
+nullable unions of those — which covers every tabular shape the
+reference's Avro tests exercise.
+
+Scale design: both directions are DISTRIBUTED and never gather rows on
+the driver.
+- write_avro: one container file per partition via mapInPandas (the
+  executors serialize their own partitions; same pattern as the Arrow
+  IPC sink).  Size partitions ~128 MB upstream for well-sized files.
+- read_avro_lite: the file LIST is parallelized, each task decodes its
+  files with mapInPandas — a million files fan out across the cluster;
+  schema comes from one header read driver-side (a few hundred bytes).
+
+Cite for parity: /root/reference/datafusion/datasource-avro/src/ (reader
+surface only; the byte-level codec here follows the public Avro spec,
+not that implementation).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MAGIC = b"Obj\x01"
+_SYNC = bytes(range(16))  # deterministic marker: files are reproducible
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+}
+
+
+# ---------------------------------------------------------------- encode
+
+def _zigzag(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _unzigzag(buf: io.BufferedReader) -> int:
+    shift, u = 0, 0
+    while True:
+        b = buf.read(1)[0]
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1)
+
+
+def _enc_bytes(b: bytes) -> bytes:
+    return _zigzag(len(b)) + b
+
+
+def _enc_str(s: str) -> bytes:
+    return _enc_bytes(s.encode("utf-8"))
+
+
+_PRIM_ENC = {
+    "boolean": lambda v: b"\x01" if v else b"\x00",
+    "int": _zigzag,
+    "long": _zigzag,
+    "float": lambda v: struct.pack("<f", v),
+    "double": lambda v: struct.pack("<d", v),
+    "string": _enc_str,
+    "bytes": lambda v: _enc_bytes(bytes(v)),
+}
+
+
+def avro_schema_json(df_schema, name: str = "row") -> str:
+    """Spark StructType → Avro record schema JSON (nullable → union)."""
+    fields = []
+    for f in df_schema.fields:
+        t = _SPARK_TO_AVRO.get(f.dataType.typeName())
+        if t is None:
+            raise NotImplementedError(
+                f"avro_lite: unsupported type {f.dataType.typeName()} "
+                f"for field {f.name} (flat primitive schemas only)"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return json.dumps(
+        {"type": "record", "name": name, "fields": fields}
+    )
+
+
+def _write_container(fh, schema_json: str, rows, field_types) -> int:
+    """Serialize rows (iterable of tuples) as one Avro container."""
+    fh.write(_MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": b"null"}
+    fh.write(_zigzag(len(meta)))
+    for k, v in meta.items():
+        fh.write(_enc_str(k))
+        fh.write(_enc_bytes(v))
+    fh.write(_zigzag(0))
+    fh.write(_SYNC)
+
+    payload = bytearray()
+    n = 0
+    for row in rows:
+        for v, (t, nullable) in zip(row, field_types):
+            if nullable:
+                if v is None:
+                    payload += _zigzag(0)
+                    continue
+                payload += _zigzag(1)
+            payload += _PRIM_ENC[t](v)
+        n += 1
+    if n:
+        fh.write(_zigzag(n))
+        fh.write(_zigzag(len(payload)))
+        fh.write(bytes(payload))
+        fh.write(_SYNC)
+    return n
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """COPY TO Avro: one container file per partition, executor-side."""
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):
+        if old.endswith(".avro"):
+            os.remove(os.path.join(path, old))
+
+    schema_json = avro_schema_json(df.schema)
+    field_types = [
+        (_SPARK_TO_AVRO[f.dataType.typeName()], f.nullable)
+        for f in df.schema.fields
+    ]
+    cols = [f.name for f in df.schema.fields]
+
+    def write_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            for tup in pdf[cols].itertuples(index=False, name=None):
+                rows.append(
+                    tuple(None if pd.isna(v) else v for v in tup)
+                )
+        if rows:
+            with open(os.path.join(path, f"part-{pid:05d}.avro"), "wb") as fh:
+                _write_container(fh, schema_json, rows, field_types)
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    df.mapInPandas(write_partition, schema="n long").collect()
+
+
+# ---------------------------------------------------------------- decode
+
+def _read_header(fh):
+    assert fh.read(4) == _MAGIC, "not an Avro container"
+    meta = {}
+    while True:
+        n = _unzigzag(fh)
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            k = fh.read(_unzigzag(fh)).decode()
+            v = fh.read(_unzigzag(fh))
+            meta[k] = v
+    sync = fh.read(16)
+    return json.loads(meta["avro.schema"]), meta.get("avro.codec", b"null"), sync
+
+
+def _decode_value(fh, t):
+    if t == "boolean":
+        return fh.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _unzigzag(fh)
+    if t == "float":
+        return struct.unpack("<f", fh.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", fh.read(8))[0]
+    if t == "string":
+        return fh.read(_unzigzag(fh)).decode("utf-8")
+    if t == "bytes":
+        return bytes(fh.read(_unzigzag(fh)))
+    raise NotImplementedError(f"avro_lite: type {t}")
+
+
+def read_avro_file(fpath: str):
+    """Decode one container → (schema_dict, list of row tuples)."""
+    with open(fpath, "rb") as raw:
+        fh = io.BufferedReader(raw)
+        schema, codec, sync = _read_header(fh)
+        if codec not in (b"null", b""):
+            raise NotImplementedError(f"avro_lite: codec {codec!r}")
+        ftypes = []
+        for f in schema["fields"]:
+            t = f["type"]
+            if isinstance(t, list):  # ["null", prim]
+                prim = next(x for x in t if x != "null")
+                ftypes.append((prim, True))
+            else:
+                ftypes.append((t, False))
+        rows = []
+        while True:
+            head = fh.peek(1)
+            if not head:
+                break
+            n = _unzigzag(fh)
+            _unzigzag(fh)  # byte size (unused, codec null)
+            for _ in range(n):
+                vals = []
+                for t, nullable in ftypes:
+                    if nullable and _unzigzag(fh) == 0:
+                        vals.append(None)
+                        continue
+                    vals.append(_decode_value(fh, t))
+                rows.append(tuple(vals))
+            assert fh.read(16) == sync, "sync marker mismatch"
+        return schema, rows
+
+
+_AVRO_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+}
+
+
+def read_avro_lite(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Avro scan: schema from one header, files decoded by
+    executors (one task per file-list slice)."""
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    with open(files[0], "rb") as raw:
+        schema, _, _ = _read_header(io.BufferedReader(raw))
+    names = [f["name"] for f in schema["fields"]]
+    ddl_parts = []
+    for f in schema["fields"]:
+        t = f["type"]
+        prim = next(x for x in t if x != "null") if isinstance(t, list) else t
+        ddl_parts.append(f"{f['name']} {_AVRO_TO_SPARK[prim]}")
+    ddl = ", ".join(ddl_parts)
+
+    flist = spark.createDataFrame(
+        [(f,) for f in files], "fpath string"
+    ).repartition(min(len(files), 32))
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fpath in pdf["fpath"]:
+                _, rows = read_avro_file(fpath)
+                yield pd.DataFrame(rows, columns=names)
+
+    return flist.mapInPandas(decode, schema=ddl)

@@ -275,3 +275,37 @@ def test_hll_sketch_accuracy(spark):
     merged = per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m")).collect()[0].m
     exact_all = e.select("user_id").distinct().count()
     assert abs(merged - exact_all) <= max(1, 0.05 * exact_all)
+
+
+def test_avro_lite_roundtrip_with_nulls(spark):
+    """avro_lite preserves nulls (union encoding), all primitive types,
+    and row identity across multi-file distributed write/read."""
+    import pyspark.sql.functions as F
+
+    from datafusion_spark.catalog import load_table
+    from datafusion_spark.sources.avro_lite import read_avro_lite, write_avro
+    from tests.conftest import SF_SMALL
+    import os, tempfile
+
+    src = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 3 == 0, None)
+            .otherwise(F.col("o_totalprice")).alias("price_nullable"),
+            (F.col("o_orderkey") % 2 == 0).alias("flag"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderkey").cast("int").alias("small_key"),
+            F.col("o_totalprice").cast("float").alias("price_f32"),
+        )
+    )
+    path = os.path.join(tempfile.gettempdir(), "avro_lite_nulls")
+    write_avro(src.repartition(5), path)
+    back = read_avro_lite(spark, path)
+    assert back.schema.simpleString() == (
+        "struct<o_orderkey:bigint,price_nullable:double,flag:boolean,"
+        "prio:string,small_key:int,price_f32:float>"
+    )
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b and len(a) > 0
