@@ -201,3 +201,71 @@ def extract_audio_windows(
             )
 
     return df.mapInPandas(audio_batches, schema=AUDIO_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, out_w int, out_h int, "
+    "mean_pixel double, std_pixel double, quadrant_means array<double>"
+)
+
+
+def resize_normalize_images(
+    df: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize + normalize for vision-training preprocess: decode →
+    strided-subsample to (out_h, out_w) → per-image mean/std + quadrant
+    means (the stand-in for a patch-embedding stub).  STUB decode: the
+    payload bytes become a deterministic fake grayscale image (sha1-seeded
+    dimensions, bytes tiled into the pixel grid); a real decoder (PIL)
+    slots in behind the same try-import without touching the contract.
+
+    Scale: pixels never leave the task — output rows carry ~10 doubles
+    each regardless of image size, so a 100 TB image corpus reduces to a
+    GB-scale feature table in one narrow map.  Batch memory is bounded by
+    Arrow's maxRecordsPerBatch (set by bytes, not rows, for media).
+    """
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "src_w", "src_h", "out_w", "out_h",
+                "mean_pixel", "std_pixel", "quadrant_means")}
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(p)
+                w, h, _, _ = _decode_payload(data)
+                try:  # pragma: no cover - decoder not present in container
+                    from PIL import Image
+                    import io
+
+                    img = Image.open(io.BytesIO(data)).convert("L")
+                    px = np.asarray(img, dtype=np.float64) / 255.0
+                    h, w = px.shape
+                except Exception:
+                    buf = np.frombuffer(data or b"\x00", dtype=np.uint8)
+                    px = np.resize(buf, (h, w)).astype(np.float64) / 255.0
+                ys = np.linspace(0, h - 1, out_h).astype(int)
+                xs = np.linspace(0, w - 1, out_w).astype(int)
+                small = px[np.ix_(ys, xs)]
+                hh, hw = out_h // 2, out_w // 2
+                quads = [
+                    float(small[:hh, :hw].mean()),
+                    float(small[:hh, hw:].mean()),
+                    float(small[hh:, :hw].mean()),
+                    float(small[hh:, hw:].mean()),
+                ]
+                out["doc_id"].append(int(doc_id))
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["mean_pixel"].append(float(small.mean()))
+                out["std_pixel"].append(float(small.std()))
+                out["quadrant_means"].append(quads)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)

@@ -84,3 +84,28 @@ def multimodal_audio_features(spark, sf_dir):
         F.round(F.max("rms"), 6).alias("peak_rms"),
         F.sum("zero_crossings").cast("long").alias("total_zero_crossings"),
     )
+
+
+@query("multimodal_image_resize", oracle=None, tags=("pipeline", "multimodal"))
+def multimodal_image_resize(spark, sf_dir):
+    """Vision-preprocess pipeline: 'image/png' payloads → strided resize
+    to 32×32 + normalize → per-image stats and quadrant means
+    (operators/multimodal.py resize_normalize_images, stubbed decode).
+    [no-oracle]: rows-only check pins schema + determinism."""
+    from datafusion_spark.operators.multimodal import (
+        media_table_from_documents,
+        resize_normalize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = media_table_from_documents(docs).filter(
+        F.col("media_type") == "image/png"
+    )
+    feats = resize_normalize_images(media)
+    return feats.select(
+        "doc_id", "src_w", "src_h",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        F.round("std_pixel", 6).alias("std_pixel"),
+        F.round(F.element_at("quadrant_means", 1), 6).alias("q_tl"),
+        F.round(F.element_at("quadrant_means", 4), 6).alias("q_br"),
+    )

@@ -90,3 +90,66 @@ def test_gcd_fold_matches_math_gcd(spark):
     got = df.select("a", "b", gcd_fold(F.col("a"), F.col("b")).alias("g")).collect()
     for r in got:
         assert r.g == math.gcd(r.a, r.b), (r.a, r.b, r.g)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_avro_zigzag_roundtrip(n):
+    import io
+
+    from datafusion_spark.sources.avro_lite import _unzigzag, _zigzag
+
+    assert _unzigzag(io.BufferedReader(io.BytesIO(_zigzag(n)))) == n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+            st.text(max_size=40),
+            st.booleans(),
+            st.one_of(st.none(), st.binary(max_size=20)),
+        ),
+        max_size=25,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_container_roundtrip(rows):
+    """File-level property: any mix of int64 extremes, ±0.0/inf doubles,
+    unicode (incl. surrogate-adjacent chars hypothesis generates), null
+    unions, and binary survives a container write/read bit-exactly."""
+    import io as _io
+
+    from datafusion_spark.sources.avro_lite import (
+        _write_container,
+        read_avro_file,
+    )
+    import json
+    import tempfile
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "v", "type": ["null", "double"]},
+                {"name": "s", "type": "string"},
+                {"name": "b", "type": "boolean"},
+                {"name": "raw", "type": ["null", "bytes"]},
+            ],
+        }
+    )
+    ftypes = [
+        ("long", False),
+        ("double", True),
+        ("string", False),
+        ("boolean", False),
+        ("bytes", True),
+    ]
+    with tempfile.NamedTemporaryFile(suffix=".avro", delete=False) as fh:
+        _write_container(fh, schema, rows, ftypes)
+        path = fh.name
+    _, back = read_avro_file(path)
+    assert back == [tuple(r) for r in rows]

@@ -309,3 +309,28 @@ def test_avro_lite_roundtrip_with_nulls(spark):
     a = sorted(map(tuple, src.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b and len(a) > 0
+
+
+def test_image_resize_deterministic(spark):
+    """Stubbed image resize is deterministic, shape-stable, and bounded
+    ([0,1] normalized pixels)."""
+    import pyspark.sql.functions as F
+
+    from datafusion_spark.catalog import load_table
+    from datafusion_spark.operators.multimodal import (
+        media_table_from_documents,
+        resize_normalize_images,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(30)
+    media = media_table_from_documents(docs).filter(
+        F.col("media_type") == "image/png"
+    )
+    a = resize_normalize_images(media).orderBy("doc_id").collect()
+    b = resize_normalize_images(media).orderBy("doc_id").collect()
+    assert a == b and len(a) == media.count() > 0
+    for r in a:
+        assert 0.0 <= r.mean_pixel <= 1.0
+        assert len(r.quadrant_means) == 4
+        assert (r.out_w, r.out_h) == (32, 32)
