@@ -309,3 +309,110 @@ def events_session_window_native(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+@query(
+    "events_gap_fill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id AS series, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 400 GROUP BY series, day
+    ),
+    spans AS (
+      SELECT series, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY series
+    ),
+    calendar AS (
+      SELECT series, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans
+    ),
+    joined AS (
+      SELECT c.series, c.day, daily.v
+      FROM calendar c LEFT JOIN daily ON daily.series = c.series AND daily.day = c.day
+    ),
+    ctx AS (
+      SELECT series, day, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_prev AS pd,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_next AS nd
+      FROM joined
+      WINDOW w_prev AS (PARTITION BY series ORDER BY day ROWS UNBOUNDED PRECEDING),
+             w_next AS (PARTITION BY series ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT series, day, v IS NOT NULL AS observed,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * date_diff('day', pd, day)
+                       / date_diff('day', pd, nd)
+           END, 6) AS value_filled
+    FROM ctx
+    """,
+    tags=("events", "time-series", "gap-fill"),
+)
+def events_gap_fill_interpolate(spark, sf_dir):
+    """Calendar gap-fill + LINEAR INTERPOLATION — the time-series resample
+    primitive (TimescaleDB's time_bucket_gapfill/interpolate; DataFusion
+    ecosystem ships it as an extension).  Dense calendar per series from
+    a min/max span (sequence → explode, row-local), left-join observed
+    days, then one window pass each direction (last/first IGNORE NULLS)
+    supplies the bracketing observations; edges carry forward/backward.
+    Scale: both windows share the (series, day) sort → one shuffle; the
+    calendar explode is linear in days×series, tiny next to the event
+    scan; daily sums are decimal-accumulated (§4 rule 1), interpolation
+    arithmetic is the identical expression tree on both engines, rounded
+    at 6dp."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 400)
+    daily = (
+        e.groupBy(
+            F.col("user_id").alias("series"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+    )
+    spans = daily.groupBy("series").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "series",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = calendar.join(daily, ["series", "day"], "left")
+    w_prev = W.partitionBy("series").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_next = W.partitionBy("series").orderBy("day").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "series",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd").cast(
+        "double"
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "series",
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(filled, 6).alias("value_filled"),
+    )

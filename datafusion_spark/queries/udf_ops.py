@@ -95,3 +95,47 @@ def udf_grouped_zscore(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = e.groupBy("event_type").applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
     return out.select("event_id", "event_type", F.round("zscore", 6).alias("zscore"))
+
+
+@query(
+    "udf_table_function",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, '. ') AS p FROM documents
+      WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, p[i] AS sentence,
+           CAST(LENGTH(p[i]) AS INT) AS n_chars
+    FROM parts, unnest(generate_series(1, len(p))) AS t(i)
+    WHERE p[i] <> ''
+    """,
+    tags=("udf", "udtf", "table-function"),
+)
+def udf_table_function(spark, sf_dir):
+    """Python user-defined TABLE function (reference: datafusion/expr/src/
+    udf TableFunctionImpl + functions-table/) — the row→rows extension
+    point.  Spark 4's @udtf runs Arrow-batched and composes with LATERAL,
+    so the expansion executes where the row lives (no shuffle, no
+    collect).  The class-based eval keeps per-partition state possible
+    (analyze/terminate hooks) — strictly more powerful than a flatMap
+    lambda."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string, n_chars int")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                if s:
+                    yield i, s, len(s)
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    from datafusion_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence, s.n_chars
+        FROM documents d, LATERAL split_sentences(d.text) s
+        WHERE d.doc_id < 200
+        """
+    )
