@@ -424,3 +424,56 @@ def agg_weighted_median(spark, sf_dir):
             F.min("tw").cast("double").alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN rn >= CEIL(0.25 * n) THEN l_quantity END) AS p25_disc,
+           MIN(CASE WHEN rn >= CEIL(0.50 * n) THEN l_quantity END) AS p50_disc,
+           MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN l_quantity END) AS p95_disc
+    FROM ranked GROUP BY l_returnflag
+    """,
+    tags=("aggregates", "percentile"),
+)
+def agg_percentile_disc(spark, sf_dir):
+    """PERCENTILE_DISC — exact discrete quantiles (reference:
+    functions-aggregate; SQL:2008 inverse distribution, returning an
+    ACTUAL data value, never an interpolation).  Both engines derive it
+    from first principles (row_number ≥ ⌈p·n⌉) so the check is
+    independent of either engine's percentile built-in.  One window
+    shuffle; at 100 TB swap for approx_percentile and keep this as the
+    audit path."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ws = W.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def disc(p):
+        return F.min(
+            F.when(
+                F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("l_quantity")
+            )
+        )
+
+    return ranked.groupBy("l_returnflag").agg(
+        disc(0.25).alias("p25_disc"),
+        disc(0.50).alias("p50_disc"),
+        disc(0.95).alias("p95_disc"),
+    )

@@ -531,3 +531,38 @@ def fn_try_arithmetic(spark, sf_dir):
         F.try_multiply(k, F.lit(1125899906842624).cast("long")).alias("safe_mul"),
         F.try_divide(k, k % 7).cast("long").alias("safe_intdiv"),
     )
+
+
+@query(
+    "fn_number_format_group_by_all",
+    oracle="""
+    SELECT o_orderpriority,
+           format('{:,}', CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) AS BIGINT))
+             || '.' || substr(CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) % 1, 2) + 1.001 AS VARCHAR), 3, 2)
+             AS total_pretty,
+           printf('%05d', COUNT(*)) AS n_padded,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ALL
+    """,
+    tags=("functions", "format", "group-by-all"),
+)
+def fn_number_format_group_by_all(spark, sf_dir):
+    """format_number / printf-style rendering + GROUP BY ALL (both
+    engines infer the grouping keys from the non-aggregate select list —
+    DataFusion supports the same shorthand).  Formatting happens AFTER
+    the decimal-exact sum, so the pretty string is deterministic."""
+    from datafusion_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               format_number(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+                 AS total_pretty,
+               format_string('%05d', COUNT(*)) AS n_padded,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ALL
+        """
+    )

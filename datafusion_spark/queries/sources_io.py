@@ -259,3 +259,40 @@ def source_avro_roundtrip(spark, sf_dir):
         .alias("total_bal"),
         F.min("s_name").alias("first_name"),
     )
+
+
+@query(
+    "source_csv_dialect",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+    WHERE p_partkey < 500
+    """,
+    tags=("sources", "csv", "dialect"),
+)
+def source_csv_dialect(spark, sf_dir):
+    """CSV dialect stress: semicolon delimiter, quoted fields (forced
+    quoting so embedded delimiters round-trip), custom null token, header
+    — the knobs DataFusion's CsvOptions exposes (format.delimiter,
+    null_value...).  Oracle reads the ORIGINAL parquet: byte-exact value
+    round-trip through the hostile dialect is the check."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    path = os.path.join(_SCRATCH, "part_csv_dialect")
+    (
+        part.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", ";")
+        .option("quoteAll", True)
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    return (
+        spark.read.schema(
+            "p_partkey long, p_name string, p_brand string, p_retailprice double"
+        )
+        .option("header", True)
+        .option("sep", ";")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
