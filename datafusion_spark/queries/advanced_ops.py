@@ -467,3 +467,42 @@ def dml_ctas_insert_into(spark, sf_dir):
         .groupBy("n_regionkey")
         .agg(F.count(F.lit(1)).alias("n"), F.min("n_name").alias("first_name"))
     )
+
+
+@query(
+    "dml_delete_rewrite",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+    GROUP BY o_orderstatus
+    """,
+    tags=("dml", "delete", "copy-on-write"),
+)
+def dml_delete_rewrite(spark, sf_dir):
+    """DELETE as copy-on-write rewrite (reference: sqllogictest
+    dml_delete.slt; DataFusion deletes from memory tables — for
+    immutable parquet both engines' lakehouse answer is rewrite-minus-
+    matches, which is exactly what Delta/Iceberg do under MERGE).  The
+    anti-predicate rewrite is verified by re-reading the rewritten
+    table.  Scale: at 100 TB the rewrite is partition-pruned to touched
+    partitions only (pair with partitioned layout + dynamic overwrite);
+    full-table rewrite is the worst case, never the default."""
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    surviving = o.filter(
+        ~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000.0))
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "datafusion_spark_io", "orders_after_delete"
+    )
+    surviving.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+        .alias("total"),
+    )

@@ -140,3 +140,45 @@ def catalog_external_table(spark, sf_dir):
     return spark.sql(
         "SELECT * FROM ext_nation_named WHERE region_name <> 'EUROPE'"
     )
+
+
+@query(
+    "catalog_create_function",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS disc_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(38,6))) AS DOUBLE) AS charged_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("catalog", "ddl", "sql-udf"),
+)
+def catalog_create_function(spark, sf_dir):
+    """CREATE FUNCTION — SQL-defined scalar UDFs (reference: sqllogictest
+    create_function.slt; DataFusion's CREATE FUNCTION extension point).
+    Spark's SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN
+    expr) are INLINED by Catalyst into the calling plan — whole-stage
+    codegen, zero Python round-trip — so abstraction costs nothing; the
+    oracle spells the expressions out flat."""
+    from datafusion_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+           RETURNS DOUBLE RETURN p * (1 - d)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE, d DOUBLE, t DOUBLE)
+           RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)"""
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS disc_revenue,
+               CAST(SUM(CAST(charged(l_extendedprice, l_discount, l_tax)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS charged_revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

@@ -245,3 +245,81 @@ def nested_map_ops(spark, sf_dir):
             F.map_values("mp"), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("vals_sum"),
     )
+
+
+@query(
+    "nested_array_arithmetic",
+    oracle="""
+    WITH src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 120
+    ),
+    calc AS (
+      SELECT vec_id, e,
+             list_reduce(e, (acc, x) -> acc + x) AS esum,
+             sqrt(list_reduce(list_transform(e, x -> x * x),
+                              (acc, x) -> acc + x)) AS enorm
+      FROM src
+    )
+    SELECT vec_id,
+           ROUND(esum, 6) AS vec_sum,
+           ROUND(esum / len(e), 6) AS vec_avg,
+           ROUND(e[1] * e[2] * e[3], 6) AS prod_first3,
+           array_to_string(list_transform(
+             list_transform(generate_series(1, 4), i -> e[i] + e[len(e) + 1 - i]),
+             x -> printf('%.6f', x)), ',') AS head_plus_tail,
+           array_to_string(list_transform(
+             list_transform(e[1:4], x -> x * 2.5),
+             x -> printf('%.6f', x)), ',') AS scaled_head,
+           ROUND(list_reduce(list_transform(e, x -> (x / enorm) * (x / enorm)),
+                             (acc, x) -> acc + x), 6) AS normalized_l2sq
+    FROM calc
+    """,
+    tags=("nested", "array-arithmetic", "vectors"),
+)
+def nested_array_arithmetic(spark, sf_dir):
+    """Element-wise array arithmetic family (reference: sqllogictest
+    array_add/subtract/scale/normalize/sum/avg/product.slt): zip_with
+    addition (head + reversed tail), scalar scaling, L2 normalization,
+    and whole-array sum/avg/product reductions.  Sums are SEQUENTIAL
+    left folds on both engines (§4 rule 3: aggregate() ⇔ list_reduce —
+    bit-identical doubles, unlike the engines' parallel list_sum).
+    Scale: pure narrow map over the vector column; no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    src = e.select("vec_id", ed.alias("e"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    calc = src.select(
+        "vec_id",
+        "e",
+        fold(F.col("e")).alias("esum"),
+        F.sqrt(fold(F.transform("e", lambda x: x * x))).alias("enorm"),
+    )
+    n = F.size("e")
+    stringify = lambda arr: F.array_join(
+        F.transform(arr, lambda x: F.format_number(x, 6)), ","
+    )
+    head_plus_tail = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: F.element_at("e", i) + F.element_at("e", n + 1 - i),
+    )
+    return calc.select(
+        "vec_id",
+        F.round("esum", 6).alias("vec_sum"),
+        F.round(F.col("esum") / n, 6).alias("vec_avg"),
+        F.round(
+            F.element_at("e", 1) * F.element_at("e", 2) * F.element_at("e", 3), 6
+        ).alias("prod_first3"),
+        stringify(head_plus_tail).alias("head_plus_tail"),
+        stringify(
+            F.transform(F.slice("e", 1, 4), lambda x: x * 2.5)
+        ).alias("scaled_head"),
+        F.round(
+            fold(
+                F.transform(
+                    "e", lambda x: (x / F.col("enorm")) * (x / F.col("enorm"))
+                )
+            ),
+            6,
+        ).alias("normalized_l2sq"),
+    )

@@ -892,3 +892,121 @@ def join_range_binned(spark, sf_dir):
             .alias("total"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                              ELSE o_orderkey % 37 END AS k
+      FROM orders WHERE o_orderkey < 4000
+    ),
+    b AS (
+      SELECT CASE WHEN v = 99 THEN NULL ELSE v END AS k, v AS tag
+      FROM (SELECT unnest(generate_series(0, 36)) AS v
+            UNION ALL SELECT 99)
+    )
+    SELECT b.tag, COUNT(*) AS n_matches
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY b.tag
+    """,
+    tags=("relational", "join", "null-safe"),
+)
+def join_null_safe_eq(spark, sf_dir):
+    """NULL-safe equality join — <=> / IS NOT DISTINCT FROM (reference:
+    sqllogictest join_is_not_distinct_from.slt).  NULL keys MATCH each
+    other instead of disappearing; Spark's eqNullSafe plans a hash join
+    (the null bucket is just another key), not the nested-loop a naive
+    `(a = b OR (a IS NULL AND b IS NULL))` predicate would force."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderkey") % 37)
+        .alias("k"),
+    )
+    b = spark.range(0, 37).select(
+        F.col("id").alias("v")
+    ).unionAll(spark.createDataFrame([(99,)], "v long")).select(
+        F.when(F.col("v") == 99, None).otherwise(F.col("v")).alias("k"),
+        F.col("v").alias("tag"),
+    )
+    return (
+        a.join(F.broadcast(b), a.k.eqNullSafe(b.k))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@query(
+    "join_anti_null_aware",
+    oracle="""
+    SELECT 'not_in_clean' AS variant, COUNT(*) AS n FROM orders
+    WHERE o_orderkey < 2000
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 50)
+    UNION ALL
+    SELECT 'not_in_with_null' AS variant, COUNT(*) AS n FROM orders
+    WHERE o_orderkey < 2000
+      AND o_custkey NOT IN (
+        SELECT CASE WHEN c_custkey = 10 THEN NULL ELSE c_custkey END
+        FROM customer WHERE c_custkey < 50)
+    """,
+    tags=("relational", "join", "null-aware-anti"),
+)
+def join_anti_null_aware(spark, sf_dir):
+    """NULL-aware anti join — NOT IN's three-valued-logic trap (reference:
+    sqllogictest null_aware_anti_join.slt; physical-plan NullAware
+    NestedLoop/HashJoin modes).  One NULL in the subquery list makes
+    `x NOT IN (...)` UNKNOWN for every x → the second variant returns 0
+    rows, the first returns the true anti-join count.  Spark plans the
+    null-aware case as BroadcastHashJoin(LeftAnti, isNullAwareAntiJoin)
+    — both engines must agree on both variants."""
+    from datafusion_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'not_in_clean' AS variant, COUNT(*) AS n FROM orders
+        WHERE o_orderkey < 2000
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 50)
+        UNION ALL
+        SELECT 'not_in_with_null' AS variant, COUNT(*) AS n FROM orders
+        WHERE o_orderkey < 2000
+          AND o_custkey NOT IN (
+            SELECT CASE WHEN c_custkey = 10 THEN NULL ELSE c_custkey END
+            FROM customer WHERE c_custkey < 50)
+        """
+    )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "sql", "pipe"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax — FROM t |> WHERE |> AGGREGATE (reference:
+    sqllogictest pipe_operator.slt; GoogleSQL-style pipes landed in both
+    engines).  Same Catalyst plan as the nested form — the frontend
+    sugar must not cost a thing."""
+    from datafusion_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                     COUNT(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, n
+        """
+    )
