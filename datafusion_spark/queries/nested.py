@@ -323,3 +323,41 @@ def nested_array_arithmetic(spark, sf_dir):
             6,
         ).alias("normalized_l2sq"),
     )
+
+
+@query(
+    "nested_array_predicates_mutation",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id < 250
+    )
+    SELECT doc_id,
+           len(list_filter(w, t -> LENGTH(t) > 7)) > 0 AS any_long,
+           len(list_filter(w, t -> LENGTH(t) > 0)) = len(w) AS all_nonempty,
+           array_to_string(list_append(w[1:2], 'EOS'), '|') AS appended,
+           array_to_string(list_prepend('BOS', w[1:2]), '|') AS prepended,
+           array_to_string(w[1:len(w)-1], '|') AS popped_back,
+           CAST(len(w) AS INT) AS cardinality
+    FROM src
+    """,
+    tags=("nested", "array-predicates"),
+)
+def nested_array_predicates_mutation(spark, sf_dir):
+    """Array predicates + mutation family (reference: sqllogictest
+    array/{array_any_match,array_all,array_append,array_prepend,
+    array_pop,cardinality}.slt): exists/forall higher-order predicates,
+    append/prepend, pop-back via slice.  All codegen'd column algebra —
+    no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    w = F.split("text", " ")
+    head2 = F.slice(w, 1, 2)
+    return d.select(
+        "doc_id",
+        F.exists(w, lambda t: F.length(t) > 7).alias("any_long"),
+        F.forall(w, lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.array_join(F.array_append(head2, F.lit("EOS")), "|").alias("appended"),
+        F.array_join(F.array_prepend(head2, F.lit("BOS")), "|").alias("prepended"),
+        F.array_join(F.slice(w, 1, F.size(w) - 1), "|").alias("popped_back"),
+        F.size(w).alias("cardinality"),
+    )

@@ -296,3 +296,39 @@ def source_csv_dialect(spark, sf_dir):
         .option("nullValue", "\\N")
         .csv(path)
     )
+
+
+@query(
+    "source_input_file_metadata",
+    oracle="""
+    SELECT o_orderstatus AS status_from_path, COUNT(*) AS n,
+           COUNT(*) - 1 AS max_row_index
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("sources", "metadata-columns"),
+)
+def source_input_file_metadata(spark, sf_dir):
+    """Hidden metadata columns — input_file_name() + _metadata.row_index
+    (reference: sqllogictest input_file_name.slt, file_row_index.slt).
+    The partition value is recovered FROM THE PATH (never stored in the
+    data files) and per-file row indexes are exposed by the reader; the
+    oracle recomputes both from the logical table, proving path⇔data
+    consistency.  Lineage/debugging primitive: every row can name its
+    source file and offset."""
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_by_status_meta")
+    (
+        o.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(F.input_file_name(), "o_orderstatus=([A-Z])", 1)
+        .alias("status_from_path"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    return back.groupBy("status_from_path").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ri").alias("max_row_index"),
+    )
