@@ -1,0 +1,108 @@
+"""Property-based cross-engine parity fuzz: hypothesis composes random
+query specs (filter predicate × group keys × aggregate set) over the
+orders table, runs the SAME logical query through Spark SQL and DuckDB,
+and compares row-for-row.  This generalizes the fixed oracle suite (the
+driver's gate checks ~200 hand-written queries; this checks the query
+GENERATOR's whole space) — the strategy mirrors the reference's
+sqllogictest fuzz configs (aggregate_fuzz / join_fuzz in
+datafusion/core/tests/fuzz_cases/).
+
+Determinism rules from SURVEY.md §4 are baked into the generator:
+money sums go through DECIMAL(38,6), counts are BIGINT on both sides,
+and every aggregate column is identically aliased.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_SMALL
+
+# (sql fragment, duckdb fragment) — identical unless noted
+_FILTERS = [
+    "o_totalprice > 50000.0",
+    "o_totalprice <= 120000.0",
+    "o_orderstatus = 'F'",
+    "o_orderstatus <> 'O'",
+    "o_orderpriority IN ('1-URGENT', '3-MEDIUM')",
+    "o_orderkey % 7 = 3",
+    "o_custkey BETWEEN 100 AND 900",
+    "o_orderdate >= TIMESTAMP '2024-03-01'",
+    "(o_totalprice > 80000.0 OR o_orderstatus = 'P')",
+    "o_orderkey IS NOT NULL",
+]
+
+_GROUP_KEYS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "CAST(o_custkey % 10 AS BIGINT)",
+    "year(CAST(o_orderdate AS TIMESTAMP))",
+]
+
+_AGGS = [
+    "COUNT(*)",
+    "COUNT(DISTINCT o_custkey)",
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)",
+    "MIN(o_totalprice)",
+    "MAX(o_totalprice)",
+    "CAST(MIN(o_orderkey) AS BIGINT)",
+    "CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)",
+]
+
+
+@st.composite
+def query_spec(draw):
+    filters = draw(st.lists(st.sampled_from(_FILTERS), min_size=0, max_size=3))
+    keys = draw(
+        st.lists(st.sampled_from(_GROUP_KEYS), min_size=1, max_size=2, unique=True)
+    )
+    aggs = draw(st.lists(st.sampled_from(_AGGS), min_size=1, max_size=3, unique=True))
+    return filters, keys, aggs
+
+
+def _build_sql(filters, keys, aggs):
+    where = f"WHERE {' AND '.join(filters)}" if filters else ""
+    key_cols = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+    agg_cols = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    group = ", ".join(f"k{i}" for i in range(len(keys)))
+    return (
+        f"SELECT {key_cols}, {agg_cols} FROM orders {where} "
+        f"GROUP BY {group} ORDER BY {group}"
+    )
+
+
+@pytest.fixture(scope="module")
+def duck(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/orders.parquet')"
+    )
+    # register the Spark-side view once too
+    from datafusion_spark.catalog import load_table
+
+    load_table(spark, SF_SMALL, "orders").createOrReplaceTempView("orders")
+    return con
+
+
+@given(query_spec())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_aggregation_parity(spark, duck, spec):
+    filters, keys, aggs = spec
+    sql = _build_sql(filters, keys, aggs)
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and wv is not None:
+                assert gv == pytest.approx(float(wv), abs=1e-9, rel=1e-12), sql
+            else:
+                assert (gv == wv) or (gv is None and wv is None), sql

@@ -262,3 +262,48 @@ def test_stream_static_join_matches_batch(spark):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_rate_source_windowed_agg(spark):
+    """Generator (rate) source → watermarked windowed aggregation: the
+    synthetic-source path used for load testing a streaming topology
+    before pointing it at real ingest.  Proves trigger wiring + window
+    state flushing with no file dependency."""
+    import pyspark.sql.functions as F
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    agg = (
+        rate.withWatermark("timestamp", "10 seconds")
+        .groupBy(F.window("timestamp", "2 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("ws"), "n", "sv")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        rows = []
+        for _ in range(120):  # poll until ≥2 full 2s windows materialize
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if sum(r.n for r in rows) >= 300:
+                break
+            time.sleep(0.5)
+        assert sum(r.n for r in rows) >= 300, rows
+        # each 2s event-time window spans two 50-row batches
+        full_windows = [r for r in rows if r.n == 100]
+        assert full_windows, f"expected saturated windows, got {rows}"
+    finally:
+        q.stop()

@@ -1,0 +1,59 @@
+"""Compare two bench.py JSON outputs and report per-query deltas.
+
+Usage:  python tools/bench_compare.py BENCH_r1.json BENCH_r2.json [--tol 0.15]
+
+Exit code 1 if any query regressed more than --tol (relative) beyond the
+run-to-run noise floor (2 × floor_per_query when present) — the guard to
+run between rounds so a plan regression (lost broadcast, new shuffle)
+shows up as a number, not a feeling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("base")
+    ap.add_argument("new")
+    ap.add_argument("--tol", type=float, default=0.15)
+    args = ap.parse_args()
+
+    with open(args.base) as fh:
+        base = json.load(fh)
+    with open(args.new) as fh:
+        new = json.load(fh)
+
+    noise = 2.0 * max(
+        base.get("floor_per_query", 0.0), new.get("floor_per_query", 0.0)
+    )
+    bq, nq = base.get("queries", {}), new.get("queries", {})
+    regressions = []
+    print(f"{'query':32s} {'base':>8s} {'new':>8s} {'delta':>8s}")
+    for name in sorted(set(bq) | set(nq)):
+        b, n = bq.get(name), nq.get(name)
+        if b is None or n is None:
+            print(f"{name:32s} {b or '-':>8} {n or '-':>8}   (added/removed)")
+            continue
+        delta = n - b
+        flag = ""
+        if n > b * (1 + args.tol) and delta > noise:
+            flag = "  << REGRESSION"
+            regressions.append(name)
+        print(f"{name:32s} {b:8.3f} {n:8.3f} {delta:+8.3f}{flag}")
+    print(
+        f"\ntotal: base={base.get('value')}s new={new.get('value')}s "
+        f"noise_floor={noise:.3f}s tol={args.tol:.0%}"
+    )
+    if regressions:
+        print(f"REGRESSED: {', '.join(regressions)}")
+        return 1
+    print("no regressions beyond noise")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
