@@ -106,3 +106,110 @@ def test_random_aggregation_parity(spark, duck, spec):
                 assert gv == pytest.approx(float(wv), abs=1e-9, rel=1e-12), sql
             else:
                 assert (gv == wv) or (gv is None and wv is None), sql
+
+
+_JOIN_TYPES = ["INNER", "LEFT", "RIGHT", "FULL"]
+_JOIN_FILTERS = [
+    "",
+    "WHERE o.o_totalprice > 60000.0",
+    "WHERE c.c_acctbal > 0.0",
+    "WHERE o.o_orderkey IS NULL OR o.o_orderkey % 3 = 0",
+]
+
+
+@st.composite
+def join_spec(draw):
+    jt = draw(st.sampled_from(_JOIN_TYPES))
+    jf = draw(st.sampled_from(_JOIN_FILTERS))
+    limit_left = draw(st.sampled_from([400, 900, 1500]))
+    return jt, jf, limit_left
+
+
+@pytest.fixture(scope="module")
+def duck_join(spark):
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    from datafusion_spark.catalog import load_table
+
+    for t in ("orders", "customer"):
+        load_table(spark, SF_SMALL, t).createOrReplaceTempView(t)
+    return con
+
+
+@given(join_spec())
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_parity(spark, duck_join, spec):
+    """Join-type × filter fuzz: outer-join NULL padding, filter-over-
+    outer-join semantics (a classic optimizer bug source: pushing a
+    filter below the null-producing side changes results)."""
+    jt, jf, limit_left = spec
+    sql = f"""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n_rows
+    FROM (SELECT * FROM customer WHERE c_custkey < {limit_left}) c
+    {jt} JOIN orders o ON c.c_custkey = o.o_custkey
+    {jf}
+    GROUP BY c.c_custkey ORDER BY c.c_custkey
+    """
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck_join.execute(sql).fetchall()]
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and wv is not None:
+                assert gv == pytest.approx(float(wv), abs=1e-9, rel=1e-12), sql
+            else:
+                assert (gv == wv) or (gv is None and wv is None), sql
+
+
+_WINDOW_FNS = [
+    "row_number()",
+    "rank()",
+    "dense_rank()",
+    "lag(o_orderkey, 1) ",
+    "lead(o_orderkey, 2, -1)",
+    "count(*) OVER_FRAME",
+]
+_FRAMES = [
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+]
+
+
+@given(
+    st.sampled_from(_WINDOW_FNS),
+    st.sampled_from(_FRAMES),
+    st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+)
+@settings(
+    max_examples=14,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_parity(spark, duck, fn, frame, pkey):
+    """Window-function × frame fuzz over a unique total order."""
+    if "OVER_FRAME" in fn:
+        expr = fn.replace(
+            "OVER_FRAME",
+            f"OVER (PARTITION BY {pkey} ORDER BY o_orderkey {frame})",
+        )
+    else:
+        expr = f"{fn} OVER (PARTITION BY {pkey} ORDER BY o_orderkey)"
+    sql = f"""
+    SELECT o_orderkey, {pkey} AS pk, {expr} AS w
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
