@@ -35,6 +35,7 @@ _MODULES = [
     "udf_ops",
     "functions_extended",
     "advanced_ops",
+    "functions_spark_compat",
 ]
 
 

@@ -506,3 +506,55 @@ def dml_delete_rewrite(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
         .alias("total"),
     )
+
+
+@query(
+    "dml_update_rewrite",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                                   AND o_orderpriority = '1-URGENT'
+                              THEN o_totalprice * 1.1
+                              ELSE o_totalprice END
+                    AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              AND o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS touched
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("dml", "update", "copy-on-write"),
+)
+def dml_update_rewrite(spark, sf_dir):
+    """UPDATE as copy-on-write rewrite (reference: sqllogictest
+    dml_update.slt / update.slt; DataFusion updates memory tables — for
+    immutable parquet the lakehouse answer is rewrite-with-CASE, which is
+    what Delta/Iceberg MERGE compiles to).  Verified by re-reading the
+    rewritten table, and the touched-row count is part of the checked
+    result.  Scale: the rewrite projection is a single codegen'd CASE per
+    updated column — no shuffle; at 100 TB pair with partition pruning so
+    only partitions containing matches are rewritten."""
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    match = (F.col("o_orderstatus") == "F") & (
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    updated = o.withColumn(
+        "o_totalprice",
+        F.when(match, F.col("o_totalprice") * 1.1).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).withColumn("_touched", match.cast("int"))
+    path = os.path.join(
+        tempfile.gettempdir(), "datafusion_spark_io", "orders_after_update"
+    )
+    updated.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+        .alias("total"),
+        F.sum("_touched").cast("bigint").alias("touched"),
+    )

@@ -356,3 +356,48 @@ def window_groups_frame(spark, sf_dir):
         F.count(F.lit(1)).over(wf).alias("n_in_group_window"),
         F.sum("event_id").over(wf).alias("sum_in_group_window"),
     )
+
+
+@query(
+    "window_array_agg_sliding",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           array_to_string(list(CAST(l_quantity AS INT)) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS qty_trail3,
+           CAST(len(list(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS INT)
+             AS trail_len
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    """,
+    tags=("window", "frame", "array"),
+)
+def window_array_agg_sliding(spark, sf_dir):
+    """array_agg over a sliding ROWS frame (reference: sqllogictest
+    array_agg_sliding_window.slt — DataFusion's retractable ARRAY_AGG
+    accumulator).  Spark's collect_list over a bounded frame is the same
+    retract/append window state; the frame's ORDER BY is a unique total
+    order (§4 rule 6) so the produced arrays are deterministic on both
+    engines.  Scale: bounded frame → O(frame) state per row, single
+    shuffle on the partition key."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, 0)
+    )
+    trail = F.collect_list(F.col("l_quantity").cast("int")).over(w)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 5)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.array_join(trail, ",").alias("qty_trail3"),
+            F.size(trail).alias("trail_len"),
+        )
+    )
