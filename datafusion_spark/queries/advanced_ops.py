@@ -558,3 +558,145 @@ def dml_update_rewrite(spark, sf_dir):
         .alias("total"),
         F.sum("_touched").cast("bigint").alias("touched"),
     )
+
+
+@query(
+    "join_sort_merge_hint",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "sort-merge", "scale"),
+)
+def join_sort_merge_hint(spark, sf_dir):
+    """Fact-fact join forced to sort-merge (reference: physical-plan/src/
+    joins/sort_merge_join.rs; sqllogictest sort_merge_join.slt).  At
+    100 TB neither side of lineitem⋈orders fits a broadcast; SMJ is the
+    strategy that spills gracefully (sort buffers, no hash table) — the
+    MERGE hint pins it so the plan is the one a big cluster would run,
+    and tests/test_plans.py asserts SortMergeJoin is actually chosen.
+    Both sides shuffle-partition on the join key; the following
+    aggregation is keyed on the orders side, partial-agged before its
+    exchange."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = l.hint("merge").join(
+        o.hint("merge"), l["l_orderkey"] == o["o_orderkey"]
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "sort_global_range_partitioned",
+    oracle=None,  # partition boundaries are sampling-derived → rows-only
+    tags=("sort", "partitioning", "scale"),
+)
+def sort_global_range_partitioned(spark, sf_dir):
+    """Global sort via range partitioning (reference: sqllogictest
+    range_partitioning.slt; physical-plan repartition/sort — DataFusion's
+    SortPreservingMerge ⇔ Spark's RangePartitioning exchange +
+    per-partition sort).  This is how a 100 TB ORDER BY actually runs:
+    sample → range boundaries → shuffle each row to its range → sort
+    within partitions; no single-node merge.  The result reports each
+    partition's (lo, hi, n) plus `ordered_ok` = ranges are pairwise
+    non-overlapping and internally sorted — the distributed-sort
+    invariant itself, checked distributively."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .repartitionByRange(8, "o_orderdate", "o_orderkey")
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+    )
+    part_stats = (
+        o.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_orderdate").alias("hi"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    prev_hi = F.lag("hi").over(Window.orderBy("pid"))
+    return part_stats.select(
+        "pid",
+        "n",
+        "lo",
+        "hi",
+        (prev_hi.isNull() | (prev_hi <= F.col("lo"))).alias("ordered_ok"),
+    )
+
+
+@query(
+    "job_style_join_ordering",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           p.p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    JOIN part p      ON l.l_partkey = p.p_partkey
+    JOIN region r    ON cn.n_regionkey = r.r_regionkey
+    WHERE p.p_size BETWEEN 10 AND 20
+      AND o.o_orderstatus = 'O'
+      AND r.r_name = 'ASIA'
+      AND c.c_acctbal > 0
+    GROUP BY cn.n_name, sn.n_name, p.p_brand
+    """,
+    tags=("join", "reordering", "optimizer"),
+)
+def job_style_join_ordering(spark, sf_dir):
+    """JOB/IMDB-style deep join (reference: benchmarks/src/imdb/ — the
+    join-order benchmark DataFusion uses to exercise its join-reordering
+    optimizer rules, optimizer/src/join_reorder).  Eight relations, two
+    roles for nation, selective predicates on three different legs.  The
+    Spark side declares joins in a deliberately naive order and lets
+    Catalyst's CBO + AQE reorder: every dimension leg broadcasts, the
+    fact table never shuffles for a join (asserted via plan budget in
+    tests/test_plan_budgets.py) — at 100 TB the only exchange left is the
+    final aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(cn, c["c_nationkey"] == F.col("cn.n_nationkey"))
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(sn, s["s_nationkey"] == F.col("sn.n_nationkey"))
+        .join(p, l["l_partkey"] == p["p_partkey"])
+        .join(r, F.col("cn.n_regionkey") == r["r_regionkey"])
+    )
+    return j.groupBy(
+        F.col("cn.n_name").alias("cust_nation"),
+        F.col("sn.n_name").alias("supp_nation"),
+        F.col("p_brand"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -230,3 +230,45 @@ def agg_bitmap_distinct(spark, sf_dir):
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("distinct_customers")
     )
+
+
+@query(
+    "fn_xml_xpath",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS xp_name,
+           CAST(n_regionkey AS INT) AS xp_region,
+           (n_regionkey >= 2) AS xp_flag,
+           n_name || '|' || n_nationkey AS xp_all_parts
+    FROM nation
+    """,
+    tags=("functions", "xml", "spark-compat"),
+)
+def fn_xml_xpath(spark, sf_dir):
+    """XPath extraction over XML strings (reference: datafusion-spark
+    crate test_files/spark/xml/ — xpath_string/xpath_int/xpath_boolean/
+    xpath).  The XML doc is built per-row from nation columns; the oracle
+    reconstructs each extracted value from the same columns (DuckDB has
+    no XPath).  All four variants stay JVM-side (codegen'd Java XPath),
+    no shuffle."""
+    n = _t(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<item><name>"),
+        F.col("n_name"),
+        F.lit("</name><region>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</region><part>"),
+        F.col("n_name"),
+        F.lit("</part><part>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</part></item>"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.xpath_string(xml, F.lit("/item/name")).alias("xp_name"),
+        F.xpath_int(xml, F.lit("/item/region")).alias("xp_region"),
+        F.xpath_boolean(xml, F.lit("/item/region >= 2")).alias("xp_flag"),
+        F.array_join(F.xpath(xml, F.lit("/item/part/text()")), "|").alias(
+            "xp_all_parts"
+        ),
+    )

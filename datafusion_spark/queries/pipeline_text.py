@@ -644,3 +644,88 @@ def text_class_reweighting(spark, sf_dir):
         ).alias("balance_weight"),
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("class_share"),
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, bg FROM (
+            SELECT doc_id,
+                   w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i)
+                     AS bg
+            FROM words
+        ) WHERE bg IS NOT NULL
+    ),
+    bg_counts AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ),
+    per_doc_bg AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bg,
+               CAST(SUM(c) AS BIGINT) AS n_bg
+        FROM bg_counts GROUP BY doc_id
+    ),
+    per_doc_w AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
+        FROM words GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words,
+           CAST(w.n_distinct AS DOUBLE) / w.n_words AS distinct_ratio,
+           CAST(b.top_bg AS DOUBLE) / b.n_bg AS top_bigram_frac,
+           (CAST(w.n_distinct AS DOUBLE) / w.n_words >= 0.3
+            AND CAST(b.top_bg AS DOUBLE) / b.n_bg <= 0.2) AS keep
+    FROM per_doc_w w JOIN per_doc_bg b ON w.doc_id = b.doc_id
+    """,
+    tags=("pipeline", "text", "quality", "bench"),
+)
+def text_repetition_filter(spark, sf_dir):
+    """Repetition-based quality filter (Gopher/C4-style rules: duplicate
+    n-gram fraction + distinct-word ratio; public heuristics from Rae et
+    al. 2021 §A1.1).  A doc whose single most frequent bigram covers
+    >20% of all its bigrams, or whose vocabulary is <30% of its length,
+    is flagged as repetitive boilerplate.
+
+    Scale: all three aggregations are keyed by doc_id — one fan-out
+    repartition, then per-doc combines with map-side partial agg; no
+    corpus-wide state, so the op is embarrassingly parallel at 100 TB.
+    The ratios are exact int/int double divisions — deterministic on
+    both engines (§4)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    from pyspark.sql.window import Window
+
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("i"))
+    bigrams = (
+        words.withColumn("nxt", nxt)
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "nxt").alias("bg"))
+    )
+    per_doc_bg = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    per_doc_w = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    joined = per_doc_w.join(per_doc_bg, "doc_id")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
+    top_frac = F.col("top_bg").cast("double") / F.col("n_bg")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        distinct_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_bigram_frac"),
+        ((distinct_ratio >= 0.3) & (top_frac <= 0.2)).alias("keep"),
+    )

@@ -49,6 +49,8 @@ SHUFFLE_BUDGETS = {
     "agg_weighted_median": 1,     # cum + total share one window shuffle
     "window_groups_frame": 1,     # dense_rank + RANGE reuse one sort
     "subquery_any_all": 2,        # two scalar aggs, broadcast back
+    "job_style_join_ordering": 1,  # all legs broadcast; only the agg shuffles
+    "join_sort_merge_hint": 3,     # two SMJ input exchanges + agg (pinned)
 }
 
 BROADCAST_EXPECTED = [
@@ -58,6 +60,7 @@ BROADCAST_EXPECTED = [
     "text_contamination_check", # benchmark gram set broadcast
     "text_class_reweighting",   # one-row totals broadcast
     "text_global_shuffle",      # bucket-offset table broadcast
+    "job_style_join_ordering",  # every dimension leg broadcasts
 ]
 
 

@@ -79,3 +79,20 @@ def test_lateral_join_decorrelated(spark):
     plan = str(df._jdf.queryExecution().executedPlan().toString())
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sort_merge_hint_plan_uses_smj(spark):
+    plan = QUERIES["join_sort_merge_hint"](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_range_partitioned_sort_invariant(spark):
+    df = QUERIES["sort_global_range_partitioned"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    rows = df.collect()
+    assert rows and all(r["ordered_ok"] for r in rows)
+    total = sum(r["n"] for r in rows)
+    expected = load_table(spark, SF_SMALL, "orders").count()
+    assert total == expected
