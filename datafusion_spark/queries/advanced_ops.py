@@ -700,3 +700,80 @@ def job_style_join_ordering(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "dml_merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT n_nationkey AS k,
+               n_name || '_V2' AS name_new,
+               n_regionkey
+        FROM nation WHERE n_nationkey % 2 = 0
+        UNION ALL
+        SELECT n_nationkey + 100, n_name || '_NEW', n_regionkey
+        FROM nation WHERE n_regionkey = 0
+    ),
+    tgt AS (SELECT n_nationkey AS k, n_name, n_regionkey FROM nation),
+    merged AS (
+        SELECT COALESCE(t.k, s.k) AS k,
+               COALESCE(s.name_new, t.n_name) AS n_name,
+               COALESCE(t.n_regionkey, s.n_regionkey) AS n_regionkey,
+               CASE WHEN t.k IS NULL THEN 'insert'
+                    WHEN s.k IS NULL THEN 'keep'
+                    ELSE 'update' END AS action
+        FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+    )
+    SELECT action, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS key_sum,
+           min(n_name) AS sample_name
+    FROM merged GROUP BY action
+    """,
+    tags=("dml", "merge", "upsert", "copy-on-write"),
+)
+def dml_merge_upsert(spark, sf_dir):
+    """MERGE INTO as copy-on-write full-outer rewrite (reference:
+    DataFusion DML surface; the lakehouse upsert every format compiles
+    MERGE to when there's no deletion-vector support).  Source = changed
+    rows (updates for even keys, inserts for new keys); target = nation.
+    The rewrite classifies every output row as insert/update/keep and the
+    checked result aggregates all three classes.  Scale: the outer join
+    shuffles on the merge key once; with a bucketed/partitioned target
+    the rewrite touches only matched partitions (same pruning story as
+    dml_delete_rewrite), and AQE handles source-side skew."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), "n_name", "n_regionkey"
+    )
+    src = (
+        n.filter(F.col("k") % 2 == 0)
+        .select(
+            "k",
+            F.concat(F.col("n_name"), F.lit("_V2")).alias("name_new"),
+            "n_regionkey",
+        )
+        .unionByName(
+            n.filter(F.col("n_regionkey") == 0).select(
+                (F.col("k") + 100).alias("k"),
+                F.concat(F.col("n_name"), F.lit("_NEW")).alias("name_new"),
+                "n_regionkey",
+            )
+        )
+    )
+    t = n.alias("t")
+    s = src.alias("s")
+    merged = t.join(s, F.col("t.k") == F.col("s.k"), "full_outer").select(
+        F.coalesce(F.col("t.k"), F.col("s.k")).alias("k"),
+        F.coalesce(F.col("s.name_new"), F.col("t.n_name")).alias("n_name"),
+        F.coalesce(F.col("t.n_regionkey"), F.col("s.n_regionkey")).alias(
+            "n_regionkey"
+        ),
+        F.when(F.col("t.k").isNull(), "insert")
+        .when(F.col("s.k").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").cast("bigint")).alias("key_sum"),
+        F.min("n_name").alias("sample_name"),
+    )

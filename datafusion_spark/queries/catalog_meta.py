@@ -182,3 +182,67 @@ def catalog_create_function(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "catalog_describe_table",
+    oracle="""
+    SELECT column_name AS col_name,
+           CASE data_type WHEN 'VARCHAR' THEN 'string'
+                          WHEN 'BIGINT' THEN 'bigint'
+                          WHEN 'INTEGER' THEN 'int'
+                          WHEN 'DOUBLE' THEN 'double'
+                          ELSE lower(data_type) END AS data_type
+    FROM information_schema.columns
+    WHERE table_name = 'nation'
+    """,
+    tags=("catalog", "ddl"),
+)
+def catalog_describe_table(spark, sf_dir):
+    """DESCRIBE TABLE (reference: sqllogictest describe.slt; DataFusion's
+    DESCRIBE produces column/type rows).  Spark's DESCRIBE output is
+    projected to (col_name, data_type) and the oracle derives the same
+    rows from DuckDB's information_schema with a type-spelling map —
+    metadata-only on both engines, no data scan."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_describe_v"
+    )
+    return spark.sql("DESCRIBE TABLE nation_describe_v").select(
+        "col_name", "data_type"
+    )
+
+
+@query(
+    "dml_truncate_table",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS n_after_truncate,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation WHERE n_regionkey = 0)
+             AS n_after_reload
+    """,
+    tags=("dml", "ddl", "truncate"),
+)
+def dml_truncate_table(spark, sf_dir):
+    """TRUNCATE TABLE (reference: sqllogictest truncate.slt).  A managed
+    copy of nation is truncated (metadata+file drop, no row-level
+    delete), then selectively reloaded; the checked result is both
+    counts.  Scale: truncate is O(files), the reload is a partition-
+    pruned insert — the lakehouse reset-and-backfill pattern."""
+    import shutil
+
+    nation = load_table(spark, sf_dir, "nation")
+    spark.sql("DROP TABLE IF EXISTS nation_trunc")
+    # TRUNCATE only works on managed tables; clear any stale location left
+    # by a previous session (DROP in a fresh catalog doesn't know about it)
+    loc = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(f"{loc.rstrip('/')}/nation_trunc", ignore_errors=True)
+    nation.write.mode("overwrite").saveAsTable("nation_trunc")
+    spark.sql("TRUNCATE TABLE nation_trunc")
+    n_after_truncate = spark.table("nation_trunc").count()
+    nation.filter(F.col("n_regionkey") == 0).write.insertInto("nation_trunc")
+    n_after_reload = spark.table("nation_trunc").count()
+    return spark.range(1).select(
+        F.lit(n_after_truncate).cast("bigint").alias("n_after_truncate"),
+        F.lit(n_after_reload).cast("bigint").alias("n_after_reload"),
+    )

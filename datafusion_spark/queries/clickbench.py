@@ -231,3 +231,78 @@ def h2o_join_big(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "h2o_groupby_median_sd",
+    oracle="""
+    SELECT event_type,
+           ROUND(median(value), 6) AS med_value,
+           ROUND(stddev_samp(value), 6) AS sd_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("clickbench", "h2o"),
+)
+def h2o_groupby_median_sd(spark, sf_dir):
+    """h2o groupby question 5: median + sd by key (reference:
+    benchmarks/src/h2o.rs).  Exact percentile at 100 TB requires a
+    per-group sort — for pipelines that can tolerate error use the
+    approx_percentile sketch entry instead (agg_approx_sketches); this
+    keeps the exact semantics the benchmark specifies.  Rounded 6dp for
+    cross-engine interpolation/Welford noise (§4 rule 2)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+    )
+
+
+@query(
+    "h2o_groupby_top2",
+    oracle="""
+    SELECT event_type, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events WHERE value IS NOT NULL
+    ) WHERE rn <= 2
+    """,
+    tags=("clickbench", "h2o"),
+)
+def h2o_groupby_top2(spark, sf_dir):
+    """h2o groupby question 8: largest two values per key.  Window
+    row_number with a unique tiebreak (§4 rule 6), WindowGroupLimit
+    prunes per partition before the shuffle — no global sort."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("event_type", "event_id", "value")
+    )
+
+
+@query(
+    "h2o_groupby_corr",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(POW(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 2), 6)
+             AS r2
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("clickbench", "h2o"),
+)
+def h2o_groupby_corr(spark, sf_dir):
+    """h2o groupby question 9: r² of two measures by key — one-pass
+    co-moment accumulation (reference functions-aggregate/src/correlation
+    .rs does the same partial-state merge Spark's corr uses)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.pow(F.corr("o_totalprice", F.col("o_custkey").cast("double")), 2), 6
+        ).alias("r2")
+    )

@@ -2,6 +2,7 @@
 
 from datafusion_spark.streaming.ops import (
     click_purchase_join,
+    click_purchase_join_outer,
     dedup_within_watermark,
     foreach_batch_append_sink,
     read_events_stream,
@@ -19,6 +20,7 @@ __all__ = [
     "session_window_counts",
     "sessionize_stateful",
     "click_purchase_join",
+    "click_purchase_join_outer",
     "dedup_within_watermark",
     "foreach_batch_append_sink",
     "read_latest_per_user",

@@ -205,6 +205,55 @@ def click_purchase_join(
     )
 
 
+def click_purchase_join_outer(
+    events, within: str = "1 hour", watermark: str = "2 hours"
+):
+    """Stream-stream LEFT OUTER join (reference: physical-plan/src/joins/
+    symmetric_hash_join.rs — the symmetric hash join's unmatched-row
+    emission).  Same per-user click→purchase time-bounded condition as
+    click_purchase_join, but clicks with no purchase within ``within``
+    are emitted with NULL purchase columns — in streaming mode only once
+    the watermark passes the click's join horizon, because until then a
+    matching purchase could still arrive.  State stays bounded by the
+    watermark horizon exactly as in the inner variant; the only extra
+    cost is the per-row matched bit Spark keeps to decide null-emission.
+
+    On batch inputs this is a plain left outer join with the same
+    condition, which is what the equivalence test compares against
+    (matched rows must agree exactly; streaming may legitimately withhold
+    tail unmatched rows whose horizon the final watermark never passed).
+    """
+    from pyspark.sql import functions as F
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        "c_event_id",
+        "p_event_id",
+        "c_ts",
+        "p_ts",
+        "p_value",
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
     keeps state only for ids newer than the watermark horizon — the

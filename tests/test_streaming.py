@@ -307,3 +307,40 @@ def test_rate_source_windowed_agg(spark):
         assert full_windows, f"expected saturated windows, got {rows}"
     finally:
         q.stop()
+
+
+def test_stream_stream_outer_join_matches_batch(spark):
+    """Matched pairs identical to batch; streaming null-emissions are a
+    subset of batch unmatched clicks (tail clicks whose horizon the final
+    watermark never passed are legitimately withheld)."""
+    from datafusion_spark.streaming import (
+        click_purchase_join_outer,
+        read_events_stream,
+    )
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_SMALL)
+    q = (
+        click_purchase_join_outer(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+        batch = click_purchase_join_outer(
+            load_table(spark, SF_SMALL, "events")
+        ).collect()
+        got_matched = {(r.c_event_id, r.p_event_id) for r in got if r.p_event_id is not None}
+        want_matched = {(r.c_event_id, r.p_event_id) for r in batch if r.p_event_id is not None}
+        assert got_matched == want_matched
+        assert len(want_matched) > 0
+        got_unmatched = {r.c_event_id for r in got if r.p_event_id is None}
+        want_unmatched = {r.c_event_id for r in batch if r.p_event_id is None}
+        assert got_unmatched <= want_unmatched
+        assert len(want_unmatched) > 0
+    finally:
+        q.stop()
