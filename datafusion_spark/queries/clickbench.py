@@ -306,3 +306,61 @@ def h2o_groupby_corr(spark, sf_dir):
             F.pow(F.corr("o_totalprice", F.col("o_custkey").cast("double")), 2), 6
         ).alias("r2")
     )
+
+
+@query(
+    "cb_regex_filter_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE regexp_matches(props, '"k": [12][0-9]\\b')
+    GROUP BY event_type
+    """,
+    tags=("clickbench", "regex", "bench"),
+)
+def cb_regex_filter_agg(spark, sf_dir):
+    """ClickBench regex-filter shape (clickbench.rs queries with LIKE/
+    match over URL/title columns): regex predicate over a string column
+    feeding a grouped aggregate.  The regex runs JVM-side inside codegen;
+    at 100 TB the scan parallelism carries it — no shuffle before the
+    partial agg.  Regex kept to a portable subset (\\b works in both Java
+    and RE2-ish engines)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("props").rlike('"k": [12][0-9]\\b'))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "cb_string_prefix_histogram",
+    oracle="""
+    SELECT regexp_extract(source, '^src([0-9])', 1) AS src_digit,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY src_digit
+    """,
+    tags=("clickbench", "string", "bench"),
+)
+def cb_string_prefix_histogram(spark, sf_dir):
+    """ClickBench substring-histogram shape (the URL-prefix / domain
+    extraction queries): group by a string-derived key.  Extraction is a
+    scan-side projection; grouping key cardinality is tiny so the shuffle
+    moves only partial aggregates."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.regexp_extract("source", "^src([0-9])", 1).alias("src_digit")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

@@ -272,3 +272,56 @@ def fn_xml_xpath(spark, sf_dir):
             "xp_all_parts"
         ),
     )
+
+
+@query(
+    "agg_approx_topk_exact_smallk",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type LIMIT 3
+    """,
+    tags=("aggregate", "sketch", "topk"),
+)
+def agg_approx_topk_exact_smallk(spark, sf_dir):
+    """approx_top_k heavy-hitter sketch (reference: DataFusion's sketch
+    aggregates, functions-aggregate/src/approx_*.rs; Spark 4 ships the
+    same Misra-Gries-style summary).  On a column whose cardinality is
+    far below the sketch capacity the summary is provably exact, so the
+    oracle is the exact GROUP BY top-3 — the entry pins both the sketch
+    plumbing and that exactness property.  Scale: the sketch is a fixed
+    ≤k-entry mergeable state per partition — heavy hitters at 100 TB
+    without shuffling per-key counts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("s"))
+        .select(
+            F.col("s.item").alias("event_type"),
+            F.col("s.count").alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_theta_sketch_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "sketch", "distinct"),
+)
+def agg_theta_sketch_distinct(spark, sf_dir):
+    """Theta sketch distinct counting (reference: DataFusion's
+    approx_distinct HLL family; theta additionally supports set algebra
+    on sketches).  At 150 distinct users the sketch retains every hash →
+    exact, so the oracle is exact COUNT(DISTINCT); beyond sketch
+    capacity the same plan degrades gracefully to ±1.6% error with a
+    fixed 32 KB mergeable state per group — the 100 TB distinct-count
+    strategy when bitmap buckets (agg_bitmap_distinct) are too wide."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("theta_sketch_estimate(theta_sketch_agg(user_id))")
+        .cast("bigint")
+        .alias("n_users")
+    )

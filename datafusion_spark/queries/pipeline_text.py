@@ -729,3 +729,73 @@ def text_repetition_filter(spark, sf_dir):
         top_frac.alias("top_bigram_frac"),
         ((distinct_ratio >= 0.3) & (top_frac <= 0.2)).alias("keep"),
     )
+
+
+@query(
+    "pipeline_end_to_end_prep",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, text, n_chars,
+               md5(text) AS content_hash,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scored WHERE n_chars >= 50 AND n_words >= 10
+    ),
+    deduped AS (
+        SELECT * FROM quality
+        WHERE doc_id IN (
+            SELECT min(doc_id) FROM quality GROUP BY content_hash
+        )
+    ),
+    split AS (
+        SELECT lang,
+               CASE WHEN substr(md5('split:' || doc_id), 1, 2) < 'cd'
+                    THEN 'train'
+                    WHEN substr(md5('split:' || doc_id), 1, 2) < 'e7'
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM deduped
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM split GROUP BY split, lang
+    """,
+    tags=("pipeline", "text", "end-to-end", "bench"),
+)
+def pipeline_end_to_end_prep(spark, sf_dir):
+    """End-to-end training-data prep: quality filter → exact dedup
+    (keep-min doc per content hash) → deterministic train/val/test split
+    → per-(split, lang) corpus stats.  The composition entry: each stage
+    is an already-verified operator (text_quality_score,
+    dedup_exact, text_train_test_split) chained as one lazy plan, the
+    way a real 100 TB prep job runs them — Catalyst pipelines the
+    filter+hash+split projections into the scan, the dedup is the only
+    wide stage (one hash-keyed shuffle), and the final stats reuse the
+    dedup output without rescanning the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("content_hash"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    quality = scored.filter((F.col("n_chars") >= 50) & (F.col("n_words") >= 10))
+    keeper = quality.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    deduped = quality.join(keeper, ["content_hash", "doc_id"], "left_semi")
+    b = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    split = deduped.select(
+        "lang",
+        F.when(b < "cd", "train").when(b < "e7", "val").otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
