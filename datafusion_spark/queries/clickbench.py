@@ -364,3 +364,56 @@ def cb_string_prefix_histogram(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@query(
+    "cb_wide_aggregate",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+             AS avg_v,
+           ROUND(stddev_samp(value), 6) AS sd_v,
+           CAST(MIN(event_id) AS BIGINT) AS first_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_id,
+           CAST(COUNT(CASE WHEN value > 50.0 THEN 1 END) AS BIGINT) AS n_big,
+           CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT) AS n_null,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("clickbench", "wide-agg", "bench"),
+)
+def cb_wide_aggregate(spark, sf_dir):
+    """ClickBench wide-aggregation shape: 14 aggregates (3 of them
+    DISTINCT/conditional) in ONE pass over the fact table — the partial-
+    aggregation state is a single wide row per (partition, group), so the
+    shuffle moves |groups|×width, never |rows|.  DataFusion's grouped
+    hash aggregation does the same (physical-plan/src/aggregates/);
+    the entry pins that Spark plans one scan, not one per aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("value")
+        ).alias("avg_v"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_v"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+        F.count(F.when(F.col("value") > 50.0, 1)).alias("n_big"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+    )

@@ -213,3 +213,39 @@ def test_random_window_parity(spark, duck, fn, frame, pkey):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == want, sql
+
+
+_SETOPS = [
+    "UNION",
+    "UNION ALL",
+    "INTERSECT",
+    "EXCEPT",
+    "INTERSECT ALL",
+    "EXCEPT ALL",
+]
+_SETOP_SIDES = [
+    "SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0",
+    "SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0",
+    "SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 90000.0",
+    "SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_custkey < 500",
+]
+
+
+@given(
+    st.sampled_from(_SETOPS),
+    st.sampled_from(_SETOP_SIDES),
+    st.sampled_from(_SETOP_SIDES),
+)
+@settings(
+    max_examples=18,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_setop_parity(spark, duck, op, lhs, rhs):
+    """Set-operation fuzz (reference fuzz_cases cover union/distinct
+    paths): bag vs set semantics across engines, including the ALL
+    multiset variants — compared as sorted multisets."""
+    sql = f"SELECT * FROM ({lhs} {op} {rhs}) t ORDER BY 1, 2"
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == want, sql
