@@ -325,3 +325,135 @@ def agg_theta_sketch_distinct(spark, sf_dir):
         .cast("bigint")
         .alias("n_users")
     )
+
+
+@query(
+    "fn_mask_named_args",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
+             AS masked_custom,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_digits_only
+    FROM customer WHERE c_custkey < 200
+    """,
+    tags=("functions", "string", "spark-compat", "named-args"),
+)
+def fn_mask_named_args(spark, sf_dir):
+    """mask() PII masking + SQL named arguments (reference:
+    test_files/spark/string/mask.slt and named_arguments.slt —
+    DataFusion implements both the function and the arg => value call
+    syntax).  Three call shapes: positional defaults, all-positional
+    custom chars, and named-argument form skipping middle parameters —
+    the named form is what the reference's named_arguments tests pin.
+    Oracle re-derives each masking with regexp_replace chains."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_default"),
+        F.expr("mask(c_name, 'U', 'l', '#')").alias("masked_custom"),
+        F.expr(
+            "mask(c_name, upperChar => NULL, lowerChar => NULL, "
+            "digitChar => '*')"
+        ).alias("masked_digits_only"),
+    )
+
+
+@query(
+    "fn_luhn_check",
+    oracle="""
+    WITH digits AS (
+        SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS s
+        FROM customer WHERE c_custkey < 500
+    ),
+    expanded AS (
+        SELECT c_custkey, s, i,
+               CAST(substr(reverse(s), i, 1) AS INT) AS d
+        FROM digits, generate_series(1, 8) AS t(i)
+    ),
+    summed AS (
+        SELECT c_custkey, s,
+               SUM(CASE WHEN i % 2 = 0
+                        THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+                        ELSE d END) AS total
+        FROM expanded GROUP BY c_custkey, s
+    )
+    SELECT c_custkey, (total % 10 = 0) AS luhn_ok
+    FROM summed
+    """,
+    tags=("functions", "string", "spark-compat"),
+)
+def fn_luhn_check(spark, sf_dir):
+    """luhn_check credit-card checksum (reference: test_files/spark/
+    string/luhn_check.slt).  The oracle computes the Luhn sum from first
+    principles (reversed digit expansion + double-every-second), keeping
+    the two implementations independent."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "luhn_check(lpad(CAST(c_custkey AS STRING), 8, '0'))"
+        ).alias("luhn_ok"),
+    )
+
+
+@query(
+    "fn_predicate_like_ilike",
+    oracle="""
+    SELECT c_custkey,
+           c_name LIKE 'Customer#%' AS like_prefix,
+           c_name LIKE '%00__' AS like_suffix_wild,
+           c_name ILIKE 'CUSTOMER#%1' AS ilike_ci,
+           (c_name || '_x') LIKE '%\\_x' ESCAPE '\\' AS like_escaped_underscore,
+           c_mktsegment LIKE '%IL%' AS like_contains
+    FROM customer WHERE c_custkey < 300
+    """,
+    tags=("functions", "predicate", "spark-compat"),
+)
+def fn_predicate_like_ilike(spark, sf_dir):
+    """LIKE / ILIKE / ESCAPE predicates (reference: test_files/spark/
+    predicate/{like,ilike}.slt).  The escaped-underscore case pins that
+    '\\_' matches a literal underscore, not any-char — the classic LIKE
+    bug.  All run as codegen'd string matchers; a leading-prefix LIKE is
+    additionally scan-pushable (StringStartsWith in PushedFilters)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.col("c_name").like("Customer#%").alias("like_prefix"),
+        F.col("c_name").like("%00__").alias("like_suffix_wild"),
+        F.col("c_name").ilike("CUSTOMER#%1").alias("ilike_ci"),
+        F.expr(r"concat(c_name, '_x') LIKE '%\\_x' ESCAPE '\\'").alias(
+            "like_escaped_underscore"
+        ),
+        F.col("c_mktsegment").like("%IL%").alias("like_contains"),
+    )
+
+
+@query(
+    "agg_try_sum_overflow",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(NULL AS BIGINT) AS overflowed_sum,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS safe_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "try", "spark-compat"),
+)
+def agg_try_sum_overflow(spark, sf_dir):
+    """try_sum NULL-on-overflow (reference: test_files/spark/aggregate/
+    try_sum.slt).  Every group receives at least two int64-max addends →
+    the sum overflows and try_sum yields NULL instead of raising (ANSI
+    mode) or wrapping (legacy) — the error-safe aggregation contract.
+    The same entry carries a non-overflowing try_sum to pin the happy
+    path.  Oracle: the overflow column is NULL by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    big = F.when(
+        F.col("o_orderkey") % 2 == 0, F.lit(9223372036854775807).cast("long")
+    ).otherwise(F.lit(1).cast("long"))
+    return o.groupBy("o_orderstatus").agg(
+        F.try_sum(big).alias("overflowed_sum"),
+        F.try_sum(F.col("o_orderkey").cast("long")).alias("safe_sum"),
+    )
