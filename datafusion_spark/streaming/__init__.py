@@ -7,6 +7,7 @@ from datafusion_spark.streaming.ops import (
     foreach_batch_append_sink,
     read_events_stream,
     read_latest_per_user,
+    running_totals_tws,
     session_window_counts,
     sessionize_stateful,
     sliding_counts,
@@ -24,4 +25,5 @@ __all__ = [
     "dedup_within_watermark",
     "foreach_batch_append_sink",
     "read_latest_per_user",
+    "running_totals_tws",
 ]

@@ -365,3 +365,74 @@ def enrich_with_static_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
             "total_value",
         )
     )
+
+
+class _RunningTotalsProcessor:
+    """StatefulProcessor for transformWithStateInPandas (defined lazily in
+    running_totals_tws so the module imports on Spark versions without the
+    TWS API)."""
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas (reference:
+    DataFusion's streaming-capable stateful operators; this is Spark 4's
+    arbitrary-state API — the successor of applyInPandasWithState with
+    typed state primitives, timers, and RocksDB-backed stores).
+
+    Each micro-batch updates a ValueState[(n, total)] per user and emits
+    the new cumulative row — Update-mode semantics.  State is one tuple
+    per user (O(active users)); with RocksDB + changelog checkpointing
+    the store scales past executor memory, which is the 100 TB stream
+    answer.  Requires the RocksDB state store provider (set in the test
+    harness); the batch twin for verification is a plain groupBy.
+    """
+    import pandas as pd  # noqa: F811 (local for worker pickling)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    out_schema = _ST(
+        [
+            _SF("user_id", _L()),
+            _SF("n_events", _L()),
+            _SF("total_value", _D()),
+        ]
+    )
+    state_schema = _ST([_SF("n", _L()), _SF("total", _D())])
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (0, 0.0)
+            if self._totals.exists():
+                n, total = self._totals.get()
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

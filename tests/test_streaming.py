@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
+
 from datafusion_spark.catalog import load_table
 from datafusion_spark.streaming import read_events_stream, tumbling_counts
 from tests.conftest import SF_SMALL
@@ -344,3 +346,65 @@ def test_stream_stream_outer_join_matches_batch(spark):
         assert len(want_unmatched) > 0
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_totals(spark):
+    """transformWithStateInPandas cumulative per-user totals: the LAST
+    Update-mode emission per user must equal the batch groupBy.
+
+    Environment gate: the TWS driver worker requires google.protobuf,
+    absent in the offline container (same class of gate as the
+    spark-avro jar — the operator is exercised wherever protobuf
+    exists; applyInPandasWithState covers stateful streaming here).
+    """
+    pytest.importorskip("google.protobuf.descriptor")
+    import pyspark.sql.functions as F
+
+    from datafusion_spark.streaming import read_events_stream, running_totals_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        stream = read_events_stream(spark, SF_SMALL)
+        q = (
+            running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        try:
+            # keep the last emission per user (update mode re-emits)
+            got = {
+                r.user_id: (r.n_events, r.total_value)
+                for r in spark.sql(
+                    f"SELECT * FROM {name} QUALIFY row_number() OVER "
+                    "(PARTITION BY user_id ORDER BY n_events DESC) = 1"
+                ).collect()
+            }
+            batch = (
+                load_table(spark, SF_SMALL, "events")
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias(
+                        "total_value"
+                    ),
+                )
+            )
+            want = {
+                r.user_id: (r.n_events, r.total_value) for r in batch.collect()
+            }
+            assert set(got) == set(want)
+            for u in want:
+                assert got[u][0] == want[u][0], u
+                assert abs(got[u][1] - want[u][1]) < 1e-6, u
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
