@@ -477,3 +477,39 @@ def agg_percentile_disc(spark, sf_dir):
         disc(0.50).alias("p50_disc"),
         disc(0.95).alias("p95_disc"),
     )
+
+
+@query(
+    "agg_product_exact",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           product(l_linenumber) AS prod_linenumber,
+           product(CASE WHEN l_discount > 0.05 THEN 2 ELSE 1 END)
+             AS prod_discount_flags
+    FROM lineitem
+    WHERE l_orderkey < 3000
+    GROUP BY l_orderkey
+    """,
+    tags=("aggregate", "product"),
+)
+def agg_product_exact(spark, sf_dir):
+    """PRODUCT aggregate (DuckDB-style; DataFusion expresses it as
+    exp(sum(ln)) in user queries).  Spark has no product aggregate; the
+    exact re-expression folds collect_list with a double accumulator —
+    every input here is a small integer so all intermediates stay below
+    2^53 and double multiplication is exact and order-independent,
+    making the result deterministic under any partitioning (§4).  At
+    100 TB swap collect_list for log-sum when magnitudes allow; this
+    form is the exact path.  One shuffle (groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    prod = lambda c: F.aggregate(
+        F.collect_list(c), F.lit(1.0), lambda acc, v: acc * v
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        prod(F.col("l_linenumber").cast("double")).alias("prod_linenumber"),
+        prod(
+            F.when(F.col("l_discount") > 0.05, F.lit(2.0)).otherwise(F.lit(1.0))
+        ).alias("prod_discount_flags"),
+    )

@@ -361,3 +361,36 @@ def nested_array_predicates_mutation(spark, sf_dir):
         F.array_join(F.slice(w, 1, F.size(w) - 1), "|").alias("popped_back"),
         F.size(w).alias("cardinality"),
     )
+
+
+@query(
+    "nested_explode_outer",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN []
+                    WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE string_split(text, ' ')[1:3] END AS arr
+        FROM documents
+        WHERE doc_id < 40
+    )
+    SELECT t.doc_id, u.token
+    FROM t LEFT JOIN LATERAL unnest(t.arr) AS u(token) ON TRUE
+    """,
+    tags=("nested", "unnest", "outer"),
+)
+def nested_explode_outer(spark, sf_dir):
+    """explode_outer / OUTER unnest: rows whose array is empty or NULL
+    survive with a NULL element (reference: physical-plan unnest.rs
+    ``preserve_nulls`` and sqllogictest unnest.slt outer cases).  Plain
+    explode would drop those rows; the outer variant is the semantics
+    DataFusion's UNNEST ... PRESERVE NULLS implements.  Runs inside
+    whole-stage codegen as a generator — no shuffle, output partitioning
+    inherits the scan."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    arr = (
+        F.when(F.col("doc_id") % 5 == 0, F.array().cast("array<string>"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.slice(F.split("text", " "), 1, 3))
+    )
+    return d.select("doc_id", F.explode_outer(arr).alias("token"))

@@ -332,3 +332,72 @@ def source_input_file_metadata(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.max("ri").alias("max_row_index"),
     )
+
+
+@query(
+    "source_csv_gzip_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_name) AS first_customer
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("sources", "csv", "compression"),
+)
+def source_csv_gzip_roundtrip(spark, sf_dir):
+    """gzip-compressed CSV write + transparent read (reference:
+    datasource csv.rs FileCompressionType — DataFusion decompresses
+    gzip/bzip2/xz/zstd CSV on scan).  Spark recognises the .gz suffix
+    and decompresses per file.  Scale note: gzip is NOT splittable —
+    one file = one task — so the write keeps many moderate files
+    (repartition before write) rather than few huge ones; on a real
+    lake prefer zstd parquet, keeping this path for ingest of
+    externally-produced .csv.gz drops."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    path = os.path.join(_SCRATCH, "customer_csv_gz")
+    copy_to(cust, path, fmt="csv", options={"compression": "gzip"})
+    back = read_csv(
+        spark, path, schema="c_custkey int, c_name string, c_mktsegment string"
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("c_name").alias("first_customer"),
+    )
+
+
+@query(
+    "source_json_multiline",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+    tags=("sources", "json", "multiline"),
+)
+def source_json_multiline(spark, sf_dir):
+    """Pretty-printed JSON *array* document read (multiLine=true).
+    DataFusion's JSON source is NDJSON-only; Spark additionally parses
+    whole-document JSON arrays, which is how config/manifest drops often
+    arrive.  A multiline JSON doc is unsplittable (one record spans
+    lines) so this path is for small control files — the 5-row region
+    dim here — while bulk data stays NDJSON (source_json_roundtrip).
+    The doc is rendered from the canonical parquet, read back, and
+    hash-checked against the original."""
+    import json
+
+    region = load_table(spark, sf_dir, "region")
+    rows = [
+        {"r_regionkey": r["r_regionkey"], "r_name": r["r_name"]}
+        for r in region.select("r_regionkey", "r_name").collect()
+    ]
+    rows.sort(key=lambda r: r["r_regionkey"])
+    os.makedirs(os.path.join(_SCRATCH, "region_multiline"), exist_ok=True)
+    doc = os.path.join(_SCRATCH, "region_multiline", "region.json")
+    with open(doc, "w") as f:
+        json.dump(rows, f, indent=2)
+    return (
+        spark.read.option("multiLine", True)
+        .schema("r_regionkey int, r_name string")
+        .json(doc)
+        .select("r_regionkey", "r_name")
+    )

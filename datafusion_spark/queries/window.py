@@ -401,3 +401,41 @@ def window_array_agg_sliding(spark, sf_dir):
             F.size(trail).alias("trail_len"),
         )
     )
+
+
+@query(
+    "window_distinct_count",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS BIGINT)
+             AS distinct_supps,
+           CAST(count(DISTINCT l_returnflag) OVER (PARTITION BY l_orderkey) AS BIGINT)
+             AS distinct_flags
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    """,
+    tags=("window", "distinct"),
+)
+def window_distinct_count(spark, sf_dir):
+    """COUNT(DISTINCT) OVER a partition (reference: sqllogictest
+    window.slt distinct-aggregate-over-window cases).  Spark's window
+    exec rejects DISTINCT aggregates, so the standard re-expression is
+    ``size(collect_set(x) OVER w)`` — collect_set is the dedup state a
+    native distinct-window accumulator would keep, and size() reads it
+    per row.  Scale: state is O(distinct values per partition key), same
+    as the native operator; one shuffle on the partition key."""
+    w = Window.partitionBy("l_orderkey")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.size(F.collect_set("l_suppkey").over(w))
+            .cast("long")
+            .alias("distinct_supps"),
+            F.size(F.collect_set("l_returnflag").over(w))
+            .cast("long")
+            .alias("distinct_flags"),
+        )
+    )

@@ -52,14 +52,19 @@ def copy_to(
     fmt: str = "parquet",
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    options: dict[str, str] | None = None,
 ) -> None:
     """COPY <query> TO <path> — partitioned writes lay out hive-style
-    directories so downstream scans get partition pruning for free."""
+    directories so downstream scans get partition pruning for free.
+    ``options`` passes format options (e.g. compression codec) through,
+    mirroring DataFusion's COPY ... OPTIONS (...) clause."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         writer = writer.option("header", True)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     getattr(writer, fmt)(path)
 
 
