@@ -566,3 +566,71 @@ def fn_number_format_group_by_all(spark, sf_dir):
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "fn_json_tuple_keys",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS VARCHAR) AS k_str,
+           CAST(NULL AS VARCHAR) AS z_str,
+           array_to_string(json_keys(props), ',') AS key_list
+    FROM events
+    WHERE event_id < 500
+    """,
+    tags=("json", "spark-compat", "generator"),
+)
+def fn_json_tuple_keys(spark, sf_dir):
+    """json_tuple (multi-field generator) + json_object_keys (reference:
+    test_files/spark/json/{json_tuple,json_object_keys}.slt).
+    json_tuple extracts several fields in ONE parse of the document —
+    the per-row cost at 100 TB is parse-bound, so fusing k extractions
+    into one parse beats k get_json_object calls k-fold.  A missing key
+    ('z') yields NULL; json_object_keys returns the key array (joined
+    to a string for the comparator)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.expr("json_tuple(props, 'k', 'z')").alias("k_str", "z_str"),
+        F.array_join(F.expr("json_object_keys(props)"), ",").alias("key_list"),
+    )
+
+
+@query(
+    "fn_interval_constructors",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + to_months(14) AS plus_ym,
+           o_orderdate + to_months(1) AS add_months_1,
+           CAST(CAST(o_orderdate AS TIMESTAMP)
+                + to_days(3) + to_hours(5) + to_minutes(30) + to_seconds(45)
+                AS TIMESTAMP) AS plus_dt,
+           CAST(CAST(o_orderdate AS TIMESTAMP)
+                + to_years(1) + to_months(2) + to_days(10) + to_hours(12)
+                AS TIMESTAMP) AS plus_mixed,
+           strftime(o_orderdate, '%b') AS mon_name
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    tags=("datetime", "interval", "spark-compat"),
+)
+def fn_interval_constructors(spark, sf_dir):
+    """Interval constructor functions (reference: test_files/spark/
+    datetime/{make_interval,make_dt_interval,make_ym_interval,
+    add_months,monthname}.slt).  make_ym_interval → year-month interval
+    (calendar-aware, month-end clamped), make_dt_interval → exact
+    day-time interval, make_interval → mixed; all applied to the same
+    date on both engines.  Codegen-side expressions, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderdate + make_ym_interval(1, 2)").alias("plus_ym"),
+        F.expr("add_months(o_orderdate, 1)").alias("add_months_1"),
+        F.expr(
+            "cast(o_orderdate as timestamp) + make_dt_interval(3, 5, 30, 45)"
+        ).alias("plus_dt"),
+        F.expr(
+            "cast(o_orderdate as timestamp) + make_interval(1, 2, 0, 10, 12, 0, 0)"
+        ).alias("plus_mixed"),
+        F.expr("monthname(o_orderdate)").alias("mon_name"),
+    )

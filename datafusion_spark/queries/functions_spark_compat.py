@@ -457,3 +457,89 @@ def agg_try_sum_overflow(spark, sf_dir):
         F.try_sum(big).alias("overflowed_sum"),
         F.try_sum(F.col("o_orderkey").cast("long")).alias("safe_sum"),
     )
+
+
+@query(
+    "fn_bitmap_native",
+    oracle="""
+    SELECT CAST(CASE WHEN l_partkey > 0
+                     THEN FLOOR((l_partkey - 1) / 32768) + 1
+                     ELSE 0 END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_keys,
+           CAST(MIN(CASE WHEN l_partkey > 0 THEN (l_partkey - 1) % 32768
+                         ELSE -l_partkey END) AS BIGINT) AS min_bit_pos,
+           CAST(MAX(CASE WHEN l_partkey > 0 THEN (l_partkey - 1) % 32768
+                         ELSE -l_partkey END) AS BIGINT) AS max_bit_pos
+    FROM lineitem
+    WHERE l_orderkey < 5000
+    GROUP BY 1
+    """,
+    tags=("spark-compat", "bitmap", "sketch"),
+)
+def fn_bitmap_native(spark, sf_dir):
+    """Spark's native bitmap functions (reference: test_files/spark/
+    bitmap/{bitmap_bucket_number,bitmap_bit_position,bitmap_count}.slt).
+    bitmap_construct_agg builds a fixed 4 KB bitmap per 32768-key
+    bucket and bitmap_count pops the bits — the oracle re-derives the
+    same numbers arithmetically (bucket/bit-position formulas) plus
+    COUNT(DISTINCT).  This is the engine-native twin of
+    agg_bitmap_distinct: at 100 TB only ≤4 KB bitmaps shuffle, then
+    bitmap_or_agg merges them losslessly (exact, mergeable, bounded)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    pos = F.expr("bitmap_bit_position(l_partkey)")
+    return (
+        li.select(
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bucket"),
+            pos.alias("pos"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bitmap_count(bitmap_construct_agg(pos))").alias(
+                "distinct_keys"
+            ),
+            F.min("pos").alias("min_bit_pos"),
+            F.max("pos").alias("max_bit_pos"),
+        )
+    )
+
+
+@query(
+    "fn_string_misc_family",
+    oracle="""
+    SELECT r.r_regionkey,
+           sx.expected AS soundex_code,
+           'a' || repeat(' ', CAST(r.r_regionkey % 3 AS INT)) || 'b' AS spaced,
+           hex(encode(r.r_name)) AS name_hex,
+           CAST(strpos(r.r_name, 'A') AS INT) AS first_a,
+           r.r_name || ' x ' || lower(r.r_name) AS sentence_words,
+           TRUE AS utf8_ok
+    FROM region r
+    JOIN (VALUES ('AFRICA','A162'), ('AMERICA','A562'), ('ASIA','A200'),
+                 ('EUROPE','E610'), ('MIDDLE EAST','M342')) sx(name, expected)
+      ON r.r_name = sx.name
+    """,
+    tags=("spark-compat", "string"),
+)
+def fn_string_misc_family(spark, sf_dir):
+    """String odds-and-ends from the spark-compat crate (reference:
+    test_files/spark/string/{soundex,space,to_binary,instr,sentences,
+    is_valid_utf8}.slt).  soundex is checked against a precomputed
+    VALUES map over the 5 fixed region names (same technique as sha1 —
+    DuckDB has no soundex); sentences() splits to array<array<string>>
+    and is flattened+joined so the comparator sees a string; to_binary
+    round-trips through hex on both engines."""
+    r = load_table(spark, sf_dir, "region")
+    sent = F.expr("sentences(concat(r_name, ' x. ', lower(r_name), '.'))")
+    return r.select(
+        "r_regionkey",
+        F.soundex("r_name").alias("soundex_code"),
+        F.concat(
+            F.lit("a"), F.expr("space(cast(r_regionkey % 3 as int))"), F.lit("b")
+        ).alias("spaced"),
+        F.hex(F.expr("to_binary(r_name, 'utf-8')")).alias("name_hex"),
+        F.instr("r_name", "A").alias("first_a"),
+        F.array_join(F.flatten(sent), " ").alias("sentence_words"),
+        F.expr("is_valid_utf8(r_name)").alias("utf8_ok"),
+    )

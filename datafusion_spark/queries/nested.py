@@ -394,3 +394,42 @@ def nested_explode_outer(spark, sf_dir):
         .otherwise(F.slice(F.split("text", " "), 1, 3))
     )
     return d.select("doc_id", F.explode_outer(arr).alias("token"))
+
+
+@query(
+    "nested_map_construction",
+    oracle="""
+    SELECT p_partkey,
+           p_brand AS brand_from_str_map,
+           CAST(p_size AS VARCHAR) AS size_from_arrays_map,
+           p_retailprice AS price_from_entries_map,
+           CAST(NULL AS VARCHAR) AS missing_key
+    FROM part
+    WHERE p_partkey < 2000
+    """,
+    tags=("nested", "map", "spark-compat"),
+)
+def nested_map_construction(spark, sf_dir):
+    """Map constructors (reference: test_files/spark/map/
+    {map_from_arrays,map_from_entries,str_to_map}.slt).  Each map is
+    built from base columns a different way, then a lookup must
+    round-trip the original value — the oracle simply reads the base
+    columns, so any construction/lookup defect breaks the hash.
+    Missing-key lookup yields NULL (tested explicitly).  All three are
+    JVM-side expressions inside codegen — no shuffle, no UDF."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 2000)
+    str_map = F.expr("str_to_map(concat('brand:', p_brand, ',type:', p_type), ',', ':')")
+    arr_map = F.map_from_arrays(
+        F.array(F.lit("size"), F.lit("container")),
+        F.array(F.col("p_size").cast("string"), F.col("p_name")),
+    )
+    ent_map = F.map_from_entries(
+        F.array(F.struct(F.lit("rp").alias("k"), F.col("p_retailprice").alias("v")))
+    )
+    return p.select(
+        "p_partkey",
+        str_map.getItem("brand").alias("brand_from_str_map"),
+        arr_map.getItem("size").alias("size_from_arrays_map"),
+        ent_map.getItem("rp").alias("price_from_entries_map"),
+        str_map.getItem("absent").alias("missing_key"),
+    )
