@@ -46,14 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Filters/projections compose onto this scan and reach
     the parquet reader via Catalyst (check .explain: PushedFilters/ReadSchema)."""
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects outright; read it as raw nanos and convert.  The
-        # values are microsecond-resolution so ns→us division is lossless.
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects outright) or TIMESTAMP(MICROS)
+        # depending on the generator version.  Read with nanosAsLong so the
+        # nanos variant arrives as a raw long, then convert only if needed —
+        # the values are microsecond-resolution so ns→us division is lossless.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # micros variant arrives as TIMESTAMP_NTZ; cast to TIMESTAMP
+            # (session tz is UTC, values unchanged) so event-time ops
+            # (watermarks) and the historical LTZ behavior keep working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

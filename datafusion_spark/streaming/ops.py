@@ -32,14 +32,18 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+EVENTS_SCHEMA_MICROS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ts arrives as raw nanos — same
-    nanosAsLong handling as the batch catalog).
+    """readStream over the events parquet (ts has shipped as either raw
+    nanos — handled with the same nanosAsLong conversion as the batch
+    catalog — or plain micros; the footer decides).
 
     A file-source stream needs a directory; the read-only single-file
     table is staged via symlink into a scratch dir.
@@ -59,13 +63,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
+    import pyarrow.parquet as pq
+
+    nanos = str(pq.read_schema(src).field("ts").type) == "timestamp[ns]"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_MICROS)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
