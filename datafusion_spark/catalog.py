@@ -52,16 +52,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos variant arrives as a raw long, then convert only if needed —
         # the values are microsecond-resolution so ns→us division is lossless.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Event-time semantics assume epoch-UTC wall values; force the session
+        # tz so NTZ→LTZ reinterpretation below is value-preserving no matter
+        # how the session was built (a non-UTC session would silently shift
+        # event times).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Read micros-NTZ parquet directly as TIMESTAMP (LTZ): same epoch
+        # micros bit-for-bit under a UTC session, but WITHOUT a conversion
+        # projection over the scan — so ts predicates (window pruning, time
+        # filters) reach the parquet reader as PushedFilters.  The previous
+        # cast-based shim blocked pushdown on every events query, which at
+        # 100 TB means a full scan for any time-sliced query.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            # micros variant arrives as TIMESTAMP_NTZ; cast to TIMESTAMP
-            # (session tz is UTC, values unchanged) so event-time ops
-            # (watermarks) and the historical LTZ behavior keep working.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -25,6 +25,7 @@ _MODULES = [
     "nested",
     "events",
     "clickbench",
+    "clickbench_full",
     "pipeline_dedup",
     "pipeline_similarity",
     "pipeline_text",
@@ -49,6 +50,33 @@ def _load_all() -> None:
                 raise
 
 
+def _interleave_families() -> None:
+    """Reorder the registries round-robin across modules (families).
+
+    The driver's correctness sweep walks the registry in insertion order and
+    may truncate on a time/count budget (round 1 stopped at entry #50).
+    Round-robin ordering guarantees that ANY prefix of the registry covers
+    every operator family: the first 20 entries are one representative per
+    module, the first 40 are two, and so on.
+    """
+    by_mod: dict[str, list[str]] = {m: [] for m in _MODULES}
+    for name, fn in QUERIES.items():
+        by_mod.setdefault(fn.__module__.rsplit(".", 1)[-1], []).append(name)
+    order: list[str] = []
+    cols = [by_mod[m] for m in _MODULES if by_mod.get(m)]
+    depth = max((len(c) for c in cols), default=0)
+    for i in range(depth):
+        for c in cols:
+            if i < len(c):
+                order.append(c[i])
+    assert len(order) == len(QUERIES)
+    for reg in (QUERIES, ORACLES, TAGS):
+        snap = dict(reg)
+        reg.clear()
+        reg.update({n: snap[n] for n in order if n in snap})
+
+
 _load_all()
+_interleave_families()
 
 __all__ = ["QUERIES", "ORACLES", "TAGS", "query"]
