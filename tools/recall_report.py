@@ -2,9 +2,11 @@
 the brute-force baseline.
 
 The accuracy/latency knob of an IVF index is nprobe; this prints the
-measured recall@5 of nprobe=1 and nprobe=2 against the exact cosine
+measured recall@5 of nprobe=1 and nprobe=4 against the exact cosine
 top-5, plus candidate-set sizes (the cost proxy: candidates scored per
-query vs full corpus).  Run:
+query vs full corpus).  Exits non-zero if the multiprobe path falls
+below the acceptance floor (recall@5 >= 0.8) — the gate that keeps the
+IVF index honest rather than decorative.  Run:
 
     python tools/recall_report.py [--sf /root/testdata/sf0.01]
 """
@@ -23,6 +25,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from datafusion_spark.queries import QUERIES  # noqa: E402
 from datafusion_spark.session import get_spark  # noqa: E402
 
+RECALL_FLOOR = 0.8
+
 
 def _topk_sets(df, k=5):
     rows = df.collect()
@@ -32,7 +36,7 @@ def _topk_sets(df, k=5):
     return out
 
 
-def main() -> None:
+def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     args = ap.parse_args()
@@ -70,9 +74,13 @@ def main() -> None:
             "n_queries": len(recalls),
         }
     report["corpus_size"] = n_corpus
+    mp = report["paths"]["similarity_ivf_topk_multiprobe"]["recall_at_5"]
+    report["floor"] = RECALL_FLOOR
+    report["pass"] = mp >= RECALL_FLOOR
     print(json.dumps(report))
     spark.stop()
+    return 0 if mp >= RECALL_FLOOR else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
