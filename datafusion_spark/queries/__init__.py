@@ -26,6 +26,7 @@ _MODULES = [
     "events",
     "clickbench",
     "clickbench_full",
+    "job_suite",
     "pipeline_dedup",
     "pipeline_similarity",
     "pipeline_text",

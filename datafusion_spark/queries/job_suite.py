@@ -1,0 +1,296 @@
+"""JOB (Join Order Benchmark / IMDB) suite adapted to the star schema.
+
+Reference: benchmarks/queries/imdb/1a.sql .. 33c.sql — the 113-query suite
+DataFusion uses as its join-REORDERING acceptance benchmark: deep comma-join
+graphs (5-8 relations), transitive join keys (t.id = mc.movie_id AND
+mc.movie_id = mi.movie_id), highly selective string predicates on small
+dimensions, and MIN() outputs with no GROUP BY.
+
+The IMDB tables aren't in the driver testdata, so each family is re-expressed
+on the TPC-H-ish schema PRESERVING its join graph and predicate structure:
+
+    title          -> orders      (fact hub, key o_orderkey)
+    movie_companies/movie_info/movie_keyword/cast_info
+                   -> lineitem    (bridge facts, aliased per role; the
+                                   redundant transitive equalities between
+                                   bridges are kept verbatim)
+    company_type/info_type/keyword/role_type
+                   -> part        (typed dim: =/LIKE/IN on p_type, p_name)
+    company_name/name -> supplier / customer (entity dims, LIKE on names)
+    country_code   -> nation (via s_nationkey / c_nationkey)
+
+The SQL text is fully portable: the SAME string is the Spark plan (via
+spark.sql over registered views) and the DuckDB oracle — so the correctness
+gate also proves the SQL frontend handles comma-join syntax.  What the suite
+exercises on Spark: Catalyst's join-graph extraction from WHERE equalities,
+CBO+AQE join reordering, broadcast selection for the dim legs, and transitive
+predicate inference.  At 100 TB the wanted plan per query: every dim leg
+broadcast, bridge-bridge joins co-partitioned on l_orderkey, zero shuffles
+before the single-row aggregate (asserted in tests/test_plan_budgets.py).
+"""
+
+from __future__ import annotations
+
+from datafusion_spark.catalog import register_views
+from datafusion_spark.queries.registry import query
+
+_JOB: dict[str, str] = {}
+
+# --- family 1 (ref 1a/1b): t + two bridges + 2 typed dims -------------------
+_JOB["job_1a"] = """
+SELECT MIN(mc.l_shipdate) AS first_ship, MIN(t.o_orderdate) AS first_order,
+       MIN(t.o_totalprice) AS min_price
+FROM supplier AS ct, part AS it, lineitem AS mc, lineitem AS mi_idx, orders AS t
+WHERE ct.s_acctbal > 5000
+  AND it.p_type = 'PROMO'
+  AND mc.l_returnflag <> 'R' AND (mc.l_linestatus = 'O' OR mc.l_discount > 0.05)
+  AND ct.s_suppkey = mc.l_suppkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND mc.l_orderkey = mi_idx.l_orderkey
+  AND it.p_partkey = mi_idx.l_partkey
+"""
+# Replace l_shipdate/l_returnflag with alternate selectivities (ref 1b).
+_JOB["job_1b"] = """
+SELECT MIN(t.o_orderdate) AS movie_year, MIN(mc.l_extendedprice) AS min_note_price
+FROM supplier AS ct, part AS it, lineitem AS mc, lineitem AS mi_idx, orders AS t
+WHERE ct.s_acctbal BETWEEN 0 AND 3000
+  AND it.p_type = 'ECONOMY'
+  AND mc.l_quantity < 10
+  AND t.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
+  AND ct.s_suppkey = mc.l_suppkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND mc.l_orderkey = mi_idx.l_orderkey
+  AND it.p_partkey = mi_idx.l_partkey
+"""
+
+# --- family 2 (ref 2a/2b): country-coded entity dim + keyword dim ----------
+_JOB["job_2a"] = """
+SELECT MIN(t.o_orderdate) AS movie_title
+FROM nation AS cn, customer AS c, part AS k, lineitem AS mc, lineitem AS mk,
+     orders AS t
+WHERE cn.n_name = 'NATION_7'
+  AND k.p_name = 'red widget'
+  AND cn.n_nationkey = c.c_nationkey
+  AND c.c_custkey = t.o_custkey
+  AND mc.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_partkey = k.p_partkey
+  AND mc.l_orderkey = mk.l_orderkey
+"""
+_JOB["job_2b"] = """
+SELECT MIN(t.o_orderdate) AS movie_title
+FROM nation AS cn, customer AS c, part AS k, lineitem AS mc, lineitem AS mk,
+     orders AS t
+WHERE cn.n_name = 'NATION_3'
+  AND k.p_name = 'blue bolt'
+  AND cn.n_nationkey = c.c_nationkey
+  AND c.c_custkey = t.o_custkey
+  AND mc.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_partkey = k.p_partkey
+  AND mc.l_orderkey = mk.l_orderkey
+"""
+
+# --- family 3 (ref 3a/3b): LIKE keyword + IN-list bridge pred + year range --
+_JOB["job_3a"] = """
+SELECT MIN(t.o_orderdate) AS movie_title
+FROM part AS k, lineitem AS mi, lineitem AS mk, orders AS t
+WHERE k.p_name LIKE '%widget%'
+  AND mi.l_returnflag IN ('A', 'N')
+  AND t.o_orderdate > DATE '1998-01-01'
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND k.p_partkey = mk.l_partkey
+"""
+_JOB["job_3b"] = """
+SELECT MIN(t.o_orderdate) AS movie_title
+FROM part AS k, lineitem AS mi, lineitem AS mk, orders AS t
+WHERE k.p_name LIKE '%bolt%'
+  AND mi.l_linestatus IN ('F')
+  AND t.o_orderdate > DATE '2000-01-01'
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND k.p_partkey = mk.l_partkey
+"""
+
+# --- family 4 (ref 4a): rating threshold on a bridge measure ----------------
+_JOB["job_4a"] = """
+SELECT MIN(mi_idx.l_quantity) AS rating, MIN(t.o_orderdate) AS movie_title
+FROM part AS it, part AS k, lineitem AS mi_idx, lineitem AS mk, orders AS t
+WHERE it.p_type = 'STANDARD'
+  AND k.p_name LIKE '%ring%'
+  AND mi_idx.l_quantity > 25
+  AND t.o_orderdate > DATE '1999-01-01'
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_orderkey = mi_idx.l_orderkey
+  AND k.p_partkey = mk.l_partkey
+  AND it.p_partkey = mi_idx.l_partkey
+"""
+
+# --- family 5 (ref 5a): two-LIKE conjunction on the bridge ------------------
+_JOB["job_5a"] = """
+SELECT MIN(t.o_orderdate) AS typical_european_movie
+FROM supplier AS ct, lineitem AS mc, lineitem AS mi, orders AS t, nation AS n
+WHERE ct.s_name LIKE '%001%'
+  AND mc.l_discount >= 0.05 AND mc.l_discount <= 0.07
+  AND mi.l_returnflag IN ('A', 'N', 'R')
+  AND t.o_orderdate > DATE '1997-01-01'
+  AND n.n_name LIKE 'NATION_1%'
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND mc.l_orderkey = mi.l_orderkey
+  AND ct.s_suppkey = mc.l_suppkey
+  AND n.n_nationkey = ct.s_nationkey
+"""
+
+# --- family 6 (ref 6a): keyword equality + entity LIKE + year ---------------
+_JOB["job_6a"] = """
+SELECT MIN(k.p_name) AS movie_keyword, MIN(n.s_name) AS actor_name,
+       MIN(t.o_orderdate) AS marvel_movie
+FROM lineitem AS ci, part AS k, lineitem AS mk, supplier AS n, orders AS t
+WHERE k.p_name = 'small ring'
+  AND n.s_name LIKE '%00001%'
+  AND t.o_orderdate > DATE '1996-06-01'
+  AND k.p_partkey = mk.l_partkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND ci.l_orderkey = mk.l_orderkey
+  AND n.s_suppkey = ci.l_suppkey
+"""
+
+# --- family 7 (ref 7a): 8 relations, disjunctive entity predicate -----------
+_JOB["job_7a"] = """
+SELECT MIN(n.c_name) AS of_person, MIN(t.o_orderdate) AS biography_movie
+FROM customer AS an, lineitem AS ci, part AS it, region AS lt, nation AS ml,
+     customer AS n, orders AS pi, orders AS t
+WHERE an.c_name LIKE '%1%'
+  AND it.p_type = 'MEDIUM'
+  AND lt.r_name = 'ASIA'
+  AND n.c_name BETWEEN 'Customer#000000100' AND 'Customer#000000600'
+  AND (n.c_mktsegment = 'BUILDING'
+       OR (n.c_mktsegment = 'AUTOMOBILE' AND n.c_name LIKE '%2%'))
+  AND pi.o_orderpriority = '1-URGENT'
+  AND t.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1999-12-31'
+  AND n.c_custkey = an.c_custkey
+  AND n.c_custkey = pi.o_custkey
+  AND ci.l_orderkey = t.o_orderkey
+  AND ml.n_regionkey = lt.r_regionkey
+  AND ml.n_nationkey = n.c_nationkey
+  AND it.p_partkey = ci.l_partkey
+  AND pi.o_custkey = an.c_custkey
+  AND t.o_custkey = n.c_custkey
+"""
+
+# --- family 8 (ref 8a): voice-note conjunction, country-coded company -------
+_JOB["job_8a"] = """
+SELECT MIN(an1.c_name) AS actress_pseudonym, MIN(t.o_orderdate) AS japanese_movie_dubbed
+FROM customer AS an1, lineitem AS ci, nation AS cn, lineitem AS mc,
+     customer AS n1, part AS rt, orders AS t
+WHERE ci.l_returnflag = 'N' AND ci.l_linestatus = 'O'
+  AND cn.n_name = 'NATION_11'
+  AND mc.l_discount >= 0.02 AND mc.l_tax < 0.05
+  AND n1.c_name LIKE '%3%' AND n1.c_name NOT LIKE '%8%'
+  AND rt.p_type = 'LARGE'
+  AND an1.c_custkey = n1.c_custkey
+  AND n1.c_custkey = t.o_custkey
+  AND ci.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND cn.n_nationkey = n1.c_nationkey
+  AND ci.l_partkey = rt.p_partkey
+  AND ci.l_orderkey = mc.l_orderkey
+"""
+
+# --- family 9 (ref 9a): IN-list bridge pred + gendered entity LIKE ----------
+_JOB["job_9a"] = """
+SELECT MIN(an.c_name) AS alternative_name, MIN(chn.s_name) AS character_name,
+       MIN(t.o_orderdate) AS movie
+FROM customer AS an, supplier AS chn, lineitem AS ci, nation AS cn,
+     lineitem AS mc, customer AS n, part AS rt, orders AS t
+WHERE ci.l_returnflag IN ('A', 'N')
+  AND cn.n_name = 'NATION_19'
+  AND mc.l_quantity BETWEEN 5 AND 40
+  AND n.c_mktsegment = 'FURNITURE' AND n.c_name LIKE '%5%'
+  AND rt.p_type = 'SMALL'
+  AND t.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '2000-12-31'
+  AND ci.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND ci.l_orderkey = mc.l_orderkey
+  AND cn.n_nationkey = n.c_nationkey
+  AND ci.l_partkey = rt.p_partkey
+  AND n.c_custkey = t.o_custkey
+  AND chn.s_suppkey = ci.l_suppkey
+  AND an.c_custkey = n.c_custkey
+"""
+
+# --- family 10 (ref 10a/10b/10c): two typed dims on one bridge --------------
+_JOB["job_10a"] = """
+SELECT MIN(chn.s_name) AS uncredited_voiced_character, MIN(t.o_orderdate) AS russian_movie
+FROM supplier AS chn, lineitem AS ci, nation AS cn, part AS ct,
+     lineitem AS mc, part AS rt, orders AS t
+WHERE ci.l_discount >= 0.04 AND ci.l_returnflag = 'R'
+  AND cn.n_name = 'NATION_21'
+  AND rt.p_type = 'PROMO'
+  AND t.o_orderdate > DATE '1999-01-01'
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND ci.l_orderkey = mc.l_orderkey
+  AND chn.s_suppkey = ci.l_suppkey
+  AND rt.p_partkey = ci.l_partkey
+  AND cn.n_nationkey = chn.s_nationkey
+  AND ct.p_partkey = mc.l_partkey
+"""
+_JOB["job_10b"] = """
+SELECT MIN(chn.s_name) AS character_name, MIN(t.o_orderdate) AS russian_mov_with_actor_producer
+FROM supplier AS chn, lineitem AS ci, nation AS cn, part AS ct,
+     lineitem AS mc, part AS rt, orders AS t
+WHERE ci.l_returnflag = 'N'
+  AND cn.n_name = 'NATION_2'
+  AND rt.p_type = 'STANDARD'
+  AND t.o_orderdate > DATE '2000-01-01'
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND ci.l_orderkey = mc.l_orderkey
+  AND chn.s_suppkey = ci.l_suppkey
+  AND rt.p_partkey = ci.l_partkey
+  AND cn.n_nationkey = chn.s_nationkey
+  AND ct.p_partkey = mc.l_partkey
+"""
+_JOB["job_10c"] = """
+SELECT MIN(chn.s_name) AS character_name, MIN(t.o_orderdate) AS movie_with_american_producer
+FROM supplier AS chn, lineitem AS ci, nation AS cn, part AS ct,
+     lineitem AS mc, part AS rt, orders AS t
+WHERE ci.l_quantity > 30
+  AND cn.n_name LIKE 'NATION_1%'
+  AND rt.p_type = 'ECONOMY'
+  AND t.o_orderdate > DATE '1995-06-01'
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND ci.l_orderkey = mc.l_orderkey
+  AND chn.s_suppkey = ci.l_suppkey
+  AND rt.p_partkey = ci.l_partkey
+  AND cn.n_nationkey = chn.s_nationkey
+  AND ct.p_partkey = mc.l_partkey
+"""
+
+
+def _register(name: str, sql: str) -> None:
+    def fn(spark, sf_dir, _sql=sql):
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    fn.__name__ = name
+    ref = name.replace("job_", "")
+    fn.__doc__ = (
+        f"JOB {ref} join graph (reference benchmarks/queries/imdb/{ref}.sql) "
+        "re-keyed onto the star schema; same SQL text runs on Spark and DuckDB."
+    )
+    query(name, oracle=sql, tags=("job", "join", "optimizer"))(fn)
+
+
+for _name, _sql in _JOB.items():
+    _register(_name, _sql)

@@ -51,6 +51,12 @@ SHUFFLE_BUDGETS = {
     "subquery_any_all": 2,        # two scalar aggs, broadcast back
     "job_style_join_ordering": 1,  # all legs broadcast; only the agg shuffles
     "join_sort_merge_hint": 3,     # two SMJ input exchanges + agg (pinned)
+    # JOB suite: every comma-join graph must collapse to broadcast legs +
+    # the single-row aggregate exchange (audited 1 each at tuning time)
+    **{f"job_{v}": 1 for v in (
+        "1a", "1b", "2a", "2b", "3a", "3b", "4a", "5a", "6a", "7a", "8a",
+        "9a", "10a", "10b", "10c",
+    )},
 }
 
 BROADCAST_EXPECTED = [
@@ -61,6 +67,7 @@ BROADCAST_EXPECTED = [
     "text_class_reweighting",   # one-row totals broadcast
     "text_global_shuffle",      # bucket-offset table broadcast
     "job_style_join_ordering",  # every dimension leg broadcasts
+    "job_1a", "job_7a", "job_10a",  # JOB graphs: dim legs must broadcast
 ]
 
 
