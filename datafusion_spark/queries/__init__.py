@@ -19,6 +19,7 @@ _MODULES = [
     "tpch",
     "relational",
     "window",
+    "window_h2o",
     "functions_scalar",
     "functions_encoding",
     "functions_agg",

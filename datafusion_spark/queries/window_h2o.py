@@ -1,0 +1,263 @@
+"""h2o window suite + sort-pushdown shapes.
+
+Reference: benchmarks/queries/h2o/window.sql (whole-table windows, global
+ordered windows, partition-cardinality sweeps, RANK/DENSE_RANK top-N with
+heavy ties) and benchmarks/queries/sort_pushdown/q1..q8.sql (ordered-scan
+top-k exploitation).  The h2o `large(id1,id2,id3,v2)` table maps to events:
+id1=event_type (low card), id2=user_id (mid card), id3=event_id (unique,
+dense), v2=value.
+
+THE SINGLE-PARTITION HAZARD (why these plans differ from the reference SQL
+shape): `OVER ()` and `OVER (ORDER BY id3)` with no PARTITION BY collapse
+the whole table into ONE Spark task — fine in a single-node vectorized
+engine, fatal at 100 TB.  Each entry therefore declares the scalable
+equivalent:
+
+  - sum OVER ()            -> scalar aggregate + broadcast join (1 scan,
+                              no windowed single partition)
+  - row_number OVER (ORDER BY id3)
+                           -> two-phase rank: dense-bucket local row_number
+                              + tiny cumulative bucket-offset broadcast
+  - first_value OVER (ORDER BY id3)
+                           -> min_by scalar, broadcast
+
+tests/test_plan_budgets.py pins that none of these plans contain a
+whole-table Window, and that the top-k sorts plan as TakeOrderedAndProject
+(Spark's sort-pushdown/TopK equivalent), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_spark.catalog import load_table
+from datafusion_spark.queries.registry import query
+
+_DEC = "decimal(38,6)"
+
+
+def _large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("id1"),
+        F.col("user_id").alias("id2"),
+        F.col("event_id").alias("id3"),
+        F.col("value").alias("v2"),
+    )
+
+
+_SQL_LARGE = (
+    "SELECT event_type AS id1, user_id AS id2, event_id AS id3, value AS v2"
+    " FROM events"
+)
+
+
+@query(
+    "h2o_window_whole_table",
+    oracle=f"""
+    WITH large AS ({_SQL_LARGE})
+    SELECT id1, id2, id3, v2,
+           CAST(SUM(CAST(v2 AS DECIMAL(38,6))) OVER () AS DOUBLE) AS window_basic
+    FROM large
+    """,
+    tags=("h2o", "window"),
+)
+def h2o_window_whole_table(spark, sf_dir):
+    """h2o 'Basic Window': sum(v2) OVER () — every row annotated with the
+    global total.  Spark plan: scalar aggregate (partial per partition,
+    one-row merge) broadcast-joined back; the scan parallelism is preserved
+    and NO single-partition Window appears (the naive OVER () plan would
+    pull 100 TB through one task)."""
+    large = _large(spark, sf_dir)
+    total = large.agg(
+        F.sum(F.col("v2").cast(_DEC)).cast("double").alias("window_basic")
+    )
+    return large.crossJoin(F.broadcast(total))
+
+
+@query(
+    "h2o_window_global_ordered",
+    oracle=f"""
+    WITH large AS ({_SQL_LARGE})
+    SELECT id1, id2, id3, v2,
+           first_value(v2) OVER (ORDER BY id3) AS first_order_by,
+           row_number() OVER (ORDER BY id3) AS row_number_order_by
+    FROM large WHERE v2 IS NOT NULL
+    """,
+    tags=("h2o", "window"),
+)
+def h2o_window_global_ordered(spark, sf_dir):
+    """h2o 'Sorted Window': global first_value + row_number ordered by the
+    unique dense key id3.  Scalable two-phase formulation (no whole-table
+    single-partition Window):
+
+      1. bucket = id3 div W with W sized from max(id3) so there are ≤2048
+         buckets at ANY scale (the offsets table stays driver-tiny);
+      2. local row_number within each bucket (hash-partitioned window);
+      3. cumulative bucket offsets (window over ≤2048 rows) broadcast back;
+      4. global rn = offset + local rn; first_value = min_by scalar.
+
+    This is the distributed rank construction DataFusion gets from its
+    single-node sort for free; at 1000 executors it costs 2 scans + one
+    bounded shuffle instead of one 100 TB sort task."""
+    large = _large(spark, sf_dir).filter(F.col("v2").isNotNull())
+    bounds = large.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            (F.ceil((F.max("id3") + 1) / F.lit(2048))).cast("long"),
+        ).alias("w"),
+        F.expr("min_by(v2, id3)").alias("first_order_by"),
+    )
+    b = large.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", (F.col("id3") / F.col("w")).cast("long")
+    )
+    lw = Window.partitionBy("bucket").orderBy("id3")
+    local = b.withColumn("lrn", F.row_number().over(lw))
+    counts = local.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(ow), F.lit(0))
+    ).select("bucket", "off")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "id1", "id2", "id3", "v2", "first_order_by",
+            (F.col("off") + F.col("lrn")).alias("row_number_order_by"),
+        )
+    )
+
+
+@query(
+    "h2o_window_partition_sweep",
+    oracle=f"""
+    WITH large AS ({_SQL_LARGE})
+    SELECT id1, id2, id3, v2,
+           CAST(SUM(CAST(v2 AS DECIMAL(38,6))) OVER (PARTITION BY id1) AS DOUBLE) AS sum_by_id1,
+           CAST(SUM(CAST(v2 AS DECIMAL(38,6))) OVER (PARTITION BY id2) AS DOUBLE) AS sum_by_id2,
+           CAST(SUM(CAST(v2 AS DECIMAL(38,6))) OVER (PARTITION BY id3) AS DOUBLE) AS sum_by_id3
+    FROM large
+    """,
+    tags=("h2o", "window"),
+)
+def h2o_window_partition_sweep(spark, sf_dir):
+    """h2o 'PARTITION BY' sweep: the same measure summed at three partition
+    cardinalities (5 / ~n/66 / unique) in one projection.  Three keyed
+    window exchanges — each hash-partitioned, none single-partition; at
+    100 TB each is a plain co-keyed shuffle whose reduce state is one sum
+    per key."""
+    large = _large(spark, sf_dir)
+    s = lambda c: F.sum(F.col("v2").cast(_DEC)).over(Window.partitionBy(c)).cast("double")  # noqa: E731
+    return large.select(
+        "id1", "id2", "id3", "v2",
+        s("id1").alias("sum_by_id1"),
+        s("id2").alias("sum_by_id2"),
+        s("id3").alias("sum_by_id3"),
+    )
+
+
+@query(
+    "h2o_window_topn_rank_ties",
+    oracle=f"""
+    WITH large AS ({_SQL_LARGE})
+    SELECT pkey, largest_v2 FROM (
+        SELECT id2 AS pkey, v2 AS largest_v2,
+               RANK() OVER (PARTITION BY id2 ORDER BY (id3 % 10) DESC) AS rk
+        FROM large WHERE v2 IS NOT NULL) t
+    WHERE rk <= 2
+    """,
+    tags=("h2o", "window", "topk"),
+)
+def h2o_window_topn_rank_ties(spark, sf_dir):
+    """h2o 'Window Top-N (RANK, heavy ties)': ORDER BY (id3 % 10) forces 10
+    distinct order values, so most rows tie at the rank boundary and
+    `rk <= 2` keeps MORE than 2 rows per partition — the ties path
+    DataFusion routes to PartitionedTopKRank.  Spark's WindowGroupLimit
+    performs the same rank-aware per-partition pruning before the shuffle."""
+    large = _large(spark, sf_dir).filter(F.col("v2").isNotNull())
+    w = Window.partitionBy("id2").orderBy((F.col("id3") % 10).desc())
+    return (
+        large.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("id2").alias("pkey"), F.col("v2").alias("largest_v2"))
+    )
+
+
+@query(
+    "h2o_window_topn_dense_rank",
+    oracle=f"""
+    WITH large AS ({_SQL_LARGE})
+    SELECT pkey, largest_v2 FROM (
+        SELECT id2 AS pkey, v2 AS largest_v2,
+               DENSE_RANK() OVER (PARTITION BY id2 ORDER BY (id3 % 7) DESC) AS dr
+        FROM large WHERE v2 IS NOT NULL) t
+    WHERE dr <= 2
+    """,
+    tags=("h2o", "window", "topk"),
+)
+def h2o_window_topn_dense_rank(spark, sf_dir):
+    """h2o 'Window Top-N (DENSE_RANK, heavy ties)': keeps every row whose
+    order value is among the 2 distinct-greatest per partition — unbounded
+    rows per rank (PartitionedTopKDenseRank's append path in the
+    reference); WindowGroupLimit handles the same dense-rank pruning."""
+    large = _large(spark, sf_dir).filter(F.col("v2").isNotNull())
+    w = Window.partitionBy("id2").orderBy((F.col("id3") % 7).desc())
+    return (
+        large.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= 2)
+        .select(F.col("id2").alias("pkey"), F.col("v2").alias("largest_v2"))
+    )
+
+
+# --- sort-pushdown shapes (reference benchmarks/queries/sort_pushdown/) ----
+
+
+@query(
+    "sort_pushdown_topk_asc",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    ORDER BY event_id LIMIT 100
+    """,
+    tags=("sort", "pushdown", "topk"),
+)
+def sort_pushdown_topk_asc(spark, sf_dir):
+    """Sort-pushdown q2 shape: ORDER BY key LIMIT k, narrow projection.
+    Plan must be TakeOrderedAndProject (per-partition top-k heaps merged on
+    one reducer — k rows, not the table, cross the wire), never a global
+    SortExec; the projection prunes to 3 columns at the scan
+    (tests/test_plan_budgets.py asserts both)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return e.orderBy("event_id").limit(100)
+
+
+@query(
+    "sort_pushdown_topk_desc",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    ORDER BY event_id DESC LIMIT 1000
+    """,
+    tags=("sort", "pushdown", "topk"),
+)
+def sort_pushdown_topk_desc(spark, sf_dir):
+    """Sort-pushdown q5/q6 shape: reverse-order top-k (the reference
+    exploits reverse row-group scans; Spark's TopK heap is
+    direction-agnostic, so the same TakeOrderedAndProject plan applies)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return e.orderBy(F.col("event_id").desc()).limit(1000)
+
+
+@query(
+    "sort_pushdown_topk_wide",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    ORDER BY event_id LIMIT 100
+    """,
+    tags=("sort", "pushdown", "topk"),
+)
+def sort_pushdown_topk_wide(spark, sf_dir):
+    """Sort-pushdown q3/q4 shape: SELECT * ORDER BY key LIMIT k — wide
+    payload through the top-k heap.  Still TakeOrderedAndProject: the heap
+    carries k full rows per partition, bounded regardless of table size."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    return e.orderBy("event_id").limit(100)

@@ -57,6 +57,16 @@ SHUFFLE_BUDGETS = {
         "1a", "1b", "2a", "2b", "3a", "3b", "4a", "5a", "6a", "7a", "8a",
         "9a", "10a", "10b", "10c",
     )},
+    # h2o window suite: no whole-table single-partition Window anywhere —
+    # the budgets below are keyed/bucketed exchanges only
+    "h2o_window_whole_table": 1,     # scalar agg merge; total broadcast back
+    "h2o_window_global_ordered": 5,  # bounds agg + bucket window + counts + tiny offsets
+    "h2o_window_partition_sweep": 3, # one keyed exchange per partition cardinality
+    "h2o_window_topn_rank_ties": 1,
+    "h2o_window_topn_dense_rank": 1,
+    "sort_pushdown_topk_asc": 0,     # TakeOrderedAndProject: zero exchanges
+    "sort_pushdown_topk_desc": 0,
+    "sort_pushdown_topk_wide": 0,
 }
 
 BROADCAST_EXPECTED = [
@@ -103,3 +113,28 @@ def test_dimension_joins_broadcast(spark, name):
     assert has_broadcast_join(QUERIES[name](spark, SF_SMALL)), (
         f"{name}: expected at least one broadcast join (dimension side)"
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sort_pushdown_topk_asc", "sort_pushdown_topk_desc", "sort_pushdown_topk_wide"],
+)
+def test_sort_pushdown_is_topk(spark, name):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (bounded per-
+    partition heaps, k rows over the wire) — a global Sort here would move
+    the whole table through one reducer at 100 TB."""
+    from datafusion_spark.plans import explain_str
+
+    txt = explain_str(QUERIES[name](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in txt, f"{name}: expected TopK plan"
+
+
+@pytest.mark.parametrize(
+    "name", ["h2o_window_topn_rank_ties", "h2o_window_topn_dense_rank"]
+)
+def test_window_topn_group_limit(spark, name):
+    """rank/dense_rank <= k filters must trigger WindowGroupLimit so each
+    partition prunes to the boundary BEFORE the window shuffle."""
+    from datafusion_spark.plans import explain_str
+
+    assert "WindowGroupLimit" in explain_str(QUERIES[name](spark, SF_SMALL))
