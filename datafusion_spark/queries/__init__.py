@@ -34,6 +34,7 @@ _MODULES = [
     "pipeline_multimodal",
     "sources_io",
     "recursive_cte",
+    "recursive_sql",
     "catalog_meta",
     "udf_ops",
     "functions_extended",

@@ -513,3 +513,61 @@ def agg_product_exact(spark, sf_dir):
             F.when(F.col("l_discount") > 0.05, F.lit(2.0)).otherwise(F.lit(1.0))
         ).alias("prod_discount_flags"),
     )
+
+
+@query(
+    "agg_approx_median",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS approx_med,
+           quantile_disc(value, 0.9) AS approx_p90,
+           COUNT(value) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_approx_median(spark, sf_dir):
+    """APPROX_MEDIAN (reference functions-aggregate/src/approx_median.rs —
+    implemented there as approx_percentile_cont(0.5)).  Spark's
+    approx_percentile is the same Greenwald-Khanna sketch: mergeable
+    partial state, so the aggregation stays one partial+merge pass at any
+    scale (the exact median would need a per-group sort).  At accuracy >>
+    group size the sketch returns the exact discrete order statistic,
+    which is what quantile_disc checks."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 100000)").alias("approx_med"),
+        F.expr("approx_percentile(value, 0.9, 100000)").alias("approx_p90"),
+        F.count("value").alias("n"),
+    )
+
+
+@query(
+    "agg_first_last_ordered",
+    oracle="""
+    SELECT event_type,
+           arg_min(value, event_id) AS first_value_by_id,
+           arg_max(value, event_id) AS last_value_by_id,
+           arg_min(user_id, event_id) AS first_user,
+           arg_max(user_id, event_id) AS last_user
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "ordered"),
+)
+def agg_first_last_ordered(spark, sf_dir):
+    """Ordered FIRST_VALUE/LAST_VALUE aggregates (reference
+    functions-aggregate/src/first_last.rs: FIRST_VALUE(x ORDER BY y)).
+    Spark-native form: min_by/max_by over the unique ordering key — the
+    same single-pass mergeable accumulator (keep the extreme y seen and
+    its x), no sort, no window.  Ordering key event_id is unique so the
+    result is deterministic on both engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.expr("min_by(value, event_id)").alias("first_value_by_id"),
+        F.expr("max_by(value, event_id)").alias("last_value_by_id"),
+        F.expr("min_by(user_id, event_id)").alias("first_user"),
+        F.expr("max_by(user_id, event_id)").alias("last_user"),
+    )

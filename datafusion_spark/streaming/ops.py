@@ -38,6 +38,9 @@ EVENTS_SCHEMA_NANOS = (
 EVENTS_SCHEMA_MICROS = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
 )
+EVENTS_SCHEMA_MICROS_UTC = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,18 +66,34 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    nanos = str(pq.read_schema(src).field("ts").type) == "timestamp[ns]"
+    # Decide the declared stream schema from the footer STRUCTURALLY
+    # (str-equality misses tz-annotated footers like 'timestamp[ns, tz=UTC]'):
+    # nanos at any tz -> read as raw long (nanosAsLong) and convert; micros
+    # with a tz annotation (isAdjustedToUTC) -> declare TIMESTAMP so the
+    # vectorized reader accepts it; plain micros -> TIMESTAMP_NTZ, matching
+    # the batch catalog's tolerance.
+    t = pq.read_schema(src).field("ts").type
+    nanos = pa.types.is_timestamp(t) and t.unit == "ns"
+    tz_adjusted = pa.types.is_timestamp(t) and t.tz is not None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if nanos:
+        schema = EVENTS_SCHEMA_NANOS
+    elif tz_adjusted:
+        schema = EVENTS_SCHEMA_MICROS_UTC
+    else:
+        schema = EVENTS_SCHEMA_MICROS
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_MICROS)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
+    elif not tz_adjusted:
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
