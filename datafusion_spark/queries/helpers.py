@@ -43,17 +43,28 @@ def sql_davg(expr: str, alias: str) -> str:
 
 
 def fan_out(df, min_parts: int | None = None):
-    """Repartition ONLY if the input has fewer partitions than the session's
-    parallelism.  Small single-row-group files (the sf0.1 documents table is
-    one 584 KB split) otherwise serialize CPU-heavy downstream work (explode
-    / md5 / shingling) onto one core.  At 100 TB inputs arrive in thousands
-    of splits and this is a no-op — no shuffle is added.  The explicit
-    exchange also lets Spark reuse the fanned-out output across self-join
-    branches (ReusedExchange) instead of recomputing the pipeline per side.
+    """Repartition ONLY if the input arrives in fewer splits than the
+    session's parallelism.  Small single-row-group files (the sf0.1
+    documents table is one 584 KB split) otherwise serialize CPU-heavy
+    downstream work (explode / md5 / shingling) onto one core.  At 100 TB
+    inputs arrive in thousands of splits and this is a no-op — no shuffle
+    is added.  The explicit exchange also lets Spark reuse the fanned-out
+    output across self-join branches (ReusedExchange) instead of
+    recomputing the pipeline per side.
+
+    The split estimate uses ``df.inputFiles()`` (a catalog lookup) rather
+    than ``df.rdd.getNumPartitions()`` — the RDD conversion built a whole
+    physical lineage just to ask a partition-count question, bypassing
+    Catalyst.  Files bigger than maxPartitionBytes under-count here, but a
+    multi-split file is exactly the case where fan-out is unnecessary.
     """
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. in-memory): leave as-is
+        return df
+    if 0 < n_splits < target:
         return df.repartition(target)
     return df
 

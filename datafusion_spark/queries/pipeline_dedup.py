@@ -410,10 +410,27 @@ _SQL_COMPONENTS = f"""
 """
 
 
+# Components are consumed by two registry entries (clusters + canonical
+# apply); the fixpoint is the most expensive dedup stage, so persist its
+# result once per (session, sf_dir) instead of re-running the whole label
+# propagation per entry.
+_COMPONENT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _near_dup_components(spark, sf_dir) -> DataFrame:
     """(doc, component_id) for every doc that has at least one near-dup
     edge; component_id := min doc_id in the component (label propagation
     to distinct-fixpoint, operators/recursive.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COMPONENT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    comp = _near_dup_components_uncached(spark, sf_dir).persist()
+    _COMPONENT_CACHE[key] = comp
+    return comp
+
+
+def _near_dup_components_uncached(spark, sf_dir) -> DataFrame:
     from datafusion_spark.operators.recursive import recursive_fixpoint_distinct
 
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)

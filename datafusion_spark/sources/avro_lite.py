@@ -170,7 +170,9 @@ def write_avro(df: DataFrame, path: str) -> None:
                 _write_container(fh, schema_json, rows, field_types)
         yield pd.DataFrame({"n": [len(rows)]})
 
-    df.mapInPandas(write_partition, schema="n long").collect()
+    # .count() runs the write action without pulling the per-partition
+    # marker rows to the driver (they carry no information beyond "ran").
+    df.mapInPandas(write_partition, schema="n long").count()
 
 
 # ---------------------------------------------------------------- decode
