@@ -27,6 +27,7 @@ _MODULES = [
     "events",
     "clickbench",
     "clickbench_full",
+    "clickbench_extended",
     "job_suite",
     "pipeline_dedup",
     "pipeline_similarity",

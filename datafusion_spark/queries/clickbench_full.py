@@ -58,15 +58,21 @@ SELECT
            WHEN 2 THEN 'googleapps.example.org'
            ELSE concat('site', CAST(event_id % 29 AS STRING), '.example.com')
          END,
-         '/', event_type, '/page', CAST(event_id % 500 AS STRING))
+         '/', event_type, '/page', CAST(event_id % 500 AS STRING),
+         '?resolution=', CAST(800 + (event_id % 20) * 40 AS STRING), '&x=1')
                                               AS URL,
   CASE WHEN event_id % 7 = 0
        THEN concat('Google Search ', CAST(event_id % 37 AS STRING))
        ELSE concat('Page ', CAST(event_id % 53 AS STRING)) END
                                               AS Title,
   CASE WHEN event_id % 3 = 0
-       THEN concat('http://www.ref', CAST(event_id % 19 AS STRING),
-                   '.com/path/', CAST(event_id % 100 AS STRING))
+       THEN concat('http://www.ref', CAST(event_id % 19 AS STRING), '.com/',
+                   CASE WHEN event_id % 2 = 0
+                        THEN concat('campaign/',
+                                    CASE WHEN event_id % 4 = 0 THEN 'spring'
+                                         ELSE 'summer' END, '_promo')
+                        ELSE concat('path/', CAST(event_id % 100 AS STRING))
+                   END)
        WHEN event_id % 3 = 1
        THEN concat('https://ref', CAST(event_id % 11 AS STRING), '.org/x')
        ELSE '' END                            AS Referer,
@@ -80,7 +86,28 @@ SELECT
   ((event_id % 37) * 2654435) % 999999937     AS URLHash,
   ((event_id % 7) * 271828) % 999999937       AS RefererHash,
   1000 + user_id % 400                        AS WindowClientWidth,
-  600 + user_id % 300                         AS WindowClientHeight
+  600 + user_id % 300                         AS WindowClientHeight,
+  CASE user_id % 4 WHEN 0 THEN 'W' WHEN 1 THEN 'G' WHEN 2 THEN 'B'
+       ELSE 'R' END                           AS HitColor,
+  concat('BC_', CAST(user_id % 13 AS STRING)) AS BrowserCountry,
+  concat('bl_', CAST(user_id % 9 AS STRING))  AS BrowserLanguage,
+  CASE event_id % 6 WHEN 0 THEN 'tw' WHEN 1 THEN 'fb' WHEN 2 THEN 'vk'
+       ELSE '' END                            AS SocialNetwork,
+  CASE event_id % 5 WHEN 0 THEN 'share' WHEN 1 THEN 'like'
+       ELSE '' END                            AS SocialAction,
+  event_id % 13                               AS SocialSourceNetworkID,
+  18 + user_id % 48                           AS Age,
+  (event_id % 997) * 10                       AS ParamPrice,
+  event_id % 400                              AS ResponseStartTiming,
+  (event_id % 400) + 100 + (user_id % 300)    AS ResponseEndTiming,
+  event_id % 50                               AS ConnectTiming,
+  CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS JavaEnable,
+  CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS IsMobile,
+  (user_id % 24) - 11                         AS ClientTimeZone,
+  concat('src', CAST(event_id % 7 AS STRING)) AS UTMSource,
+  concat('sr', CAST(user_id % 7 AS STRING), 'x') AS UTMCampaign,
+  user_id % 7                                 AS UserAgent,
+  concat('os', CAST(user_id % 3 AS STRING))   AS OS
 FROM {SRC}
 """
 
