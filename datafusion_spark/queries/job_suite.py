@@ -289,7 +289,8 @@ def _register(name: str, sql: str) -> None:
         f"JOB {ref} join graph (reference benchmarks/queries/imdb/{ref}.sql) "
         "re-keyed onto the star schema; same SQL text runs on Spark and DuckDB."
     )
-    query(name, oracle=sql, tags=("job", "join", "optimizer"))(fn)
+    tags = ("job", "join", "optimizer") + (("bench",) if name in ("job_7a", "job_9a") else ())
+    query(name, oracle=sql, tags=tags)(fn)
 
 
 for _name, _sql in _JOB.items():

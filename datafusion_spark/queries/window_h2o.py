@@ -84,7 +84,7 @@ def h2o_window_whole_table(spark, sf_dir):
            row_number() OVER (ORDER BY id3) AS row_number_order_by
     FROM large WHERE v2 IS NOT NULL
     """,
-    tags=("h2o", "window"),
+    tags=("h2o", "window", "bench"),
 )
 def h2o_window_global_ordered(spark, sf_dir):
     """h2o 'Sorted Window': global first_value + row_number ordered by the
@@ -235,7 +235,7 @@ def sort_pushdown_topk_asc(spark, sf_dir):
     SELECT event_id, user_id, event_type FROM events
     ORDER BY event_id DESC LIMIT 1000
     """,
-    tags=("sort", "pushdown", "topk"),
+    tags=("sort", "pushdown", "topk", "bench"),
 )
 def sort_pushdown_topk_desc(spark, sf_dir):
     """Sort-pushdown q5/q6 shape: reverse-order top-k (the reference
