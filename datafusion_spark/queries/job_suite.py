@@ -295,3 +295,180 @@ def _register(name: str, sql: str) -> None:
 
 for _name, _sql in _JOB.items():
     _register(_name, _sql)
+
+# --- families 11-17 (ref 11a..17a): three/four bridge facts, dual typed
+# dims (it1/it2), chained dim legs (kind_type -> customer->nation->region),
+# <>/IS NULL/LIKE-disjunction predicates --------------------------------------
+_JOB2: dict[str, str] = {}
+
+_JOB2["job_11a"] = """
+SELECT MIN(cn.s_name) AS from_company, MIN(lt.p_name) AS movie_link_type,
+       MIN(t.o_orderdate) AS non_polish_sequel_movie
+FROM supplier AS cn, nation AS nn, part AS ct, part AS k, part AS lt,
+     lineitem AS mc, lineitem AS mk, lineitem AS ml, orders AS t
+WHERE nn.n_name <> 'NATION_5'
+  AND (cn.s_name LIKE '%001%' OR cn.s_name LIKE '%002%')
+  AND ct.p_type = 'PROMO'
+  AND k.p_name = 'red widget'
+  AND lt.p_name LIKE '%bolt%'
+  AND NULLIF(mc.l_tax, 0.0) IS NULL
+  AND t.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '2000-12-31'
+  AND lt.p_partkey = ml.l_partkey
+  AND ml.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_partkey = k.p_partkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND mc.l_suppkey = cn.s_suppkey
+  AND nn.n_nationkey = cn.s_nationkey
+  AND ct.p_partkey = mc.l_partkey
+  AND ml.l_orderkey = mk.l_orderkey
+  AND ml.l_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = mc.l_orderkey
+"""
+
+_JOB2["job_12a"] = """
+SELECT MIN(cn.s_name) AS movie_company, MIN(mi_idx.l_quantity) AS rating,
+       MIN(t.o_orderdate) AS drama_horror_movie
+FROM supplier AS cn, nation AS nn, part AS ct, part AS it1, part AS it2,
+     lineitem AS mc, lineitem AS mi, lineitem AS mi_idx, orders AS t
+WHERE nn.n_name = 'NATION_4'
+  AND ct.p_type = 'PROMO'
+  AND it1.p_type = 'MEDIUM'
+  AND it2.p_type = 'STANDARD'
+  AND mi.l_returnflag IN ('A', 'N')
+  AND mi_idx.l_quantity > 40
+  AND t.o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1999-12-31'
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND mi.l_partkey = it1.p_partkey
+  AND mi_idx.l_partkey = it2.p_partkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND ct.p_partkey = mc.l_partkey
+  AND cn.s_suppkey = mc.l_suppkey
+  AND nn.n_nationkey = cn.s_nationkey
+  AND mc.l_orderkey = mi.l_orderkey
+  AND mc.l_orderkey = mi_idx.l_orderkey
+  AND mi.l_orderkey = mi_idx.l_orderkey
+"""
+
+_JOB2["job_13a"] = """
+SELECT MIN(mi.l_shipdate) AS release_date, MIN(miidx.l_quantity) AS rating,
+       MIN(t.o_orderdate) AS german_movie
+FROM supplier AS cn, nation AS nn, part AS ct, part AS it, part AS it2,
+     customer AS c, nation AS kn, region AS kt,
+     lineitem AS mc, lineitem AS mi, lineitem AS miidx, orders AS t
+WHERE nn.n_name = 'NATION_8'
+  AND ct.p_type = 'PROMO'
+  AND it.p_type = 'STANDARD'
+  AND it2.p_type = 'ECONOMY'
+  AND kt.r_name = 'ASIA'
+  AND mi.l_orderkey = t.o_orderkey
+  AND it2.p_partkey = mi.l_partkey
+  AND kt.r_regionkey = kn.n_regionkey
+  AND kn.n_nationkey = c.c_nationkey
+  AND c.c_custkey = t.o_custkey
+  AND mc.l_orderkey = t.o_orderkey
+  AND cn.s_suppkey = mc.l_suppkey
+  AND nn.n_nationkey = cn.s_nationkey
+  AND ct.p_partkey = mc.l_partkey
+  AND miidx.l_orderkey = t.o_orderkey
+  AND it.p_partkey = miidx.l_partkey
+  AND mi.l_orderkey = miidx.l_orderkey
+  AND mi.l_orderkey = mc.l_orderkey
+  AND miidx.l_orderkey = mc.l_orderkey
+"""
+
+_JOB2["job_14a"] = """
+SELECT MIN(mi_idx.l_quantity) AS rating, MIN(t.o_orderdate) AS northern_dark_movie
+FROM part AS it1, part AS it2, part AS k,
+     customer AS c, nation AS kn, region AS kt,
+     lineitem AS mi, lineitem AS mi_idx, lineitem AS mk, orders AS t
+WHERE it1.p_type = 'LARGE'
+  AND it2.p_type = 'SMALL'
+  AND k.p_name IN ('red widget', 'blue bolt', 'small ring', 'green gear')
+  AND kt.r_name = 'EUROPE'
+  AND mi.l_returnflag IN ('A', 'N', 'R')
+  AND mi_idx.l_quantity < 45
+  AND t.o_orderdate > DATE '1998-01-01'
+  AND kt.r_regionkey = kn.n_regionkey
+  AND kn.n_nationkey = c.c_nationkey
+  AND c.c_custkey = t.o_custkey
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND mk.l_orderkey = mi_idx.l_orderkey
+  AND mi.l_orderkey = mi_idx.l_orderkey
+  AND k.p_partkey = mk.l_partkey
+  AND it1.p_partkey = mi.l_partkey
+  AND it2.p_partkey = mi_idx.l_partkey
+"""
+
+_JOB2["job_15a"] = """
+SELECT MIN(mi.l_shipdate) AS release_date, MIN(t.o_orderdate) AS internet_movie
+FROM lineitem AS at2, supplier AS cn, nation AS nn, part AS ct, part AS it1,
+     part AS k, lineitem AS mc, lineitem AS mi, lineitem AS mk, orders AS t
+WHERE nn.n_name = 'NATION_6'
+  AND it1.p_type = 'ECONOMY'
+  AND mc.l_discount >= 0.03 AND mc.l_discount <= 0.08
+  AND mi.l_quantity BETWEEN 10 AND 45
+  AND t.o_orderdate > DATE '1996-01-01'
+  AND t.o_orderkey = at2.l_orderkey
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND mk.l_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = at2.l_orderkey
+  AND mi.l_orderkey = mc.l_orderkey
+  AND mi.l_orderkey = at2.l_orderkey
+  AND mc.l_orderkey = at2.l_orderkey
+  AND k.p_partkey = mk.l_partkey
+  AND it1.p_partkey = mi.l_partkey
+  AND cn.s_suppkey = mc.l_suppkey
+  AND nn.n_nationkey = cn.s_nationkey
+  AND ct.p_partkey = mc.l_partkey
+"""
+
+_JOB2["job_16a"] = """
+SELECT MIN(an.c_name) AS cool_actor_pseudonym,
+       MIN(t.o_orderdate) AS series_named_after_char
+FROM customer AS an, lineitem AS ci, supplier AS cns, nation AS cn,
+     part AS k, lineitem AS mc, lineitem AS mk, customer AS n, orders AS t
+WHERE cn.n_name = 'NATION_9'
+  AND k.p_name = 'small ring'
+  AND t.o_totalprice >= 50000 AND t.o_totalprice < 200000
+  AND an.c_custkey = n.c_custkey
+  AND n.c_custkey = t.o_custkey
+  AND ci.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_partkey = k.p_partkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND mc.l_suppkey = cns.s_suppkey
+  AND cn.n_nationkey = cns.s_nationkey
+  AND ci.l_orderkey = mc.l_orderkey
+  AND ci.l_orderkey = mk.l_orderkey
+  AND mc.l_orderkey = mk.l_orderkey
+"""
+
+_JOB2["job_17a"] = """
+SELECT MIN(n.c_name) AS member_in_charnamed_american_movie, MIN(n.c_name) AS a1
+FROM lineitem AS ci, supplier AS cns, nation AS cn, part AS k,
+     lineitem AS mc, lineitem AS mk, customer AS n, orders AS t
+WHERE cn.n_name = 'NATION_12'
+  AND k.p_name = 'blue bolt'
+  AND n.c_name LIKE 'Customer#0000001%'
+  AND n.c_custkey = t.o_custkey
+  AND ci.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_partkey = k.p_partkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND mc.l_suppkey = cns.s_suppkey
+  AND cn.n_nationkey = cns.s_nationkey
+  AND ci.l_orderkey = mc.l_orderkey
+  AND ci.l_orderkey = mk.l_orderkey
+  AND mc.l_orderkey = mk.l_orderkey
+"""
+
+for _name, _sql in _JOB2.items():
+    _register(_name, _sql)

@@ -55,7 +55,8 @@ SHUFFLE_BUDGETS = {
     # the single-row aggregate exchange (audited 1 each at tuning time)
     **{f"job_{v}": 1 for v in (
         "1a", "1b", "2a", "2b", "3a", "3b", "4a", "5a", "6a", "7a", "8a",
-        "9a", "10a", "10b", "10c",
+        "9a", "10a", "10b", "10c", "11a", "12a", "13a", "14a", "15a",
+        "16a", "17a",
     )},
     # h2o window suite: no whole-table single-partition Window anywhere —
     # the budgets below are keyed/bucketed exchanges only
