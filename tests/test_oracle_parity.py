@@ -31,6 +31,21 @@ SUBSET = [
     "similarity_ivf_assign",
     "text_quality_score",
     "source_csv_roundtrip",
+    # round-2 families
+    "cb_q13",
+    "cb_q29",
+    "cb_q42",
+    "cbx_q05",
+    "cbx_q09",
+    "job_1a",
+    "job_7a",
+    "job_15a",
+    "h2o_window_whole_table",
+    "h2o_window_global_ordered",
+    "sort_pushdown_topk_desc",
+    "recursive_sql_tree_depth",
+    "agg_approx_median",
+    "agg_first_last_ordered",
 ]
 
 
