@@ -37,6 +37,33 @@ BROADCAST_TABLES = {"region", "nation"}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Sessions already given runtime knobs (keyed by applicationId): the driver
+# may call queries() on a session built WITHOUT session.tune() — Spark's
+# 200-partition default then pays 6x task overhead per shuffle at sf0.01.
+_TUNED: set[str] = set()
+
+
+def ensure_runtime_tuned(spark: SparkSession) -> None:
+    """Apply the runtime-settable engine defaults once per session.
+
+    Only knobs still at their Spark defaults are touched (a session built
+    via session.tune() or deliberately configured by the caller is
+    respected).  Session time zone is pinned UTC unconditionally: event-time
+    semantics here define timestamps as epoch-UTC wall values, and a
+    non-UTC session would shift them when NTZ parquet is reinterpreted as
+    TIMESTAMP (see load_table's events path)."""
+    app = spark.sparkContext.applicationId
+    if app in _TUNED:
+        return
+    _TUNED.add(app)
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    if conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        conf.set("spark.sql.shuffle.partitions", cpus)
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -45,6 +72,7 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Filters/projections compose onto this scan and reach
     the parquet reader via Catalyst (check .explain: PushedFilters/ReadSchema)."""
+    ensure_runtime_tuned(spark)
     if name == "events":
         # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
         # Spark's vectorized reader rejects outright) or TIMESTAMP(MICROS)
