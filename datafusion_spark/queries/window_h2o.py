@@ -261,3 +261,63 @@ def sort_pushdown_topk_wide(spark, sf_dir):
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     return e.orderBy("event_id").limit(100)
+
+
+# --- sort_tpch shapes (reference benchmarks/src/sort_tpch.rs) --------------
+
+
+@query(
+    "sort_tpch_low_card",
+    oracle="""
+    SELECT l_linenumber, l_partkey FROM lineitem ORDER BY l_linenumber
+    """,
+    tags=("sort", "sort_tpch"),
+)
+def sort_tpch_low_card(spark, sf_dir):
+    """sort_tpch q1: full-table sort on a 7-value key, narrow payload.
+    Spark's orderBy is a RANGE-partitioned distributed sort (sampled
+    bounds -> rangepartitioning exchange -> per-partition sort) — the
+    whole table never passes through one task, unlike a naive single-node
+    sort.  Plan pinned to rangepartitioning in tests/test_plan_budgets.py."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_linenumber", "l_partkey")
+    return li.orderBy("l_linenumber")
+
+
+@query(
+    "sort_tpch_multi_key",
+    oracle="""
+    SELECT l_linenumber, l_suppkey, l_orderkey FROM lineitem
+    ORDER BY l_linenumber, l_suppkey, l_orderkey
+    """,
+    tags=("sort", "sort_tpch"),
+)
+def sort_tpch_multi_key(spark, sf_dir):
+    """sort_tpch q5: three-key lexicographic global sort (low-card prefix +
+    high-card suffix) — the composite-bounds range-partitioner case."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_suppkey", "l_orderkey"
+    )
+    return li.orderBy("l_linenumber", "l_suppkey", "l_orderkey")
+
+
+@query(
+    "sort_tpch_wide_payload",
+    oracle="""
+    SELECT l_linenumber, l_suppkey, l_orderkey, l_partkey, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           l_shipdate
+    FROM lineitem
+    ORDER BY l_linenumber, l_suppkey, l_orderkey
+    """,
+    tags=("sort", "sort_tpch"),
+)
+def sort_tpch_wide_payload(spark, sf_dir):
+    """sort_tpch q7 (adapted to the reduced schema): full-row payload
+    through the sort — exercises row-width sensitivity of the exchange +
+    external sorter (spill path at scale), keys as in q5."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_suppkey", "l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    )
+    return li.orderBy("l_linenumber", "l_suppkey", "l_orderkey")

@@ -131,6 +131,20 @@ def test_sort_pushdown_is_topk(spark, name):
 
 
 @pytest.mark.parametrize(
+    "name",
+    ["sort_tpch_low_card", "sort_tpch_multi_key", "sort_tpch_wide_payload"],
+)
+def test_global_sort_is_range_partitioned(spark, name):
+    """Unlimited ORDER BY must plan as a range-partitioned distributed
+    sort — never a single-partition collapse."""
+    from datafusion_spark.plans import explain_str
+
+    txt = explain_str(QUERIES[name](spark, SF_SMALL))
+    assert "rangepartitioning" in txt, f"{name}: expected range-partitioned sort"
+    assert "SinglePartition" not in txt, f"{name}: single-partition sort"
+
+
+@pytest.mark.parametrize(
     "name", ["h2o_window_topn_rank_ties", "h2o_window_topn_dense_rank"]
 )
 def test_window_topn_group_limit(spark, name):
