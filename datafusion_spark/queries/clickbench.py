@@ -417,3 +417,94 @@ def cb_wide_aggregate(spark, sf_dir):
         F.max("ts").alias("max_ts"),
         F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
     )
+
+
+@query(
+    "h2o_groupby_mean3",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS v1,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS v2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS v3
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    tags=("clickbench", "h2o"),
+)
+def h2o_groupby_mean3(spark, sf_dir):
+    """h2o groupby question 4 (mean v1..v3 by id4): three means in one
+    partial+merge pass; exact decimal sums keep both engines bit-equal
+    under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mean = lambda c, a: (
+        F.sum(F.col(c).cast("decimal(38,6)")).cast("double") / F.count(c)
+    ).alias(a)
+    return li.groupBy("l_suppkey").agg(
+        mean("l_quantity", "v1"), mean("l_discount", "v2"),
+        mean("l_extendedprice", "v3"),
+    )
+
+
+@query(
+    "h2o_groupby_sum3",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS v1,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS v2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS v3
+    FROM lineitem GROUP BY l_partkey
+    """,
+    tags=("clickbench", "h2o"),
+)
+def h2o_groupby_sum3(spark, sf_dir):
+    """h2o groupby question 5 (sum v1..v3 by id6, mid-cardinality key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = lambda c, a: F.sum(F.col(c).cast("decimal(38,6)")).cast("double").alias(a)
+    return li.groupBy("l_partkey").agg(
+        s("l_quantity", "v1"), s("l_discount", "v2"), s("l_extendedprice", "v3")
+    )
+
+
+@query(
+    "h2o_groupby_range",
+    oracle="""
+    SELECT l_orderkey, MAX(l_quantity) - MIN(l_discount) AS range_v1_v2
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("clickbench", "h2o"),
+)
+def h2o_groupby_range(spark, sf_dir):
+    """h2o groupby question 7 (max(v1)-min(v2) by id3, high-card key):
+    two extreme accumulators, one exact double subtraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        (F.max("l_quantity") - F.min("l_discount")).alias("range_v1_v2")
+    )
+
+
+@query(
+    "h2o_groupby_multikey",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, l_linenumber, l_suppkey, l_partkey,
+           l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS v3,
+           COUNT(*) AS count
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus, l_linenumber, l_suppkey, l_partkey,
+             l_orderkey
+    """,
+    tags=("clickbench", "h2o"),
+)
+def h2o_groupby_multikey(spark, sf_dir):
+    """h2o groupby question 10 (all six ids as the group key): group count
+    ~= row count, the worst case for hash aggregation — partial agg does
+    almost nothing and the shuffle carries nearly every row.  The shape
+    exists to keep that regression visible; the key set is the natural
+    composite key here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_returnflag", "l_linestatus", "l_linenumber", "l_suppkey",
+        "l_partkey", "l_orderkey",
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("v3"),
+        F.count(F.lit(1)).alias("count"),
+    )
