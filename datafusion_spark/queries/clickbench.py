@@ -508,3 +508,56 @@ def h2o_groupby_multikey(spark, sf_dir):
         F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("v3"),
         F.count(F.lit(1)).alias("count"),
     )
+
+
+@query(
+    "h2o_join_left_medium",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity,
+           s.s_name, s.s_acctbal
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    tags=("clickbench", "h2o", "join"),
+)
+def h2o_join_left_medium(spark, sf_dir):
+    """h2o join question 3 shape (x LEFT JOIN medium): projection-style
+    join output — every fact row survives, medium side hash-joined.  At
+    sf the supplier side broadcasts; at 100 TB it stays far below the fact
+    table and still broadcasts — the fact never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+        "s_name", "s_acctbal",
+    )
+
+
+@query(
+    "h2o_join_big_highcard",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity,
+           o.o_custkey, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("clickbench", "h2o", "join"),
+)
+def h2o_join_big_highcard(spark, sf_dir):
+    """h2o join question 5 shape (x JOIN large on the high-card key):
+    both sides are fact-scale, so at 100 TB this is the co-keyed shuffle
+    join — both sides hash-partition on l_orderkey/o_orderkey and the
+    join is per-partition; AQE picks broadcast at test SFs.  Projection
+    output (row-heavy), no aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "o_custkey", "o_totalprice",
+    )
