@@ -472,3 +472,35 @@ WHERE cn.n_name = 'NATION_12'
 
 for _name, _sql in _JOB2.items():
     _register(_name, _sql)
+
+# b-variants of families 11-17 (reference 11b..17b): identical join graphs,
+# shifted predicate selectivities — the pairs exercise whether the
+# optimizer's ordering survives constant changes.
+_JOB2B = {
+    "job_11b": _JOB2["job_11a"]
+    .replace("NATION_5", "NATION_20")
+    .replace("'%001%'", "'%003%'").replace("'%002%'", "'%004%'")
+    .replace("'PROMO'", "'LARGE'")
+    .replace("'red widget'", "'small ring'")
+    .replace("'%bolt%'", "'%gear%'")
+    .replace("DATE '1995-01-01' AND DATE '2000-12-31'",
+             "DATE '1997-01-01' AND DATE '2001-12-31'"),
+    "job_12b": _JOB2["job_12a"]
+    .replace("NATION_4", "NATION_14")
+    .replace("'PROMO'", "'SMALL'").replace("'MEDIUM'", "'LARGE'")
+    .replace("'STANDARD'", "'ECONOMY'")
+    .replace("l_quantity > 40", "l_quantity > 30")
+    .replace("DATE '1997-01-01' AND DATE '1999-12-31'",
+             "DATE '1995-06-01' AND DATE '1998-06-30'"),
+    "job_14b": _JOB2["job_14a"]
+    .replace("'LARGE'", "'PROMO'").replace("'SMALL'", "'MEDIUM'")
+    .replace("'EUROPE'", "'AMERICA'")
+    .replace("l_quantity < 45", "l_quantity < 25")
+    .replace("DATE '1998-01-01'", "DATE '1996-01-01'"),
+    "job_17b": _JOB2["job_17a"]
+    .replace("NATION_12", "NATION_22")
+    .replace("'blue bolt'", "'red widget'")
+    .replace("'Customer#0000001%'", "'Customer#0000004%'"),
+}
+for _name, _sql in _JOB2B.items():
+    _register(_name, _sql)
