@@ -634,3 +634,45 @@ def fn_interval_constructors(spark, sf_dir):
         ).alias("plus_mixed"),
         F.expr("monthname(o_orderdate)").alias("mon_name"),
     )
+
+
+@query(
+    "fn_datetime_misc_parity",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           split_part(CAST(o_orderkey AS STRING) || '#tail#x', '#', 1) AS head_tok,
+           (epoch_ms(o_orderdate) // 1000) AS unix_s,
+           regexp_matches(CAST(uuid() AS STRING),
+             '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$')
+             AS uuid_ok,
+           current_date >= DATE '2026-01-01' AS today_ok
+    FROM orders WHERE o_orderkey < 100
+    """,
+    tags=("functions", "datetime", "misc"),
+)
+def fn_datetime_misc_parity(spark, sf_dir):
+    """Parity stragglers from reference functions/src/{datetime,string,core}:
+    date_part, to_char (→ date_format / strftime), substr_index
+    (→ substring_index / split_part), to_unixtime (→ unix_timestamp /
+    epoch), uuid (format-checked — the value is nondeterministic by
+    definition, so the oracle compares the RFC-4122 shape), and a
+    current_date sanity predicate (both engines evaluate on the same day).
+    All scan-side projections; no shuffle."""
+    from datafusion_spark.catalog import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.expr("date_part('year', o_orderdate)").cast("long").alias("y"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.substring_index(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit("#tail#x")), "#", 1
+        ).alias("head_tok"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("unix_s"),
+        F.expr(
+            "uuid() rlike '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'"
+        ).alias("uuid_ok"),
+        (F.current_date() >= F.lit("2026-01-01").cast("date")).alias("today_ok"),
+    )
