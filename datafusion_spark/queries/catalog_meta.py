@@ -246,3 +246,36 @@ def dml_truncate_table(spark, sf_dir):
         F.lit(n_after_truncate).cast("bigint").alias("n_after_truncate"),
         F.lit(n_after_reload).cast("bigint").alias("n_after_reload"),
     )
+
+
+@query(
+    "catalog_parquet_metadata",
+    oracle="""
+    SELECT row_group_id, row_group_num_rows AS num_rows,
+           COUNT(*) AS n_cols
+    FROM parquet_metadata('__SF__/lineitem.parquet')
+    GROUP BY 1, 2 ORDER BY 1
+    """.replace("__SF__", "/root/testdata/sf0.01"),
+    tags=("catalog", "metadata", "parquet"),
+)
+def catalog_parquet_metadata(spark, sf_dir):
+    """Parquet footer introspection (reference sqllogictest
+    parquet_metadata_functions.slt / datasource-parquet metadata surface;
+    DuckDB's parquet_metadata() is the oracle): per-row-group row counts
+    and column counts straight from the footer — no data scan.  Footer
+    reads are driver-side by design (the same listing-phase metadata pass
+    every engine performs before planning); at 100 TB this would walk the
+    file listing distributed via spark.read.format('binaryFile') over
+    footers, but the per-file logic is identical."""
+    import pyarrow.parquet as pq
+
+    from datafusion_spark.catalog import table_path
+
+    md = pq.ParquetFile(table_path(sf_dir, "lineitem")).metadata
+    rows = [
+        (i, md.row_group(i).num_rows, md.row_group(i).num_columns)
+        for i in range(md.num_row_groups)
+    ]
+    return spark.createDataFrame(
+        rows, schema="row_group_id bigint, num_rows bigint, n_cols bigint"
+    )
