@@ -504,3 +504,147 @@ _JOB2B = {
 }
 for _name, _sql in _JOB2B.items():
     _register(_name, _sql)
+
+# --- families 18-22 (ref 18a..22a): producer IN-lists, 10-relation graphs,
+# dual tiny type-dims on one entity bridge, FOUR-bridge transitive cliques --
+_JOB3: dict[str, str] = {}
+
+_JOB3["job_18a"] = """
+SELECT MIN(mi.l_shipdate) AS movie_budget, MIN(mi_idx.l_quantity) AS movie_votes,
+       MIN(t.o_orderdate) AS movie_title
+FROM lineitem AS ci, part AS it1, part AS it2, lineitem AS mi,
+     lineitem AS mi_idx, supplier AS n, orders AS t
+WHERE ci.l_returnflag IN ('A', 'R')
+  AND it1.p_type = 'PROMO'
+  AND it2.p_type = 'STANDARD'
+  AND n.s_acctbal > 0 AND n.s_name LIKE '%7%'
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND ci.l_orderkey = mi.l_orderkey
+  AND ci.l_orderkey = mi_idx.l_orderkey
+  AND mi.l_orderkey = mi_idx.l_orderkey
+  AND n.s_suppkey = ci.l_suppkey
+  AND it1.p_partkey = mi.l_partkey
+  AND it2.p_partkey = mi_idx.l_partkey
+"""
+
+_JOB3["job_19a"] = """
+SELECT MIN(n.c_name) AS voicing_actress, MIN(t.o_orderdate) AS voiced_movie
+FROM customer AS an, supplier AS chn, lineitem AS ci, nation AS cn,
+     part AS it, lineitem AS mc, lineitem AS mi, customer AS n,
+     part AS rt, orders AS t
+WHERE ci.l_returnflag IN ('A', 'N', 'R')
+  AND cn.n_name = 'NATION_15'
+  AND it.p_type = 'MEDIUM'
+  AND mc.l_tax IS NOT NULL AND (mc.l_discount >= 0.06 OR mc.l_tax >= 0.06)
+  AND mi.l_quantity IS NOT NULL AND (mi.l_quantity < 15 OR mi.l_quantity > 35)
+  AND n.c_mktsegment = 'HOUSEHOLD' AND n.c_name LIKE '%9%'
+  AND rt.p_type = 'SMALL'
+  AND t.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '2000-12-31'
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND mc.l_orderkey = ci.l_orderkey
+  AND mc.l_orderkey = mi.l_orderkey
+  AND mi.l_orderkey = ci.l_orderkey
+  AND cn.n_nationkey = n.c_nationkey
+  AND it.p_partkey = mi.l_partkey
+  AND n.c_custkey = t.o_custkey
+  AND rt.p_partkey = ci.l_partkey
+  AND n.c_custkey = an.c_custkey
+  AND chn.s_suppkey = ci.l_suppkey
+"""
+
+_JOB3["job_20a"] = """
+SELECT MIN(t.o_orderdate) AS complete_downey_ironman_movie
+FROM customer AS cc, nation AS cct1, region AS cct2, supplier AS chn,
+     lineitem AS ci, part AS k, part AS kt, lineitem AS mk, orders AS t
+WHERE cct1.n_name LIKE 'NATION_1%'
+  AND cct2.r_name LIKE '%E%'
+  AND chn.s_name NOT LIKE '%9%'
+  AND (chn.s_name LIKE '%01%' OR chn.s_name LIKE '%02%')
+  AND k.p_name IN ('red widget', 'blue bolt', 'small ring', 'green gear',
+                   'large cog')
+  AND kt.p_type = 'LARGE'
+  AND t.o_orderdate > DATE '1995-06-01'
+  AND kt.p_partkey = ci.l_partkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND t.o_custkey = cc.c_custkey
+  AND mk.l_orderkey = ci.l_orderkey
+  AND chn.s_suppkey = ci.l_suppkey
+  AND k.p_partkey = mk.l_partkey
+  AND cct1.n_nationkey = cc.c_nationkey
+  AND cct2.r_regionkey = cct1.n_regionkey
+"""
+
+_JOB3["job_21a"] = """
+SELECT MIN(cn.s_name) AS company_name, MIN(lt.p_name) AS link_type,
+       MIN(t.o_orderdate) AS western_follow_up
+FROM supplier AS cn, nation AS nn, part AS ct, part AS k, part AS lt,
+     lineitem AS mc, lineitem AS mi, lineitem AS mk, lineitem AS ml,
+     orders AS t
+WHERE nn.n_name <> 'NATION_5'
+  AND (cn.s_name LIKE '%001%' OR cn.s_name LIKE '%002%')
+  AND ct.p_type = 'PROMO'
+  AND k.p_name = 'red widget'
+  AND lt.p_name LIKE '%bolt%'
+  AND NULLIF(mc.l_tax, 0.0) IS NULL
+  AND mi.l_returnflag IN ('A', 'N')
+  AND t.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '2000-12-31'
+  AND lt.p_partkey = ml.l_partkey
+  AND ml.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_partkey = k.p_partkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND mc.l_suppkey = cn.s_suppkey
+  AND nn.n_nationkey = cn.s_nationkey
+  AND ct.p_partkey = mc.l_partkey
+  AND mi.l_orderkey = t.o_orderkey
+  AND ml.l_orderkey = mk.l_orderkey
+  AND ml.l_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = mc.l_orderkey
+  AND ml.l_orderkey = mi.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND mc.l_orderkey = mi.l_orderkey
+"""
+
+_JOB3["job_22a"] = """
+SELECT MIN(cn.s_name) AS movie_company, MIN(mi_idx.l_quantity) AS rating,
+       MIN(t.o_orderdate) AS western_violent_movie
+FROM supplier AS cn, nation AS nn, part AS ct, part AS it1, part AS it2,
+     part AS k, customer AS c, nation AS kn,
+     lineitem AS mc, lineitem AS mi, lineitem AS mi_idx, lineitem AS mk,
+     orders AS t
+WHERE nn.n_name <> 'NATION_0'
+  AND it1.p_type = 'LARGE'
+  AND it2.p_type = 'SMALL'
+  AND k.p_name IN ('red widget', 'blue bolt', 'small ring', 'green gear')
+  AND kn.n_name LIKE 'NATION_%'
+  AND mc.l_discount >= 0.01 AND mc.l_returnflag <> 'R'
+  AND mi.l_returnflag IN ('A', 'N')
+  AND mi_idx.l_quantity < 35
+  AND t.o_orderdate > DATE '1997-01-01'
+  AND kn.n_nationkey = c.c_nationkey
+  AND c.c_custkey = t.o_custkey
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND mk.l_orderkey = mi_idx.l_orderkey
+  AND mk.l_orderkey = mc.l_orderkey
+  AND mi.l_orderkey = mi_idx.l_orderkey
+  AND mi.l_orderkey = mc.l_orderkey
+  AND mc.l_orderkey = mi_idx.l_orderkey
+  AND k.p_partkey = mk.l_partkey
+  AND it1.p_partkey = mi.l_partkey
+  AND it2.p_partkey = mi_idx.l_partkey
+  AND ct.p_partkey = mc.l_partkey
+  AND cn.s_suppkey = mc.l_suppkey
+  AND nn.n_nationkey = cn.s_nationkey
+"""
+
+for _name, _sql in _JOB3.items():
+    _register(_name, _sql)

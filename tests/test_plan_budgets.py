@@ -56,7 +56,8 @@ SHUFFLE_BUDGETS = {
     **{f"job_{v}": 1 for v in (
         "1a", "1b", "2a", "2b", "3a", "3b", "4a", "5a", "6a", "7a", "8a",
         "9a", "10a", "10b", "10c", "11a", "12a", "13a", "14a", "15a",
-        "16a", "17a", "11b", "12b", "14b", "17b",
+        "16a", "17a", "11b", "12b", "14b", "17b", "18a", "19a", "20a",
+        "21a", "22a",
     )},
     # h2o window suite: no whole-table single-partition Window anywhere —
     # the budgets below are keyed/bucketed exchanges only
