@@ -61,8 +61,16 @@ def ensure_runtime_tuned(spark: SparkSession) -> None:
     if conf.get("spark.sql.shuffle.partitions", "200") == "200":
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         conf.set("spark.sql.shuffle.partitions", cpus)
-    conf.set("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # AQE + partition coalescing default to "true" since Spark 3.2 — setting
+    # them is a no-op UNLESS the caller deliberately disabled them, so guard
+    # exactly like shuffle.partitions above: a non-default ("false") value is
+    # a caller decision and is respected.
+    for knob in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    ):
+        if conf.get(knob, "true") == "true":
+            conf.set(knob, "true")
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -256,7 +256,9 @@ def dml_truncate_table(spark, sf_dir):
     FROM parquet_metadata('__SF__/lineitem.parquet')
     GROUP BY 1, 2 ORDER BY 1
     """.replace("__SF__", "/root/testdata/sf0.01"),
-    tags=("catalog", "metadata", "parquet"),
+    # The oracle path is pinned to the driver's sf0.01 gate dir; the sweep
+    # (tools/oracle_check.py) skips this entry at any other --sf.
+    tags=("catalog", "metadata", "parquet", "sf-pinned:/root/testdata/sf0.01"),
 )
 def catalog_parquet_metadata(spark, sf_dir):
     """Parquet footer introspection (reference sqllogictest

@@ -62,8 +62,17 @@ def fan_out(df, min_parts: int | None = None):
     target = min_parts or spark.sparkContext.defaultParallelism
     try:
         n_splits = len(df.inputFiles())
-    except Exception:  # non-file-backed plan (e.g. in-memory): leave as-is
+    except Exception:  # catalog lookup failed: leave as-is
         return df
+    if n_splits == 0:
+        # Non-file-backed plan (createDataFrame / VALUES): inputFiles() is
+        # empty, not "huge".  Ask the plan for its partition count instead —
+        # the .rdd conversion is acceptable here because in-memory inputs are
+        # driver-created and small; file scans never take this branch.
+        try:
+            n_splits = df.rdd.getNumPartitions()
+        except Exception:
+            return df
     if 0 < n_splits < target:
         return df.repartition(target)
     return df

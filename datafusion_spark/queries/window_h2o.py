@@ -109,7 +109,8 @@ def h2o_window_global_ordered(spark, sf_dir):
         F.expr("min_by(v2, id3)").alias("first_order_by"),
     )
     b = large.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket", (F.col("id3") / F.col("w")).cast("long")
+        # integer division: float quotient would misbucket ids beyond 2^53
+        "bucket", F.expr("id3 div w")
     )
     lw = Window.partitionBy("bucket").orderBy("id3")
     local = b.withColumn("lrn", F.row_number().over(lw))

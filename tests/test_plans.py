@@ -21,6 +21,17 @@ def test_filter_pushdown_reaches_scan(spark):
     assert any("l_quantity" in f for f in pushed_filters(li))
 
 
+def test_events_ts_filter_pushdown(spark):
+    """Regression guard for the round-1 scale-killer: a ts predicate on the
+    events scan must reach the parquet reader as a PushedFilter.  The old
+    cast-based timestamp shim put a projection over the scan, blocking
+    pushdown — any time-sliced events query then read the full table."""
+    ev = load_table(spark, SF_SMALL, "events").filter(
+        F.col("ts") >= "2024-01-02 00:00:00"
+    )
+    assert any("ts" in f for f in pushed_filters(ev)), pushed_filters(ev)
+
+
 def test_column_pruning(spark):
     df = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
     scans = scan_columns(df)

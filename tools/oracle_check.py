@@ -7,7 +7,13 @@ floats are compared bit-exact first, with a max-abs-diff report when they
 differ so determinism bugs are visible immediately.
 
 Usage:
-    python tools/oracle_check.py [--sf DIR] [names...]
+    python tools/oracle_check.py [--sf DIR] [--shard K/N] [names...]
+
+The full registry sweep takes ~25 min serially; ``--shard K/N`` (1-indexed)
+partitions the name list round-robin so N processes cover it in ~1/N the
+wall time, e.g. the routine pre-commit full sweep:
+
+    for k in 1 2 3 4; do python tools/oracle_check.py --shard $k/4 & done; wait
 """
 
 from __future__ import annotations
@@ -39,7 +45,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # Normalize to [us]: Spark hands back datetime64[us], DuckDB
+            # [ns] — a pure storage-resolution difference that would
+            # otherwise print a dtype warning on every timestamp column.
+            df[c] = (
+                pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+            )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -76,13 +87,30 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--shard", default=None, metavar="K/N",
+                    help="run the K-th of N round-robin shards (1-indexed)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     from datafusion_spark import get_spark
-    from datafusion_spark.queries import ORACLES, QUERIES
+    from datafusion_spark.queries import ORACLES, QUERIES, TAGS
 
     names = args.names or sorted(QUERIES)
+    if args.shard:
+        k, n = (int(x) for x in args.shard.split("/"))
+        if not 1 <= k <= n:
+            ap.error(f"--shard {args.shard}: need 1 <= K <= N")
+        names = [nm for i, nm in enumerate(names) if i % n == k - 1]
+    # Entries whose oracle is pinned to one sf_dir (tag "sf-pinned:<dir>")
+    # only compare apples-to-apples at that dir; skip them elsewhere.
+    skipped = [
+        nm for nm in names
+        if any(t.startswith("sf-pinned:") and t.split(":", 1)[1] != args.sf
+               for t in TAGS.get(nm, ()))
+    ]
+    for nm in skipped:
+        print(f"skip {nm}: oracle pinned to a different sf_dir")
+    names = [nm for nm in names if nm not in skipped]
     spark = get_spark("oracle_check", shuffle_partitions=8)
     con = duck_connection(args.sf)
 
