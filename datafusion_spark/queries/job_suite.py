@@ -648,3 +648,465 @@ WHERE nn.n_name <> 'NATION_0'
 
 for _name, _sql in _JOB3.items():
     _register(_name, _sql)
+
+# --- families 23-33 (ref 23a..33c.sql): the deepest graphs in the suite ----
+# New structural elements preserved from the reference:
+#   * complete_cast (cc) as a FIFTH bridge fact -> 5-bridge transitive
+#     cliques (10 pairwise equalities) in families 27-30;
+#   * comp_cast_type cct1/cct2 = two dims hung off ONE bridge row -> part
+#     via cc.l_partkey + supplier via cc.l_suppkey;
+#   * kind_type kt = a dim keyed off the FACT (kt.id = t.kind_id) ->
+#     customer via t.o_custkey (or the customer->nation->region chain);
+#   * person-side star (name/aka_name/person_info/char_name/role_type) ->
+#     customer + customer alias + orders alias + supplier + part, keyed on
+#     o_custkey / l_suppkey exactly like families 7-9;
+#   * movie_link (ml) = a LINK bridge with two distinct FKs into the same
+#     relation (ml.movie_id -> t1, ml.linked_movie_id -> t2): re-keyed as
+#     lineitem with l_orderkey -> t1 and l_suppkey -> t2 (o_orderkey is
+#     dense 0..N so suppkey values all resolve) — the fact-self-join-via-
+#     link shape of families 32/33, the hardest ordering case in JOB.
+_JOB4: dict[str, str] = {}
+
+# 11 relations, 4-bridge clique + fact-keyed dim (ref 23a).
+_JOB4["job_23a"] = """
+SELECT MIN(kt.c_mktsegment) AS movie_kind, MIN(t.o_orderdate) AS complete_us_internet_movie
+FROM lineitem AS cc, part AS cct1, supplier AS cn, part AS ct, part AS it1,
+     part AS k, customer AS kt, lineitem AS mc, lineitem AS mi,
+     lineitem AS mk, orders AS t
+WHERE cct1.p_type = 'STANDARD'
+  AND cn.s_acctbal > 2000
+  AND it1.p_type = 'PROMO'
+  AND kt.c_mktsegment IN ('BUILDING')
+  AND mi.l_returnflag = 'N'
+  AND mi.l_quantity IS NOT NULL AND (mi.l_quantity < 15 OR mi.l_quantity > 40)
+  AND t.o_orderdate > DATE '1999-01-01'
+  AND kt.c_custkey = t.o_custkey
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = cc.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND mk.l_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = cc.l_orderkey
+  AND mi.l_orderkey = mc.l_orderkey
+  AND mi.l_orderkey = cc.l_orderkey
+  AND mc.l_orderkey = cc.l_orderkey
+  AND k.p_partkey = mk.l_partkey
+  AND it1.p_partkey = mi.l_partkey
+  AND cn.s_suppkey = mc.l_suppkey
+  AND ct.p_partkey = mc.l_partkey
+  AND cct1.p_partkey = cc.l_partkey
+"""
+_JOB4["job_23b"] = (
+    _JOB4["job_23a"]
+    .replace("'STANDARD'", "'ECONOMY'")
+    .replace("s_acctbal > 2000", "s_acctbal > 4500")
+    .replace("'PROMO'", "'LARGE'")
+    .replace("('BUILDING')", "('MACHINERY', 'HOUSEHOLD')")
+    .replace("l_returnflag = 'N'", "l_returnflag = 'R'")
+    .replace("DATE '1999-01-01'", "DATE '1997-01-01'")
+)
+
+# 12 relations, person-side star: n + an aliases, chn, rt (ref 24a).
+_JOB4["job_24a"] = """
+SELECT MIN(chn.s_name) AS voiced_char_name, MIN(n.c_name) AS voicing_actress_name,
+       MIN(t.o_orderdate) AS voiced_action_movie_jap_eng
+FROM customer AS an, supplier AS chn, lineitem AS ci, supplier AS cn,
+     part AS it, part AS k, lineitem AS mc, lineitem AS mi, lineitem AS mk,
+     customer AS n, part AS rt, orders AS t
+WHERE ci.l_returnflag IN ('A', 'N')
+  AND cn.s_acctbal >= 0
+  AND it.p_type = 'PROMO'
+  AND k.p_name IN ('red widget', 'blue bolt', 'small ring')
+  AND mi.l_quantity IS NOT NULL AND (mi.l_quantity < 12 OR mi.l_quantity > 42)
+  AND n.c_mktsegment = 'AUTOMOBILE' AND n.c_name LIKE '%1%'
+  AND rt.p_type = 'SMALL'
+  AND t.o_orderdate > DATE '1998-01-01'
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mc.l_orderkey = ci.l_orderkey
+  AND mc.l_orderkey = mi.l_orderkey
+  AND mc.l_orderkey = mk.l_orderkey
+  AND mi.l_orderkey = ci.l_orderkey
+  AND mi.l_orderkey = mk.l_orderkey
+  AND ci.l_orderkey = mk.l_orderkey
+  AND cn.s_suppkey = mc.l_suppkey
+  AND it.p_partkey = mi.l_partkey
+  AND n.c_custkey = t.o_custkey
+  AND rt.p_partkey = ci.l_partkey
+  AND n.c_custkey = an.c_custkey
+  AND chn.s_suppkey = ci.l_suppkey
+  AND k.p_partkey = mk.l_partkey
+"""
+
+# 9 relations, 4-bridge clique + dual typed dims + person dim (ref 25a).
+_JOB4["job_25a"] = """
+SELECT MIN(mi.l_shipdate) AS movie_budget, MIN(mi_idx.l_quantity) AS movie_votes,
+       MIN(n.s_name) AS male_writer, MIN(t.o_orderdate) AS violent_movie_title
+FROM lineitem AS ci, part AS it1, part AS it2, part AS k, lineitem AS mi,
+     lineitem AS mi_idx, lineitem AS mk, supplier AS n, orders AS t
+WHERE ci.l_returnflag IN ('A', 'R')
+  AND it1.p_type = 'MEDIUM'
+  AND it2.p_type = 'STANDARD'
+  AND k.p_name IN ('red widget', 'blue bolt', 'green gear', 'small ring', 'blue ring')
+  AND mi.l_linestatus = 'F'
+  AND n.s_acctbal > 0
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND ci.l_orderkey = mi.l_orderkey
+  AND ci.l_orderkey = mi_idx.l_orderkey
+  AND ci.l_orderkey = mk.l_orderkey
+  AND mi.l_orderkey = mi_idx.l_orderkey
+  AND mi.l_orderkey = mk.l_orderkey
+  AND mi_idx.l_orderkey = mk.l_orderkey
+  AND n.s_suppkey = ci.l_suppkey
+  AND it1.p_partkey = mi.l_partkey
+  AND it2.p_partkey = mi_idx.l_partkey
+  AND k.p_partkey = mk.l_partkey
+"""
+
+# 12 relations: cc bridge with dims on BOTH its keys + chained fact dim
+# (ref 26a).
+_JOB4["job_26a"] = """
+SELECT MIN(chn.s_name) AS character_name, MIN(mi_idx.l_quantity) AS rating,
+       MIN(n.c_name) AS playing_actor, MIN(t.o_orderdate) AS complete_hero_movie
+FROM lineitem AS cc, part AS cct1, supplier AS cct2, supplier AS chn,
+     lineitem AS ci, part AS it2, part AS k, nation AS kt,
+     lineitem AS mi_idx, lineitem AS mk, customer AS n, orders AS t
+WHERE cct1.p_type = 'LARGE'
+  AND cct2.s_name LIKE '%00%'
+  AND chn.s_name IS NOT NULL AND (chn.s_name LIKE '%1%' OR chn.s_name LIKE '%2%')
+  AND it2.p_type = 'MEDIUM'
+  AND k.p_name IN ('red widget', 'blue bolt', 'small ring', 'green gear',
+                   'blue gizmo', 'cold anvil', 'blue plate', 'blue rod',
+                   'cold bolt', 'cold gear')
+  AND kt.n_name LIKE 'NATION_%'
+  AND mi_idx.l_quantity > 35
+  AND t.o_orderdate > DATE '1998-01-01'
+  AND kt.n_nationkey = n.c_nationkey
+  AND n.c_custkey = t.o_custkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND t.o_orderkey = cc.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND mk.l_orderkey = ci.l_orderkey
+  AND mk.l_orderkey = cc.l_orderkey
+  AND mk.l_orderkey = mi_idx.l_orderkey
+  AND ci.l_orderkey = cc.l_orderkey
+  AND ci.l_orderkey = mi_idx.l_orderkey
+  AND cc.l_orderkey = mi_idx.l_orderkey
+  AND chn.s_suppkey = ci.l_suppkey
+  AND k.p_partkey = mk.l_partkey
+  AND cct1.p_partkey = cc.l_partkey
+  AND cct2.s_suppkey = cc.l_suppkey
+  AND it2.p_partkey = mi_idx.l_partkey
+"""
+
+# 12 relations, FIVE-bridge clique incl. the link bridge ml (ref 27a).
+_JOB4["job_27a"] = """
+SELECT MIN(cn.s_name) AS producing_company, MIN(lt.p_name) AS link_type,
+       MIN(t.o_orderdate) AS complete_western_sequel
+FROM lineitem AS cc, part AS cct1, supplier AS cct2, supplier AS cn,
+     part AS ct, part AS k, part AS lt, lineitem AS mc, lineitem AS mi,
+     lineitem AS mk, lineitem AS ml, orders AS t
+WHERE cct1.p_type IN ('SMALL', 'MEDIUM')
+  AND cct2.s_name LIKE '%0%'
+  AND cn.s_name NOT LIKE '%9%'
+  AND (cn.s_name LIKE '%01%' OR cn.s_name LIKE '%02%')
+  AND ct.p_type = 'PROMO'
+  AND k.p_name = 'red widget'
+  AND lt.p_name LIKE '%bolt%'
+  AND NULLIF(mc.l_tax, 0.0) IS NULL
+  AND mi.l_returnflag IN ('A', 'N')
+  AND t.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1999-12-31'
+  AND lt.p_partkey = ml.l_partkey
+  AND ml.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND mk.l_partkey = k.p_partkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND mc.l_partkey = ct.p_partkey
+  AND mc.l_suppkey = cn.s_suppkey
+  AND mi.l_orderkey = t.o_orderkey
+  AND t.o_orderkey = cc.l_orderkey
+  AND cct1.p_partkey = cc.l_partkey
+  AND cct2.s_suppkey = cc.l_suppkey
+  AND ml.l_orderkey = mk.l_orderkey
+  AND ml.l_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = mc.l_orderkey
+  AND ml.l_orderkey = mi.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND mc.l_orderkey = mi.l_orderkey
+  AND ml.l_orderkey = cc.l_orderkey
+  AND mk.l_orderkey = cc.l_orderkey
+  AND mc.l_orderkey = cc.l_orderkey
+  AND mi.l_orderkey = cc.l_orderkey
+"""
+
+# 14 relations, 5-bridge clique + fact-keyed dim + <>/NOT LIKE (ref 28a).
+_JOB4["job_28a"] = """
+SELECT MIN(cn.s_name) AS movie_company, MIN(mi_idx.l_quantity) AS rating,
+       MIN(t.o_orderdate) AS complete_euro_dark_movie
+FROM lineitem AS cc, part AS cct1, supplier AS cct2, supplier AS cn,
+     part AS ct, part AS it1, part AS it2, part AS k, customer AS kt,
+     lineitem AS mc, lineitem AS mi, lineitem AS mi_idx, lineitem AS mk,
+     orders AS t
+WHERE cct1.p_type = 'LARGE'
+  AND cct2.s_name <> 'Supplier#000000001'
+  AND cn.s_acctbal > 1000
+  AND it1.p_type = 'ECONOMY'
+  AND it2.p_type = 'MEDIUM'
+  AND k.p_name IN ('red widget', 'blue bolt', 'blue ring', 'green gear')
+  AND kt.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND mc.l_linestatus <> 'F' AND mc.l_discount BETWEEN 0.02 AND 0.08
+  AND mi.l_returnflag IN ('A', 'N', 'R')
+  AND mi_idx.l_quantity < 42
+  AND t.o_orderdate > DATE '1998-06-01'
+  AND kt.c_custkey = t.o_custkey
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = cc.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND mk.l_orderkey = mi_idx.l_orderkey
+  AND mk.l_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = cc.l_orderkey
+  AND mi.l_orderkey = mi_idx.l_orderkey
+  AND mi.l_orderkey = mc.l_orderkey
+  AND mi.l_orderkey = cc.l_orderkey
+  AND mc.l_orderkey = mi_idx.l_orderkey
+  AND mc.l_orderkey = cc.l_orderkey
+  AND mi_idx.l_orderkey = cc.l_orderkey
+  AND k.p_partkey = mk.l_partkey
+  AND it1.p_partkey = mi.l_partkey
+  AND it2.p_partkey = mi_idx.l_partkey
+  AND ct.p_partkey = mc.l_partkey
+  AND cn.s_suppkey = mc.l_suppkey
+  AND cct1.p_partkey = cc.l_partkey
+  AND cct2.s_suppkey = cc.l_suppkey
+"""
+_JOB4["job_28b"] = (
+    _JOB4["job_28a"]
+    .replace("cct1.p_type = 'LARGE'", "cct1.p_type = 'SMALL'")
+    .replace("'Supplier#000000001'", "'Supplier#000000002'")
+    .replace("s_acctbal > 1000", "s_acctbal > 3000")
+    .replace("'ECONOMY'", "'STANDARD'")
+    .replace("it2.p_type = 'MEDIUM'", "it2.p_type = 'PROMO'")
+    .replace("('BUILDING', 'MACHINERY')", "('FURNITURE', 'HOUSEHOLD')")
+    .replace("l_quantity < 42", "l_quantity < 30")
+    .replace("DATE '1998-06-01'", "DATE '1996-06-01'")
+)
+
+# 17 relations — the deepest graph in the suite: 5-bridge clique +
+# full person-side star + company dims + a chained nation/region leg
+# (ref 29a, the 17-relation maximum of JOB).
+_JOB4["job_29a"] = """
+SELECT MIN(chn.s_name) AS voiced_char, MIN(n.c_name) AS voicing_actress,
+       MIN(t.o_orderdate) AS voiced_animation
+FROM customer AS an, lineitem AS cc, part AS cct1, nation AS cct2,
+     supplier AS chn, lineitem AS ci, supplier AS cn, part AS it,
+     region AS it3, part AS k, lineitem AS mc, lineitem AS mi,
+     lineitem AS mk, customer AS n, orders AS pi, part AS rt, orders AS t
+WHERE cct1.p_type = 'LARGE'
+  AND cct2.n_name LIKE 'NATION_1%'
+  AND chn.s_name LIKE '%0%'
+  AND ci.l_returnflag = 'N'
+  AND cn.s_acctbal >= 0
+  AND it.p_type = 'STANDARD'
+  AND it3.r_name <> 'AFRICA'
+  AND k.p_name IN ('blue gizmo', 'red widget', 'blue bolt', 'small ring')
+  AND mi.l_quantity IS NOT NULL AND (mi.l_quantity BETWEEN 5 AND 20 OR mi.l_quantity > 40)
+  AND n.c_mktsegment = 'HOUSEHOLD' AND n.c_name LIKE '%2%'
+  AND pi.o_orderpriority = '1-URGENT'
+  AND rt.p_type = 'MEDIUM'
+  AND t.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1999-12-31'
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = cc.l_orderkey
+  AND mc.l_orderkey = ci.l_orderkey
+  AND mc.l_orderkey = mi.l_orderkey
+  AND mc.l_orderkey = mk.l_orderkey
+  AND mc.l_orderkey = cc.l_orderkey
+  AND mi.l_orderkey = ci.l_orderkey
+  AND mi.l_orderkey = mk.l_orderkey
+  AND mi.l_orderkey = cc.l_orderkey
+  AND ci.l_orderkey = mk.l_orderkey
+  AND ci.l_orderkey = cc.l_orderkey
+  AND mk.l_orderkey = cc.l_orderkey
+  AND cn.s_suppkey = mc.l_suppkey
+  AND it.p_partkey = mi.l_partkey
+  AND n.c_custkey = t.o_custkey
+  AND rt.p_partkey = ci.l_partkey
+  AND n.c_custkey = an.c_custkey
+  AND chn.s_suppkey = ci.l_suppkey
+  AND n.c_custkey = pi.o_custkey
+  AND pi.o_custkey = an.c_custkey
+  AND cct2.n_nationkey = chn.s_nationkey
+  AND it3.r_regionkey = cct2.n_regionkey
+  AND k.p_partkey = mk.l_partkey
+  AND cct1.p_partkey = cc.l_partkey
+"""
+
+# 12 relations, 5-bridge clique + person dim (ref 30a).
+_JOB4["job_30a"] = """
+SELECT MIN(mi.l_shipdate) AS movie_budget, MIN(mi_idx.l_quantity) AS movie_votes,
+       MIN(n.s_name) AS writer, MIN(t.o_orderdate) AS complete_violent_movie
+FROM lineitem AS cc, part AS cct1, supplier AS cct2, lineitem AS ci,
+     part AS it1, part AS it2, part AS k, lineitem AS mi,
+     lineitem AS mi_idx, lineitem AS mk, supplier AS n, orders AS t
+WHERE cct1.p_type IN ('SMALL', 'LARGE')
+  AND cct2.s_name LIKE '%0%'
+  AND ci.l_returnflag IN ('A', 'R')
+  AND it1.p_type = 'MEDIUM'
+  AND it2.p_type = 'STANDARD'
+  AND k.p_name IN ('red widget', 'blue bolt', 'green gear', 'small ring',
+                   'blue ring', 'cold gizmo', 'blue anvil')
+  AND mi.l_linestatus = 'F'
+  AND n.s_acctbal > 0
+  AND t.o_orderdate > DATE '1998-01-01'
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = cc.l_orderkey
+  AND ci.l_orderkey = mi.l_orderkey
+  AND ci.l_orderkey = mi_idx.l_orderkey
+  AND ci.l_orderkey = mk.l_orderkey
+  AND ci.l_orderkey = cc.l_orderkey
+  AND mi.l_orderkey = mi_idx.l_orderkey
+  AND mi.l_orderkey = mk.l_orderkey
+  AND mi.l_orderkey = cc.l_orderkey
+  AND mi_idx.l_orderkey = mk.l_orderkey
+  AND mi_idx.l_orderkey = cc.l_orderkey
+  AND mk.l_orderkey = cc.l_orderkey
+  AND n.s_suppkey = ci.l_suppkey
+  AND it1.p_partkey = mi.l_partkey
+  AND it2.p_partkey = mi_idx.l_partkey
+  AND k.p_partkey = mk.l_partkey
+  AND cct1.p_partkey = cc.l_partkey
+  AND cct2.s_suppkey = cc.l_suppkey
+"""
+
+# 11 relations, 25a + company leg with LIKE-prefix dim (ref 31a).
+_JOB4["job_31a"] = """
+SELECT MIN(mi.l_shipdate) AS movie_budget, MIN(mi_idx.l_quantity) AS movie_votes,
+       MIN(n.s_name) AS writer, MIN(t.o_orderdate) AS violent_liongate_movie
+FROM lineitem AS ci, supplier AS cn, part AS it1, part AS it2, part AS k,
+     lineitem AS mc, lineitem AS mi, lineitem AS mi_idx, lineitem AS mk,
+     supplier AS n, orders AS t
+WHERE ci.l_returnflag IN ('A', 'R')
+  AND cn.s_name LIKE 'Supplier#00000001%'
+  AND it1.p_type = 'MEDIUM'
+  AND it2.p_type = 'STANDARD'
+  AND k.p_name IN ('red widget', 'blue bolt', 'green gear', 'small ring',
+                   'blue ring', 'cold gizmo', 'blue anvil')
+  AND mi.l_linestatus = 'F'
+  AND n.s_acctbal > 0
+  AND t.o_orderkey = mi.l_orderkey
+  AND t.o_orderkey = mi_idx.l_orderkey
+  AND t.o_orderkey = ci.l_orderkey
+  AND t.o_orderkey = mk.l_orderkey
+  AND t.o_orderkey = mc.l_orderkey
+  AND ci.l_orderkey = mi.l_orderkey
+  AND ci.l_orderkey = mi_idx.l_orderkey
+  AND ci.l_orderkey = mk.l_orderkey
+  AND ci.l_orderkey = mc.l_orderkey
+  AND mi.l_orderkey = mi_idx.l_orderkey
+  AND mi.l_orderkey = mk.l_orderkey
+  AND mi.l_orderkey = mc.l_orderkey
+  AND mi_idx.l_orderkey = mk.l_orderkey
+  AND mi_idx.l_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = mc.l_orderkey
+  AND n.s_suppkey = ci.l_suppkey
+  AND it1.p_partkey = mi.l_partkey
+  AND it2.p_partkey = mi_idx.l_partkey
+  AND k.p_partkey = mk.l_partkey
+  AND cn.s_suppkey = mc.l_suppkey
+"""
+
+# 6 relations, link bridge joining TWO copies of the fact (ref 32a):
+# ml.l_orderkey -> t1, ml.l_suppkey -> t2 (o_orderkey dense 0..N, so every
+# suppkey resolves to a second order — the movie_id/linked_movie_id shape).
+_JOB4["job_32a"] = """
+SELECT MIN(lt.p_name) AS link_type, MIN(t1.o_orderdate) AS first_movie,
+       MIN(t2.o_orderdate) AS second_movie
+FROM part AS k, part AS lt, lineitem AS mk, lineitem AS ml,
+     orders AS t1, orders AS t2
+WHERE k.p_name = 'red widget'
+  AND mk.l_partkey = k.p_partkey
+  AND t1.o_orderkey = mk.l_orderkey
+  AND ml.l_orderkey = t1.o_orderkey
+  AND t2.o_orderkey = ml.l_suppkey
+  AND lt.p_partkey = ml.l_partkey
+  AND mk.l_orderkey = ml.l_orderkey
+"""
+
+# 14 relations, TWO full dimension stars around the linked facts t1/t2
+# (ref 33a/33b/33c — the join-enumeration stress maximum of the suite).
+_JOB4["job_33a"] = """
+SELECT MIN(cn1.s_name) AS first_company, MIN(cn2.s_name) AS second_company,
+       MIN(mi_idx1.l_quantity) AS first_rating, MIN(mi_idx2.l_quantity) AS second_rating,
+       MIN(t1.o_orderdate) AS first_movie, MIN(t2.o_orderdate) AS second_movie
+FROM supplier AS cn1, supplier AS cn2, part AS it1, part AS it2,
+     customer AS kt1, customer AS kt2, part AS lt, lineitem AS mc1,
+     lineitem AS mc2, lineitem AS mi_idx1, lineitem AS mi_idx2,
+     lineitem AS ml, orders AS t1, orders AS t2
+WHERE cn1.s_acctbal >= 0
+  AND it1.p_type = 'MEDIUM'
+  AND it2.p_type = 'MEDIUM'
+  AND kt1.c_mktsegment IN ('BUILDING')
+  AND kt2.c_mktsegment IN ('BUILDING')
+  AND lt.p_name IN ('red widget', 'blue bolt', 'green gear')
+  AND mi_idx2.l_quantity < 15
+  AND t2.o_orderdate BETWEEN DATE '1998-01-01' AND DATE '1999-12-31'
+  AND lt.p_partkey = ml.l_partkey
+  AND t1.o_orderkey = ml.l_orderkey
+  AND t2.o_orderkey = ml.l_suppkey
+  AND it1.p_partkey = mi_idx1.l_partkey
+  AND t1.o_orderkey = mi_idx1.l_orderkey
+  AND kt1.c_custkey = t1.o_custkey
+  AND cn1.s_suppkey = mc1.l_suppkey
+  AND t1.o_orderkey = mc1.l_orderkey
+  AND ml.l_orderkey = mi_idx1.l_orderkey
+  AND ml.l_orderkey = mc1.l_orderkey
+  AND mi_idx1.l_orderkey = mc1.l_orderkey
+  AND it2.p_partkey = mi_idx2.l_partkey
+  AND t2.o_orderkey = mi_idx2.l_orderkey
+  AND kt2.c_custkey = t2.o_custkey
+  AND cn2.s_suppkey = mc2.l_suppkey
+  AND t2.o_orderkey = mc2.l_orderkey
+  AND ml.l_suppkey = mi_idx2.l_orderkey
+  AND ml.l_suppkey = mc2.l_orderkey
+  AND mi_idx2.l_orderkey = mc2.l_orderkey
+"""
+_JOB4["job_33b"] = (
+    _JOB4["job_33a"]
+    .replace("cn1.s_acctbal >= 0", "cn1.s_name LIKE '%005%'")
+    .replace("lt.p_name IN ('red widget', 'blue bolt', 'green gear')",
+             "lt.p_name LIKE '%bolt%'")
+    .replace("mi_idx2.l_quantity < 15", "mi_idx2.l_quantity <= 10")
+    .replace("DATE '1998-01-01' AND DATE '1999-12-31'",
+             "DATE '1997-01-01' AND DATE '2000-12-31'")
+)
+_JOB4["job_33c"] = (
+    _JOB4["job_33a"]
+    .replace("cn1.s_acctbal >= 0", "cn1.s_name NOT LIKE '%000001%'")
+    .replace("it1.p_type = 'MEDIUM'", "it1.p_type = 'LARGE'")
+    .replace("it2.p_type = 'MEDIUM'", "it2.p_type = 'LARGE'")
+    .replace("kt1.c_mktsegment IN ('BUILDING')",
+             "kt1.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')")
+    .replace("kt2.c_mktsegment IN ('BUILDING')",
+             "kt2.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')")
+    .replace("mi_idx2.l_quantity < 15", "mi_idx2.l_quantity < 18")
+    .replace("DATE '1998-01-01' AND DATE '1999-12-31'",
+             "DATE '1996-01-01' AND DATE '2000-12-31'")
+)
+
+for _name, _sql in _JOB4.items():
+    _register(_name, _sql)

@@ -57,7 +57,8 @@ SHUFFLE_BUDGETS = {
         "1a", "1b", "2a", "2b", "3a", "3b", "4a", "5a", "6a", "7a", "8a",
         "9a", "10a", "10b", "10c", "11a", "12a", "13a", "14a", "15a",
         "16a", "17a", "11b", "12b", "14b", "17b", "18a", "19a", "20a",
-        "21a", "22a",
+        "21a", "22a", "23a", "23b", "24a", "25a", "26a", "27a", "28a",
+        "28b", "29a", "30a", "31a", "32a", "33a", "33b", "33c",
     )},
     # h2o window suite: no whole-table single-partition Window anywhere —
     # the budgets below are keyed/bucketed exchanges only
