@@ -44,6 +44,7 @@ _MODULES = [
     "functions_extended",
     "advanced_ops",
     "functions_spark_compat",
+    "functions_edge",
 ]
 
 

@@ -249,3 +249,88 @@ def test_random_setop_parity(spark, duck, op, lhs, rhs):
     got = sorted(tuple(r) for r in spark.sql(sql).collect())
     want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert got == want, sql
+
+
+# --- scalar edge-value fuzz (reference math.slt / cast.slt / timestamps.slt
+# corners: signed zero, NaN ordering, overflow-to-NULL TRY arithmetic,
+# calendar-interval clamping, unicode folding).  Each atom is a
+# (spark fragment, duckdb fragment) pair probed to agree; hypothesis
+# composes random column sets and optional numeric wrappers, so the corners
+# are exercised INSIDE larger expressions, not just as standalone points.
+_EDGE_ATOMS = [
+    # signed zero / NaN
+    ("CAST(-0.0 AS DOUBLE) = CAST(0.0 AS DOUBLE)",) * 2,
+    ("CAST('NaN' AS DOUBLE) > CAST('Infinity' AS DOUBLE)",) * 2,
+    ("isnan(CAST('NaN' AS DOUBLE) * 2.0)",) * 2,
+    ("try_divide(1.0, CAST('-0.0' AS DOUBLE))", "1.0/CAST('-0.0' AS DOUBLE)"),
+    # overflow-to-NULL arithmetic
+    ("try_add(9223372036854775807, CAST(1 AS BIGINT))",
+     "TRY_CAST(9223372036854775807::HUGEINT + 1 AS BIGINT)"),
+    ("try_multiply(CAST(4611686018427387904 AS BIGINT), 4)",
+     "TRY_CAST(4611686018427387904::HUGEINT * 4 AS BIGINT)"),
+    ("try_divide(CAST(1 AS BIGINT), 0)", "CAST(1 AS BIGINT)/NULLIF(0, 0)"),
+    # lossy casts
+    ("try_cast(300 AS TINYINT)", "TRY_CAST(300 AS TINYINT)"),
+    ("try_cast('12ab' AS DOUBLE)", "TRY_CAST('12ab' AS DOUBLE)"),
+    ("CAST(CAST(-2.7 AS BIGINT) AS BIGINT)", "CAST(trunc(-2.7) AS BIGINT)"),
+    ("try_cast(1e19 AS BIGINT)", "TRY_CAST(1e19 AS BIGINT)"),
+    # calendar intervals (strings so clamping is value-visible)
+    ("CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS STRING)",
+     "CAST(CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE) AS VARCHAR)"),
+    ("CAST(DATE '2024-02-29' + INTERVAL 1 YEAR AS STRING)",
+     "CAST(CAST(DATE '2024-02-29' + INTERVAL 1 YEAR AS DATE) AS VARCHAR)"),
+    # unicode folding
+    ("upper('çödé')",) * 2,
+    ("lower('ΣΟΦΟ')",) * 2,
+    ("CAST(length('👩‍👩‍👧‍👦') AS INT)", "CAST(length('👩‍👩‍👧‍👦') AS INT)"),
+    # NULL string propagation
+    ("concat('a', NULL, 'b')", "'a' || NULL || 'b'"),
+    ("concat_ws('-', 'a', NULL, 'b')",) * 2,
+]
+
+# numeric-only wrappers (applied when the atom yields a number/NULL)
+_EDGE_WRAPPERS = [
+    ("{0}",) * 2,
+    ("coalesce({0}, CAST(-1 AS BIGINT))",) * 2,
+    ("({0}) IS NULL",) * 2,
+]
+_NUMERIC_ATOM_IDXS = [4, 5, 6, 7, 10]  # BIGINT-or-NULL atoms safe to wrap
+
+
+@st.composite
+def edge_spec(draw):
+    idxs = draw(
+        st.lists(
+            st.integers(0, len(_EDGE_ATOMS) - 1), min_size=1, max_size=5, unique=True
+        )
+    )
+    wrap = draw(st.sampled_from(_EDGE_WRAPPERS))
+    return idxs, wrap
+
+
+@given(edge_spec())
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_edge_scalar_parity(spark, duck, spec):
+    idxs, wrap = spec
+    s_cols, d_cols = [], []
+    for n, i in enumerate(idxs):
+        s_frag, d_frag = _EDGE_ATOMS[i]
+        if i in _NUMERIC_ATOM_IDXS:
+            s_frag, d_frag = wrap[0].format(s_frag), wrap[1].format(d_frag)
+        s_cols.append(f"{s_frag} AS c{n}")
+        d_cols.append(f"{d_frag} AS c{n}")
+    s_sql = "SELECT " + ", ".join(s_cols)
+    d_sql = "SELECT " + ", ".join(d_cols)
+    got = tuple(spark.sql(s_sql).collect()[0])
+    want = tuple(duck.execute(d_sql).fetchone())
+    for gv, wv in zip(got, want):
+        if isinstance(gv, float) and wv is not None and gv == gv:
+            assert gv == pytest.approx(float(wv), abs=0.0), (s_sql, d_sql)
+        else:
+            assert (gv == wv) or (gv is None and wv is None) or (
+                isinstance(gv, float) and gv != gv and wv != wv
+            ), (s_sql, d_sql)
