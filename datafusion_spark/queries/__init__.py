@@ -20,6 +20,7 @@ from datafusion_spark.queries.registry import ORACLES, QUERIES, TAGS, query
 
 _MODULES = [
     "tpch",
+    "tpch_official",
     "relational",
     "window",
     "window_h2o",
