@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decoded/feature-extracted via Arrow-batched pandas over mapInPandas.
 
-The decode step is a clearly-marked STUB: real image/audio libraries are
-not available in this container, so `_decode_payload` falls back to a
-deterministic fake (bytes-derived dimensions/features) behind an
-import-try.  Everything Spark-side — the binary schema, the batch
-iterator shape, partition sizing, and the output contract — is real and
-tested; swapping the stub for PIL/torchvision changes no plumbing.
+Decode resolution order: PIL if installed → the vendored pure-stdlib PNG
+codec (png_lite.py — REAL decode, known-answer tested against generated
+payloads) → a deterministic bytes-derived fake as the last-resort fallback
+for non-PNG payloads (no audio/video codec ships in this container; those
+paths remain clearly-marked stubs).  Everything Spark-side — the binary
+schema, the batch iterator shape, partition sizing, and the output
+contract — is identical across all three paths.
 
 Scale notes: media payloads dominate row size, so batches are bounded by
 `spark.sql.execution.arrow.maxRecordsPerBatch` (bytes, not rows, are the
@@ -31,8 +32,9 @@ DECODE_SCHEMA = (
 
 
 def _decode_payload(payload: bytes) -> tuple[int, int, int, float]:
-    """STUB decode. Tries a real image decoder; falls back to deterministic
-    bytes-derived fake dimensions + feature norm."""
+    """Decode image metadata + a scalar feature: PIL if present, else the
+    vendored pure-stdlib PNG codec for real PNG payloads, else (non-image
+    bytes) a deterministic bytes-derived fake (the stub fallback)."""
     try:  # pragma: no cover - decoder not present in this container
         from PIL import Image  # noqa: F401
         import io
@@ -41,6 +43,14 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, float]:
         w, h = img.size
         return w, h, len(img.getbands()), float(sum(img.histogram()[:8]))
     except Exception:
+        pass
+    try:
+        from datafusion_spark.operators.png_lite import decode_png
+
+        w, h, channels, pixels = decode_png(payload)
+        # mean sample value in [0,1]: a real, pixel-derived feature
+        return w, h, channels, sum(pixels) / (len(pixels) * 255.0)
+    except ValueError:
         digest = hashlib.sha1(payload).digest()
         width = 64 + digest[0] % 192
         height = 64 + digest[1] % 192
@@ -128,15 +138,35 @@ def sample_frames(
 
 
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
-    """Model the documents table as a media table: text bytes stand in for
-    an encoded payload (binary column + typed metadata)."""
+    """Model the documents table as a media table.  Image rows carry REAL
+    PNG payloads (text bytes tiled into a text-length-sized pixel grid and
+    encoded with the vendored stdlib codec), so the decode path downstream
+    is exercised for real; audio/video rows keep raw text bytes (no codec
+    ships in this container — those decoders remain stubs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def png_payload(text: pd.Series) -> pd.Series:
+        from datafusion_spark.operators.png_lite import encode_png
+
+        out = []
+        for t in text:
+            data = (t or " ").encode("utf-8")
+            w = 16 + len(data) % 32
+            h = 16 + (len(data) * 7) % 32
+            pixels = bytes(data[i % len(data)] for i in range(w * h))
+            out.append(encode_png(pixels, w, h, 1))
+        return pd.Series(out)
+
     return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image/png")
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
         .otherwise("video/mp4")
         .alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, png_payload(F.col("text")))
+        .otherwise(F.col("text").cast("binary"))
+        .alias("payload"),
     )
 
 AUDIO_SCHEMA = (
@@ -238,6 +268,7 @@ def resize_normalize_images(
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(p)
                 w, h, _, _ = _decode_payload(data)
+                px = None
                 try:  # pragma: no cover - decoder not present in container
                     from PIL import Image
                     import io
@@ -246,8 +277,18 @@ def resize_normalize_images(
                     px = np.asarray(img, dtype=np.float64) / 255.0
                     h, w = px.shape
                 except Exception:
-                    buf = np.frombuffer(data or b"\x00", dtype=np.uint8)
-                    px = np.resize(buf, (h, w)).astype(np.float64) / 255.0
+                    pass
+                if px is None:
+                    try:
+                        from datafusion_spark.operators.png_lite import decode_png
+
+                        w, h, nch, pixels = decode_png(data)
+                        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, nch)
+                        # luma: mean over channels (real decoded pixels)
+                        px = arr.mean(axis=2) / 255.0
+                    except ValueError:  # non-PNG payload: stub fallback
+                        buf = np.frombuffer(data or b"\x00", dtype=np.uint8)
+                        px = np.resize(buf, (h, w)).astype(np.float64) / 255.0
                 ys = np.linspace(0, h - 1, out_h).astype(int)
                 xs = np.linspace(0, w - 1, out_w).astype(int)
                 small = px[np.ix_(ys, xs)]

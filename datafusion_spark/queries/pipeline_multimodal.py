@@ -1,5 +1,10 @@
 """Multimodal decode pipeline entries (rows-only driver check: the decode
-stub is Python-side, not SQL-expressible — see operators/multimodal.py)."""
+is Python-side, not SQL-expressible — see operators/multimodal.py).
+
+Image rows are REAL: the media table synthesizes PNG payloads with the
+vendored stdlib codec and the pipeline decodes them back (width/height/
+channels/mean from actual pixels, known-answer tested).  Audio/video
+decode remains a deterministic stub (no codec in this container)."""
 
 from __future__ import annotations
 
@@ -13,7 +18,8 @@ from datafusion_spark.queries.registry import query
 @query("multimodal_decode_features", oracle=None, tags=("pipeline", "multimodal"))
 def multimodal_decode_features(spark, sf_dir):
     """Binary payload → decoded metadata/features via Arrow-batched
-    mapInPandas (decode stubbed deterministically; plumbing real)."""
+    mapInPandas.  PNG rows decode for real (vendored stdlib codec);
+    audio/video rows use the deterministic stub fallback."""
     docs = load_table(spark, sf_dir, "documents")
     media = media_table_from_documents(docs)
     return decode_media(media)
