@@ -46,6 +46,7 @@ _MODULES = [
     "advanced_ops",
     "functions_spark_compat",
     "functions_edge",
+    "compat_sql",
 ]
 
 

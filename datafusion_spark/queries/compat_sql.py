@@ -1,0 +1,390 @@
+"""DataFusion-dialect SQL running unmodified through the compat layer.
+
+Each entry's query text is written in the REFERENCE dialect (function names
+and semantics from docs/source/user-guide/sql/scalar_functions.md /
+aggregate_functions.md; implementations under datafusion/functions*/src/),
+then translated by :func:`datafusion_spark.compat.dialect.translate_sql`
+and executed by ``spark.sql`` — exactly the path a migrating reference user
+takes via :class:`datafusion_spark.compat.SessionContext`.  The DuckDB
+oracle restates the same semantics in DuckDB's own dialect, so the gate
+verifies the TRANSLATION, not just Spark.
+
+Scale note: translation is driver-side text rewriting (µs, once per query);
+the emitted plan is ordinary Spark SQL — scans keep pushdown and pruning,
+expressions stay in whole-stage codegen.  Nothing here adds a Python
+runtime path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_spark.catalog import register_views
+from datafusion_spark.compat.dialect import translate_sql
+from datafusion_spark.queries.registry import query
+
+
+def _run(spark: SparkSession, sf_dir: str, df_sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(translate_sql(df_sql))
+
+
+@query(
+    "compat_sql_strings",
+    oracle="""
+    SELECT p_partkey,
+           CAST(strpos(p_name, 'ol') AS BIGINT) AS pos_ol,
+           starts_with(p_name, 'a')        AS sw_a,
+           ends_with(p_name, 'e')          AS ew_e,
+           to_hex(p_partkey)               AS hx,
+           split_part(p_type, ' ', 1)      AS first_tok,
+           trim('  pad  ')                 AS trimmed,
+           left(p_name, 3)                 AS l3,
+           right(p_name, 3)                AS r3,
+           CAST(length(p_name) AS BIGINT)  AS clen,
+           repeat(p_brand, 2)              AS b2
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+    tags=("compat", "strings"),
+)
+def compat_sql_strings(spark, sf_dir):
+    """Reference string spellings (functions/src/string/, unicode/):
+    strpos / starts_with / ends_with / to_hex / substr_index run through the
+    dialect translator onto instr / startswith / endswith / hex /
+    substring_index."""
+    return _run(spark, sf_dir, """
+    SELECT p_partkey,
+           CAST(strpos(p_name, 'ol') AS BIGINT) AS pos_ol,
+           starts_with(p_name, 'a')        AS sw_a,
+           ends_with(p_name, 'e')          AS ew_e,
+           to_hex(p_partkey)               AS hx,
+           substr_index(p_type, ' ', 1)    AS first_tok,
+           btrim('  pad  ')                AS trimmed,
+           left(p_name, 3)                 AS l3,
+           right(p_name, 3)                AS r3,
+           CAST(character_length(p_name) AS BIGINT) AS clen,
+           repeat(p_brand, 2)              AS b2
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """)
+
+
+@query(
+    "compat_sql_math",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(log(p_size + 1), 6)                 AS lg10,
+           ROUND(log(2, p_size + 1), 6)              AS lg2,
+           CAST(trunc(p_retailprice) AS DOUBLE)      AS tr,
+           gcd(p_partkey + 1, p_size)                AS g,
+           lcm(p_size, 6)                            AS l,
+           (CAST(p_size - p_size AS DOUBLE) = 0.0)   AS zero,
+           CAST(sign(p_size - 25) AS DOUBLE)         AS sgn,
+           ROUND(power(p_size, 2), 6)                AS sq
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+    tags=("compat", "math"),
+)
+def compat_sql_math(spark, sf_dir):
+    """Reference math spellings (functions/src/math/): UNARY log IS BASE 10
+    in DataFusion (log.rs) vs natural log in Spark — the translator rewrites
+    1-arg log to log10; numeric trunc (Spark's trunc is date-only), bounded-
+    Euclid gcd/lcm expression templates, iszero, signum."""
+    return _run(spark, sf_dir, """
+    SELECT p_partkey,
+           ROUND(log(p_size + 1), 6)               AS lg10,
+           ROUND(log(2, p_size + 1), 6)            AS lg2,
+           trunc(p_retailprice)                    AS tr,
+           gcd(p_partkey + 1, p_size)              AS g,
+           lcm(p_size, 6)                          AS l,
+           iszero(CAST(p_size - p_size AS DOUBLE)) AS zero,
+           CAST(signum(p_size - 25) AS DOUBLE)     AS sgn,
+           ROUND(power(p_size, 2), 6)              AS sq
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """)
+
+
+@query(
+    "compat_sql_arrays",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey AS k,
+             [n_nationkey, n_nationkey + 1, n_nationkey + 1, 7] AS a
+      FROM nation
+    )
+    SELECT k,
+           list_contains(a, 7)                        AS has7,
+           array_to_string(a[2:3], '|')               AS mid,
+           array_to_string(a[1:len(a) - 1], '|')      AS popped,
+           array_to_string(list_sort(a, 'DESC'), '|') AS sorted_desc,
+           array_to_string(a, '-')                    AS joined,
+           CAST(len(a) AS INT)                        AS n,
+           CAST(list_sum(a) AS DOUBLE)                AS s,
+           CAST(list_position(a, k + 1) AS BIGINT)    AS pos_first,
+           array_to_string(range(2, 6), '|')          AS r,
+           array_to_string([x * 10 FOR x IN a], '|')  AS scaled
+    FROM t ORDER BY k
+    """,
+    tags=("compat", "arrays"),
+)
+def compat_sql_arrays(spark, sf_dir):
+    """Reference array family (functions-nested/src/): make_array /
+    array_has / end-INCLUSIVE array_slice / array_pop_back / array_sort
+    ('DESC' literal) / array_to_string / array_length / array_sum /
+    array_position / end-EXCLUSIVE range / array_scale — translated onto
+    Spark's array/slice/sort_array/aggregate/transform equivalents."""
+    return _run(spark, sf_dir, """
+    WITH t AS (
+      SELECT n_nationkey AS k,
+             make_array(n_nationkey, n_nationkey + 1, n_nationkey + 1, 7) AS a
+      FROM nation
+    )
+    SELECT k,
+           array_has(a, 7)                              AS has7,
+           array_to_string(array_slice(a, 2, 3), '|')   AS mid,
+           array_to_string(array_pop_back(a), '|')      AS popped,
+           array_to_string(array_sort(a, 'DESC'), '|')  AS sorted_desc,
+           array_to_string(a, '-')                      AS joined,
+           CAST(array_length(a) AS INT)                 AS n,
+           array_sum(a)                                 AS s,
+           CAST(array_position(a, k + 1) AS BIGINT)     AS pos_first,
+           array_to_string(range(2, 6), '|')            AS r,
+           array_to_string(array_scale(a, 10), '|')     AS scaled
+    FROM t ORDER BY k
+    """)
+
+
+@query(
+    "compat_sql_vectors",
+    # The oracle restates the translator's exact arithmetic (same fold
+    # order, same double promotions) rather than DuckDB's native
+    # list_dot_product/list_distance, so the comparison stays bit-exact.
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * x)), 6)                    AS dot_self,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x - (x + 1) AS DOUBLE) * (x - (x + 1))))), 6)
+                                                                     AS dist_shift,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) / sqrt(list_sum(
+                      list_transform(embedding, y -> CAST(y AS DOUBLE) * y))))), 6)
+                                                                     AS norm_sum,
+           ROUND(1.0 - list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))
+                 / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+                    * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))), 6)
+                                                                     AS cos_self
+    FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
+    """,
+    tags=("compat", "arrays", "vectors"),
+)
+def compat_sql_vectors(spark, sf_dir):
+    """Reference vector kernels (functions-nested/src/distance.rs,
+    cosine_distance, dot_product, array_normalize): expression templates
+    over zip_with + aggregate — JVM-side, no UDF, same shape the similarity
+    pipeline uses at scale."""
+    return _run(spark, sf_dir, """
+    SELECT vec_id,
+           ROUND(dot_product(embedding, embedding), 6)            AS dot_self,
+           ROUND(array_distance(embedding,
+                 array_transform(embedding, x -> x + 1)), 6)      AS dist_shift,
+           ROUND(array_sum(array_normalize(embedding)), 6)        AS norm_sum,
+           ROUND(cosine_distance(embedding, embedding), 6)        AS cos_self
+    FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
+    """)
+
+
+@query(
+    "compat_sql_datetime",
+    oracle="""
+    SELECT event_id,
+           time_bucket(INTERVAL '15 minutes', ts)                   AS bin15,
+           time_bucket(INTERVAL '2 hours', ts)                      AS bin2h,
+           strftime(ts, '%Y-%m-%d %H:%M')                           AS txt,
+           make_timestamp(CAST(1700000000 AS BIGINT) * 1000000)     AS from_unix,
+           CAST(date_part('hour', ts) AS BIGINT)                    AS hr,
+           date_trunc('day', ts)                                    AS day_t
+    FROM events WHERE event_id < 400 ORDER BY event_id
+    """,
+    tags=("compat", "datetime"),
+)
+def compat_sql_datetime(spark, sf_dir):
+    """Reference datetime spellings (functions/src/datetime/): date_bin
+    (INTERVAL stride → exact pmod arithmetic on unix micros — integer, no
+    double rounding), chrono %-formats in to_char translated to Java
+    patterns, from_unixtime → timestamp_seconds (DataFusion returns a
+    TIMESTAMP, Spark's builtin returns a string), datepart/datetrunc
+    aliases."""
+    return _run(spark, sf_dir, """
+    SELECT event_id,
+           date_bin(INTERVAL '15 minutes', ts)                    AS bin15,
+           date_bin(INTERVAL '2 hours', ts)                       AS bin2h,
+           to_char(ts, '%Y-%m-%d %H:%M')                          AS txt,
+           from_unixtime(CAST(1700000000 AS BIGINT))              AS from_unix,
+           CAST(datepart('hour', ts) AS BIGINT)                   AS hr,
+           datetrunc('day', ts)                                   AS day_t
+    FROM events WHERE event_id < 400 ORDER BY event_id
+    """)
+
+
+@query(
+    "compat_sql_hash",
+    oracle="""
+    SELECT doc_id,
+           sha256(text)                            AS digest256_hex,
+           md5(text)                               AS md5_hex,
+           lower(hex(source))                      AS enc_hex,
+           to_base64(CAST(source AS BLOB))         AS enc_b64,
+           CAST(unhex('616263') AS VARCHAR)        AS dec_hex,
+           CAST(from_base64('YWJj') AS VARCHAR)    AS dec_b64
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+    tags=("compat", "hash"),
+)
+def compat_sql_hash(spark, sf_dir):
+    """Reference hashing/encoding (functions/src/crypto/, encoding/):
+    digest(x, 'sha256') and sha256 return BINARY in DataFusion (Spark's
+    sha2 returns a hex string — the template unhexes it); encode/decode
+    dispatch on the 'hex'/'base64' literal onto hex/base64/unhex/unbase64."""
+    return _run(spark, sf_dir, """
+    SELECT doc_id,
+           encode(digest(text, 'sha256'), 'hex')       AS digest256_hex,
+           md5(text)                                   AS md5_hex,
+           encode(source, 'hex')                       AS enc_hex,
+           encode(source, 'base64')                    AS enc_b64,
+           arrow_cast(decode('616263', 'hex'), 'Utf8') AS dec_hex,
+           arrow_cast(decode('YWJj', 'base64'), 'Utf8') AS dec_b64
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """)
+
+
+@query(
+    "compat_sql_agg",
+    oracle="""
+    WITH ids AS (
+      SELECT c_mktsegment,
+             string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS ids
+      FROM customer WHERE c_custkey < 200 GROUP BY c_mktsegment
+    ),
+    agg AS (
+      SELECT c_mktsegment,
+             ROUND(var_pop(c_acctbal), 4)                  AS vp,
+             ROUND(var_samp(c_acctbal), 4)                 AS vs,
+             ROUND(covar_samp(c_acctbal, c_custkey), 4)    AS cv,
+             ROUND(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 4) AS med,
+             bool_and(c_acctbal > -1000)                   AS ba,
+             bool_or(c_acctbal > 9000)                     AS bo,
+             bit_and(c_custkey)                            AS band,
+             bit_or(c_custkey)                             AS bor
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT agg.*, ids.ids FROM agg JOIN ids USING (c_mktsegment)
+    ORDER BY c_mktsegment
+    """,
+    tags=("compat", "aggregates"),
+)
+def compat_sql_agg(spark, sf_dir):
+    """Reference aggregate spellings (functions-aggregate/src/):
+    var_population/var_sample aliases, covar, percentile_cont(expr, p) as a
+    regular aggregate (Spark's exact `percentile`), string_agg with ORDER BY
+    → listagg WITHIN GROUP, bool/bit reducers."""
+    return _run(spark, sf_dir, """
+    WITH ids AS (
+      SELECT c_mktsegment,
+             string_agg(CAST(c_custkey AS STRING), ',' ORDER BY c_custkey) AS ids
+      FROM customer WHERE c_custkey < 200 GROUP BY c_mktsegment
+    ),
+    agg AS (
+      SELECT c_mktsegment,
+             ROUND(var_population(c_acctbal), 4)           AS vp,
+             ROUND(var_sample(c_acctbal), 4)               AS vs,
+             ROUND(covar(c_acctbal, c_custkey), 4)         AS cv,
+             ROUND(percentile_cont(c_acctbal, 0.5), 4)     AS med,
+             bool_and(c_acctbal > -1000)                   AS ba,
+             bool_or(c_acctbal > 9000)                     AS bo,
+             bit_and(c_custkey)                            AS band,
+             bit_or(c_custkey)                             AS bor
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT agg.*, ids.ids FROM agg JOIN ids USING (c_mktsegment)
+    ORDER BY c_mktsegment
+    """)
+
+
+@query(
+    "compat_sql_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_matches(text, '[0-9]+')                            AS has_num,
+           CAST(length(regexp_extract_all(text, 'the')) AS BIGINT)   AS n_the,
+           regexp_replace(left(text, 60), '[aeiou]', '_', 'g')       AS devowel
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+    tags=("compat", "regexp"),
+)
+def compat_sql_regexp(spark, sf_dir):
+    """Reference regexp family (functions/src/regex/): regexp_like /
+    regexp_count / regexp_replace with the 'g' flag (Spark replaces all
+    matches natively, so the translator drops the literal flag)."""
+    return _run(spark, sf_dir, """
+    SELECT doc_id,
+           regexp_like(text, '[0-9]+')                              AS has_num,
+           CAST(regexp_count(text, 'the') AS BIGINT)                AS n_the,
+           regexp_replace(left(text, 60), '[aeiou]', '_', 'g')      AS devowel
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """)
+
+
+@query(
+    "compat_sql_arrow_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(trunc(o_totalprice) AS BIGINT) AS p_i64,
+           CAST(o_orderkey AS VARCHAR)        AS k_str,
+           CAST(o_totalprice AS FLOAT)        AS p_f32,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bad_int
+    FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey
+    """,
+    tags=("compat", "cast"),
+)
+def compat_sql_arrow_cast(spark, sf_dir):
+    """arrow_cast / arrow_try_cast (functions/src/core/arrow_cast.rs):
+    arrow type names ('Int64', 'Utf8', 'Float32'…) mapped onto Spark CAST
+    targets; TRY variant onto TRY_CAST."""
+    return _run(spark, sf_dir, """
+    SELECT o_orderkey,
+           arrow_cast(o_totalprice, 'Int64')      AS p_i64,
+           arrow_cast(o_orderkey, 'Utf8')         AS k_str,
+           arrow_cast(o_totalprice, 'Float32')    AS p_f32,
+           arrow_try_cast(o_orderstatus, 'Int32') AS bad_int
+    FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey
+    """)
+
+
+@query(
+    "compat_ctx_session",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT)                        AS n_sup,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal,
+           CAST(strpos(min(s_name), '#') AS BIGINT)        AS tag_pos
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    tags=("compat", "api"),
+)
+def compat_ctx_session(spark, sf_dir):
+    """End-to-end SessionContext surface (core/src/execution/context/):
+    register_parquet + DataFusion-dialect ctx.sql + table() — the reference
+    user's driver program shape, one import changed."""
+    from datafusion_spark.compat import SessionContext
+
+    ctx = SessionContext(spark)
+    ctx.register_parquet("supplier", f"{sf_dir}/supplier.parquet")
+    assert ctx.table_exist("supplier") and "supplier" in ctx.tables()
+    assert len(ctx.table("supplier").columns) == 4
+    return ctx.sql("""
+    SELECT s_nationkey,
+           count(*)                                               AS n_sup,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE)  AS bal,
+           CAST(strpos(min(s_name), '#') AS BIGINT)               AS tag_pos
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """)

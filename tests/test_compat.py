@@ -1,0 +1,129 @@
+"""Unit tests for the DataFusion dialect translator + SessionContext.
+
+Translation tests are pure string-level (no Spark session); execution
+tests run translated SQL end-to-end on the shared session.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_spark.compat import SessionContext, translate_sql
+from datafusion_spark.compat.dialect import DialectError
+
+from conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# pure translation
+# ---------------------------------------------------------------------------
+
+def test_renames_and_nesting():
+    out = translate_sql("SELECT strpos(upper(name), 'X'), to_hex(k) FROM t")
+    assert "instr(upper(name), 'X')" in out
+    assert "hex(k)" in out
+
+
+def test_unary_log_is_base10():
+    assert "log10(x)" in translate_sql("SELECT log(x) FROM t")
+    assert "log(2, x)" in translate_sql("SELECT log(2, x) FROM t")
+
+
+def test_string_literals_untouched():
+    sql = "SELECT 'strpos(a, b)' AS lit, strpos(a, 'b') FROM t"
+    out = translate_sql(sql)
+    assert "'strpos(a, b)'" in out          # literal body preserved
+    assert "instr(a, 'b')" in out
+
+
+def test_comments_and_quoted_idents_untouched():
+    sql = 'SELECT "strpos" FROM t -- strpos(a, b)\n'
+    assert translate_sql(sql) == sql
+
+
+def test_array_slice_is_end_inclusive():
+    out = translate_sql("SELECT array_slice(a, 2, 4) FROM t")
+    assert "slice(a, 2, (4) - (2) + 1)" in out
+
+
+def test_range_is_end_exclusive():
+    assert "sequence(2, (6) - 1)" in translate_sql("SELECT range(2, 6)")
+
+
+def test_date_bin_interval_literal():
+    out = translate_sql(
+        "SELECT date_bin(INTERVAL '15 minutes', ts) FROM t")
+    assert "pmod(unix_micros(ts) - 0, 900000000)" in out
+    out2 = translate_sql(
+        "SELECT date_bin(INTERVAL '2' HOUR, ts, TIMESTAMP '2001-01-01') FROM t")
+    assert "7200000000" in out2 and "unix_micros(TIMESTAMP '2001-01-01')" in out2
+
+
+def test_chrono_format_translation():
+    out = translate_sql("SELECT to_char(ts, '%Y-%m-%d %H:%M:%S') FROM t")
+    assert "date_format(ts, 'yyyy-MM-dd HH:mm:ss')" in out
+    with pytest.raises(DialectError):
+        translate_sql("SELECT to_char(ts, '%Q') FROM t")
+
+
+def test_encode_decode_dispatch():
+    out = translate_sql("SELECT encode(x, 'base64'), decode(y, 'hex') FROM t")
+    assert "base64(x)" in out and "unhex(y)" in out
+    with pytest.raises(DialectError):
+        translate_sql("SELECT encode(x, fmt) FROM t")   # non-literal encoding
+
+
+def test_string_agg_order_by_becomes_listagg():
+    out = translate_sql("SELECT string_agg(n, ',' ORDER BY n DESC) FROM t")
+    assert "listagg(n, ',') WITHIN GROUP (ORDER BY n DESC)" in out
+
+
+def test_unsupported_raises_with_reason():
+    with pytest.raises(DialectError, match="TIME type"):
+        translate_sql("SELECT make_time(1, 2, 3)")
+    with pytest.raises(DialectError, match="regexp_extract_all"):
+        translate_sql("SELECT regexp_match(s, 'x') FROM t")
+
+
+def test_non_function_identifiers_pass_through():
+    # a column merely NAMED like a mapped function is not a call
+    sql = "SELECT log, strpos FROM metrics WHERE range > 2"
+    assert translate_sql(sql) == sql
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+def test_session_context_end_to_end(spark):
+    ctx = SessionContext(spark)
+    ctx.register_parquet("nation_c", f"{SF_SMALL}/nation.parquet")
+    assert ctx.table_exist("nation_c")
+    rows = ctx.sql("""
+        SELECT n_regionkey,
+               array_to_string(array_sort(array_agg(n_name)), ',') AS names,
+               gcd(CAST(min(n_nationkey) + 6 AS BIGINT), 9)        AS g
+        FROM nation_c GROUP BY n_regionkey ORDER BY n_regionkey
+    """).collect()
+    assert len(rows) == 5
+    assert all(r.g == 3 or 9 % r.g == 0 for r in rows)
+    ctx.deregister_table("nation_c")
+    assert "nation_c" not in ctx.tables()
+
+
+def test_translated_filters_still_push_down(spark):
+    # the translated query must keep parquet predicate pushdown intact
+    ctx = SessionContext(spark)
+    ctx.register_parquet("orders_c", f"{SF_SMALL}/orders.parquet")
+    df = ctx.sql(
+        "SELECT o_orderkey FROM orders_c WHERE starts_with(o_orderstatus, 'F')"
+        " AND o_orderkey < 100")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan
+
+
+def test_gcd_lcm_values(spark):
+    row = spark.sql(translate_sql(
+        "SELECT gcd(12, 18) AS g, lcm(4, 6) AS l, gcd(0, 5) AS gz,"
+        " lcm(0, 5) AS lz")).collect()[0]
+    assert (row.g, row.l, row.gz, row.lz) == (6, 12, 5, 0)

@@ -41,9 +41,21 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _sortable(v):
+    """Make unhashable cells (binary, arrays) sortable/comparable: bytes and
+    bytearray normalize to the same hex text, list/ndarray to a joined text."""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ", ".join(str(_sortable(x)) for x in v) + "]"
+    return v
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        if str(df[c].dtype) == "object":
+            df[c] = df[c].map(_sortable)
         if str(df[c].dtype).startswith("datetime"):
             # Normalize to [us]: Spark hands back datetime64[us], DuckDB
             # [ns] — a pure storage-resolution difference that would
