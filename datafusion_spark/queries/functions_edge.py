@@ -267,3 +267,115 @@ _sql_query(
     nonpositive counts to '', lpad truncates when the target is shorter,
     and split_part takes negative indexes from the end.""",
 )
+
+_sql_query(
+    "fn_edge_in_list_null",
+    spark_sql="""
+    SELECT CAST(1 IN (2, NULL) AS STRING)         AS in_miss_null,
+           CAST(1 NOT IN (2, NULL) AS STRING)     AS not_in_miss_null,
+           2 IN (2, NULL)                         AS in_hit_null,
+           CAST(NULL IN (1, 2) AS STRING)         AS null_in_list,
+           CAST(NULL NOT IN (1, 2) AS STRING)     AS null_not_in_list,
+           2 NOT IN (3, 4)                        AS not_in_clean,
+           1 IN (1.0, 2.5)                        AS in_mixed_numeric,
+           '2' IN (1, 2, 3)                       AS in_string_coerced,
+           CAST(CAST(NULL AS INT) IN (CAST(NULL AS INT)) AS STRING) AS null_in_null
+    """,
+    duck_sql="""
+    SELECT CAST(1 IN (2, NULL) AS VARCHAR)        AS in_miss_null,
+           CAST(1 NOT IN (2, NULL) AS VARCHAR)    AS not_in_miss_null,
+           2 IN (2, NULL)                         AS in_hit_null,
+           CAST(NULL IN (1, 2) AS VARCHAR)        AS null_in_list,
+           CAST(NULL NOT IN (1, 2) AS VARCHAR)    AS null_not_in_list,
+           2 NOT IN (3, 4)                        AS not_in_clean,
+           1 IN (1.0, 2.5)                        AS in_mixed_numeric,
+           '2' IN (1, 2, 3)                       AS in_string_coerced,
+           CAST(CAST(NULL AS INT) IN (CAST(NULL AS INT)) AS VARCHAR) AS null_in_null
+    """,
+    tags=("functions", "edge", "predicates"),
+    doc="""Three-valued IN-list logic (reference in_list.slt): a NULL in
+    the list turns a miss into NULL (and NOT IN into NULL — the classic
+    NOT-IN trap), a hit stays TRUE, a NULL probe is always NULL, and
+    mixed numeric / string-vs-int lists coerce before comparing.  Both
+    engines agree on every case (probed, not assumed).""",
+)
+
+_sql_query(
+    "fn_edge_type_unification",
+    spark_sql="""
+    SELECT CAST(CASE WHEN 1 = 1 THEN 1 ELSE 2.5 END AS STRING)    AS case_int_dec,
+           CAST(coalesce(CAST(NULL AS INT), 2.5) AS STRING)       AS coalesce_int_dec,
+           CAST(CAST(1.23 AS DECIMAL(5,2)) * CAST(4.5 AS DECIMAL(3,1)) AS STRING)
+                                                                  AS dec_mul_scale,
+           CAST(CAST(1.23 AS DECIMAL(5,2)) + CAST(4.555 AS DECIMAL(6,3)) AS STRING)
+                                                                  AS dec_add_scale,
+           '42' = 42                                              AS str_int_eq,
+           ' 42' = 42                                             AS str_int_ws_eq,
+           '42.5' = 42.5                                          AS str_dec_eq,
+           'v' || 7                                               AS concat_int,
+           CAST(true AS STRING)                                   AS bool_render,
+           CAST(greatest(1, 2.5) AS STRING)                       AS greatest_mixed
+    """,
+    duck_sql="""
+    SELECT CAST(CASE WHEN 1 = 1 THEN 1 ELSE 2.5 END AS VARCHAR)   AS case_int_dec,
+           CAST(coalesce(CAST(NULL AS INT), 2.5) AS VARCHAR)      AS coalesce_int_dec,
+           CAST(CAST(1.23 AS DECIMAL(5,2)) * CAST(4.5 AS DECIMAL(3,1)) AS VARCHAR)
+                                                                  AS dec_mul_scale,
+           CAST(CAST(1.23 AS DECIMAL(5,2)) + CAST(4.555 AS DECIMAL(6,3)) AS VARCHAR)
+                                                                  AS dec_add_scale,
+           '42' = 42                                              AS str_int_eq,
+           ' 42' = 42                                             AS str_int_ws_eq,
+           '42.5' = 42.5                                          AS str_dec_eq,
+           'v' || 7                                               AS concat_int,
+           CAST(true AS VARCHAR)                                  AS bool_render,
+           CAST(greatest(1, 2.5) AS VARCHAR)                      AS greatest_mixed
+    """,
+    tags=("functions", "edge", "coercion"),
+    doc="""Type-unification corners (reference type_coercion.slt,
+    string_numeric_coercion.slt, decimal.slt, case.slt): CASE/COALESCE
+    over INT+DECIMAL unify to DECIMAL (rendered to pin the scale),
+    decimal × and + follow the scale-addition / max-scale rules
+    identically in both engines, string-vs-number comparison coerces the
+    string (including leading whitespace), || stringifies numbers, and
+    greatest() unifies mixed numeric args.""",
+)
+
+_sql_query(
+    "fn_edge_div_mod_like",
+    spark_sql="""
+    SELECT -7 % 3                              AS neg_mod,
+           7 % -3                              AS mod_neg,
+           -7 div 2                            AS int_div_trunc,
+           7 div -2                            AS int_div_trunc_neg,
+           CAST(-7 AS BIGINT) / 2              AS true_div,
+           7 % NULLIF(0, 0)                    AS mod_zero_null,
+           'a_b' LIKE 'a#_b' ESCAPE '#'        AS like_escaped_us,
+           '50%' LIKE '50#%' ESCAPE '#'        AS like_escaped_pct,
+           'axb' LIKE 'a_b'                    AS like_wild_us,
+           'ab' LIKE 'a%b'                     AS like_empty_pct,
+           'AxB' LIKE 'a%'                     AS like_case_sensitive,
+           'AxB' ILIKE 'a%'                    AS ilike_case_folds
+    """,
+    duck_sql="""
+    SELECT -7 % 3                              AS neg_mod,
+           7 % -3                              AS mod_neg,
+           CAST(-7 // 2 AS BIGINT)             AS int_div_trunc,
+           CAST(7 // -2 AS BIGINT)             AS int_div_trunc_neg,
+           CAST(-7 AS BIGINT) / 2              AS true_div,
+           7 % NULLIF(0, 0)                    AS mod_zero_null,
+           'a_b' LIKE 'a#_b' ESCAPE '#'        AS like_escaped_us,
+           '50%' LIKE '50#%' ESCAPE '#'        AS like_escaped_pct,
+           'axb' LIKE 'a_b'                    AS like_wild_us,
+           'ab' LIKE 'a%b'                     AS like_empty_pct,
+           'AxB' LIKE 'a%'                     AS like_case_sensitive,
+           'AxB' ILIKE 'a%'                    AS ilike_case_folds
+    """,
+    tags=("functions", "edge", "arithmetic", "predicates"),
+    doc="""Division/modulo sign and LIKE-escape corners (reference
+    operators.md, predicates.slt): % takes the dividend's sign in both
+    engines, integer division truncates toward zero (Spark `div` ⇔ DuckDB
+    `//`), / on integers is true division (DOUBLE) in both, %-by-zero is
+    NULL-guarded via NULLIF (DuckDB raises where Spark ANSI-off returns
+    NULL — the guard pins the portable form), and custom ESCAPE characters
+    make _ and % literal identically.""",
+)

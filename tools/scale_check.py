@@ -56,6 +56,10 @@ def main() -> None:
                     help="pick the N most expensive entries from the latest bench")
     ap.add_argument("--md", default=None, help="also write a markdown slope table")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--sink", choices=["collect", "noop"], default="collect",
+                    help="collect = bench-comparable (includes driver fetch);"
+                         " noop = full distributed execution, no fetch —"
+                         " isolates the PLAN cost (write.format('noop'))")
     args = ap.parse_args()
 
     from datafusion_spark import get_spark
@@ -82,7 +86,11 @@ def main() -> None:
             runs = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, d).collect()
+                df = QUERIES[name](spark, d)
+                if args.sink == "noop":
+                    df.write.format("noop").mode("overwrite").save()
+                else:
+                    df.collect()
                 runs.append(time.perf_counter() - t0)
             per_sf[label] = round(min(runs), 3)
         out[name] = per_sf
