@@ -527,8 +527,79 @@ def _parse_args(s: str, i: int) -> tuple[list[str], int]:
     raise DialectError("unbalanced parentheses in SQL")
 
 
+# ---------------------------------------------------------------------------
+# Statement-level rewrites (run before function rewriting).
+# ---------------------------------------------------------------------------
+
+_EXT_TABLE_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"`]+)\s*"
+    r"(?P<cols>\([^)]*\)\s*)?"
+    r"STORED\s+AS\s+(?P<fmt>\w+)\s*"
+    r"(?P<header>WITH\s+HEADER\s+ROW\s*)?"
+    r"(?P<part>PARTITIONED\s+BY\s*\([^)]*\)\s*)?"
+    r"LOCATION\s+(?P<loc>'[^']+')\s*;?\s*$")
+
+_EXT_FORMATS = {"parquet": "parquet", "csv": "csv", "json": "json",
+                "ndjson": "json", "orc": "orc", "avro": "avro"}
+
+
+def _rewrite_statement(sql: str) -> str:
+    """DDL/clause-level dialect differences that aren't function calls."""
+    m = _EXT_TABLE_RE.match(sql)
+    if m:
+        fmt = _EXT_FORMATS.get(m.group("fmt").lower())
+        if fmt is None:
+            raise DialectError(
+                f"CREATE EXTERNAL TABLE: unsupported format {m.group('fmt')!r}")
+        parts = ["CREATE TABLE ", m.group("ine") or "", m.group("name"), " ",
+                 (m.group("cols") or "").strip() + (" " if m.group("cols") else ""),
+                 f"USING {fmt} "]
+        if m.group("header"):
+            parts.append("OPTIONS (header 'true') ")
+        if m.group("part"):
+            parts.append(m.group("part").strip() + " ")
+        parts.append(f"LOCATION {m.group('loc')}")
+        return "".join(parts)
+    # SELECT * EXCLUDE (a, b) / EXCLUDE a  →  Spark's * EXCEPT (a, b)
+    def _exclude(m2: re.Match) -> str:
+        body = m2.group("body")
+        if body.lstrip().startswith("("):
+            return f"{m2.group('star')} EXCEPT {body}"
+        ident = body.strip()
+        return f"{m2.group('star')} EXCEPT ({ident})"
+
+    sql = re.sub(
+        r"(?is)(?P<star>\*)\s+EXCLUDE\s*(?P<body>\([^)]*\)|[\w\"`]+)",
+        _exclude, sql)
+    # QUALIFY filters on window results; Spark needs the window in a
+    # subquery.  Refuse rather than mis-scope the predicate.
+    if _word_outside_literals(sql, "qualify"):
+        raise DialectError(
+            "QUALIFY: wrap the window expression in a subquery and filter"
+            " in the outer SELECT (Spark has no QUALIFY clause)")
+    return sql
+
+
+def _word_outside_literals(sql: str, word: str) -> bool:
+    i, n = 0, len(sql)
+    wl = len(word)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_quoted(sql, i, c)
+        elif sql[i:i + wl].lower() == word and \
+                (i == 0 or not (sql[i - 1] in _IDENT0 or sql[i - 1].isdigit())) and \
+                (i + wl >= n or not (sql[i + wl] in _IDENT0 or sql[i + wl].isdigit())):
+            return True
+        else:
+            i += 1
+    return False
+
+
 def translate_sql(sql: str) -> str:
     """Rewrite DataFusion-dialect SQL into Spark SQL (see module docs)."""
+    sql = _rewrite_statement(sql)
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:

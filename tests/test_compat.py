@@ -127,3 +127,40 @@ def test_gcd_lcm_values(spark):
         "SELECT gcd(12, 18) AS g, lcm(4, 6) AS l, gcd(0, 5) AS gz,"
         " lcm(0, 5) AS lz")).collect()[0]
     assert (row.g, row.l, row.gz, row.lz) == (6, 12, 5, 0)
+
+
+def test_create_external_table_rewrite():
+    out = translate_sql(
+        "CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION '/tmp/x.parquet'")
+    assert out == "CREATE TABLE t USING parquet LOCATION '/tmp/x.parquet'"
+    out2 = translate_sql(
+        "CREATE EXTERNAL TABLE IF NOT EXISTS c (a INT, b STRING) STORED AS CSV"
+        " WITH HEADER ROW LOCATION '/tmp/c.csv'")
+    assert "USING csv" in out2 and "OPTIONS (header 'true')" in out2
+    assert "IF NOT EXISTS" in out2 and "(a INT, b STRING)" in out2
+    with pytest.raises(DialectError, match="unsupported format"):
+        translate_sql("CREATE EXTERNAL TABLE t STORED AS DELTA LOCATION '/x'")
+
+
+def test_exclude_rewrite():
+    assert translate_sql("SELECT * EXCLUDE (a, b) FROM t") == \
+        "SELECT * EXCEPT (a, b) FROM t"
+    assert translate_sql("SELECT * EXCLUDE a FROM t") == \
+        "SELECT * EXCEPT (a) FROM t"
+
+
+def test_qualify_refused_with_hint():
+    with pytest.raises(DialectError, match="subquery"):
+        translate_sql("SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1")
+    # the word inside a string literal is not a clause
+    assert "qualify" in translate_sql("SELECT 'we qualify leads' FROM t")
+
+
+def test_external_table_executes(spark, tmp_path):
+    ctx = SessionContext(spark)
+    src = spark.range(5).toDF("k")
+    src.write.mode("overwrite").parquet(str(tmp_path / "p.parquet"))
+    ctx.sql(f"CREATE EXTERNAL TABLE ext_compat_t STORED AS PARQUET"
+            f" LOCATION '{tmp_path}/p.parquet'")
+    assert ctx.sql("SELECT count(*) AS n FROM ext_compat_t").collect()[0].n == 5
+    spark.sql("DROP TABLE ext_compat_t")
