@@ -17,9 +17,40 @@ written against the reference (function spellings, chrono formats,
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
-from datafusion_spark.compat.dialect import translate_sql
+from datafusion_spark.compat.dialect import DialectError, translate_sql
+
+_COPY_RE = re.compile(
+    r"(?is)^\s*COPY\s+(?P<src>\(.*\)|[\w.\"`]+)\s+TO\s+'(?P<path>[^']+)'\s*"
+    r"(?:STORED\s+AS\s+(?P<fmt>\w+)\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?"
+    r"(?:OPTIONS\s*\((?P<opts>.*)\)\s*)?$")
+
+_PREPARE_RE = re.compile(
+    r"(?is)^\s*PREPARE\s+(?P<name>\w+)\s*(?:\((?P<types>[^)]*)\))?\s+AS\s+(?P<body>.+)$")
+
+_EXECUTE_RE = re.compile(
+    r"(?is)^\s*EXECUTE\s+(?P<name>\w+)\s*(?:\((?P<args>.*)\))?\s*$")
+
+_SET_RE = re.compile(r"(?is)^\s*SET\s+(?P<key>[\w.]+)\s*=\s*(?P<val>.+?)\s*$")
+
+# datafusion.* config keys with a faithful Spark equivalent; everything else
+# under the datafusion. prefix raises (silently ignoring a tuning knob would
+# misrepresent what executed).
+_CONF_MAP = {
+    "datafusion.execution.target_partitions": "spark.sql.shuffle.partitions",
+    "datafusion.execution.time_zone": "spark.sql.session.timeZone",
+    "datafusion.execution.parquet.pushdown_filters": "spark.sql.parquet.filterPushdown",
+    "datafusion.execution.parquet.enable_page_index": "spark.sql.parquet.filterPushdown",
+    "datafusion.catalog.information_schema": None,   # always on in Spark
+    "datafusion.execution.batch_size": None,         # Tungsten manages batches
+}
+
+_COPY_OPT_MAP = {"format.compression": "compression", "format.has_header": "header",
+                 "compression": "compression", "has_header": "header"}
 
 
 class SessionContext:
@@ -37,6 +68,7 @@ class SessionContext:
             spark = get_spark("datafusion_compat")
         self.spark = spark
         self._tables: dict[str, DataFrame] = {}
+        self._prepared: dict[str, tuple[list[str], str]] = {}
 
     # -- registration ------------------------------------------------------
 
@@ -96,9 +128,112 @@ class SessionContext:
 
     def sql(self, query: str) -> DataFrame:
         """Run DataFusion-dialect SQL (translated to Spark SQL, then planned
-        by Catalyst — pushdown/pruning/codegen all apply)."""
+        by Catalyst — pushdown/pruning/codegen all apply).  COPY / PREPARE /
+        EXECUTE / SET statements (reference: copy.slt, prepare.slt,
+        set_variable.slt) are handled at the session level."""
+        stmt = query.strip().rstrip(";").strip()
+        head = stmt.split(None, 1)[0].lower() if stmt else ""
+        if head == "copy":
+            return self._copy(stmt)
+        if head == "prepare":
+            return self._prepare(stmt)
+        if head == "execute":
+            return self._execute(stmt)
+        if head == "set":
+            mapped = self._map_set(stmt)
+            if mapped is None:                       # recognized no-op knob
+                return self.spark.range(0)
+            return self.spark.sql(mapped)
         return self.spark.sql(translate_sql(query))
 
     # The reference spells both; keep both.
     def execute_sql(self, query: str) -> DataFrame:
         return self.sql(query)
+
+    # -- statement handlers ------------------------------------------------
+
+    def _copy(self, stmt: str) -> DataFrame:
+        """COPY src TO 'path' [STORED AS fmt] [PARTITIONED BY (...)]
+        [OPTIONS (...)] — executed as a distributed write (the 100 TB
+        terminal operation); returns the reference's one-row count."""
+        m = _COPY_RE.match(stmt)
+        if m is None:
+            raise DialectError("COPY: unrecognized syntax")
+        src, fmt = m.group("src"), (m.group("fmt") or "parquet").lower()
+        if fmt == "ndjson":
+            fmt = "json"
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise DialectError(f"COPY: unsupported format {fmt!r}")
+        df = (self.sql(src[1:-1]) if src.startswith("(")
+              else self.spark.table(src))
+        writer = df.write.mode("overwrite").format(fmt)
+        for k, v in self._copy_options(m.group("opts") or ""):
+            writer = writer.option(k, v)
+        if m.group("part"):
+            cols = [c.strip().strip('"`') for c in m.group("part").split(",")]
+            writer = writer.partitionBy(*cols)
+        writer.save(m.group("path"))
+        # row count read back from the written footers (metadata-only for
+        # parquet/orc); matches the reference's COPY result row.
+        n = self.spark.read.format(fmt).load(m.group("path")).count()
+        return self.spark.createDataFrame([(n,)], "count bigint")
+
+    @staticmethod
+    def _copy_options(opts: str) -> list[tuple[str, str]]:
+        out = []
+        for m in re.finditer(r"'([^']+)'\s+'([^']*)'", opts):
+            key = _COPY_OPT_MAP.get(m.group(1).lower())
+            if key is None:
+                raise DialectError(f"COPY: unsupported option {m.group(1)!r}")
+            val = m.group(2)
+            if key == "compression":
+                val = re.sub(r"\(.*\)$", "", val)    # 'zstd(10)' -> 'zstd'
+            out.append((key, val))
+        return out
+
+    def _prepare(self, stmt: str) -> DataFrame:
+        m = _PREPARE_RE.match(stmt)
+        if m is None:
+            raise DialectError("PREPARE: expected PREPARE name(types) AS query")
+        types = [t.strip() for t in (m.group("types") or "").split(",") if t.strip()]
+        body = translate_sql(m.group("body"))
+        used = {int(p) for p in re.findall(r"\$(\d+)", body)}
+        if used and max(used) != len(types):
+            raise DialectError(
+                f"PREPARE specifies {len(types)} data types but query has"
+                f" {max(used) if used else 0} parameters")
+        self._prepared[m.group("name").lower()] = (types, body)
+        return self.spark.range(0)
+
+    def _execute(self, stmt: str) -> DataFrame:
+        m = _EXECUTE_RE.match(stmt)
+        if m is None:
+            raise DialectError("EXECUTE: expected EXECUTE name(args)")
+        name = m.group("name").lower()
+        if name not in self._prepared:
+            raise DialectError(f"EXECUTE: no prepared statement {name!r}")
+        types, body = self._prepared[name]
+        args = [a.strip() for a in (m.group("args") or "").split(",") if a.strip()]
+        if len(args) != len(types):
+            raise DialectError(
+                f"EXECUTE {name}: expected {len(types)} arguments, got {len(args)}")
+        # substitute highest-numbered first so $10 is not clobbered by $1;
+        # each literal is cast to its declared type, exactly the reference's
+        # placeholder coercion.
+        for i in range(len(args), 0, -1):
+            body = body.replace(f"${i}", f"CAST({args[i-1]} AS {types[i-1]})")
+        return self.spark.sql(body)
+
+    def _map_set(self, stmt: str):
+        m = _SET_RE.match(stmt)
+        if m is None:
+            return stmt                              # SHOW-style SET, pass through
+        key = m.group("key")
+        if key.lower().startswith("datafusion."):
+            if key.lower() not in _CONF_MAP:
+                raise DialectError(f"SET: no Spark mapping for {key!r}")
+            mapped = _CONF_MAP[key.lower()]
+            if mapped is None:
+                return None
+            return f"SET {mapped} = {m.group('val')}"
+        return stmt

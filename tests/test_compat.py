@@ -164,3 +164,50 @@ def test_external_table_executes(spark, tmp_path):
             f" LOCATION '{tmp_path}/p.parquet'")
     assert ctx.sql("SELECT count(*) AS n FROM ext_compat_t").collect()[0].n == 5
     spark.sql("DROP TABLE ext_compat_t")
+
+
+def test_copy_statement(spark, tmp_path):
+    ctx = SessionContext(spark)
+    ctx.register_parquet("part_cp", f"{SF_SMALL}/part.parquet")
+    expected = spark.table("part_cp").filter("p_partkey < 50").count()
+    out = ctx.sql(f"COPY (SELECT p_partkey, p_brand FROM part_cp WHERE p_partkey < 50)"
+                  f" TO '{tmp_path}/out_parq' STORED AS parquet"
+                  f" OPTIONS ('format.compression' 'zstd(10)')")
+    assert out.collect()[0][0] == expected
+    back = spark.read.parquet(f"{tmp_path}/out_parq")
+    assert back.columns == ["p_partkey", "p_brand"] and back.count() == expected
+    # partitioned copy of a registered table
+    out2 = ctx.sql(f"COPY part_cp TO '{tmp_path}/out_part' STORED AS parquet"
+                   f" PARTITIONED BY (p_brand)")
+    assert out2.collect()[0][0] == spark.table("part_cp").count()
+    import os
+    assert any(d.startswith("p_brand=") for d in os.listdir(f"{tmp_path}/out_part"))
+    with pytest.raises(DialectError, match="unsupported option"):
+        ctx.sql(f"COPY part_cp TO '{tmp_path}/x' STORED AS parquet"
+                f" OPTIONS ('format.mystery' '1')")
+
+
+def test_prepare_execute(spark):
+    ctx = SessionContext(spark)
+    ctx.register_parquet("nation_pe", f"{SF_SMALL}/nation.parquet")
+    ctx.sql("PREPARE reg_n(INT) AS SELECT count(*) AS n FROM nation_pe"
+            " WHERE n_regionkey = $1")
+    assert ctx.sql("EXECUTE reg_n(2)").collect()[0].n == 5
+    assert ctx.sql("EXECUTE reg_n(99)").collect()[0].n == 0
+    with pytest.raises(DialectError, match="expected 1 arguments"):
+        ctx.sql("EXECUTE reg_n(1, 2)")
+    with pytest.raises(DialectError, match="data types"):
+        ctx.sql("PREPARE bad(INT) AS SELECT $1 + $2")
+
+
+def test_set_statement_mapping(spark):
+    ctx = SessionContext(spark)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ctx.sql("SET datafusion.execution.target_partitions = 7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        ctx.sql("SET datafusion.execution.batch_size = 8192")   # mapped no-op
+        with pytest.raises(DialectError, match="no Spark mapping"):
+            ctx.sql("SET datafusion.optimizer.unknown_knob = 1")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
