@@ -16,6 +16,9 @@ window_functions}.md (270 scalar + 46 aggregate + 11 window names).
 """
 
 from datafusion_spark.compat.context import SessionContext
+from datafusion_spark.compat.dataframe_ext import install_dataframe_compat
 from datafusion_spark.compat.dialect import translate_sql
 
-__all__ = ["SessionContext", "translate_sql"]
+install_dataframe_compat()
+
+__all__ = ["SessionContext", "translate_sql", "install_dataframe_compat"]

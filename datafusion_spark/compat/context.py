@@ -83,6 +83,13 @@ class SessionContext:
     def register_json(self, name: str, path: str, **options) -> None:
         self.register_table(name, self.spark.read.options(**options).json(path))
 
+    def register_avro(self, name: str, path: str) -> None:
+        """Avro via the pure-Python container codec (sources/avro_lite.py) —
+        the spark-avro jar isn't available offline."""
+        from datafusion_spark.sources.avro_lite import read_avro_lite
+
+        self.register_table(name, read_avro_lite(self.spark, path))
+
     def register_table(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
         self._tables[name] = df
@@ -133,6 +140,10 @@ class SessionContext:
         set_variable.slt) are handled at the session level."""
         stmt = query.strip().rstrip(";").strip()
         head = stmt.split(None, 1)[0].lower() if stmt else ""
+        if re.search(r"(?i)\binformation_schema\s*\.", stmt):
+            self._register_information_schema()
+            stmt = re.sub(r"(?i)\binformation_schema\s*\.", "information_schema_", stmt)
+            return self.spark.sql(translate_sql(stmt))
         if head == "copy":
             return self._copy(stmt)
         if head == "prepare":
@@ -223,6 +234,45 @@ class SessionContext:
         for i in range(len(args), 0, -1):
             body = body.replace(f"${i}", f"CAST({args[i-1]} AS {types[i-1]})")
         return self.spark.sql(body)
+
+    def _register_information_schema(self) -> None:
+        """ISO information_schema views (reference information_schema.md:
+        tables / columns / df_settings), synthesized from the Spark catalog.
+        Registered as ``information_schema_<name>`` temp views; ``sql``
+        rewrites the dotted reference (Spark has no information_schema)."""
+        cat = self.spark.catalog
+        tables = [
+            ("spark_catalog", "public", t.name,
+             "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "BASE TABLE")
+            for t in cat.listTables()
+        ]
+        self.spark.createDataFrame(
+            tables or [("spark_catalog", "public", "", "")],
+            "table_catalog string, table_schema string, table_name string,"
+            " table_type string",
+        ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
+        cols = []
+        for t in cat.listTables():
+            for c in cat.listColumns(t.name):
+                cols.append(("spark_catalog", "public", t.name, c.name,
+                             c.dataType, "YES" if c.nullable else "NO"))
+        self.spark.createDataFrame(
+            cols or [("spark_catalog", "public", "", "", "", "")],
+            "table_catalog string, table_schema string, table_name string,"
+            " column_name string, data_type string, is_nullable string",
+        ).filter("table_name <> ''").createOrReplaceTempView("information_schema_columns")
+        keys = ["spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+                "spark.sql.session.timeZone", "spark.sql.parquet.filterPushdown",
+                "spark.sql.autoBroadcastJoinThreshold"]
+        settings = []
+        for k in keys:
+            try:
+                settings.append((k, self.spark.conf.get(k)))
+            except Exception:  # noqa: BLE001 — unset knob
+                continue
+        self.spark.createDataFrame(
+            settings, "name string, value string"
+        ).createOrReplaceTempView("information_schema_df_settings")
 
     def _map_set(self, stmt: str):
         m = _SET_RE.match(stmt)

@@ -211,3 +211,43 @@ def test_set_statement_mapping(spark):
             ctx.sql("SET datafusion.optimizer.unknown_knob = 1")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_information_schema_views(spark):
+    ctx = SessionContext(spark)
+    ctx.register_parquet("region_is", f"{SF_SMALL}/region.parquet")
+    tabs = {r.table_name for r in
+            ctx.sql("SELECT table_name FROM information_schema.tables").collect()}
+    assert "region_is" in tabs
+    cols = ctx.sql(
+        "SELECT column_name, data_type, is_nullable FROM information_schema.columns"
+        " WHERE table_name = 'region_is' ORDER BY column_name").collect()
+    assert [c.column_name for c in cols] == ["r_name", "r_regionkey"]
+    settings = ctx.sql("SELECT * FROM information_schema.df_settings").collect()
+    assert any(s.name == "spark.sql.shuffle.partitions" for s in settings)
+
+
+def test_dataframe_compat_verbs(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(6).with_column("g", (F.col("id") % 2).cast("int"))
+    agg = df.aggregate([F.col("g")], [F.sum("id").alias("s")]).orderBy("g").collect()
+    assert [(r.g, r.s) for r in agg] == [(0, 6), (1, 9)]
+    assert df.select_columns("id").columns == ["id"]
+    assert df.with_column_renamed("g", "grp").columns == ["id", "grp"]
+    u = spark.range(3).union_distinct(spark.range(3))
+    assert u.count() == 3
+    pdf = df.to_pandas()
+    assert len(pdf) == 6
+
+
+def test_unnest_columns_positional(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30], ["a", "b"])], "k int, xs array<int>, ys array<string>")
+    out = df.unnest_columns("xs", "ys").orderBy("xs").collect()
+    # positional zip: shorter list pads with NULL
+    assert [(r.xs, r.ys) for r in out] == [(10, "a"), (20, "b"), (30, None)]
+    single = df.unnest_columns("xs")
+    assert single.count() == 3
