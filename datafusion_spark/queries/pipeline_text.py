@@ -799,3 +799,69 @@ def pipeline_end_to_end_prep(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents WHERE doc_id < 400 AND LENGTH(text) > 0) u
+      WHERE w <> ''
+    ),
+    vocab AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    total AS (SELECT SUM(c) AS n_total FROM vocab),
+    scored AS (
+      SELECT words.doc_id,
+             ROUND(-log2(CAST(vocab.c AS DOUBLE) / total.n_total), 9) AS nll
+      FROM words JOIN vocab USING (w) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_nll_bits
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality", "bench"),
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram language-model quality score (the CCNet/Gopher-style
+    perplexity proxy): train word-unigram probabilities ON the corpus
+    itself, then score each document by its mean -log2 p(word).  Documents
+    full of corpus-rare words (gibberish, boilerplate IDs, wrong-language
+    contamination) score high; formulaic duplication scores low — the
+    standard cheap filter before expensive model-based scoring.
+
+    Scale: one explode (row-local, no shuffle), one (word) count aggregate
+    with map-side partials (vocab ≪ corpus), a words↔vocab equi-join that
+    AQE broadcasts at any realistic vocab size, and a per-doc aggregate
+    that combines map-side.  Cross-engine determinism: each word's
+    -log2 p is ROUNDed to 9 dp (absorbing last-ulp libm differences),
+    then per-doc sums accumulate in DECIMAL(38,12) — exact and
+    order-independent (SURVEY §4 money rule applied to log-space)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & (F.length("text") > 0))
+    words = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda w: w != "")).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    scored = (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "nll",
+            F.round(-F.log2(F.col("c").cast("double") / F.col("n_total")), 9),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("avg_nll_bits"),
+    )
