@@ -70,6 +70,13 @@ SHUFFLE_BUDGETS = {
     "sort_pushdown_topk_asc": 0,     # TakeOrderedAndProject: zero exchanges
     "sort_pushdown_topk_desc": 0,
     "sort_pushdown_topk_wide": 0,
+    # official-schema TPC-H on derived columns (audited at tuning time):
+    "tpch_official_q4": 2,    # EXISTS semi join + priority agg
+    "tpch_official_q12": 2,   # lineitem-orders join + shipmode agg
+    "tpch_official_q21": 1,   # semi+anti co-partitioned on l_orderkey; dims broadcast
+    # corpus-unigram LM scoring: explode + vocab agg + words-vocab join +
+    # per-doc agg (static plan; AQE broadcasts the vocab side at runtime)
+    "text_unigram_logprob": 7,
 }
 
 BROADCAST_EXPECTED = [
