@@ -187,6 +187,10 @@ _INTERVAL_UNIT_US = {
 }
 
 
+def _raise(exc: Exception):
+    raise exc
+
+
 def _lit_str(arg: str) -> str | None:
     """The python value of a simple '...' literal argument, else None."""
     a = arg.strip()
@@ -388,6 +392,11 @@ TEMPLATES: dict[str, object] = {
     "arrow_try_cast": lambda a: _t_arrow_cast(a, try_=True),
     "arrow_typeof": lambda a: f"typeof({a[0]})",
     "regexp_replace": _t_regexp_replace,
+    "regexp_like": lambda a: (
+        f"regexp_like({a[0]}, {a[1]})" if len(a) == 2
+        else (f"regexp_like({a[0]}, '(?i)' || {a[1]})"
+              if (_lit_str(a[2]) or "") == "i"
+              else (_raise(DialectError("regexp_like: only the 'i' flag literal maps"))))),
     "string_agg": _t_string_agg,
     "approx_median": lambda a: f"percentile_approx({a[0]}, 0.5)",
     # arrays

@@ -379,3 +379,42 @@ _sql_query(
     NULL — the guard pins the portable form), and custom ESCAPE characters
     make _ and % literal identically.""",
 )
+
+_sql_query(
+    "fn_edge_struct_map",
+    spark_sql="""
+    SELECT CAST((named_struct('a', 1, 'b', 'x')).a AS BIGINT)          AS field_access,
+           named_struct('a', 1) = named_struct('a', 1)                 AS struct_eq,
+           named_struct('a', 1, 'b', 2) < named_struct('a', 1, 'b', 3) AS struct_lt,
+           CAST(element_at(map_from_arrays(array('k'), array(7)), 'k')
+                AS STRING)                                             AS map_hit,
+           CAST(element_at(map_from_arrays(array('k'), array(CAST(NULL AS INT))),
+                'k') AS STRING)                                        AS map_null_val,
+           array_join(map_keys(map_from_arrays(array('b', 'a'),
+                array(1, 2))), ',')                                    AS map_key_order,
+           CAST(cardinality(map_from_arrays(array('x', 'y'),
+                array(1, 2))) AS BIGINT)                               AS map_size,
+           (named_struct('a', CAST(NULL AS INT))).a IS NULL            AS null_field
+    """,
+    duck_sql="""
+    SELECT CAST((struct_pack(a := 1, b := 'x')).a AS BIGINT)           AS field_access,
+           struct_pack(a := 1) = struct_pack(a := 1)                   AS struct_eq,
+           struct_pack(a := 1, b := 2) < struct_pack(a := 1, b := 3)   AS struct_lt,
+           CAST(element_at(map(['k'], [7]), 'k')[1] AS VARCHAR)        AS map_hit,
+           CAST(element_at(map(['k'], [CAST(NULL AS INT)]), 'k')[1]
+                AS VARCHAR)                                            AS map_null_val,
+           array_to_string(map_keys(map(['b', 'a'], [1, 2])), ',')     AS map_key_order,
+           CAST(cardinality(map(['x', 'y'], [1, 2])) AS BIGINT)        AS map_size,
+           (struct_pack(a := CAST(NULL AS INT))).a IS NULL             AS null_field
+    """,
+    tags=("functions", "edge", "nested"),
+    doc="""Struct/map point semantics (reference struct.slt,
+    dictionary_struct.slt, map.slt in sqllogictest): field access through a
+    literal struct, struct equality and LEXICOGRAPHIC struct ordering
+    (field order decides), map insertion-order preservation (keys 'b','a'
+    stay 'b,a' in both engines — neither sorts), NULL-valued key lookup vs
+    missing key (the missing-key case is EXCLUDED: Spark returns NULL where
+    DuckDB returns an empty list — an engine-identity divergence documented
+    here), and NULL struct fields.  DuckDB's map extraction returns a
+    single-element list — the oracle indexes [1] to match Spark's scalar.""",
+)

@@ -251,3 +251,11 @@ def test_unnest_columns_positional(spark):
     assert [(r.xs, r.ys) for r in out] == [(10, "a"), (20, "b"), (30, None)]
     single = df.unnest_columns("xs")
     assert single.count() == 3
+
+
+def test_regexp_like_flags(spark):
+    out = translate_sql("SELECT regexp_like('AbC', 'abc', 'i') AS x")
+    assert "(?i)" in out
+    assert spark.sql(out).collect()[0].x is True
+    with pytest.raises(DialectError, match="'i' flag"):
+        translate_sql("SELECT regexp_like(s, p, 'x') FROM t")
