@@ -1110,3 +1110,142 @@ _JOB4["job_33c"] = (
 
 for _name, _sql in _JOB4.items():
     _register(_name, _sql)
+
+# --- c/d variants for families 1-10 (ref 1c.sql, 1d.sql, 2c, 2d, 3c, 4b, 4c,
+# 5b, 5c, 6b, 6c, 6d, 7b, 7c, 8b, 8c, 8d, 9b, 9c, 9d): the reference's
+# within-family variants keep the join graph IDENTICAL and move only the
+# predicate constants/selectivities (tighter LIKE pairs, different country
+# codes, shifted year windows, broader/narrower IN-lists) — that is exactly
+# what stresses a cost-based reorderer, because cardinality estimates shift
+# while the graph does not.  Derived here the same way (textual predicate
+# substitution on the family base), so graph identity is guaranteed.
+_JOB5: dict[str, str] = {}
+
+_JOB5["job_1c"] = (
+    _JOB["job_1a"]
+    .replace("mc.l_returnflag <> 'R' AND (mc.l_linestatus = 'O' OR mc.l_discount > 0.05)",
+             "mc.l_returnflag NOT IN ('R') AND mc.l_linestatus LIKE 'O%'")
+    .replace("it.p_type = 'PROMO'", "it.p_type = 'STANDARD'")
+    .replace("ct.s_acctbal > 5000", "ct.s_acctbal > 8000")
+)
+_JOB5["job_1d"] = (
+    _JOB["job_1b"]
+    .replace("it.p_type = 'ECONOMY'", "it.p_type = 'LARGE'")
+    .replace("mc.l_quantity < 10", "mc.l_quantity < 5")
+    .replace("DATE '1996-01-01' AND DATE '1998-12-31'",
+             "DATE '1999-01-01' AND DATE '2001-12-31'")
+)
+_JOB5["job_2c"] = (
+    _JOB["job_2a"]
+    .replace("cn.n_name = 'NATION_7'", "cn.n_name = 'NATION_12'")
+    .replace("k.p_name = 'red widget'", "k.p_name = 'small gear'")
+)
+_JOB5["job_2d"] = (
+    _JOB["job_2a"]
+    .replace("cn.n_name = 'NATION_7'", "cn.n_name = 'NATION_21'")
+    .replace("k.p_name = 'red widget'", "k.p_name = 'hot ring'")
+)
+_JOB5["job_3c"] = (
+    _JOB["job_3a"]
+    .replace("k.p_name LIKE '%widget%'", "k.p_name LIKE '%gear%'")
+    .replace("mi.l_returnflag IN ('A', 'N')", "mi.l_returnflag IN ('R')")
+    .replace("DATE '1998-01-01'", "DATE '2001-01-01'")
+)
+_JOB5["job_4b"] = (
+    _JOB["job_4a"]
+    .replace("it.p_type = 'STANDARD'", "it.p_type = 'PROMO'")
+    .replace("mi_idx.l_quantity > 25", "mi_idx.l_quantity > 45")
+    .replace("DATE '1999-01-01'", "DATE '2000-06-01'")
+)
+_JOB5["job_4c"] = (
+    _JOB["job_4a"]
+    .replace("k.p_name LIKE '%ring%'", "k.p_name LIKE '%wid%'")
+    .replace("mi_idx.l_quantity > 25", "mi_idx.l_quantity > 10")
+)
+_JOB5["job_5b"] = (
+    _JOB["job_5a"]
+    .replace("mc.l_discount >= 0.05 AND mc.l_discount <= 0.07",
+             "mc.l_discount >= 0.08 AND mc.l_discount <= 0.10")
+    .replace("DATE '1997-01-01'", "DATE '2000-01-01'")
+)
+_JOB5["job_5c"] = (
+    _JOB["job_5a"]
+    .replace("mi.l_returnflag IN ('A', 'N', 'R')", "mi.l_returnflag IN ('A')")
+    .replace("ct.s_name LIKE '%001%'", "ct.s_name LIKE '%002%'")
+    .replace("DATE '1997-01-01'", "DATE '1995-06-01'")
+)
+_JOB5["job_6b"] = (
+    _JOB["job_6a"]
+    .replace("k.p_name = 'small ring'", "k.p_name = 'large rod'")
+    .replace("n.s_name LIKE '%00001%'", "n.s_name LIKE '%00002%'")
+    .replace("DATE '1996-06-01'", "DATE '1999-06-01'")
+)
+_JOB5["job_6c"] = (
+    _JOB["job_6a"]
+    .replace("k.p_name = 'small ring'", "k.p_name = 'red widget'")
+    .replace("n.s_name LIKE '%00001%'", "n.s_name LIKE '%0001%'")
+    .replace("DATE '1996-06-01'", "DATE '2000-01-01'")
+)
+_JOB5["job_6d"] = (
+    _JOB["job_6a"]
+    .replace("k.p_name = 'small ring'", "k.p_name = 'hot bolt'")
+    .replace("DATE '1996-06-01'", "DATE '1995-01-01'")
+)
+_JOB5["job_7b"] = (
+    _JOB["job_7a"]
+    .replace("it.p_type = 'MEDIUM'", "it.p_type = 'SMALL'")
+    .replace("AND (n.c_mktsegment = 'BUILDING'\n"
+             "       OR (n.c_mktsegment = 'AUTOMOBILE' AND n.c_name LIKE '%2%'))",
+             "AND n.c_mktsegment = 'HOUSEHOLD'")
+    .replace("BETWEEN 'Customer#000000100' AND 'Customer#000000600'",
+             "BETWEEN 'Customer#000000050' AND 'Customer#000000250'")
+)
+_JOB5["job_7c"] = (
+    _JOB["job_7a"]
+    .replace("lt.r_name = 'ASIA'", "lt.r_name = 'EUROPE'")
+    .replace("pi.o_orderpriority = '1-URGENT'", "pi.o_orderpriority = '2-HIGH'")
+    .replace("BETWEEN 'Customer#000000100' AND 'Customer#000000600'",
+             "BETWEEN 'Customer#000000100' AND 'Customer#000001500'")
+)
+_JOB5["job_8b"] = (
+    _JOB["job_8a"]
+    .replace("cn.n_name = 'NATION_11'", "cn.n_name = 'NATION_3'")
+    .replace("rt.p_type = 'LARGE'", "rt.p_type = 'SMALL'")
+)
+_JOB5["job_8c"] = (
+    _JOB["job_8a"]
+    .replace("n1.c_name LIKE '%3%' AND n1.c_name NOT LIKE '%8%'",
+             "n1.c_name LIKE '%4%'")
+    .replace("mc.l_discount >= 0.02 AND mc.l_tax < 0.05",
+             "mc.l_discount >= 0.01 AND mc.l_tax < 0.08")
+)
+_JOB5["job_8d"] = (
+    _JOB["job_8a"]
+    .replace("cn.n_name = 'NATION_11'", "cn.n_name LIKE 'NATION_2%'")
+    .replace("mc.l_discount >= 0.02 AND mc.l_tax < 0.05",
+             "mc.l_discount >= 0.05 AND mc.l_tax < 0.05")
+)
+_JOB5["job_9b"] = (
+    _JOB["job_9a"]
+    .replace("n.c_mktsegment = 'FURNITURE' AND n.c_name LIKE '%5%'",
+             "n.c_mktsegment = 'MACHINERY' AND n.c_name LIKE '%5%'")
+    .replace("rt.p_type = 'SMALL'", "rt.p_type = 'PROMO'")
+    .replace("cn.n_name = 'NATION_19'", "cn.n_name = 'NATION_6'")
+)
+_JOB5["job_9c"] = (
+    _JOB["job_9a"]
+    .replace("n.c_mktsegment = 'FURNITURE' AND n.c_name LIKE '%5%'",
+             "n.c_mktsegment = 'FURNITURE' AND n.c_name LIKE '%7%'")
+    .replace("mc.l_quantity BETWEEN 5 AND 40", "mc.l_quantity BETWEEN 10 AND 20")
+)
+_JOB5["job_9d"] = (
+    _JOB["job_9a"]
+    .replace("n.c_mktsegment = 'FURNITURE' AND n.c_name LIKE '%5%'",
+             "n.c_name LIKE '%5%'")
+    .replace("DATE '1996-01-01' AND DATE '2000-12-31'",
+             "DATE '1995-01-01' AND DATE '2001-12-31'")
+)
+
+for _name, _sql in _JOB5.items():
+    assert _sql not in _JOB.values(), f"{_name}: replace() did not change the base"
+    _register(_name, _sql)

@@ -59,6 +59,8 @@ SHUFFLE_BUDGETS = {
         "16a", "17a", "11b", "12b", "14b", "17b", "18a", "19a", "20a",
         "21a", "22a", "23a", "23b", "24a", "25a", "26a", "27a", "28a",
         "28b", "29a", "30a", "31a", "32a", "33a", "33b", "33c",
+        "1c", "1d", "2c", "2d", "3c", "4b", "4c", "5b", "5c", "6b", "6c",
+        "6d", "7b", "7c", "8b", "8c", "8d", "9b", "9c", "9d",
     )},
     # h2o window suite: no whole-table single-partition Window anywhere —
     # the budgets below are keyed/bucketed exchanges only
