@@ -1249,3 +1249,310 @@ _JOB5["job_9d"] = (
 for _name, _sql in _JOB5.items():
     assert _sql not in _JOB.values(), f"{_name}: replace() did not change the base"
     _register(_name, _sql)
+
+# --- remaining reference variants (11c..32b): completes the 113-query JOB
+# suite.  Same derivation rule as _JOB5: identical join graph per family,
+# predicate constants/selectivities moved per the reference's variant files
+# (each asserted to differ from every other entry at registration).
+_JOB6: dict[str, str] = {}
+
+_JOB6["job_11c"] = (
+    _JOB2["job_11a"]
+    .replace("nn.n_name <> 'NATION_5'", "nn.n_name <> 'NATION_17'")
+    .replace("ct.p_type = 'PROMO'", "ct.p_type = 'MEDIUM'")
+    .replace("k.p_name = 'red widget'", "k.p_name = 'hot plate'")
+    .replace("lt.p_name LIKE '%bolt%'", "lt.p_name LIKE '%rod%'")
+)
+_JOB6["job_11d"] = (
+    _JOB2["job_11a"]
+    .replace("(cn.s_name LIKE '%001%' OR cn.s_name LIKE '%002%')",
+             "cn.s_name LIKE '%00%'")
+    .replace("NULLIF(mc.l_tax, 0.0) IS NULL", "mc.l_tax >= 0.0")
+    .replace("DATE '1995-01-01' AND DATE '2000-12-31'",
+             "DATE '1996-01-01' AND DATE '1999-12-31'")
+)
+_JOB6["job_12c"] = (
+    _JOB2["job_12a"]
+    .replace("nn.n_name = 'NATION_4'", "nn.n_name = 'NATION_23'")
+    .replace("it1.p_type = 'MEDIUM'", "it1.p_type = 'SMALL'")
+    .replace("mi_idx.l_quantity > 40", "mi_idx.l_quantity > 20")
+    .replace("mi.l_returnflag IN ('A', 'N')", "mi.l_returnflag IN ('R')")
+)
+_JOB6["job_13b"] = (
+    _JOB2["job_13a"]
+    .replace("nn.n_name = 'NATION_8'", "nn.n_name = 'NATION_16'")
+    .replace("kt.r_name = 'ASIA'", "kt.r_name = 'AMERICA'")
+    .replace("it.p_type = 'STANDARD'", "it.p_type = 'LARGE'")
+)
+_JOB6["job_13c"] = (
+    _JOB2["job_13a"]
+    .replace("ct.p_type = 'PROMO'", "ct.p_type = 'SMALL'")
+    .replace("it2.p_type = 'ECONOMY'", "it2.p_type = 'MEDIUM'")
+    .replace("kt.r_name = 'ASIA'", "kt.r_name = 'EUROPE'")
+)
+_JOB6["job_13d"] = (
+    _JOB2["job_13a"]
+    .replace("nn.n_name = 'NATION_8'", "nn.n_name LIKE 'NATION_2%'")
+    .replace("kt.r_name = 'ASIA'", "kt.r_name <> 'ASIA'")
+)
+_JOB6["job_14c"] = (
+    _JOB2["job_14a"]
+    .replace("it1.p_type = 'LARGE'", "it1.p_type = 'ECONOMY'")
+    .replace("mi_idx.l_quantity < 45", "mi_idx.l_quantity < 15")
+    .replace("('red widget', 'blue bolt', 'small ring', 'green gear')",
+             "('hot plate', 'old rod', 'blue ring')")
+    .replace("DATE '1998-01-01'", "DATE '1995-06-01'")
+)
+_JOB6["job_15b"] = (
+    _JOB2["job_15a"]
+    .replace("nn.n_name = 'NATION_6'", "nn.n_name = 'NATION_18'")
+    .replace("mc.l_discount >= 0.03 AND mc.l_discount <= 0.08",
+             "mc.l_discount >= 0.06 AND mc.l_discount <= 0.09")
+    .replace("DATE '1996-01-01'", "DATE '1999-01-01'")
+)
+_JOB6["job_15c"] = (
+    _JOB2["job_15a"]
+    .replace("it1.p_type = 'ECONOMY'", "it1.p_type = 'STANDARD'")
+    .replace("mi.l_quantity BETWEEN 10 AND 45", "mi.l_quantity BETWEEN 25 AND 50")
+)
+_JOB6["job_15d"] = (
+    _JOB2["job_15a"]
+    .replace("nn.n_name = 'NATION_6'", "nn.n_name LIKE 'NATION_1%'")
+    .replace("DATE '1996-01-01'", "DATE '1995-01-01'")
+)
+_JOB6["job_16b"] = (
+    _JOB2["job_16a"]
+    .replace("cn.n_name = 'NATION_9'", "cn.n_name = 'NATION_24'")
+    .replace("k.p_name = 'small ring'", "k.p_name = 'red plate'")
+    .replace("t.o_totalprice >= 50000 AND t.o_totalprice < 200000",
+             "t.o_totalprice >= 100000 AND t.o_totalprice < 300000")
+)
+_JOB6["job_16c"] = (
+    _JOB2["job_16a"]
+    .replace("k.p_name = 'small ring'", "k.p_name = 'small widget'")
+    .replace("t.o_totalprice >= 50000 AND t.o_totalprice < 200000",
+             "t.o_totalprice >= 20000 AND t.o_totalprice < 120000")
+)
+_JOB6["job_16d"] = (
+    _JOB2["job_16a"]
+    .replace("cn.n_name = 'NATION_9'", "cn.n_name LIKE 'NATION_1%'")
+    .replace("t.o_totalprice >= 50000 AND t.o_totalprice < 200000",
+             "t.o_totalprice >= 50000")
+)
+_JOB6["job_17c"] = (
+    _JOB2["job_17a"]
+    .replace("n.c_name LIKE 'Customer#0000001%'", "n.c_name LIKE 'Customer#0000002%'")
+    .replace("k.p_name = 'blue bolt'", "k.p_name = 'hot gizmo'")
+)
+_JOB6["job_17d"] = (
+    _JOB2["job_17a"]
+    .replace("cn.n_name = 'NATION_12'", "cn.n_name = 'NATION_2'")
+    .replace("n.c_name LIKE 'Customer#0000001%'", "n.c_name LIKE 'Customer#00000005%'")
+)
+_JOB6["job_17e"] = (
+    _JOB2["job_17a"]
+    .replace("cn.n_name = 'NATION_12'", "cn.n_name LIKE 'NATION_%'")
+    .replace("k.p_name = 'blue bolt'", "k.p_name = 'old rod'")
+)
+_JOB6["job_17f"] = (
+    _JOB2["job_17a"]
+    .replace("n.c_name LIKE 'Customer#0000001%'", "n.c_name LIKE '%00003%'")
+    .replace("k.p_name = 'blue bolt'", "k.p_name = 'blue ring'")
+)
+_JOB6["job_18b"] = (
+    _JOB3["job_18a"]
+    .replace("ci.l_returnflag IN ('A', 'R')", "ci.l_returnflag IN ('N')")
+    .replace("it1.p_type = 'PROMO'", "it1.p_type = 'SMALL'")
+    .replace("n.s_acctbal > 0 AND n.s_name LIKE '%7%'",
+             "n.s_acctbal > 2000 AND n.s_name LIKE '%3%'")
+)
+_JOB6["job_18c"] = (
+    _JOB3["job_18a"]
+    .replace("it2.p_type = 'STANDARD'", "it2.p_type = 'LARGE'")
+    .replace("n.s_acctbal > 0 AND n.s_name LIKE '%7%'", "n.s_acctbal > 0")
+)
+_JOB6["job_19b"] = (
+    _JOB3["job_19a"]
+    .replace("cn.n_name = 'NATION_15'", "cn.n_name = 'NATION_7'")
+    .replace("it.p_type = 'MEDIUM'", "it.p_type = 'LARGE'")
+    .replace("n.c_mktsegment = 'HOUSEHOLD' AND n.c_name LIKE '%9%'",
+             "n.c_mktsegment = 'BUILDING' AND n.c_name LIKE '%4%'")
+)
+_JOB6["job_19c"] = (
+    _JOB3["job_19a"]
+    .replace("(mi.l_quantity < 15 OR mi.l_quantity > 35)",
+             "(mi.l_quantity < 8 OR mi.l_quantity > 44)")
+    .replace("DATE '1996-01-01' AND DATE '2000-12-31'",
+             "DATE '1998-01-01' AND DATE '2001-12-31'")
+)
+_JOB6["job_19d"] = (
+    _JOB3["job_19a"]
+    .replace("n.c_mktsegment = 'HOUSEHOLD' AND n.c_name LIKE '%9%'",
+             "n.c_name LIKE '%9%'")
+    .replace("rt.p_type = 'SMALL'", "rt.p_type = 'ECONOMY'")
+)
+_JOB6["job_20b"] = (
+    _JOB3["job_20a"]
+    .replace("kt.p_type = 'LARGE'", "kt.p_type = 'MEDIUM'")
+    .replace("chn.s_name NOT LIKE '%9%'", "chn.s_name NOT LIKE '%8%'")
+    .replace("DATE '1995-06-01'", "DATE '1998-06-01'")
+)
+_JOB6["job_20c"] = (
+    _JOB3["job_20a"]
+    .replace("cct1.n_name LIKE 'NATION_1%'", "cct1.n_name LIKE 'NATION_2%'")
+    .replace("('red widget', 'blue bolt', 'small ring', 'green gear',\n"
+             "                   'large cog')",
+             "('red plate', 'hot ring', 'old rod')")
+)
+_JOB6["job_21b"] = (
+    _JOB3["job_21a"]
+    .replace("nn.n_name <> 'NATION_5'", "nn.n_name <> 'NATION_11'")
+    .replace("k.p_name = 'red widget'", "k.p_name = 'blue widget'")
+    .replace("mi.l_returnflag IN ('A', 'N')", "mi.l_returnflag IN ('R')")
+)
+_JOB6["job_21c"] = (
+    _JOB3["job_21a"]
+    .replace("lt.p_name LIKE '%bolt%'", "lt.p_name LIKE '%plate%'")
+    .replace("DATE '1995-01-01' AND DATE '2000-12-31'",
+             "DATE '1997-01-01' AND DATE '2001-12-31'")
+)
+_JOB6["job_22b"] = (
+    _JOB3["job_22a"]
+    .replace("nn.n_name <> 'NATION_0'", "nn.n_name <> 'NATION_13'")
+    .replace("it1.p_type = 'LARGE'", "it1.p_type = 'PROMO'")
+    .replace("mi_idx.l_quantity < 35", "mi_idx.l_quantity < 20")
+)
+_JOB6["job_22c"] = (
+    _JOB3["job_22a"]
+    .replace("('red widget', 'blue bolt', 'small ring', 'green gear')",
+             "('red plate', 'small widget', 'hot bolt')")
+    .replace("DATE '1997-01-01'", "DATE '1995-01-01'")
+)
+_JOB6["job_22d"] = (
+    _JOB3["job_22a"]
+    .replace("mc.l_discount >= 0.01 AND mc.l_returnflag <> 'R'",
+             "mc.l_discount >= 0.04 AND mc.l_returnflag <> 'A'")
+    .replace("it2.p_type = 'SMALL'", "it2.p_type = 'ECONOMY'")
+)
+_JOB6["job_23c"] = (
+    _JOB4["job_23a"]
+    .replace("kt.c_mktsegment IN ('BUILDING')", "kt.c_mktsegment IN ('FURNITURE')")
+    .replace("mi.l_returnflag = 'N'", "mi.l_returnflag = 'A'")
+    .replace("(mi.l_quantity < 15 OR mi.l_quantity > 40)",
+             "(mi.l_quantity < 25 OR mi.l_quantity > 45)")
+    .replace("DATE '1999-01-01'", "DATE '2000-01-01'")
+)
+_JOB6["job_24b"] = (
+    _JOB4["job_24a"]
+    .replace("n.c_mktsegment = 'AUTOMOBILE' AND n.c_name LIKE '%1%'",
+             "n.c_mktsegment = 'MACHINERY' AND n.c_name LIKE '%8%'")
+    .replace("('red widget', 'blue bolt', 'small ring')",
+             "('hot plate', 'large rod')")
+    .replace("it.p_type = 'PROMO'", "it.p_type = 'ECONOMY'")
+)
+_JOB6["job_25b"] = (
+    _JOB4["job_25a"]
+    .replace("it1.p_type = 'MEDIUM'", "it1.p_type = 'PROMO'")
+    .replace("mi.l_linestatus = 'F'", "mi.l_linestatus = 'O'")
+    .replace("('red widget', 'blue bolt', 'green gear', 'small ring', 'blue ring')",
+             "('red plate', 'hot ring')")
+)
+_JOB6["job_25c"] = (
+    _JOB4["job_25a"]
+    .replace("ci.l_returnflag IN ('A', 'R')", "ci.l_returnflag IN ('N')")
+    .replace("n.s_acctbal > 0", "n.s_acctbal > 3000")
+)
+_JOB6["job_26b"] = (
+    _JOB4["job_26a"]
+    .replace("cct1.p_type = 'LARGE'", "cct1.p_type = 'ECONOMY'")
+    .replace("mi_idx.l_quantity > 35", "mi_idx.l_quantity > 45")
+    .replace("DATE '1998-01-01'", "DATE '2000-06-01'")
+)
+_JOB6["job_26c"] = (
+    _JOB4["job_26a"]
+    .replace("it2.p_type = 'MEDIUM'", "it2.p_type = 'SMALL'")
+    .replace("(chn.s_name LIKE '%1%' OR chn.s_name LIKE '%2%')",
+             "(chn.s_name LIKE '%3%' OR chn.s_name LIKE '%4%')")
+)
+_JOB6["job_27b"] = (
+    _JOB4["job_27a"]
+    .replace("cct1.p_type IN ('SMALL', 'MEDIUM')", "cct1.p_type IN ('LARGE')")
+    .replace("k.p_name = 'red widget'", "k.p_name = 'small gear'")
+    .replace("DATE '1995-01-01' AND DATE '1999-12-31'",
+             "DATE '1997-01-01' AND DATE '2000-12-31'")
+)
+_JOB6["job_27c"] = (
+    _JOB4["job_27a"]
+    .replace("lt.p_name LIKE '%bolt%'", "lt.p_name LIKE '%ring%'")
+    .replace("mi.l_returnflag IN ('A', 'N')", "mi.l_returnflag IN ('A')")
+)
+_JOB6["job_28c"] = (
+    _JOB4["job_28a"]
+    .replace("cn.s_acctbal > 1000", "cn.s_acctbal > 5000")
+    .replace("kt.c_mktsegment IN ('BUILDING', 'MACHINERY')",
+             "kt.c_mktsegment IN ('AUTOMOBILE')")
+    .replace("mi_idx.l_quantity < 42", "mi_idx.l_quantity < 12")
+)
+_JOB6["job_29b"] = (
+    _JOB4["job_29a"]
+    .replace("n.c_mktsegment = 'HOUSEHOLD' AND n.c_name LIKE '%2%'",
+             "n.c_mktsegment = 'FURNITURE' AND n.c_name LIKE '%6%'")
+    .replace("('blue gizmo', 'red widget', 'blue bolt', 'small ring')",
+             "('hot plate', 'red plate')")
+    .replace("it3.r_name <> 'AFRICA'", "it3.r_name <> 'EUROPE'")
+)
+_JOB6["job_29c"] = (
+    _JOB4["job_29a"]
+    .replace("(mi.l_quantity BETWEEN 5 AND 20 OR mi.l_quantity > 40)",
+             "(mi.l_quantity BETWEEN 15 AND 30 OR mi.l_quantity > 45)")
+    .replace("pi.o_orderpriority = '1-URGENT'", "pi.o_orderpriority = '5-LOW'")
+)
+_JOB6["job_30b"] = (
+    _JOB4["job_30a"]
+    .replace("cct1.p_type IN ('SMALL', 'LARGE')", "cct1.p_type IN ('MEDIUM')")
+    .replace("mi.l_linestatus = 'F'", "mi.l_linestatus = 'O'")
+    .replace("DATE '1998-01-01'", "DATE '2000-01-01'")
+)
+_JOB6["job_30c"] = (
+    _JOB4["job_30a"]
+    .replace("ci.l_returnflag IN ('A', 'R')", "ci.l_returnflag IN ('N')")
+    .replace("n.s_acctbal > 0", "n.s_acctbal > 4000")
+)
+_JOB6["job_31b"] = (
+    _JOB4["job_31a"]
+    .replace("cn.s_name LIKE 'Supplier#00000001%'",
+             "cn.s_name LIKE 'Supplier#00000002%'")
+    .replace("mi.l_linestatus = 'F'", "mi.l_linestatus = 'O'")
+)
+_JOB6["job_31c"] = (
+    _JOB4["job_31a"]
+    .replace("ci.l_returnflag IN ('A', 'R')", "ci.l_returnflag IN ('A')")
+    .replace("it1.p_type = 'MEDIUM'", "it1.p_type = 'LARGE'")
+)
+_JOB6["job_32b"] = (
+    _JOB4["job_32a"]
+    .replace("k.p_name = 'red widget'", "k.p_name = 'hot bolt'")
+)
+
+for _name, _sql in _JOB6.items():
+    _all_prior = (set(_JOB.values()) | set(_JOB2.values()) | set(_JOB2B.values())
+                  | set(_JOB3.values()) | set(_JOB4.values()) | set(_JOB5.values())
+                  | {v for k, v in _JOB6.items() if k != _name})
+    if _sql in _all_prior:
+        raise RuntimeError(f"{_name}: replace() produced a duplicate of another entry")
+    _register(_name, _sql)
+
+# 6e/6f close the family (ref 6e.sql broadens the year, 6f drops the
+# entity filter entirely — the lowest-selectivity member of family 6).
+_JOB7 = {
+    "job_6e": _JOB["job_6a"]
+    .replace("k.p_name = 'small ring'", "k.p_name = 'blue widget'")
+    .replace("DATE '1996-06-01'", "DATE '1995-01-01'"),
+    "job_6f": _JOB["job_6a"]
+    .replace("  AND n.s_name LIKE '%00001%'\n", "")
+    .replace("DATE '1996-06-01'", "DATE '1995-01-01'"),
+}
+for _name, _sql in _JOB7.items():
+    if _sql in _JOB.values() or _sql in _JOB5.values() or _sql in _JOB6.values():
+        raise RuntimeError(f"{_name}: duplicate SQL")
+    _register(_name, _sql)

@@ -64,6 +64,7 @@ _EXAMPLES: dict[str, str] = {
     "arrow_try_cast": "arrow_try_cast('x', 'Int32')",
     "arrow_typeof": "arrow_typeof(1)",
     "regexp_replace": "regexp_replace('aaa', 'a', 'b', 'g')",
+    "regexp_like": "regexp_like('AbC', 'abc', 'i')",
     # aggregates are exercised with a GROUP BY-free SELECT over VALUES
     "approx_distinct": None,
     "approx_median": None,

@@ -60,7 +60,12 @@ SHUFFLE_BUDGETS = {
         "21a", "22a", "23a", "23b", "24a", "25a", "26a", "27a", "28a",
         "28b", "29a", "30a", "31a", "32a", "33a", "33b", "33c",
         "1c", "1d", "2c", "2d", "3c", "4b", "4c", "5b", "5c", "6b", "6c",
-        "6d", "7b", "7c", "8b", "8c", "8d", "9b", "9c", "9d",
+        "6d", "6e", "6f", "7b", "7c", "8b", "8c", "8d", "9b", "9c", "9d",
+        "11c", "11d", "12c", "13b", "13c", "13d", "14c", "15b", "15c",
+        "15d", "16b", "16c", "16d", "17c", "17d", "17e", "17f", "18b",
+        "18c", "19b", "19c", "19d", "20b", "20c", "21b", "21c", "22b",
+        "22c", "22d", "23c", "24b", "25b", "25c", "26b", "26c", "27b",
+        "27c", "28c", "29b", "29c", "30b", "30c", "31b", "31c", "32b",
     )},
     # h2o window suite: no whole-table single-partition Window anywhere —
     # the budgets below are keyed/bucketed exchanges only
