@@ -322,3 +322,74 @@ def sort_tpch_wide_payload(spark, sf_dir):
         "l_linestatus", "l_shipdate",
     )
     return li.orderBy("l_linenumber", "l_suppkey", "l_orderkey")
+
+
+# --- h2o Window Top-N partition-cardinality sweep (reference
+# benchmarks/queries/h2o/window.sql lines 121-243): ROW_NUMBER / RANK /
+# DENSE_RANK top-2 per partition at 100..100k partitions, low- and
+# heavy-ties variants.  The reference uses these to validate its
+# PartitionedTopK{,Rank,DenseRank} operators across partition counts;
+# Spark's equivalent is WindowGroupLimit (rank-aware per-partition pruning
+# BEFORE the window shuffle), which kicks in identically at every
+# cardinality — the sweep proves the plan shape is cardinality-independent.
+#
+# Determinism deltas from the benchmark text (which never checks values):
+# ROW_NUMBER orders by (v2, id2, id3) — id3 is unique — so the kept rows
+# are well-defined in both engines; RANK/DENSE_RANK order by (id2 % 10),
+# which is independent of the id3-derived partition key (ordering by
+# id3 % 10 would be CONSTANT within an id3 % N partition for 10 | N).
+
+def _register_topn_sweep() -> None:
+    shapes = []
+    for label, n in (("100", 100), ("1k", 1000), ("10k", 10000), ("100k", 100000)):
+        shapes.append((
+            f"h2o_window_topn_rn_{label}",
+            f"""
+    SELECT pkey, largest_v2 FROM (
+        SELECT id3 % {n} AS pkey, v2 AS largest_v2,
+               ROW_NUMBER() OVER (PARTITION BY id3 % {n}
+                                  ORDER BY v2 DESC, id2, id3) AS rn
+        FROM large WHERE v2 IS NOT NULL) t
+    WHERE rn <= 2
+    """,
+            f"ROW_NUMBER top-2 over ~{label} partitions (unique tiebreak)",
+        ))
+    for label, n, fn_name, fn_sql in (
+        ("rank_1k", 1000, "RANK", "RANK()"),
+        ("rank_10k_ties", 10000, "RANK", "RANK()"),
+        ("drank_1k", 1000, "DENSE_RANK", "DENSE_RANK()"),
+        ("drank_10k_ties", 10000, "DENSE_RANK", "DENSE_RANK()"),
+    ):
+        shapes.append((
+            f"h2o_window_topn_{label}",
+            f"""
+    SELECT pkey, largest_v2 FROM (
+        SELECT id3 % {n} AS pkey, v2 AS largest_v2,
+               {fn_sql} OVER (PARTITION BY id3 % {n}
+                              ORDER BY id2 % 10 DESC) AS rk
+        FROM large WHERE v2 IS NOT NULL) t
+    WHERE rk <= 2
+    """,
+            f"{fn_name} top-2 over ~{n} partitions, ties kept at the boundary",
+        ))
+
+    for name, body, desc in shapes:
+        sql = f"WITH large AS ({_SQL_LARGE}) {body}"
+
+        def fn(spark, sf_dir, _sql=sql):
+            from datafusion_spark.catalog import register_views
+
+            register_views(spark, sf_dir)
+            return spark.sql(_sql)
+
+        fn.__name__ = name
+        fn.__doc__ = (
+            f"h2o Window Top-N sweep: {desc} (reference h2o/window.sql "
+            "partition-cardinality matrix).  Plans as WindowGroupLimit over a "
+            "hash-partitioned window — per-partition pruning to the boundary "
+            "before the exchange, independent of partition count."
+        )
+        query(name, oracle=sql, tags=("h2o", "window", "topk"))(fn)
+
+
+_register_topn_sweep()

@@ -74,6 +74,9 @@ SHUFFLE_BUDGETS = {
     "h2o_window_partition_sweep": 3, # one keyed exchange per partition cardinality
     "h2o_window_topn_rank_ties": 1,
     "h2o_window_topn_dense_rank": 1,
+    **{f"h2o_window_topn_{v}": 1 for v in (
+        "rn_100", "rn_1k", "rn_10k", "rn_100k",
+        "rank_1k", "rank_10k_ties", "drank_1k", "drank_10k_ties")},
     "sort_pushdown_topk_asc": 0,     # TakeOrderedAndProject: zero exchanges
     "sort_pushdown_topk_desc": 0,
     "sort_pushdown_topk_wide": 0,
@@ -161,7 +164,9 @@ def test_global_sort_is_range_partitioned(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["h2o_window_topn_rank_ties", "h2o_window_topn_dense_rank"]
+    "name", ["h2o_window_topn_rank_ties", "h2o_window_topn_dense_rank",
+             "h2o_window_topn_rn_100", "h2o_window_topn_rn_100k",
+             "h2o_window_topn_rank_10k_ties", "h2o_window_topn_drank_1k"]
 )
 def test_window_topn_group_limit(spark, name):
     """rank/dense_rank <= k filters must trigger WindowGroupLimit so each
