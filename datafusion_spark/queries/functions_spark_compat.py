@@ -543,3 +543,115 @@ def fn_string_misc_family(spark, sf_dir):
         F.array_join(F.flatten(sent), " ").alias("sentence_words"),
         F.expr("is_valid_utf8(r_name)").alias("utf8_ok"),
     )
+
+
+@query(
+    "fn_spark_math_bits",
+    oracle="""
+    SELECT p_partkey,
+           bin(p_partkey)                                   AS binstr,
+           round_even(p_retailprice, 0)                     AS rnd_even,
+           CAST(round_even(p_retailprice, 1) AS DOUBLE)     AS bround1,
+           ((p_partkey - 40) % 7 + 7) % 7                   AS pmod7,
+           p_size << 2                                      AS shl,
+           p_partkey >> 1                                   AS shr,
+           CAST(bit_count(p_partkey) AS INT)                AS bits,
+           ~p_size                                          AS bnot,
+           ROUND(sqrt(CAST(p_size AS DOUBLE) * p_size
+                 + p_partkey * CAST(p_partkey AS DOUBLE)), 6) AS hyp,
+           ROUND(exp(p_size / 100.0) - 1, 6)                AS em1,
+           ROUND(ln(1 + p_size / 100.0), 6)                 AS l1p
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+    tags=("functions", "spark-compat", "math", "bitwise"),
+)
+def fn_spark_math_bits(spark, sf_dir):
+    """Spark math/bitwise corpus (reference test_files/spark/math/{bin,
+    bround,rint,pmod,shiftleft,hypot,expm1,log1p}.slt, spark/bitwise/):
+    binary rendering, HALF_EVEN rounding (rint/bround ⇔ DuckDB
+    round_even), positive modulus, shifts, popcount, complement, and the
+    numerically-careful hypot/expm1/log1p (compared against their naive
+    expansions at 6 dp — the corpus inputs stay in the regime where both
+    agree).  All JVM builtins inside codegen."""
+    return spark.sql(f"""
+    SELECT p_partkey,
+           bin(p_partkey)                                   AS binstr,
+           rint(p_retailprice)                              AS rnd_even,
+           CAST(bround(p_retailprice, 1) AS DOUBLE)         AS bround1,
+           pmod(p_partkey - 40, 7)                          AS pmod7,
+           shiftleft(p_size, 2)                             AS shl,
+           shiftright(p_partkey, 1)                         AS shr,
+           CAST(bit_count(p_partkey) AS INT)                AS bits,
+           ~p_size                                          AS bnot,
+           ROUND(hypot(CAST(p_size AS DOUBLE), CAST(p_partkey AS DOUBLE)), 6) AS hyp,
+           ROUND(expm1(p_size / 100.0), 6)                  AS em1,
+           ROUND(log1p(p_size / 100.0), 6)                  AS l1p
+    FROM {{src}} WHERE p_partkey < 300 ORDER BY p_partkey
+    """.replace("{src}", "parquet.`" + sf_dir + "/part.parquet`"))
+
+
+@query(
+    "fn_spark_string_misc2",
+    oracle="""
+    SELECT p_partkey,
+           CASE 1 + p_partkey % 3 WHEN 1 THEN p_name
+                WHEN 2 THEN p_brand ELSE p_type END          AS elt_pick,
+           repeat(' ', p_partkey % 4) || '|'                 AS spaced,
+           printf('%d:%s', p_partkey, p_brand)               AS fmt,
+           CAST(unhex('6162') AS VARCHAR)                    AS bin_txt,
+           ascii(p_name)                                     AS first_code,
+           CAST(strpos(p_name, 'e') AS BIGINT)               AS loc_e
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+    tags=("functions", "spark-compat", "strings"),
+)
+def fn_spark_string_misc2(spark, sf_dir):
+    """Spark string-misc corpus (reference test_files/spark/string/{elt,
+    space,format_string,to_binary,locate}.slt): 1-based ELT
+    dispatch, space(), printf-style formatting,
+    hex-to-binary text round-trip, and locate/instr positioning."""
+    return spark.sql("""
+    SELECT p_partkey,
+           elt(1 + p_partkey % 3, p_name, p_brand, p_type)   AS elt_pick,
+           space(CAST(p_partkey % 4 AS INT)) || '|'          AS spaced,
+           format_string('%d:%s', p_partkey, p_brand)        AS fmt,
+           CAST(to_binary('6162', 'hex') AS STRING)          AS bin_txt,
+           ascii(p_name)                                     AS first_code,
+           CAST(locate('e', p_name) AS BIGINT)               AS loc_e
+    FROM parquet.`__SF__/part.parquet`
+    WHERE p_partkey < 300 ORDER BY p_partkey
+    """.replace("__SF__", sf_dir))
+
+
+@query(
+    "fn_spark_datetime_names",
+    oracle="""
+    SELECT event_id,
+           left(monthname(ts), 3)                AS mon,
+           left(dayname(ts), 3)                  AS dow_name,
+           CAST(isodow(ts) - 1 AS INT)           AS wkday,
+           CAST(weekofyear(ts) AS INT)           AS woy,
+           CAST(quarter(ts) AS INT)              AS qtr,
+           CAST(dayofyear(ts) AS INT)            AS doy,
+           CAST(isodow(ts) % 7 + 1 AS INT)       AS dow_spark
+    FROM events WHERE event_id < 400 ORDER BY event_id
+    """,
+    tags=("functions", "spark-compat", "datetime"),
+)
+def fn_spark_datetime_names(spark, sf_dir):
+    """Spark datetime-name corpus (reference test_files/spark/datetime/
+    {monthname,dayname? (via date_format),weekday,weekofyear,quarter,
+    dayofyear,dayofweek}.slt): 3-letter month/day names (DuckDB's full
+    names truncated to the shared prefix), Monday-0 weekday ⇔ isodow-1,
+    ISO week numbers, and Spark's Sunday-1 dayofweek ⇔ isodow % 7 + 1."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    return e.selectExpr(
+        "event_id",
+        "monthname(ts) AS mon",
+        "dayname(ts) AS dow_name",
+        "weekday(ts) AS wkday",
+        "CAST(weekofyear(ts) AS INT) AS woy",
+        "CAST(quarter(ts) AS INT) AS qtr",
+        "CAST(dayofyear(ts) AS INT) AS doy",
+        "CAST(dayofweek(ts) AS INT) AS dow_spark",
+    ).orderBy("event_id")
