@@ -655,3 +655,41 @@ def fn_spark_datetime_names(spark, sf_dir):
         "CAST(dayofyear(ts) AS INT) AS doy",
         "CAST(dayofweek(ts) AS INT) AS dow_spark",
     ).orderBy("event_id")
+
+
+@query(
+    "fn_csv_map_construction",
+    oracle="""
+    SELECT p_partkey,
+           CAST(split_part('7,' || p_brand, ',', 1) AS INT)     AS csv_a,
+           split_part('7,' || p_brand, ',', 2)                  AS csv_b,
+           'STRUCT<_c0: INT, _c1: STRING>'                      AS csv_schema,
+           CAST(p_size AS VARCHAR)                              AS m_s,
+           CAST(p_partkey AS VARCHAR)                           AS m_k,
+           CAST(p_size * 2 AS VARCHAR)                          AS me_v
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+    tags=("functions", "spark-compat", "csv", "map"),
+)
+def fn_csv_map_construction(spark, sf_dir):
+    """Spark csv/map construction corpus (reference test_files/spark/csv/
+    schema_of_csv.slt, spark/map/{str_to_map,map_from_entries}.slt):
+    from_csv with an explicit schema (typed struct out of a CSV line),
+    schema_of_csv inference rendering, str_to_map with custom pair/kv
+    delimiters, and map_from_entries over a struct array.  The oracle
+    re-derives every value from the same columns with string ops — the
+    CSV/map machinery itself is what's under test on the Spark side."""
+    return spark.sql("""
+    SELECT p_partkey,
+           from_csv('7,' || p_brand, 'a INT, b STRING').a        AS csv_a,
+           from_csv('7,' || p_brand, 'a INT, b STRING').b        AS csv_b,
+           schema_of_csv('7,red')                                AS csv_schema,
+           CAST(element_at(str_to_map('k:' || p_partkey || ';s:' || p_size,
+                ';', ':'), 's') AS STRING)                       AS m_s,
+           CAST(element_at(str_to_map('k:' || p_partkey || ';s:' || p_size,
+                ';', ':'), 'k') AS STRING)                       AS m_k,
+           CAST(element_at(map_from_entries(
+                array(struct('v', p_size * 2))), 'v') AS STRING) AS me_v
+    FROM parquet.`__SF__/part.parquet`
+    WHERE p_partkey < 300 ORDER BY p_partkey
+    """.replace("__SF__", sf_dir))
