@@ -418,3 +418,33 @@ _sql_query(
     here), and NULL struct fields.  DuckDB's map extraction returns a
     single-element list — the oracle indexes [1] to match Spark's scalar.""",
 )
+
+_sql_query(
+    "fn_edge_numeric_timestamp_cast",
+    spark_sql="""
+    SELECT CAST(CAST(1700000000 AS BIGINT) AS TIMESTAMP)        AS int_to_ts,
+           CAST(1700000000.25 AS TIMESTAMP)                     AS float_to_ts,
+           CAST(TIMESTAMP '2023-11-14 22:13:20.25' AS DOUBLE)   AS ts_to_double,
+           CAST(TIMESTAMP '2023-11-14 22:13:20.75' AS BIGINT)   AS ts_to_long,
+           CAST(CAST(-1 AS BIGINT) AS TIMESTAMP)                AS pre_epoch,
+           CAST(true AS INT)                                    AS bool_int,
+           CAST(CAST(0.5 AS DOUBLE) AS TIMESTAMP)               AS half_second
+    """,
+    duck_sql="""
+    SELECT make_timestamp(CAST(1700000000 AS BIGINT) * 1000000)  AS int_to_ts,
+           make_timestamp(CAST(1700000000.25 * 1000000 AS BIGINT)) AS float_to_ts,
+           epoch(TIMESTAMP '2023-11-14 22:13:20.25')             AS ts_to_double,
+           CAST(floor(epoch(TIMESTAMP '2023-11-14 22:13:20.75')) AS BIGINT) AS ts_to_long,
+           make_timestamp(-1000000)                              AS pre_epoch,
+           CAST(true AS INT)                                     AS bool_int,
+           make_timestamp(500000)                                AS half_second
+    """,
+    tags=("functions", "edge", "cast", "datetime"),
+    doc="""Numeric ⇄ timestamp casts (reference test_files/spark/conversion/
+    {cast_int_to_timestamp,cast_float_to_timestamp}.slt): Spark casts
+    numerics as SECONDS since epoch, keeping the fraction (0.25 s →
+    250 000 µs), flooring on the way back to integers (22:13:20.75 →
+    ...00, not ...01), and handling pre-epoch negatives; DuckDB spells the
+    same values via make_timestamp(micros)/epoch().  bool→int included
+    from the same corpus.""",
+)
