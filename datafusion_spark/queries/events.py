@@ -416,3 +416,57 @@ def events_gap_fill_interpolate(spark, sf_dir):
         F.col("v").isNotNull().alias("observed"),
         F.round(filled, 6).alias("value_filled"),
     )
+
+
+@query(
+    "events_path_prefixes",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path ORDER BY n_users DESC, path
+    """,
+    tags=("events", "analytics", "paths"),
+)
+def events_path_prefixes(spark, sf_dir):
+    """User-journey path analysis: each user's first three event types
+    (deterministic order: ts then unique event_id) concatenated into a
+    path string, then counted across users — the sequence-prefix funnel
+    ClickHouse expresses with sequenceMatch and the reference leaves to
+    window + agg composition.
+
+    Scale: one keyed window (user_id partitions — hash-distributed, never
+    single-partition), WindowGroupLimit prunes each partition to 3 rows
+    before anything else moves, then an ordered listagg per user and a
+    low-cardinality path count with map-side partials.  No joins, two
+    keyed exchanges total."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+    )
