@@ -865,3 +865,83 @@ def text_unigram_logprob(spark, sf_dir):
             / F.count(F.lit(1)), 6,
         ).alias("avg_nll_bits"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w, idx FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w,
+               generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS idx
+        FROM documents WHERE doc_id < 400 AND LENGTH(text) > 0) u
+      WHERE w <> ''
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM words a JOIN words b
+        ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+      WHERE a.w <> '' AND b.w <> ''
+    ),
+    uni AS (SELECT w1 AS w, COUNT(*) AS cu FROM bigrams GROUP BY w1),
+    bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bigrams GROUP BY w1, w2),
+    scored AS (
+      SELECT bigrams.doc_id,
+             ROUND(-log2(CAST(bi.cb AS DOUBLE) / uni.cu), 9) AS nll
+      FROM bigrams
+      JOIN bi ON bigrams.w1 = bi.w1 AND bigrams.w2 = bi.w2
+      JOIN uni ON bigrams.w1 = uni.w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_cond_nll_bits
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Conditional bigram LM quality score — the next rung above
+    `text_unigram_logprob` on the CCNet ladder: each document's mean
+    -log2 p(w_i | w_{i-1}) under bigram/unigram counts trained on the
+    corpus itself.  Word order now matters (shuffled text scores far
+    worse than natural text, which the unigram model cannot see).
+
+    Scale: bigrams come from one posexplode + a self-join-free shift
+    (arrays_zip of the token array with itself offset by one — row-local,
+    no join to build pairs); the count models are two grouped aggregates
+    with map-side partials; scoring joins bigrams to the models on their
+    keys (AQE broadcasts the model sides at realistic vocab sizes).
+    Determinism: per-bigram scores ROUNDed to 9 dp then decimal-summed
+    per document (SURVEY §4)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & (F.length("text") > 0))
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("ws"),
+    )
+    # row-local bigram construction: zip tokens with their successors
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"]).join(uni, "w1")
+        .withColumn("nll", F.round(-F.log2(F.col("cb").cast("double") / F.col("cu")), 9))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("avg_cond_nll_bits"),
+    )
