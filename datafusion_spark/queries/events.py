@@ -470,3 +470,62 @@ def events_path_prefixes(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy(F.col("n_users").desc(), "path")
     )
+
+
+@query(
+    "events_sequence_conversion",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS next_purchase
+      FROM events
+    )
+    SELECT CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+               AS clicks,
+           CAST(COUNT(CASE WHEN event_type = 'click' AND next_purchase > ts
+                       AND next_purchase <= ts + INTERVAL '1' HOUR THEN 1 END)
+                AS BIGINT) AS clicks_converted_1h,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                       AND next_purchase > ts
+                       AND next_purchase <= ts + INTERVAL '1' HOUR
+                       THEN user_id END) AS BIGINT) AS users_converted_1h
+    FROM seq
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def events_sequence_conversion(spark, sf_dir):
+    """Time-window sequence match (ClickHouse sequenceMatch territory):
+    which clicks are followed by a purchase within ONE HOUR — per event,
+    not per first-occurrence, so a user whose first click went stale but
+    whose later click converted still counts (the MIN-based funnel in
+    `events_funnel` cannot see that).
+
+    Construction: every event's NEXT purchase timestamp is a running MIN
+    over the user's events in REVERSE time order — one keyed window pass,
+    no event-to-event self-join.  At 100 TB: hash-partitioned by user_id,
+    per-user state is one timestamp; the classic self-join formulation
+    would shuffle clicks × purchases."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = e.withColumn(
+        "next_purchase",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+    )
+    converted = (
+        (F.col("event_type") == "click")
+        & (F.col("next_purchase") > F.col("ts"))
+        & (F.col("next_purchase") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return seq.agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("clicks"),
+        F.count(F.when(converted, 1)).cast("long").alias("clicks_converted_1h"),
+        F.countDistinct(F.when(converted, F.col("user_id"))).cast("long")
+            .alias("users_converted_1h"),
+    )
