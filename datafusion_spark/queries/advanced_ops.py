@@ -777,3 +777,56 @@ def dml_merge_upsert(spark, sf_dir):
         F.sum(F.col("k").cast("bigint")).alias("key_sum"),
         F.min("n_name").alias("sample_name"),
     )
+
+
+@query(
+    "fn_zorder_cluster_key",
+    oracle="""
+    WITH z AS (
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             (SELECT SUM(
+                 (((l_partkey // (1 << i.i)) % 2) << (2 * i.i))
+               + (((l_suppkey // (1 << i.i)) % 2) << (2 * i.i + 1)))
+              FROM (SELECT unnest(range(16)) AS i) i) AS zval
+      FROM lineitem WHERE l_orderkey < 2000
+    )
+    SELECT CAST(zval // 1048576 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT)        AS n,
+           CAST(MIN(l_partkey) AS BIGINT)  AS min_pk,
+           CAST(MAX(l_partkey) AS BIGINT)  AS max_pk,
+           CAST(MIN(l_suppkey) AS BIGINT)  AS min_sk,
+           CAST(MAX(l_suppkey) AS BIGINT)  AS max_sk
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    tags=("advanced", "layout", "zorder"),
+)
+def fn_zorder_cluster_key(spark, sf_dir):
+    """Z-order (Morton) clustering key: interleave 16 bits each of
+    (l_partkey, l_suppkey) into one sort key, then bucket it.  Writing
+    data range-partitioned on this key co-locates rows close in BOTH
+    dimensions, so min/max row-group stats prune scans filtered on EITHER
+    column — the standard lakehouse layout technique for multi-column
+    predicates, expressed as a pure Catalyst fold (aggregate over a
+    16-step bit sequence, no UDF).  The per-bucket min/max spans in the
+    output SHOW the clustering: both key ranges stay narrow within a
+    bucket.  At 100 TB this key feeds repartitionByRange + sortWithinPartitions
+    before the write (same shape as sort_global_range_partitioned)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    zval = F.expr("""
+        aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+          (acc, i) -> acc
+            + shiftleft((l_partkey div shiftleft(CAST(1 AS BIGINT), i)) % 2, 2 * i)
+            + shiftleft((l_suppkey div shiftleft(CAST(1 AS BIGINT), i)) % 2, 2 * i + 1))
+    """)
+    z = li.withColumn("zval", zval)
+    return (
+        z.groupBy(F.expr("zval div 1048576").cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("l_partkey").cast("long").alias("min_pk"),
+            F.max("l_partkey").cast("long").alias("max_pk"),
+            F.min("l_suppkey").cast("long").alias("min_sk"),
+            F.max("l_suppkey").cast("long").alias("max_sk"),
+        )
+        .orderBy("z_bucket")
+    )
