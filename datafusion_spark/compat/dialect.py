@@ -581,13 +581,213 @@ def _rewrite_statement(sql: str) -> str:
     sql = re.sub(
         r"(?is)(?P<star>\*)\s+EXCLUDE\s*(?P<body>\([^)]*\)|[\w\"`]+)",
         _exclude, sql)
-    # QUALIFY filters on window results; Spark needs the window in a
-    # subquery.  Refuse rather than mis-scope the predicate.
+    # QUALIFY (reference sqllogictest qualify.slt): filter on window results.
+    # Spark has no QUALIFY clause — rewrite into a subquery that computes the
+    # predicate as a boolean column, then filter in the outer SELECT.
     if _word_outside_literals(sql, "qualify"):
-        raise DialectError(
-            "QUALIFY: wrap the window expression in a subquery and filter"
-            " in the outer SELECT (Spark has no QUALIFY clause)")
+        sql = _rewrite_qualify(sql)
     return sql
+
+
+def _iter_top_tokens(sql: str, start: int = 0):
+    """Yield ``(begin, end, lower_word)`` for identifier tokens at paren
+    depth 0, skipping string literals, quoted identifiers and comments."""
+    i, n, depth = start, len(sql), 0
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_quoted(sql, i, c)
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i)
+            i = n if j < 0 else j + 2
+        elif c in "([":
+            depth += 1
+            i += 1
+        elif c in ")]":
+            depth -= 1
+            i += 1
+        elif c in _IDENT0:
+            j = i
+            while j < n and (sql[j] in _IDENT0 or sql[j].isdigit()):
+                j += 1
+            if depth == 0:
+                yield (i, j, sql[i:j].lower())
+            i = j
+        else:
+            i += 1
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (literal/comment aware)."""
+    parts, start, i, n, depth = [], 0, 0, len(s), 0
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            i = _skip_quoted(s, i, c)
+            continue
+        if s.startswith("--", i):
+            j = s.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if s.startswith("/*", i):
+            j = s.find("*/", i)
+            i = n if j < 0 else j + 2
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _subst_aliases(pred: str, aliases: dict[str, str]) -> str:
+    """Replace bare references to select-list aliases in ``pred`` with the
+    aliased expression (parenthesised).  Skips literals, qualified names
+    (``t.x``) and function calls (``x(``)."""
+    out: list[str] = []
+    i, n = 0, len(pred)
+    while i < n:
+        c = pred[i]
+        if c in "'\"`":
+            j = _skip_quoted(pred, i, c)
+            out.append(pred[i:j])
+            i = j
+        elif c in _IDENT0:
+            j = i
+            while j < n and (pred[j] in _IDENT0 or pred[j].isdigit()):
+                j += 1
+            word = pred[i:j]
+            k = j
+            while k < n and pred[k].isspace():
+                k += 1
+            qualified = (i > 0 and pred[i - 1] == ".") or (k < n and pred[k] in ".(")
+            if not qualified and word.lower() in aliases:
+                out.append(f"({aliases[word.lower()]})")
+            else:
+                out.append(word)
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+_QUALIFY_TERMINATORS = {"order", "limit", "offset", "union",
+                        "intersect", "except", "window"}
+
+_TAIL_KEYWORDS = {
+    "order", "by", "asc", "desc", "nulls", "first", "last", "limit",
+    "offset", "and", "or", "not", "in", "is", "null", "true", "false",
+    "case", "when", "then", "else", "end", "between", "like", "ilike",
+    "escape", "all", "distinct", "interval", "cast", "as",
+}
+
+
+def _tail_extra_cols(tail: str, visible: set[str]) -> list[str]:
+    """Bare column identifiers the post-QUALIFY tail (ORDER BY …) references
+    that the select list does not expose — they must be projected through the
+    rewrite subquery (then EXCEPTed back out) for the outer sort to resolve,
+    matching SQL's sort-by-underlying-column rule."""
+    extras: list[str] = []
+    n = len(tail)
+    for a, b, w in _iter_top_tokens(tail):
+        if w in _TAIL_KEYWORDS or w in visible or w in {e.lower() for e in extras}:
+            continue
+        if a > 0 and tail[a - 1] == ".":
+            continue  # qualified name's trailing part: t.x handled via x
+        k = b
+        while k < n and tail[k].isspace():
+            k += 1
+        if k < n and tail[k] in "(.":
+            continue  # function call or table qualifier
+        extras.append(tail[a:b])
+    return extras
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """``SELECT … QUALIFY pred [ORDER BY …]`` →
+
+    ``SELECT * EXCEPT (__qualify__) FROM (SELECT …, (pred') AS __qualify__
+    …) __qualify_sq WHERE __qualify__ [ORDER BY …]``
+
+    where pred' has select-list aliases substituted with their expressions
+    (so window/aggregate aliases are computed in the inner scope, exactly the
+    evaluation order the reference's qualify.slt specifies).  Handles WITH
+    CTEs (their bodies sit inside parens, below the depth-0 scan).  Refuses
+    set operations and nested QUALIFY rather than mis-scoping."""
+    toks = list(_iter_top_tokens(sql))
+    qpos = [(a, b) for a, b, w in toks if w == "qualify"]
+    if not qpos:
+        raise DialectError(
+            "QUALIFY inside a subquery: rewrite the inner query with a"
+            " windowed boolean column and filter in its outer SELECT")
+    if len(qpos) > 1:
+        raise DialectError("multiple QUALIFY clauses in one statement")
+    if any(w in ("union", "intersect", "except") for a, b, w in toks
+           if a < qpos[0][0]):
+        raise DialectError(
+            "QUALIFY after a set operation: wrap the set operation in a"
+            " subquery first (predicate scope would be ambiguous)")
+    qa, qb = qpos[0]
+    head, rest = sql[:qa], sql[qb:]
+    trailing = ";" if sql.rstrip().endswith(";") else ""
+    term = next((a for a, b, w in _iter_top_tokens(rest)
+                 if w in _QUALIFY_TERMINATORS), None)
+    pred = (rest if term is None else rest[:term]).strip().rstrip(";").strip()
+    tail = ("" if term is None else rest[term:]).strip().rstrip(";").strip()
+    if not pred:
+        raise DialectError("QUALIFY with an empty predicate")
+    htoks = list(_iter_top_tokens(head))
+    sels = [t for t in htoks if t[2] == "select"]
+    if not sels:
+        raise DialectError("QUALIFY without a top-level SELECT")
+    _, sel_end, _ = sels[-1]
+    from_t = next((t for t in htoks if t[2] == "from" and t[0] > sel_end), None)
+    if from_t is None:
+        raise DialectError("QUALIFY without a FROM clause")
+    select_list = head[sel_end:from_t[0]]
+    body = re.sub(r"(?is)^\s*(distinct|all)\b", "", select_list)
+    aliases: dict[str, str] = {}
+    for item in _split_top_commas(body):
+        m = re.search(r"(?is)\s+as\s+([A-Za-z_]\w*)\s*$", item)
+        if m:
+            aliases[m.group(1).lower()] = item[:m.start()].strip()
+    pred = _subst_aliases(pred, aliases)
+    if not re.search(r"(?is)\bover\s*\(", pred) and \
+            not re.search(r"(?is)\bover\s*\(", select_list):
+        # Reference parity: DataFusion rejects QUALIFY with no window
+        # function in the predicate or projection (qualify.slt error case).
+        raise DialectError("QUALIFY requires a window function")
+    # Column names the outer query can already resolve from the select list:
+    # aliases plus plain column items (`x` / `t.x`).  A `*` exposes every
+    # base column, so nothing extra is ever needed.
+    visible = set(aliases)
+    star = False
+    for item in _split_top_commas(body):
+        it = item.strip()
+        if it == "*" or it.endswith(".*"):
+            star = True
+        elif re.fullmatch(r"[\w.\"`]+", it):
+            visible.add(it.rsplit(".", 1)[-1].strip('"`').lower())
+    extras = [] if star else _tail_extra_cols(tail, visible)
+    extra_sel = "".join(f", {e}" for e in extras)
+    except_list = ", ".join(["__qualify__", *extras])
+    inner = (head[:from_t[0]].rstrip()
+             + f"{extra_sel}, ({pred}) AS __qualify__ "
+             + head[from_t[0]:].strip())
+    out = (f"SELECT * EXCEPT ({except_list}) FROM (" + inner
+           + ") __qualify_sq WHERE __qualify__")
+    if tail:
+        out += " " + tail
+    return out + trailing
 
 
 def _word_outside_literals(sql: str, word: str) -> bool:

@@ -388,3 +388,41 @@ def compat_ctx_session(spark, sf_dir):
            CAST(strpos(min(s_name), '#') AS BIGINT)               AS tag_pos
     FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """)
+
+
+@query(
+    "compat_sql_qualify",
+    # DuckDB parses QUALIFY natively — the oracle runs the SAME clause
+    # shape, so the gate verifies the rewrite's filter/scope semantics.
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rn AS BIGINT) AS rn,
+           CAST(n_ord AS BIGINT) AS n_ord
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_ord
+      FROM orders
+      QUALIFY rn <= 2 AND n_ord > 20
+    ) ORDER BY o_custkey, rn
+    """,
+    tags=("compat", "sql", "window"),
+)
+def compat_sql_qualify(spark, sf_dir):
+    """QUALIFY clause (reference sqllogictest qualify.slt; sql parser
+    QUALIFY support): the translator rewrites it into a subquery computing
+    the predicate as a boolean column — select-list aliases substituted so
+    windows evaluate in the inner scope — then filters in an outer
+    ``SELECT * EXCEPT``.  Plan-wise this is exactly the window+filter Spark
+    would run for the hand-rewritten query: one shuffle on the PARTITION BY
+    key, no extra exchange for the outer projection."""
+    return _run(spark, sf_dir, """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)  AS n_ord
+    FROM orders
+    QUALIFY rn <= 2 AND n_ord > 20
+    ORDER BY o_custkey, rn
+    """)

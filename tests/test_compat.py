@@ -149,9 +149,10 @@ def test_exclude_rewrite():
         "SELECT * EXCEPT (a) FROM t"
 
 
-def test_qualify_refused_with_hint():
-    with pytest.raises(DialectError, match="subquery"):
-        translate_sql("SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1")
+def test_qualify_translated_not_refused():
+    out = translate_sql(
+        "SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1")
+    assert "WHERE __qualify__" in out
     # the word inside a string literal is not a clause
     assert "qualify" in translate_sql("SELECT 'we qualify leads' FROM t")
 
@@ -259,3 +260,67 @@ def test_regexp_like_flags(spark):
     assert spark.sql(out).collect()[0].x is True
     with pytest.raises(DialectError, match="'i' flag"):
         translate_sql("SELECT regexp_like(s, p, 'x') FROM t")
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY rewrite (reference sqllogictest qualify.slt)
+# ---------------------------------------------------------------------------
+
+def test_qualify_alias_predicate_rewrite():
+    out = translate_sql(
+        "SELECT id, ROW_NUMBER() OVER (PARTITION BY d ORDER BY s DESC) AS rn"
+        " FROM t QUALIFY rn = 1")
+    # alias substituted into the inner boolean column, outer filter added
+    assert "AS __qualify__" in out and out.startswith("SELECT * EXCEPT")
+    assert "WHERE __qualify__" in out
+    assert "((ROW_NUMBER() OVER (PARTITION BY d ORDER BY s DESC)) = 1)" in out
+
+
+def test_qualify_orderby_on_nonprojected_column():
+    out = translate_sql(
+        "SELECT id, RANK() OVER (ORDER BY s) AS r FROM t"
+        " QUALIFY r <= 2 ORDER BY d, id")
+    # d is not in the select list: must be carried through and EXCEPTed out
+    assert ", d," in out.replace(", d ,", ", d,") or ", d," in out
+    assert "EXCEPT (__qualify__, d)" in out
+
+
+def test_qualify_execution_matches_handwritten(spark):
+    from conftest import SF_SMALL
+    ctx = SessionContext(spark)
+    ctx.register_parquet("orders_q", f"{SF_SMALL}/orders.parquet")
+    got = ctx.sql("""
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders_q QUALIFY rn = 1 ORDER BY o_custkey LIMIT 20
+    """).collect()
+    exp = spark.sql(f"""
+        SELECT o_custkey, o_orderkey, rn FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM parquet.`{SF_SMALL}/orders.parquet`) WHERE rn = 1
+        ORDER BY o_custkey LIMIT 20
+    """).collect()
+    assert got == exp
+
+
+def test_qualify_grouped_window_over_aggregate(spark):
+    from conftest import SF_SMALL
+    ctx = SessionContext(spark)
+    ctx.register_parquet("orders_q2", f"{SF_SMALL}/orders.parquet")
+    rows = ctx.sql("""
+        SELECT o_orderpriority, SUM(o_totalprice) AS s
+        FROM orders_q2 GROUP BY o_orderpriority
+        QUALIFY RANK() OVER (ORDER BY SUM(o_totalprice) DESC) = 1
+    """).collect()
+    assert len(rows) == 1
+
+
+def test_qualify_error_parity():
+    # DataFusion rejects QUALIFY with no window function anywhere
+    with pytest.raises(DialectError, match="window function"):
+        translate_sql("SELECT id, name FROM users QUALIFY id > 1")
+    with pytest.raises(DialectError, match="set operation"):
+        translate_sql("SELECT 1 AS x UNION ALL SELECT 2 AS x QUALIFY x > 1")
