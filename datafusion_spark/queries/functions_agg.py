@@ -571,3 +571,37 @@ def agg_first_last_ordered(spark, sf_dir):
         F.expr("min_by(user_id, event_id)").alias("first_user"),
         F.expr("max_by(user_id, event_id)").alias("last_user"),
     )
+
+
+@query(
+    "agg_minmax_nested",
+    oracle="""
+    SELECT l_returnflag,
+           MIN([CAST(l_linenumber AS BIGINT), CAST(l_orderkey AS BIGINT)]) AS mn_arr,
+           MAX([CAST(l_linenumber AS BIGINT), CAST(l_orderkey AS BIGINT)]) AS mx_arr,
+           ARG_MAX([CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT)],
+                   CAST(l_orderkey AS BIGINT) * 10 + l_linenumber)         AS last_arr
+    FROM lineitem
+    WHERE l_orderkey < 4000
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "minmax", "nested"),
+)
+def agg_minmax_nested(spark, sf_dir):
+    """MIN/MAX and FIRST/LAST over nested (array) values (reference
+    sqllogictest min_max/list.slt, first_last_nested.slt;
+    functions-aggregate/src/min_max.rs generic accumulator): both engines
+    order arrays lexicographically element-by-element, so the plain
+    min/max accumulator works unchanged — single-pass, mergeable, partial
+    agg on the map side like any scalar min/max.  The ordered-last arm
+    uses max_by over a unique composite key (orderkey*10+linenumber) so
+    the result is deterministic."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
+    arr = F.array(F.col("l_linenumber").cast("long"), F.col("l_orderkey").cast("long"))
+    key_arr = F.array(F.col("l_orderkey").cast("long"), F.col("l_linenumber").cast("long"))
+    ukey = F.col("l_orderkey").cast("long") * 10 + F.col("l_linenumber")
+    return l.groupBy("l_returnflag").agg(
+        F.min(arr).alias("mn_arr"),
+        F.max(arr).alias("mx_arr"),
+        F.max_by(key_arr, ukey).alias("last_arr"),
+    )
