@@ -507,3 +507,66 @@ def dedup_apply_canonical(spark, sf_dir):
     return docs.join(F.broadcast(non_canonical), "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "dedup_substring_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), wins AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+      WHERE len(t) >= 8
+    ), shared AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS total_windows FROM wins GROUP BY doc_id
+    ), sh AS (
+      SELECT w.doc_id, COUNT(*) AS shared_windows
+      FROM wins w JOIN shared s USING (h) GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.total_windows AS BIGINT)            AS total_windows,
+           CAST(COALESCE(sh.shared_windows, 0) AS BIGINT) AS shared_windows,
+           ROUND(CAST(COALESCE(sh.shared_windows, 0) AS DOUBLE)
+                 / t.total_windows, 6)                AS dup_frac
+    FROM tot t LEFT JOIN sh USING (doc_id) ORDER BY t.doc_id
+    """,
+    tags=("pipeline", "dedup", "substring"),
+)
+def dedup_substring_windows(spark, sf_dir):
+    """Substring-level duplication detection (the training-data step doc-
+    level dedup misses: boilerplate / quoted passages repeated ACROSS
+    otherwise-distinct documents).  Every 8-token rolling window is
+    hashed; windows seen in ≥2 documents are "shared", and each document
+    reports its shared-window fraction — the score a pipeline thresholds
+    to strip repeated passages.
+
+    Scale shape (the suffix-array alternative's distributed stand-in):
+    explode is a narrow map (rows × ~tokens, no shuffle); the only
+    shuffle keys are uniform MD5 window hashes, so no skew; the shared
+    set is h-only and joins back hash-to-hash.  Window count is linear
+    in corpus tokens — at 100 TB this is the standard hash-window pass
+    (Lee et al. dedup), sharded by hash range, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")) \
+               .filter(F.size("t") >= 8)
+    wins = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 7),"
+            " i -> md5(array_join(slice(t, i, 8), ' ')))")).alias("h"),
+    ).distinct()
+    shared = wins.groupBy("h").agg(F.count(F.lit(1)).alias("nd")) \
+                 .filter(F.col("nd") >= 2).select("h")
+    tot = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total_windows"))
+    sh = wins.join(shared, "h") \
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("shared_windows"))
+    return tot.join(sh, "doc_id", "left").select(
+        "doc_id",
+        "total_windows",
+        F.coalesce("shared_windows", F.lit(0)).alias("shared_windows"),
+        F.round(F.coalesce("shared_windows", F.lit(0)).cast("double")
+                / F.col("total_windows"), 6).alias("dup_frac"),
+    )
