@@ -1,4 +1,12 @@
-"""Official-schema TPC-H track: q2/q9/q11/q16/q20 structurally unmodified.
+"""Official-schema TPC-H track: 15 queries structurally unmodified.
+
+q2/q9/q11/q16/q20 run on a derived partsupp; q4/q12/q21 on derived
+commit/receipt/shipmode lineitem columns; q8/q10/q13/q14/q17/q19/q22 on
+derived official-column overlays (three-word p_type, p_container, c_phone/
+c_address/c_comment, o_comment, l_shipinstruct).  Together with the seven
+queries that need no adaptation at all in tpch.py (q1/q3/q5/q6/q7/q15/q18),
+every official TPC-H join graph + subquery structure runs structurally
+unmodified against this repo.
 
 The driver testdata has no partsupp table, so the adapted suite in tpch.py
 re-derives per-query substitutes and documents every deviation.  This module
@@ -270,7 +278,10 @@ SELECT *,
        CASE (l_orderkey * 3 + l_linenumber) % 7
             WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
             WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'FOB'
-            ELSE 'REG AIR' END AS l_shipmode
+            ELSE 'REG AIR' END AS l_shipmode,
+       CASE (l_orderkey * 13 + l_linenumber * 7) % 4
+            WHEN 0 THEN 'DELIVER IN PERSON' WHEN 1 THEN 'COLLECT COD'
+            WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END AS l_shipinstruct
 FROM lineitem
 """
 
@@ -282,7 +293,7 @@ def _ensure_lineitem_ext(spark, sf_dir: str) -> None:
     register_views(spark, sf_dir)
     dest = os.path.join(
         _repo_root(), "spark-warehouse", "derived_tpch",
-        os.path.basename(sf_dir.rstrip("/")), "lineitem_ext.parquet",
+        os.path.basename(sf_dir.rstrip("/")), "lineitem_ext2.parquet",
     )
     if not os.path.isdir(dest):
         tmp = f"{dest}.tmp.{os.getpid()}"
@@ -396,4 +407,364 @@ _register_ext(
     co-partitioned on l_orderkey so AQE plans one exchange per side;
     supplier/nation broadcast.  (s_name, numwait) ordering has unique
     s_name -> deterministic LIMIT.  Counts-only output -> exact match.""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Official-column overlays for the remaining adapted queries.
+#
+# The synthetic dims lack several official TPC-H columns (p_container, the
+# three-word p_type domain, c_phone/c_address/c_comment, o_comment,
+# l_shipinstruct).  Like partsupp above, each is DERIVED as a pure integer
+# function of the row's key — CASE over multiplicative residues with
+# PAIRWISE-COPRIME moduli (6/5/7 for p_type's three words, 5/8 for
+# p_container's two) so every official vocabulary combination actually
+# occurs in the data.  The SAME derivation text runs on both engines, so
+# the oracle needs no extra files.
+# ---------------------------------------------------------------------------
+
+_PART_EXT_SQL = """
+SELECT p_partkey, p_name, p_brand, p_size, p_retailprice,
+       CASE (p_partkey * 7) % 6
+            WHEN 0 THEN 'STANDARD' WHEN 1 THEN 'SMALL' WHEN 2 THEN 'MEDIUM'
+            WHEN 3 THEN 'LARGE' WHEN 4 THEN 'ECONOMY' ELSE 'PROMO' END
+       || ' ' ||
+       CASE (p_partkey * 11) % 5
+            WHEN 0 THEN 'ANODIZED' WHEN 1 THEN 'BURNISHED'
+            WHEN 2 THEN 'PLATED' WHEN 3 THEN 'POLISHED' ELSE 'BRUSHED' END
+       || ' ' ||
+       CASE (p_partkey * 5) % 7
+            WHEN 0 THEN 'TIN' WHEN 1 THEN 'NICKEL' WHEN 2 THEN 'BRASS'
+            WHEN 3 THEN 'STEEL' WHEN 4 THEN 'COPPER' WHEN 5 THEN 'TIN'
+            ELSE 'STEEL' END AS p_type,
+       CASE (p_partkey * 3) % 5
+            WHEN 0 THEN 'SM' WHEN 1 THEN 'LG' WHEN 2 THEN 'MED'
+            WHEN 3 THEN 'JUMBO' ELSE 'WRAP' END
+       || ' ' ||
+       CASE (p_partkey * 3) % 8
+            WHEN 0 THEN 'CASE' WHEN 1 THEN 'BOX' WHEN 2 THEN 'BAG'
+            WHEN 3 THEN 'JAR' WHEN 4 THEN 'PKG' WHEN 5 THEN 'PACK'
+            WHEN 6 THEN 'CAN' ELSE 'DRUM' END AS p_container
+FROM part
+"""
+
+_CUSTOMER_EXT_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       CAST(10 + (c_nationkey % 25) AS STRING) || '-' ||
+       CAST(100 + (c_custkey * 7) % 900 AS STRING) || '-' ||
+       CAST(100 + (c_custkey * 11) % 900 AS STRING) || '-' ||
+       CAST(1000 + (c_custkey * 13) % 9000 AS STRING)      AS c_phone,
+       'Address_' || CAST((c_custkey * 17) % 1000 AS STRING) AS c_address,
+       CASE (c_custkey * 29) % 4
+            WHEN 0 THEN 'carefully final deposits boost'
+            WHEN 1 THEN 'quickly ironic requests sleep'
+            WHEN 2 THEN 'furiously special accounts nag'
+            ELSE 'blithely regular packages wake' END       AS c_comment
+FROM customer
+"""
+
+_ORDERS_EXT_SQL = """
+SELECT *,
+       CASE (o_orderkey * 23) % 8
+            WHEN 0 THEN 'special packages among the pending requests'
+            WHEN 1 THEN 'carefully special foxes detect quiet requests'
+            WHEN 2 THEN 'requests sleep blithely special instructions'
+            WHEN 3 THEN 'quickly special deposits haggle'
+            WHEN 4 THEN 'final requests integrate furiously'
+            WHEN 5 THEN 'express accounts wake carefully'
+            WHEN 6 THEN 'silent theodolites nag above the ideas'
+            ELSE 'slyly regular platelets boost' END AS o_comment
+FROM orders
+"""
+
+_EXT_VIEWS = {
+    "part": (_PART_EXT_SQL, "part_ext.parquet"),
+    "customer": (_CUSTOMER_EXT_SQL, "customer_ext.parquet"),
+    "orders": (_ORDERS_EXT_SQL, "orders_ext.parquet"),
+}
+
+
+def _materialize_ext(spark, sf_dir: str, view: str) -> str:
+    """Materialize a derived dim overlay once per sf_dir; returns the parquet
+    path.  Re-registers the BASE views (the derivation reads them), so the
+    caller must install all shadow views only after the last materialization."""
+    sql, fname = _EXT_VIEWS[view]
+    register_views(spark, sf_dir)
+    dest = os.path.join(
+        _repo_root(), "spark-warehouse", "derived_tpch",
+        os.path.basename(sf_dir.rstrip("/")), fname,
+    )
+    if not os.path.isdir(dest):
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+def _ensure_ext_view(spark, sf_dir: str, view: str) -> None:
+    """Materialize + shadow a single overlay (single-overlay callers)."""
+    dest = _materialize_ext(spark, sf_dir, view)
+    spark.read.parquet(dest).createOrReplaceTempView(view)
+
+
+def _register_official(name: str, sql: str, doc: str,
+                       exts: tuple[str, ...], lineitem_ext: bool = False) -> None:
+    def fn(spark, sf_dir, _sql=sql, _exts=exts, _lx=lineitem_ext):
+        # Materialize everything FIRST (each pass re-registers base views),
+        # then install every shadow so none is wiped by a later base
+        # re-registration.
+        if _lx:
+            _ensure_lineitem_ext(spark, sf_dir)  # shadows `lineitem` last
+        paths = {v: _materialize_ext(spark, sf_dir, v) for v in _exts}
+        if _lx:
+            # _materialize_ext re-registered base views: restore lineitem ext
+            _ensure_lineitem_ext(spark, sf_dir)
+        for v, dest in paths.items():
+            spark.read.parquet(dest).createOrReplaceTempView(v)
+        return spark.sql(_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    ctes = [
+        f"{v} AS ({_EXT_VIEWS[v][0].replace(f'FROM {v}', f'FROM main.{v}')})"
+        for v in exts
+    ]
+    if lineitem_ext:
+        ctes.append("lineitem AS ("
+                    + _LINEITEM_EXT_SQL.replace("FROM lineitem", "FROM main.lineitem")
+                    + ")")
+    oracle = "WITH " + ",\n".join(ctes) + " " + sql
+    query(name, oracle=oracle, tags=("tpch", "official", "derived-dims", "bench"))(fn)
+
+
+# q8: national market share (reference benchmarks/queries/q8.sql) on the
+# derived official p_type.  Adaptations: BRAZIL -> NATION_3, date window in
+# the synthetic domain, money sums in DECIMAL(38,6) (SURVEY §4).
+_register_official(
+    "tpch_official_q8",
+    """
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                    AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        AND p_type = 'ECONOMY ANODIZED STEEL'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="""Official TPC-H q8 (reference benchmarks/queries/q8.sql) on the
+    derived official p_type: the verbatim 8-relation comma-join with the
+    three-word type constant.  Part filter is ~1/105 selective and reaches
+    the scan; both nation legs and region broadcast; the two-sum share
+    division accumulates in DECIMAL(38,6).""",
+    exts=("part",),
+)
+
+# q10: returned-item reporting (reference q10.sql) with the OFFICIAL
+# projection incl. c_address/c_phone/c_comment from the derived customer
+# overlay.  Adaptations: date window retargeted; c_custkey appended to the
+# ORDER BY as a tiebreak so LIMIT 20 is deterministic.
+_register_official(
+    "tpch_official_q10",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name, c_address, c_phone, c_comment
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, c_phone, n_name,
+             c_address, c_comment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="""Official TPC-H q10 (reference benchmarks/queries/q10.sql) with
+    the full official projection: the derived customer overlay supplies
+    c_address/c_phone/c_comment (pure key functions, so both engines see
+    identical values).  Top-20 via TakeOrdered on the exact decimal
+    revenue; nation broadcasts.""",
+    exts=("customer",),
+)
+
+# q13: customer distribution (reference q13.sql) on the derived o_comment.
+_register_official(
+    "tpch_official_q13",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        AND o_comment NOT LIKE '%special%requests%'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="""Official TPC-H q13 (reference benchmarks/queries/q13.sql) on the
+    derived o_comment: the verbatim NOT-LIKE join-side filter (two of the
+    eight comment templates match '%special%requests%'), left outer join
+    preserving order-less customers, double grouping.  The LIKE filter is
+    evaluated on the probe side before the join build — no extra
+    shuffle.""",
+    exts=("orders",),
+)
+
+# q14: promotion effect (reference q14.sql) on the derived official p_type.
+_register_official(
+    "tpch_official_q14",
+    """
+    SELECT 100.00 *
+           CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1996-09-01'
+      AND l_shipdate < DATE '1996-10-01'
+    """,
+    doc="""Official TPC-H q14 (reference benchmarks/queries/q14.sql) on the
+    derived official p_type: verbatim PROMO% prefix CASE over the
+    part-broadcast join, one month of l_shipdate pushed to the scan,
+    decimal-accumulated conditional sums.""",
+    exts=("part",),
+)
+
+# q17: small-quantity-order revenue (reference q17.sql): official brand +
+# container constants over the derived p_container.
+_register_official(
+    "tpch_official_q17",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND p_container = 'MED BOX'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity)
+        FROM lineitem
+        WHERE l_partkey = p_partkey)
+    """,
+    doc="""Official TPC-H q17 (reference benchmarks/queries/q17.sql) on the
+    derived p_container: verbatim correlated avg-quantity threshold
+    (decorrelated by Catalyst to a partkey-grouped aggregate + rejoin),
+    Brand#23 + MED BOX part filter broadcast against lineitem.  Quantities
+    are integer-valued doubles, so the 0.2*avg threshold is exact on both
+    engines.""",
+    exts=("part",),
+)
+
+# q19: discounted revenue (reference q19.sql): the OR-of-ANDs over derived
+# p_container + l_shipinstruct (+ the derived shipmode).  Adaptations:
+# Brand#34 -> Brand#24 (synthetic brand domain is 1..25); money sum
+# decimal-accumulated.  'AIR REG' matches nothing, exactly as in official
+# TPC-H data (the real mode is spelled 'REG AIR') — kept verbatim.
+_register_official(
+    "tpch_official_q19",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE (
+            p_partkey = l_partkey
+        AND p_brand = 'Brand#12'
+        AND p_container IN ('SM CASE', 'SM BOX', 'SM PACK', 'SM PKG')
+        AND l_quantity >= 1 AND l_quantity <= 1 + 10
+        AND p_size BETWEEN 1 AND 5
+        AND l_shipmode IN ('AIR', 'AIR REG')
+        AND l_shipinstruct = 'DELIVER IN PERSON'
+      ) OR (
+            p_partkey = l_partkey
+        AND p_brand = 'Brand#23'
+        AND p_container IN ('MED BAG', 'MED BOX', 'MED PKG', 'MED PACK')
+        AND l_quantity >= 10 AND l_quantity <= 10 + 10
+        AND p_size BETWEEN 1 AND 10
+        AND l_shipmode IN ('AIR', 'AIR REG')
+        AND l_shipinstruct = 'DELIVER IN PERSON'
+      ) OR (
+            p_partkey = l_partkey
+        AND p_brand = 'Brand#24'
+        AND p_container IN ('LG CASE', 'LG BOX', 'LG PACK', 'LG PKG')
+        AND l_quantity >= 20 AND l_quantity <= 20 + 10
+        AND p_size BETWEEN 1 AND 15
+        AND l_shipmode IN ('AIR', 'AIR REG')
+        AND l_shipinstruct = 'DELIVER IN PERSON'
+      )
+    """,
+    doc="""Official TPC-H q19 (reference benchmarks/queries/q19.sql) on the
+    derived p_container/l_shipinstruct/l_shipmode: the signature
+    OR-of-ANDs join predicate.  Catalyst extracts the common
+    p_partkey = l_partkey equi-condition and ORs the residual — a hash
+    join with a post-join filter, never a cartesian; the shared
+    l_shipmode/l_shipinstruct conjuncts are pushed to the lineitem
+    scan.""",
+    exts=("part",),
+    lineitem_ext=True,
+)
+
+# q22: global sales opportunity (reference q22.sql) on the derived c_phone.
+# Adaptations: every synthetic customer has orders, so the official
+# "customers with no orders at all" NOT EXISTS would be empty — it keeps
+# the official shape but tests "no orders since 2000-01-01"; the avg
+# accumulates in DECIMAL(38,6).
+_register_official(
+    "tpch_official_q22",
+    """
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT substring(c_phone FROM 1 FOR 2) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE substring(c_phone FROM 1 FOR 2) IN
+            ('13', '31', '23', '29', '30', '18', '17')
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(c_acctbal)
+          FROM customer
+          WHERE c_acctbal > 0.00
+            AND substring(c_phone FROM 1 FOR 2) IN
+                ('13', '31', '23', '29', '30', '18', '17'))
+        AND NOT EXISTS (
+          SELECT * FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    doc="""Official TPC-H q22 (reference benchmarks/queries/q22.sql) on the
+    derived c_phone (country code = 10 + nationkey, official format): the
+    verbatim substring country-code filter, positive-balance average as a
+    broadcast scalar subquery, and the anti-join — Spark plans the NOT
+    EXISTS as a left-anti hash join on o_custkey with the date predicate
+    pushed to the orders scan.""",
+    exts=("customer",),
 )
