@@ -605,3 +605,31 @@ def agg_minmax_nested(spark, sf_dir):
         F.max(arr).alias("mx_arr"),
         F.max_by(key_arr, ukey).alias("last_arr"),
     )
+
+
+@query(
+    "agg_regr_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(REGR_SXX(l_extendedprice, l_quantity), -2) AS sxx,
+           ROUND(REGR_SYY(l_extendedprice, l_quantity), -2) AS syy,
+           ROUND(REGR_SXY(l_extendedprice, l_quantity), -2) AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_regr_moments(spark, sf_dir):
+    """The remaining regr_* second-moment aggregates (reference
+    functions-aggregate/src/regr.rs: REGR_SXX/SYY/SXY) — single-pass
+    mergeable moment accumulators on both engines.  Results are O(1e10+)
+    sums of squared deviations whose last digits carry engine formula
+    noise, so the comparison rounds to the hundreds (>=8 significant
+    digits of agreement)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_sxx(y, x), -2).alias("sxx"),
+        F.round(F.regr_syy(y, x), -2).alias("syy"),
+        F.round(F.regr_sxy(y, x), -2).alias("sxy"),
+    )
