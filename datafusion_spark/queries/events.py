@@ -529,3 +529,63 @@ def events_sequence_conversion(spark, sf_dir):
         F.countDistinct(F.when(converted, F.col("user_id"))).cast("long")
             .alias("users_converted_1h"),
     )
+
+
+@query(
+    "events_ohlc_downsample",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+                 AS bucket,
+             value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0')      AS ord_key
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, bucket,
+           arg_min(value, ord_key)                          AS open,
+           MAX(value)                                       AS high,
+           MIN(value)                                       AS low,
+           arg_max(value, ord_key)                          AS close,
+           CAST(COUNT(*) AS BIGINT)                         AS volume,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM keyed
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    tags=("events", "timeseries", "ohlc"),
+)
+def events_ohlc_downsample(spark, sf_dir):
+    """OHLC resampling (the time-series downsample every market/metrics
+    pipeline runs; reference streaming window aggs + first/last_value
+    ordered aggregates): 6-hour buckets per event_type with
+    open/high/low/close/volume.  Open/close are min_by/max_by over a
+    fixed-width (epoch_us, event_id) string key — a single-pass mergeable
+    accumulator (no window sort, no per-bucket shuffle beyond the one
+    groupBy), deterministic under ts ties because event_id is unique.
+    Bucketing is pure integer arithmetic on epoch micros, so both engines
+    bin identically at any timezone."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros("ts")
+    bucket = F.timestamp_micros(
+        (us - (us % F.lit(21600000000))).cast("long")
+    )
+    ord_key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.select("event_type", bucket.alias("bucket"), "value",
+                 ord_key.alias("ord_key"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("value", "ord_key").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord_key").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
+        )
+        .orderBy("event_type", "bucket")
+    )
