@@ -39,3 +39,46 @@ def test_ivf_multiprobe_recall_floor(spark):
     ]
     recall = sum(recalls) / len(recalls)
     assert recall >= 0.8, f"IVF multiprobe recall@5 {recall:.2f} below 0.8 floor"
+
+
+def test_pq_adc_recall_floor(spark):
+    """PQ/ADC top-5 must beat random chance by a wide margin (measured
+    0.32 on the synthetic unclustered corpus with M=8, K=16, one Lloyd
+    round; chance is 5/499 ~ 0.01).  On real clustered embedding
+    distributions PQ recall is far higher — this floor guards against a
+    broken codebook/encode path, not a tuned index."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_spark.catalog import load_table
+    from datafusion_spark.queries import QUERIES
+
+    got = {}
+    for r in QUERIES["similarity_pq_topk"](spark, SF_ORACLE).collect():
+        got.setdefault(r.qid, set()).add(r.neighbor_id)
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), "vec_id")
+    exact = {}
+    for r in (
+        q.crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("d", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    ):
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+
+    recall = sum(len(got[k] & exact[k]) for k in exact) / (5 * len(exact))
+    assert recall >= 0.15, recall
