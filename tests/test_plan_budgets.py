@@ -87,6 +87,22 @@ SHUFFLE_BUDGETS = {
     # corpus-unigram LM scoring: explode + vocab agg + words-vocab join +
     # per-doc agg (static plan; AQE broadcasts the vocab side at runtime)
     "text_unigram_logprob": 7,
+    # official overlays (audited at tuning time):
+    "tpch_official_q8": 2,    # fact join + share agg; all dims broadcast
+    "tpch_official_q10": 1,   # one fact join exchange; nation broadcast
+    "tpch_official_q13": 3,   # outer join + two grouping levels
+    "tpch_official_q14": 1,   # part broadcast; scalar agg
+    "tpch_official_q17": 2,   # per-part avg agg + rejoin
+    "tpch_official_q19": 1,   # OR-of-ANDs residual on one broadcast join
+    "tpch_official_q22": 3,   # anti join + scalar avg + cntrycode agg
+    # continuation-session pipeline ops:
+    "dedup_substring_windows": 6,  # distinct + 3 hash-keyed aggs + 2 joins
+    "similarity_pq_encode": 9,     # Lloyd round windows + code assembly
+    "similarity_pq_topk": 11,      # + recon assembly and ADC ranking
+    "events_ohlc_downsample": 2,   # one keyed agg + output range sort
+    "agg_minmax_nested": 1,
+    "agg_regr_moments": 1,
+    "compat_sql_qualify": 2,       # window exchange + output sort
 }
 
 BROADCAST_EXPECTED = [
@@ -98,6 +114,10 @@ BROADCAST_EXPECTED = [
     "text_global_shuffle",      # bucket-offset table broadcast
     "job_style_join_ordering",  # every dimension leg broadcasts
     "job_1a", "job_7a", "job_10a",  # JOB graphs: dim legs must broadcast
+    "tpch_official_q8",   # nation/region/part legs broadcast
+    "tpch_official_q17",  # brand+container part filter broadcast
+    "tpch_official_q19",  # part broadcast under the OR-of-ANDs
+    "similarity_pq_topk", # codebooks + reconstructions broadcast
 ]
 
 
