@@ -99,6 +99,7 @@ SHUFFLE_BUDGETS = {
     "dedup_substring_windows": 6,  # distinct + 3 hash-keyed aggs + 2 joins
     "similarity_pq_encode": 9,     # Lloyd round windows + code assembly
     "similarity_pq_topk": 11,      # + recon assembly and ADC ranking
+    "similarity_ivfpq_topk": 15,   # coarse assign + PQ chain + probe join
     "events_ohlc_downsample": 2,   # one keyed agg + output range sort
     "agg_minmax_nested": 1,
     "agg_regr_moments": 1,
@@ -118,6 +119,7 @@ BROADCAST_EXPECTED = [
     "tpch_official_q17",  # brand+container part filter broadcast
     "tpch_official_q19",  # part broadcast under the OR-of-ANDs
     "similarity_pq_topk", # codebooks + reconstructions broadcast
+    "similarity_ivfpq_topk",
 ]
 
 
