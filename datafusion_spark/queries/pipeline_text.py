@@ -945,3 +945,71 @@ def text_bigram_logprob(spark, sf_dir):
             / F.count(F.lit(1)), 6,
         ).alias("avg_cond_nll_bits"),
     )
+
+
+@query(
+    "text_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ), cum AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)                       AS n_tokens,
+           CAST(cum_before // 2048 AS BIGINT)      AS pack_id,
+           CAST(cum_before % 2048 AS BIGINT)       AS offset_in_pack,
+           CAST((cum_before + n - 1) // 2048
+                - cum_before // 2048 + 1 AS BIGINT) AS packs_spanned
+    FROM cum ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "packing"),
+)
+def text_sequence_packing(spark, sf_dir):
+    """LLM-pretraining sequence packing (concat-then-chunk): every document
+    gets its global token offset in the doc_id-ordered concatenation, from
+    which its 2048-token pack id, in-pack offset and span count follow.
+    The oracle is one global cumulative-sum window; the Spark plan never
+    builds one — documents bucket by `doc_id div W` (W sized from
+    max(doc_id) so there are <=2048 buckets), token sums cumulate within
+    buckets, and the tiny per-bucket offsets broadcast back: the same
+    two-phase construction as the distributed global rank, 2 scans + one
+    bounded shuffle at any corpus size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    bounds = toks.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil((F.max("doc_id") + 1) / F.lit(2048)).cast("long"),
+        ).alias("w")
+    )
+    b = toks.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("doc_id div w")
+    )
+    lw = Window.partitionBy("bucket").orderBy("doc_id") \
+               .rowsBetween(Window.unboundedPreceding, -1)
+    local = b.withColumn("local_before", F.coalesce(F.sum("n").over(lw), F.lit(0)))
+    counts = b.groupBy("bucket").agg(F.sum("n").alias("bn"))
+    ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("bn").over(ow), F.lit(0))
+    ).select("bucket", "off")
+    cum = (
+        local.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_before", F.col("off") + F.col("local_before"))
+    )
+    return cum.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.expr("cum_before div 2048").alias("pack_id"),
+        (F.col("cum_before") % 2048).alias("offset_in_pack"),
+        (F.expr("(cum_before + n - 1) div 2048")
+         - F.expr("cum_before div 2048") + 1).alias("packs_spanned"),
+    ).orderBy("doc_id")

@@ -104,6 +104,7 @@ SHUFFLE_BUDGETS = {
     "agg_minmax_nested": 1,
     "agg_regr_moments": 1,
     "compat_sql_qualify": 2,       # window exchange + output sort
+    "text_sequence_packing": 6,    # bucket cumsum + tiny offsets + output sort
 }
 
 BROADCAST_EXPECTED = [
