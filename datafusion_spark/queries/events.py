@@ -554,7 +554,7 @@ def events_sequence_conversion(spark, sf_dir):
     GROUP BY event_type, bucket
     ORDER BY event_type, bucket
     """,
-    tags=("events", "timeseries", "ohlc"),
+    tags=("events", "timeseries", "ohlc", "bench"),
 )
 def events_ohlc_downsample(spark, sf_dir):
     """OHLC resampling (the time-series downsample every market/metrics

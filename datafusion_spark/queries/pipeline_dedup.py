@@ -533,7 +533,7 @@ def dedup_apply_canonical(spark, sf_dir):
                  / t.total_windows, 6)                AS dup_frac
     FROM tot t LEFT JOIN sh USING (doc_id) ORDER BY t.doc_id
     """,
-    tags=("pipeline", "dedup", "substring"),
+    tags=("pipeline", "dedup", "substring", "bench"),
 )
 def dedup_substring_windows(spark, sf_dir):
     """Substring-level duplication detection (the training-data step doc-

@@ -966,7 +966,7 @@ def text_bigram_logprob(spark, sf_dir):
                 - cum_before // 2048 + 1 AS BIGINT) AS packs_spanned
     FROM cum ORDER BY doc_id
     """,
-    tags=("pipeline", "text", "packing"),
+    tags=("pipeline", "text", "packing", "bench"),
 )
 def text_sequence_packing(spark, sf_dir):
     """LLM-pretraining sequence packing (concat-then-chunk): every document
