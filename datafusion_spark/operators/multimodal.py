@@ -3,11 +3,12 @@ decoded/feature-extracted via Arrow-batched pandas over mapInPandas.
 
 Decode resolution order: PIL if installed → the vendored pure-stdlib PNG
 codec (png_lite.py — REAL decode, known-answer tested against generated
-payloads) → a deterministic bytes-derived fake as the last-resort fallback
-for non-PNG payloads (no audio/video codec ships in this container; those
-paths remain clearly-marked stubs).  Everything Spark-side — the binary
-schema, the batch iterator shape, partition sizing, and the output
-contract — is identical across all three paths.
+payloads) → the stdlib ``wave`` module for RIFF/WAVE payloads (REAL
+16-bit PCM decode, known-answer tested) → a deterministic bytes-derived
+fake as the last-resort fallback (video only; no mp4 codec ships in this
+container, that path remains a clearly-marked stub).  Everything
+Spark-side — the binary schema, the batch iterator shape, partition
+sizing, and the output contract — is identical across all paths.
 
 Scale notes: media payloads dominate row size, so batches are bounded by
 `spark.sql.execution.arrow.maxRecordsPerBatch` (bytes, not rows, are the
@@ -51,12 +52,42 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, float]:
         # mean sample value in [0,1]: a real, pixel-derived feature
         return w, h, channels, sum(pixels) / (len(pixels) * 255.0)
     except ValueError:
-        digest = hashlib.sha1(payload).digest()
-        width = 64 + digest[0] % 192
-        height = 64 + digest[1] % 192
-        channels = 1 + digest[2] % 3
-        feature_norm = sum(digest[:8]) / (8 * 255.0)
-        return width, height, channels, feature_norm
+        pass
+    samples = _decode_wav(payload)
+    if samples is not None:
+        # audio "image": width = frame count, height = 1; feature = mean
+        # absolute amplitude in [0,1] — a real, sample-derived value
+        n = len(samples) or 1
+        return len(samples), 1, 1, float(sum(abs(s) for s in samples) / n)
+    digest = hashlib.sha1(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    channels = 1 + digest[2] % 3
+    feature_norm = sum(digest[:8]) / (8 * 255.0)
+    return width, height, channels, feature_norm
+
+
+def _decode_wav(payload: bytes):
+    """REAL WAV decode via the stdlib ``wave`` module: returns float64
+    samples in [-1, 1] for 16-bit PCM RIFF/WAVE payloads, else None."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            raw = w.readframes(w.getnframes())
+            width = w.getsampwidth()
+        if width == 2:
+            return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        if width == 1:  # 8-bit WAV is unsigned
+            return (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    except Exception:
+        return None
+    return None
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
@@ -140,9 +171,12 @@ def sample_frames(
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Model the documents table as a media table.  Image rows carry REAL
     PNG payloads (text bytes tiled into a text-length-sized pixel grid and
-    encoded with the vendored stdlib codec), so the decode path downstream
-    is exercised for real; audio/video rows keep raw text bytes (no codec
-    ships in this container — those decoders remain stubs)."""
+    encoded with the vendored stdlib codec) and audio rows carry REAL
+    16-bit PCM WAV containers (samples derived deterministically from the
+    text bytes, written with the stdlib ``wave`` module), so both decode
+    paths downstream are exercised for real; video rows keep raw text
+    bytes (no mp4 codec ships in this container — that decoder remains a
+    stub)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
@@ -158,6 +192,31 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
             out.append(encode_png(pixels, w, h, 1))
         return pd.Series(out)
 
+    @pandas_udf("binary")
+    def wav_payload(text: pd.Series) -> pd.Series:
+        import io
+        import wave
+
+        import numpy as np
+
+        out = []
+        for t in text:
+            data = (t or " ").encode("utf-8")
+            n = 256 + (len(data) * 13) % 512
+            # deterministic int16 samples from cycled text bytes: centered,
+            # scaled to a broad amplitude so RMS/zero-crossings are nontrivial
+            b = np.frombuffer(data, dtype=np.uint8)
+            idx = np.arange(n) % len(b)
+            samples = ((b[idx].astype(np.int32) - 128) * 200).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(samples.tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
     return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image/png")
@@ -165,6 +224,7 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
         .otherwise("video/mp4")
         .alias("media_type"),
         F.when(F.col("doc_id") % 3 == 0, png_payload(F.col("text")))
+        .when(F.col("doc_id") % 3 == 1, wav_payload(F.col("text")))
         .otherwise(F.col("text").cast("binary"))
         .alias("payload"),
     )
@@ -181,10 +241,10 @@ def extract_audio_windows(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Windowed audio features for audio payloads: one input row →
-    ``n_windows`` rows of (RMS energy, zero-crossing count).  STUB decode:
-    without an audio codec the payload bytes are interpreted as signed
-    8-bit PCM (deterministic); a real decoder (soundfile/librosa) slots in
-    behind the same import-try without touching the Spark contract.
+    ``n_windows`` rows of (RMS energy, zero-crossing count).  Decode
+    order: soundfile if installed → stdlib ``wave`` for RIFF/WAVE (REAL
+    16-bit PCM decode, known-answer tested) → signed-8-bit-PCM
+    interpretation of raw bytes as the deterministic last resort.
 
     Scale: row-local fan-out (no shuffle); feature rows are ~40 bytes, so
     the output is negligible next to the payload scan.  Batches are
@@ -198,12 +258,15 @@ def extract_audio_windows(
             ids, idxs, ns, rmss, zcs = [], [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(p)
+                samples = None
                 try:  # pragma: no cover - codec not present in container
                     import soundfile as sf  # noqa: F401
                     import io
 
                     samples, _rate = sf.read(io.BytesIO(data))
                 except Exception:
+                    samples = _decode_wav(data)
+                if samples is None:
                     samples = (
                         np.frombuffer(data or b"\x00", dtype=np.int8).astype(
                             np.float64

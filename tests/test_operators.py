@@ -440,3 +440,59 @@ def test_resize_normalize_real_png_stats(spark):
     xs = np.linspace(0, w - 1, 16).astype(int)
     small = luma[np.ix_(ys, xs)]
     assert abs(row.mean_pixel - float(small.mean())) < 1e-9
+
+
+def test_wav_decode_known_answer():
+    """Known-answer: a wave-module-written 16-bit PCM container decodes to
+    the exact samples written (scaled to [-1, 1])."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from datafusion_spark.operators.multimodal import _decode_wav
+
+    samples = np.array([0, 16384, -16384, 32767, -32768, 100], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    got = _decode_wav(buf.getvalue())
+    assert got is not None
+    assert np.allclose(got, samples.astype(np.float64) / 32768.0)
+    # non-WAV bytes must NOT pretend to decode
+    assert _decode_wav(b"not a riff container") is None
+
+
+def test_audio_windows_real_wav_rms(spark):
+    """End-to-end: media_table_from_documents emits real WAV containers and
+    extract_audio_windows recovers features computed from the ACTUAL PCM
+    samples (cross-checked against a NumPy reimplementation of the
+    generator + feature math)."""
+    import numpy as np
+
+    from datafusion_spark.operators.multimodal import (
+        extract_audio_windows,
+        media_table_from_documents,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "abcd wav check")], "doc_id long, text string")
+    media = media_table_from_documents(docs).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    rows = extract_audio_windows(media).orderBy("window_idx").collect()
+    assert len(rows) == 4
+
+    data = b"abcd wav check"
+    n = 256 + (len(data) * 13) % 512
+    b = np.frombuffer(data, dtype=np.uint8)
+    samples = ((b[np.arange(n) % len(b)].astype(np.int32) - 128) * 200
+               ).astype("<i2").astype(np.float64) / 32768.0
+    span = n // 4
+    for i, r in enumerate(rows):
+        seg = samples[i * span:(i + 1) * span]
+        assert r.n_samples == len(seg)
+        assert abs(r.rms - float(np.sqrt(np.mean(seg * seg)))) < 1e-12
