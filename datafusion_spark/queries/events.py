@@ -567,7 +567,10 @@ def events_ohlc_downsample(spark, sf_dir):
     Bucketing is pure integer arithmetic on epoch micros, so both engines
     bin identically at any timezone."""
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    us = F.unix_micros("ts")
+    # cast: some sources ship ts as TIMESTAMP_NTZ (e.g. Spark-written
+    # parquet), which unix_micros rejects; the session is pinned UTC so
+    # the cast is value-preserving
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     bucket = F.timestamp_micros(
         (us - (us % F.lit(21600000000))).cast("long")
     )
