@@ -1013,3 +1013,105 @@ def text_sequence_packing(spark, sf_dir):
         (F.expr("(cum_before + n - 1) div 2048")
          - F.expr("cum_before div 2048") + 1).alias("packs_spanned"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_pack_assembly",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, t, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM toks
+    ), pieces AS (
+      SELECT doc_id, pack_id,
+             t[CAST(GREATEST(pack_id*2048 - cb, 0) AS BIGINT) + 1 :
+               CAST(GREATEST(pack_id*2048 - cb, 0)
+                    + LEAST((pack_id+1)*2048, cb+n)
+                    - GREATEST(pack_id*2048, cb) AS BIGINT)] AS piece
+      FROM cum, LATERAL (SELECT unnest(generate_series(
+             CAST(cb // 2048 AS BIGINT),
+             CAST((cb + n - 1) // 2048 AS BIGINT))) AS pack_id) g
+    )
+    SELECT pack_id,
+           CAST(len(flatten(list(piece ORDER BY doc_id))) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT)                                  AS n_docs,
+           md5(array_to_string(flatten(list(piece ORDER BY doc_id)), ' '))
+               AS pack_md5
+    FROM pieces GROUP BY pack_id ORDER BY pack_id
+    """,
+    tags=("pipeline", "text", "packing"),
+)
+def text_pack_assembly(spark, sf_dir):
+    """Materialized sequence packs (the rows a pretraining data loader
+    actually reads): every document is cut into per-pack pieces at the
+    2048-token boundaries of the doc_id-ordered concatenation — a
+    straddling document contributes a piece to each pack it crosses —
+    and pieces reassemble per pack in document order.  Checked by content
+    hash, so the gate verifies the exact token stream of every pack.
+
+    Plan shape: the global offsets come from the same two-phase bucketed
+    cumsum as text_sequence_packing (never a single-partition window);
+    the piece explode is a narrow map (each token emitted exactly once);
+    assembly is ONE shuffle keyed by pack_id whose groups are bounded at
+    2048 tokens — skew-free by construction at any corpus size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    bounds = toks.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil((F.max("doc_id") + 1) / F.lit(2048)).cast("long"),
+        ).alias("w")
+    )
+    b = toks.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("doc_id div w")
+    )
+    lw = Window.partitionBy("bucket").orderBy("doc_id") \
+               .rowsBetween(Window.unboundedPreceding, -1)
+    local = b.withColumn("local_before", F.coalesce(F.sum("n").over(lw), F.lit(0)))
+    counts = b.groupBy("bucket").agg(F.sum("n").alias("bn"))
+    ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("bn").over(ow), F.lit(0))
+    ).select("bucket", "off")
+    cum = (
+        local.join(F.broadcast(offsets), "bucket")
+        .withColumn("cb", F.col("off") + F.col("local_before"))
+    )
+    pieces = cum.select(
+        "doc_id", "t", "n", "cb",
+        F.explode(
+            F.sequence(F.expr("cb div 2048"), F.expr("(cb + n - 1) div 2048"))
+        ).alias("pack_id"),
+    ).select(
+        "doc_id", "pack_id",
+        F.expr(
+            "slice(t, greatest(pack_id*2048 - cb, 0L) + 1, "
+            "least((pack_id+1)*2048, cb+n) - greatest(pack_id*2048, cb))"
+        ).alias("piece"),
+    )
+    assembled = pieces.groupBy("pack_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "piece"))),
+                lambda p: p.getField("piece"),
+            )
+        ).alias("tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return assembled.select(
+        "pack_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "n_docs",
+        F.md5(F.array_join("tokens", " ")).alias("pack_md5"),
+    ).orderBy("pack_id")

@@ -105,6 +105,7 @@ SHUFFLE_BUDGETS = {
     "agg_regr_moments": 1,
     "compat_sql_qualify": 2,       # window exchange + output sort
     "text_sequence_packing": 6,    # bucket cumsum + tiny offsets + output sort
+    "text_pack_assembly": 7,       # + the single pack_id assembly shuffle
 }
 
 BROADCAST_EXPECTED = [
