@@ -100,6 +100,7 @@ SHUFFLE_BUDGETS = {
     "similarity_pq_encode": 9,     # Lloyd round windows + code assembly
     "similarity_pq_topk": 11,      # + recon assembly and ADC ranking
     "similarity_ivfpq_topk": 15,   # coarse assign + PQ chain + probe join
+    "similarity_ivfpq_residual_topk": 10,  # cached models shrink the chain
     "events_ohlc_downsample": 2,   # one keyed agg + output range sort
     "agg_minmax_nested": 1,
     "agg_regr_moments": 1,
@@ -122,6 +123,7 @@ BROADCAST_EXPECTED = [
     "tpch_official_q19",  # part broadcast under the OR-of-ANDs
     "similarity_pq_topk", # codebooks + reconstructions broadcast
     "similarity_ivfpq_topk",
+    "similarity_ivfpq_residual_topk",
 ]
 
 
