@@ -466,3 +466,36 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ohlc_downsample(
+    events: DataFrame, window: str = "6 hours", watermark: str = "12 hours"
+) -> DataFrame:
+    """Streaming OHLC resampling — the stream twin of the batch
+    ``events_ohlc_downsample`` entry: per (event_type, tumbling window),
+    open/close via min_by/max_by over a fixed-width (epoch_us, event_id)
+    string key, plus high/low/volume.  Every aggregate is a mergeable
+    single-pass accumulator, so Spark maintains it incrementally per
+    window and the watermark bounds state exactly like any windowed agg
+    — no sort, no custom state."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ord_key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = src.filter(F.col("value").isNotNull()).withColumn("ord_key", ord_key)
+    return (
+        keyed.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ord_key").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord_key").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "open", "high", "low", "close", "volume",
+        )
+    )

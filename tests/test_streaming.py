@@ -408,3 +408,29 @@ def test_transform_with_state_running_totals(spark):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    """Streaming OHLC (min_by/max_by open/close as incremental mergeable
+    aggregates under a watermark) converges to the batch twin under
+    availableNow."""
+    from datafusion_spark.streaming.ops import ohlc_downsample
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_SMALL)
+    q = _run_available_now(ohlc_downsample(stream), name)
+    try:
+        got = {
+            (r.window_start, r.event_type):
+                (r.open, r.high, r.low, r.close, r.volume)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        batch = ohlc_downsample(load_table(spark, SF_SMALL, "events"))
+        want = {
+            (r.window_start, r.event_type):
+                (r.open, r.high, r.low, r.close, r.volume)
+            for r in batch.collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
