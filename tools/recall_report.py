@@ -74,12 +74,64 @@ def main() -> int:
             "n_queries": len(recalls),
         }
     report["corpus_size"] = n_corpus
+
+    # PQ family: L2/ADC paths, measured against the exact-L2 top-5 (the
+    # metric those entries rank by).  Floors are broken-path guards, not
+    # tuning targets — 16-code codebooks on this synthetic unclustered
+    # corpus measure ~0.3 (chance is ~0.01).
+    from pyspark.sql import Window
+
+    from datafusion_spark.catalog import load_table
+
+    emb = load_table(spark, args.sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), "vec_id")
+    exact_l2: dict[int, set[int]] = {}
+    for r in (
+        q.crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("d", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    ):
+        exact_l2.setdefault(r.qid, set()).add(r.vec_id)
+    PQ_FLOOR = 0.15
+    pq_ok = True
+    for name in [
+        "similarity_pq_topk",
+        "similarity_ivfpq_topk",
+        "similarity_ivfpq_residual_topk",
+    ]:
+        got: dict[int, set[int]] = {}
+        for r in QUERIES[name](spark, args.sf).collect():
+            got.setdefault(r.qid, set()).add(r.neighbor_id)
+        rc = sum(len(got.get(k, set()) & exact_l2[k]) for k in exact_l2) / (
+            5 * len(exact_l2)
+        )
+        report["paths"][name] = {
+            "recall_at_5": round(rc, 4),
+            "n_queries": len(exact_l2),
+            "baseline": "exact-l2",
+            "floor": PQ_FLOOR,
+        }
+        pq_ok = pq_ok and rc >= PQ_FLOOR
+
     mp = report["paths"]["similarity_ivf_topk_multiprobe"]["recall_at_5"]
     report["floor"] = RECALL_FLOOR
-    report["pass"] = mp >= RECALL_FLOOR
+    report["pass"] = mp >= RECALL_FLOOR and pq_ok
     print(json.dumps(report))
     spark.stop()
-    return 0 if mp >= RECALL_FLOOR else 1
+    return 0 if report["pass"] else 1
 
 
 if __name__ == "__main__":
