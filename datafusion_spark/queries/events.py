@@ -592,3 +592,70 @@ def events_ohlc_downsample(spark, sf_dir):
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id, event_type, value, ts,
+             SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) OVER w AS s1,
+             SUM(CAST(FLOOR(value * value * 1000000.0) AS BIGINT)) OVER w AS s2,
+             COUNT(*) OVER w AS n
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, value,
+           ROUND((value - CAST(s1 AS DOUBLE) / (n * 1000000.0))
+                 / sqrt((CAST(s2 AS DOUBLE) / 1000000.0
+                         - (CAST(s1 AS DOUBLE) / 1000000.0)
+                           * (CAST(s1 AS DOUBLE) / 1000000.0) / n)
+                        / (n - 1)), 4) AS z
+    FROM keyed
+    WHERE n >= 30
+      AND ABS((value - CAST(s1 AS DOUBLE) / (n * 1000000.0))
+              / sqrt((CAST(s2 AS DOUBLE) / 1000000.0
+                      - (CAST(s1 AS DOUBLE) / 1000000.0)
+                        * (CAST(s1 AS DOUBLE) / 1000000.0) / n)
+                     / (n - 1))) > 3.0
+    ORDER BY event_type, event_id
+    """,
+    tags=("events", "timeseries", "anomaly"),
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event is scored against the
+    mean/std of the PREVIOUS 50 events of its type (ROWS frame ending at
+    1 PRECEDING — the score never sees its own value), flagging |z| > 3.
+    Determinism: the window sums accumulate floor(v*1e6) integers
+    (exact, order-independent); mean/variance derive from those integers
+    with the identical double formula on both engines, so the threshold
+    comparison and 4-dp rounding agree bit-for-bit.  One keyed window
+    sort per event_type — the same shape as any per-key rolling metric
+    at 100 TB (no global ordering anywhere)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id") \
+              .rowsBetween(-50, -1)
+    s1 = F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).over(w)
+    s2 = F.sum(
+        F.floor(F.col("value") * F.col("value") * 1000000.0).cast("long")
+    ).over(w)
+    n = F.count(F.lit(1)).over(w)
+    scored = e.select(
+        "event_id", "event_type", "value",
+        s1.alias("s1"), s2.alias("s2"), n.alias("n"),
+    )
+    mean = F.col("s1").cast("double") / (F.col("n") * 1000000.0)
+    var = (
+        F.col("s2").cast("double") / 1000000.0
+        - (F.col("s1").cast("double") / 1000000.0)
+          * (F.col("s1").cast("double") / 1000000.0) / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        scored.filter(F.col("n") >= 30)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", F.round("z", 4).alias("z"))
+        .orderBy("event_type", "event_id")
+    )

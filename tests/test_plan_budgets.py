@@ -102,6 +102,7 @@ SHUFFLE_BUDGETS = {
     "similarity_ivfpq_topk": 15,   # coarse assign + PQ chain + probe join
     "similarity_ivfpq_residual_topk": 10,  # cached models shrink the chain
     "events_ohlc_downsample": 2,   # one keyed agg + output range sort
+    "events_anomaly_zscore": 2,    # one keyed window sort + output sort
     "agg_minmax_nested": 1,
     "agg_regr_moments": 1,
     "compat_sql_qualify": 2,       # window exchange + output sort
