@@ -659,3 +659,55 @@ def events_anomaly_zscore(spark, sf_dir):
         .select("event_id", "event_type", "value", F.round("z", 4).alias("z"))
         .orderBy("event_type", "event_id")
     )
+
+
+@query(
+    "events_ewma_smoothing",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           vals[1] AS first_value,
+           vals[len(vals)] AS last_value,
+           ROUND(list_reduce(vals, (s, x) -> 0.3 * x + 0.7 * s), 6) AS ewma
+    FROM ordered ORDER BY user_id
+    """,
+    tags=("events", "timeseries", "ewma"),
+)
+def events_ewma_smoothing(spark, sf_dir):
+    """Exponentially-weighted moving average per user (alpha = 0.3) — a
+    sequential recurrence s_i = a*x_i + (1-a)*s_{i-1} that no windowed
+    aggregate expresses, run as a per-key ordered list fold: Spark's
+    aggregate() seeded with the first element equals DuckDB's unseeded
+    list_reduce fold step-for-step, so the result is bit-identical.
+    One shuffle on user_id; state per key is the ordered value list
+    (bounded by per-user event counts — at 100 TB the same recurrence
+    runs windowed per day/session to cap list sizes)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ordered = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("trip")
+        )
+        .select(
+            "user_id",
+            F.transform("trip", lambda t: t.getField("value")).alias("vals"),
+        )
+    )
+    ewma = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        F.element_at("vals", 1),
+        lambda s, x: F.lit(0.3) * x + F.lit(0.7) * s,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.element_at("vals", 1).alias("first_value"),
+        F.element_at("vals", -1).alias("last_value"),
+        F.round(ewma, 6).alias("ewma"),
+    ).orderBy("user_id")

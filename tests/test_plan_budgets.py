@@ -103,6 +103,7 @@ SHUFFLE_BUDGETS = {
     "similarity_ivfpq_residual_topk": 10,  # cached models shrink the chain
     "events_ohlc_downsample": 2,   # one keyed agg + output range sort
     "events_anomaly_zscore": 2,    # one keyed window sort + output sort
+    "events_ewma_smoothing": 2,    # one keyed agg + output sort
     "agg_minmax_nested": 1,
     "agg_regr_moments": 1,
     "compat_sql_qualify": 2,       # window exchange + output sort
