@@ -401,3 +401,80 @@ def source_json_multiline(spark, sf_dir):
         .json(doc)
         .select("r_regionkey", "r_name")
     )
+
+
+# Deterministic corrupt-JSONL fixture (sf-independent), written at import
+# time so BOTH the Spark plan and the DuckDB oracle can read it regardless
+# of which side the harness runs first.  Lives in gitignored scratch.
+_CORRUPT_JSONL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse", "json_corrupt", "records.jsonl",
+)
+
+
+def _ensure_corrupt_jsonl() -> str:
+    if not os.path.isfile(_CORRUPT_JSONL):
+        os.makedirs(os.path.dirname(_CORRUPT_JSONL), exist_ok=True)
+        lines = []
+        for i in range(40):
+            if i % 7 == 3:  # 6 malformed, self-terminating records
+                lines.append(f'%%% corrupt record {i} %%%')
+            else:
+                lines.append(f'{{"id": {i}, "v": {i * 3}}}')
+        tmp = _CORRUPT_JSONL + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        try:
+            os.replace(tmp, _CORRUPT_JSONL)
+        except OSError:
+            pass
+    return _CORRUPT_JSONL
+
+
+try:  # read-only checkouts: the entry will surface the error at run time
+    _ensure_corrupt_jsonl()
+except OSError:
+    pass
+
+
+@query(
+    "source_json_corrupt_records",
+    oracle=f"""
+    WITH valid AS (
+      SELECT id, v FROM read_json('{_CORRUPT_JSONL}',
+        format='newline_delimited', ignore_errors=true,
+        columns={{'id': 'BIGINT', 'v': 'BIGINT'}})
+    ), nonnull AS (
+      SELECT id, v FROM valid WHERE id IS NOT NULL
+    ), raw AS (
+      SELECT COUNT(*) AS n_lines FROM read_csv('{_CORRUPT_JSONL}',
+        sep='\x01', quote='', header=false, columns={{'line': 'VARCHAR'}})
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nonnull) AS BIGINT)  AS n_valid,
+           CAST((SELECT n_lines FROM raw)
+                - (SELECT COUNT(*) FROM nonnull) AS BIGINT) AS n_corrupt,
+           CAST((SELECT SUM(v) FROM nonnull) AS BIGINT)     AS v_sum
+    """,
+    tags=("sources", "json", "robustness"),
+)
+def source_json_corrupt_records(spark, sf_dir):
+    """PERMISSIVE-mode malformed-record handling (reference
+    datasource-json error paths; Spark's _corrupt_record contract): a
+    JSONL file with 6 deterministically truncated records parses without
+    failing the job — valid rows keep their columns, corrupt lines land
+    in the corrupt-record column and are COUNTED, not dropped (DuckDB's
+    ignore_errors drops them; the oracle recounts via a raw line scan).
+    At scale this is the ingest posture for web-crawl JSONL: never let
+    one bad record kill a 100 TB read."""
+    path = _ensure_corrupt_jsonl()
+    df = (
+        spark.read.schema("id bigint, v bigint, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum("v").alias("v_sum"),
+    )
