@@ -37,18 +37,34 @@ def main() -> None:
     # warm-up: touch the biggest table so JVM + parquet footers are hot
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # fixed per-query floor: minimal fresh-built two-stage job, same harness
-    floor_runs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        spark.range(1000).groupBy((F.col("id") % 7).alias("k")).agg(
-            F.sum("id").alias("s")
-        ).collect()
-        floor_runs.append(time.perf_counter() - t0)
+    def measure_floor() -> float:
+        """Fixed per-query floor: minimal fresh-built two-stage job, same
+        harness.  min of 5 — job scheduling + AQE orchestration + codegen,
+        independent of data volume."""
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.range(1000).groupBy((F.col("id") % 7).alias("k")).agg(
+                F.sum("id").alias("s")
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        return min(runs)
 
+    floor_start = measure_floor()
+
+    # Fixed (sorted) query order, min-of-3 fresh builds per query.  The
+    # floor is re-sampled every 10 queries: a long single-JVM run
+    # accumulates JVM state (JIT recompiles, code-cache churn, heap growth)
+    # and host noise drifts — per-query floor subtraction must use a floor
+    # measured NEAR the query, not one from the start of the run
+    # (round-3 lesson: the floor rose 34% across one run).
     names = [n for n in sorted(QUERIES) if "bench" in TAGS.get(n, ()) or n.startswith("tpch_")]
     timings: dict[str, float] = {}
-    for name in names:
+    local_floor: dict[str, float] = {}
+    floors = [floor_start]
+    for i, name in enumerate(names):
+        if i and i % 10 == 0:
+            floors.append(measure_floor())
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -56,9 +72,14 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
             _ = len(rows)
         timings[name] = round(min(runs), 3)
+        local_floor[name] = floors[-1]
+    floors.append(measure_floor())
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    floor = round(min(floor_runs), 3)
+    floor = round(min(floors), 3)
+    q_minus_floor = {
+        n: round(max(0.0, t - local_floor[n]), 3) for n, t in timings.items()
+    }
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -66,12 +87,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "floor_per_query": floor,
+        "floor_samples": [round(f, 3) for f in floors],
         "n_queries": len(names),
-        # host-noise-normalized view: total minus the fixed per-query floor
-        # measured THIS run (the floor swings 2x with hypervisor load, and
-        # at sf0.1 it is most of each query's wall time — subtracting it
-        # makes rounds comparable across host states)
-        "value_minus_floor": round(sum(timings.values()) - floor * len(names), 3),
+        # host-noise-normalized views: raw minus the NEAREST floor sample
+        # (the floor swings 2x with hypervisor load and drifts within a
+        # run; at sf0.1 it is most of each query's wall time — subtracting
+        # it makes rounds comparable across host states)
+        "queries_minus_floor": q_minus_floor,
+        "value_minus_floor": round(sum(q_minus_floor.values()), 3),
     }
     print(json.dumps(out))
 

@@ -113,8 +113,46 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+# Current temp-view state per session: applicationId -> (sf_dir, shadows).
+# ``shadows`` is the set of base-table names whose view has been replaced by
+# a derived overlay (tpch_official).  register_views() is a no-op when the
+# session already has the plain views for the same sf_dir — per-call
+# re-registration was the dominant fixed cost of spark.sql entries in bench
+# (10 parquet opens per call).
+_VIEW_STATE: dict[str, tuple[str, frozenset]] = {}
+
+_PLAIN = frozenset()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql(...) can see them —
-    the equivalent of DataFusion's SessionContext::register_table."""
+    the equivalent of DataFusion's SessionContext::register_table.
+
+    Cached per (session, sf_dir): skipped when this session already holds
+    the un-shadowed views for this sf_dir.  Anything that replaces a
+    base-named view must call note_view_shadows()/invalidate_views() so the
+    next caller re-registers."""
+    app = spark.sparkContext.applicationId
+    if _VIEW_STATE.get(app) == (sf_dir, _PLAIN):
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEW_STATE[app] = (sf_dir, _PLAIN)
+
+
+def note_view_shadows(spark: SparkSession, sf_dir: str, shadows) -> None:
+    """Record that base-named temp views are currently shadowed by derived
+    overlays (and for which sf_dir), so plain register_views() re-registers
+    and overlay installers can skip redundant re-installation."""
+    _VIEW_STATE[spark.sparkContext.applicationId] = (sf_dir, frozenset(shadows))
+
+
+def view_state(spark: SparkSession):
+    """Current (sf_dir, shadow-set) for this session, or None if unknown."""
+    return _VIEW_STATE.get(spark.sparkContext.applicationId)
+
+
+def invalidate_views(spark: SparkSession) -> None:
+    """Forget this session's view state (e.g. a caller registered an
+    arbitrary DataFrame under a base table name)."""
+    _VIEW_STATE.pop(spark.sparkContext.applicationId, None)

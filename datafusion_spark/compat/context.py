@@ -93,6 +93,12 @@ class SessionContext:
     def register_table(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
         self._tables[name] = df
+        from datafusion_spark import catalog as _catalog
+
+        if name in _catalog.TABLES:
+            # A base-named view was replaced: the cached register_views()
+            # state no longer describes the session.
+            _catalog.invalidate_views(self.spark)
 
     def register_record_batches(self, name: str, batches) -> None:
         """Arrow RecordBatches (list or nested lists, as the reference

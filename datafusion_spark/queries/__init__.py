@@ -61,21 +61,34 @@ def _load_all() -> None:
 
 
 def _driver_verified() -> set[str]:
-    """Entry names already hash-verified by the driver in a past round.
+    """Entry names already hash-verified GREEN by the driver in a past round.
 
     Read from the ``CORRECTNESS_r*.json`` files the driver leaves at the repo
-    root.  Missing/corrupt files degrade to "never verified" (empty set) —
-    ordering is a verification-coverage optimisation, never a correctness one.
+    root; latest round wins per entry, and only a passing record
+    (``hash_match`` true, or rows+schema for oracle-less rows-only entries)
+    counts — an entry that FAILED its latest check re-enters the front of the
+    prefix so the fix gets re-verified next round.  Missing/corrupt files
+    degrade to "never verified" (empty set) — ordering is a
+    verification-coverage optimisation, never a correctness one.
     """
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    latest: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                records = json.load(f)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, rec in records.items():
+            if isinstance(rec, dict):
+                ok = bool(
+                    rec.get("hash_match")
+                    or (rec.get("hash_match") is None and rec.get("rows_match"))
+                )
+            else:
+                ok = True  # unknown record shape: don't churn the prefix
+            latest[name] = ok
+    return {name for name, ok in latest.items() if ok}
 
 
 def _interleave_families() -> None:

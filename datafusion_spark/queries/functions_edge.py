@@ -44,7 +44,7 @@ _sql_query(
     spark_sql="""
     SELECT CAST(-0.0 AS DOUBLE) = CAST(0.0 AS DOUBLE)          AS zeros_equal,
            CAST(CAST('-0.0' AS DOUBLE) AS STRING)              AS neg_zero_str,
-           abs(CAST('-0.0' AS DOUBLE))                         AS abs_neg_zero,
+           abs(CAST('-0.0' AS DOUBLE)) + CAST(0.0 AS DOUBLE)   AS abs_neg_zero,
            sign(CAST('-0.0' AS DOUBLE)) + CAST(0.0 AS DOUBLE)  AS sign_neg_zero,
            CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE)       AS nan_self_eq,
            CAST('NaN' AS DOUBLE) > CAST('Infinity' AS DOUBLE)  AS nan_gt_inf,
@@ -56,7 +56,7 @@ _sql_query(
     duck_sql="""
     SELECT CAST(-0.0 AS DOUBLE) = CAST(0.0 AS DOUBLE)          AS zeros_equal,
            CAST(CAST('-0.0' AS DOUBLE) AS VARCHAR)             AS neg_zero_str,
-           abs(CAST('-0.0' AS DOUBLE))                         AS abs_neg_zero,
+           abs(CAST('-0.0' AS DOUBLE)) + CAST(0.0 AS DOUBLE)   AS abs_neg_zero,
            sign(CAST('-0.0' AS DOUBLE)) + CAST(0.0 AS DOUBLE)  AS sign_neg_zero,
            CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE)       AS nan_self_eq,
            CAST('NaN' AS DOUBLE) > CAST('Infinity' AS DOUBLE)  AS nan_gt_inf,
@@ -70,8 +70,9 @@ _sql_query(
     nanvl / isnan blocks; scalar.slt -0.0 cases): -0.0 == 0.0, -0.0 renders
     with its sign, NaN is self-equal and sorts above +Inf in BOTH engines,
     and float division by -0.0 is NULL-on-Spark-try / NULL-on-DuckDB.
-    sign(-0.0) is normalized by +0.0 (Spark preserves the IEEE signed zero,
-    DuckDB returns integer 0).""",
+    sign(-0.0) and abs(-0.0) are normalized by +0.0 (Spark abs strips the
+    sign bit where DuckDB's `x < 0 ? -x : x` abs preserves it; the value
+    hash is bit-sensitive).""",
 )
 
 _sql_query(

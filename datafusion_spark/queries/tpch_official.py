@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import os
 
-from datafusion_spark.catalog import register_views
+from datafusion_spark.catalog import note_view_shadows, register_views, view_state
 from datafusion_spark.queries.registry import query
 
 # Deterministic partsupp derivation — identical SQL text for both engines.
@@ -58,35 +58,75 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _ensure_partsupp(spark, sf_dir: str) -> None:
-    """Register the derived partsupp as a temp view, materializing it to
-    parquet on first use per sf_dir.
+def _materialize(spark, sf_dir: str, sql: str, fname: str,
+                 coalesce1: bool = True) -> str:
+    """Materialize one derived relation to parquet, once per sf_dir; returns
+    the parquet path.
 
     The parquet materialization is the 100 TB shape (a one-off prep job;
     downstream queries scan a real file with stats + pushdown).  Concurrent
     writers (the sharded sweep) race benignly: each writes to a
     pid-suffixed temp dir and the first atomic rename wins.
     """
-    register_views(spark, sf_dir)
     dest = os.path.join(
         _repo_root(), "spark-warehouse", "derived_tpch",
-        os.path.basename(sf_dir.rstrip("/")), "partsupp.parquet",
+        os.path.basename(sf_dir.rstrip("/")), fname,
     )
     if not os.path.isdir(dest):
+        register_views(spark, sf_dir)  # the derivation reads the base views
+        df = spark.sql(sql)
+        if coalesce1:
+            df = df.coalesce(1)
         tmp = f"{dest}.tmp.{os.getpid()}"
-        spark.sql(_PARTSUPP_SQL).coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, dest)
         except OSError:  # another process won the race; use its output
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    spark.read.parquet(dest).createOrReplaceTempView("partsupp")
+    return dest
+
+
+def _install(spark, sf_dir: str, *, partsupp: bool = False,
+             lineitem_ext: bool = False, exts: tuple = ()) -> None:
+    """Materialize + register every derived view a query needs, cached per
+    (session, sf_dir, shadow-set) through catalog.view_state().
+
+    Per-call re-registration (10 base views + up to 4 overlay reads) was the
+    dominant fixed cost of the official track in bench — with the cache,
+    back-to-back runs of the same query (and of queries sharing a shadow
+    set) skip straight to spark.sql()."""
+    shadows = frozenset(
+        (["partsupp"] if partsupp else [])
+        + (["lineitem"] if lineitem_ext else [])
+        + list(exts)
+    )
+    if view_state(spark) == (sf_dir, shadows):
+        return
+    # Materialize everything FIRST (derivations read the BASE views) ...
+    paths = {}
+    if partsupp:
+        paths["partsupp"] = _materialize(
+            spark, sf_dir, _PARTSUPP_SQL, "partsupp.parquet")
+    for v in exts:
+        sql, fname = _EXT_VIEWS[v]
+        paths[v] = _materialize(spark, sf_dir, sql, fname)
+    if lineitem_ext:
+        paths["lineitem"] = _materialize(
+            spark, sf_dir, _LINEITEM_EXT_SQL, "lineitem_ext2.parquet",
+            coalesce1=False)
+    # ... then restore the plain base views and install every shadow last,
+    # so no shadow is wiped by a later base re-registration.
+    register_views(spark, sf_dir)
+    for v, dest in paths.items():
+        spark.read.parquet(dest).createOrReplaceTempView(v)
+    note_view_shadows(spark, sf_dir, shadows)
 
 
 def _register(name: str, sql: str, doc: str) -> None:
     def fn(spark, sf_dir, _sql=sql):
-        _ensure_partsupp(spark, sf_dir)
+        _install(spark, sf_dir, partsupp=True)
         return spark.sql(_sql)
 
     fn.__name__ = name
@@ -286,30 +326,13 @@ FROM lineitem
 """
 
 
-def _ensure_lineitem_ext(spark, sf_dir: str) -> None:
-    """Materialize the extended lineitem once per sf_dir and shadow the
-    ``lineitem`` view with it (official q4/q12/q21 reference the extra
-    columns by the official table name)."""
-    register_views(spark, sf_dir)
-    dest = os.path.join(
-        _repo_root(), "spark-warehouse", "derived_tpch",
-        os.path.basename(sf_dir.rstrip("/")), "lineitem_ext2.parquet",
-    )
-    if not os.path.isdir(dest):
-        tmp = f"{dest}.tmp.{os.getpid()}"
-        spark.sql(_LINEITEM_EXT_SQL).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-    spark.read.parquet(dest).createOrReplaceTempView("lineitem")
-
-
 def _register_ext(name: str, sql: str, doc: str) -> None:
+    """Official q4/q12/q21 reference the derived commit/receipt/shipmode
+    columns by the official table name, so the extended lineitem shadows
+    the ``lineitem`` view (installed via _install)."""
+
     def fn(spark, sf_dir, _sql=sql):
-        _ensure_lineitem_ext(spark, sf_dir)
+        _install(spark, sf_dir, lineitem_ext=True)
         return spark.sql(_sql)
 
     fn.__name__ = name
@@ -484,48 +507,10 @@ _EXT_VIEWS = {
 }
 
 
-def _materialize_ext(spark, sf_dir: str, view: str) -> str:
-    """Materialize a derived dim overlay once per sf_dir; returns the parquet
-    path.  Re-registers the BASE views (the derivation reads them), so the
-    caller must install all shadow views only after the last materialization."""
-    sql, fname = _EXT_VIEWS[view]
-    register_views(spark, sf_dir)
-    dest = os.path.join(
-        _repo_root(), "spark-warehouse", "derived_tpch",
-        os.path.basename(sf_dir.rstrip("/")), fname,
-    )
-    if not os.path.isdir(dest):
-        tmp = f"{dest}.tmp.{os.getpid()}"
-        spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-    return dest
-
-
-def _ensure_ext_view(spark, sf_dir: str, view: str) -> None:
-    """Materialize + shadow a single overlay (single-overlay callers)."""
-    dest = _materialize_ext(spark, sf_dir, view)
-    spark.read.parquet(dest).createOrReplaceTempView(view)
-
-
 def _register_official(name: str, sql: str, doc: str,
                        exts: tuple[str, ...], lineitem_ext: bool = False) -> None:
     def fn(spark, sf_dir, _sql=sql, _exts=exts, _lx=lineitem_ext):
-        # Materialize everything FIRST (each pass re-registers base views),
-        # then install every shadow so none is wiped by a later base
-        # re-registration.
-        if _lx:
-            _ensure_lineitem_ext(spark, sf_dir)  # shadows `lineitem` last
-        paths = {v: _materialize_ext(spark, sf_dir, v) for v in _exts}
-        if _lx:
-            # _materialize_ext re-registered base views: restore lineitem ext
-            _ensure_lineitem_ext(spark, sf_dir)
-        for v, dest in paths.items():
-            spark.read.parquet(dest).createOrReplaceTempView(v)
+        _install(spark, sf_dir, lineitem_ext=_lx, exts=_exts)
         return spark.sql(_sql)
 
     fn.__name__ = name
