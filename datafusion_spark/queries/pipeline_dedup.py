@@ -183,9 +183,19 @@ def dedup_minhash_signatures(spark, sf_dir):
     tags=("pipeline", "dedup", "minhash", "bench"),
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
-    """LSH banding (4 bands x 2 rows): candidate pairs are produced by an
-    equi-join on band keys — never an n² comparison.  P(candidate | J=s)
-    = 1-(1-s²)⁴."""
+    """LSH banding (4 bands x 2 rows): candidate pairs are produced per
+    band BUCKET — never an n² comparison.  P(candidate | J=s) = 1-(1-s²)⁴.
+
+    Plan shape: instead of a bands self-join (which evaluates the whole
+    shingle→md5→signature pipeline twice — two corpus scans at 100 TB,
+    Catalyst does not reuse the exchange across the self-join sides), the
+    bucket members are collected per (band_id, band_key) and the i<j pairs
+    expand from the sorted list — ONE signature pass, one shuffle fewer,
+    identical result set (the oracle keeps the self-join formulation).
+    Bucket lists are bounded by band-key collision counts (max 15 on this
+    corpus at sf1); a production corpus would cap pathological buckets
+    (near-universal signatures) with `F.slice(ds, 1, CAP)` — buckets that
+    big are content to drop, not pair."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = _shingles(docs, distinct=False).groupBy("doc_id").agg(*_minhash_cols())
     band_structs = F.array(
@@ -200,16 +210,24 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ds, (x, i) -> transform("
+                        "slice(ds, i + 2, size(ds) - i - 1), "
+                        "y -> struct(x AS doc_a, y AS doc_b)))"
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

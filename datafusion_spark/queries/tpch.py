@@ -274,7 +274,14 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-07-01")) & (F.col("o_orderdate") < _ts("1996-10-01"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    # merge hint: Spark's size estimate of the 2-column lineitem projection
+    # sits under the broadcast threshold, so without the hint the FACT side
+    # becomes the semi-join's broadcast build — a hash relation that grows
+    # linearly with lineitem (measured 4.0x/decade at sf1, and unrunnable at
+    # 100 TB).  The sort-merge semi join shuffles both sides on orderkey
+    # (lineitem as 2 narrow columns) and spills gracefully — the correct
+    # shape at every scale (measured 2.71s -> 0.64s at sf1).
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").hint("merge")
     return (
         orders.join(
             li,
@@ -996,7 +1003,16 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle dominates.)
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # merge hints on orders/l2/l3: Spark's size estimates of the narrow
+    # lineitem projections (and half-of-orders) sit under the broadcast
+    # threshold, so without them the semi/anti builds BROADCAST the fact
+    # side — linear-growing hash relations (3.0x/decade at sf1, unrunnable
+    # at 100 TB).  Hinted, all three joins co-shuffle on l_orderkey (one
+    # partitioning reused across the chain) and spill gracefully; measured
+    # 4.45s -> 3.46s at sf1.  The s_nat dimension broadcast stays.
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate").hint("merge")
     li = _t(spark, sf_dir, "lineitem")
 
     s_nat = supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1006,12 +1022,12 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("l1")
     l2 = li.select(
         F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
-    )
+    ).hint("merge")
     l3 = li.select(
         F.col("l_orderkey").alias("l3_orderkey"),
         F.col("l_suppkey").alias("l3_suppkey"),
         F.col("l_shipdate").alias("l3_shipdate"),
-    )
+    ).hint("merge")
     waiting = (
         l1.join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))

@@ -23,7 +23,9 @@ from tests.conftest import SF_SMALL
 SHUFFLE_BUDGETS = {
     "tpch_q1": 2,   # two-level exact agg: partial + merge
     "tpch_q3": 1,
-    "tpch_q4": 1,
+    "tpch_q4": 3,   # SMJ semi on orderkey (both sides) + agg; the merge
+                    # hint stops Spark broadcasting the misestimated fact
+                    # side (see tpch.py q4)
     "tpch_q5": 1,
     "tpch_q6": 1,   # scan + scalar agg only
     "tpch_q10": 1,
