@@ -688,17 +688,55 @@ _TAIL_KEYWORDS = {
     "offset", "and", "or", "not", "in", "is", "null", "true", "false",
     "case", "when", "then", "else", "end", "between", "like", "ilike",
     "escape", "all", "distinct", "interval", "cast", "as",
+    # type names, so CAST(x AS INT) inside an ORDER BY expression doesn't
+    # read INT as a column (the tail scan descends into parens)
+    "int", "integer", "bigint", "smallint", "tinyint", "double", "float",
+    "decimal", "numeric", "real", "varchar", "string", "char", "text",
+    "date", "timestamp", "boolean", "binary",
 }
+
+
+def _iter_tail_tokens(sql: str):
+    """Like _iter_top_tokens but yields identifier tokens at EVERY paren
+    depth — a post-QUALIFY ORDER BY may sort by an expression over a
+    non-projected column (e.g. ``ORDER BY upper(nm)``), and ``nm`` sits at
+    depth 1."""
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _skip_quoted(sql, i, c)
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i)
+            i = n if j < 0 else j + 2
+        elif c in _IDENT0:
+            j = i
+            while j < n and (sql[j] in _IDENT0 or sql[j].isdigit()):
+                j += 1
+            yield (i, j, sql[i:j].lower())
+            i = j
+        else:
+            i += 1
 
 
 def _tail_extra_cols(tail: str, visible: set[str]) -> list[str]:
     """Bare column identifiers the post-QUALIFY tail (ORDER BY …) references
     that the select list does not expose — they must be projected through the
     rewrite subquery (then EXCEPTed back out) for the outer sort to resolve,
-    matching SQL's sort-by-underlying-column rule."""
+    matching SQL's sort-by-underlying-column rule.  Descends into
+    parenthesized expressions (``ORDER BY upper(nm)`` must carry ``nm``
+    through the rewrite subquery too)."""
     extras: list[str] = []
     n = len(tail)
-    for a, b, w in _iter_top_tokens(tail):
+    prev = ""
+    for a, b, w in _iter_tail_tokens(tail):
+        skip_after = prev
+        prev = w
+        if skip_after == "as":
+            continue  # CAST(x AS <typename>) — never a column
         if w in _TAIL_KEYWORDS or w in visible or w in {e.lower() for e in extras}:
             continue
         if a > 0 and tail[a - 1] == ".":

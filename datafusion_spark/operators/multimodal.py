@@ -81,13 +81,22 @@ def _decode_wav(payload: bytes):
         with wave.open(io.BytesIO(payload)) as w:
             raw = w.readframes(w.getnframes())
             width = w.getsampwidth()
+            nch = w.getnchannels()
         if width == 2:
-            return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-        if width == 1:  # 8-bit WAV is unsigned
-            return (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            return None
+        if nch > 1:
+            # interleaved multi-channel: downmix to mono so frame count and
+            # RMS/amplitude features are per-frame, not per-sample (a stereo
+            # file would otherwise report 2x frames and mix channels)
+            samples = samples[: (len(samples) // nch) * nch]
+            samples = samples.reshape(-1, nch).mean(axis=1)
+        return samples
     except Exception:
         return None
-    return None
 
 
 def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:

@@ -539,7 +539,7 @@ def events_sequence_conversion(spark, sf_dir):
              make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
                  AS bucket,
              value,
-             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(epoch_us(ts) + 4611686018427387904 AS VARCHAR), 20, '0') ||
              lpad(CAST(event_id AS VARCHAR), 12, '0')      AS ord_key
       FROM events WHERE value IS NOT NULL
     )
@@ -571,11 +571,17 @@ def events_ohlc_downsample(spark, sf_dir):
     # parquet), which unix_micros rejects; the session is pinned UTC so
     # the cast is value-preserving
     us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # floor division (not truncation): for pre-1970 timestamps epoch
+    # micros are negative and `us - us % n` with Spark's truncating %
+    # would bin into a different bucket than the oracle's floor `//`
     bucket = F.timestamp_micros(
-        (us - (us % F.lit(21600000000))).cast("long")
+        (F.floor(us / F.lit(21600000000)) * F.lit(21600000000)).cast("long")
     )
+    # epoch-offset keeps the lpad'd sort key order-correct for negative
+    # epoch micros too (min int64 offset would overflow; pre-1677 ts
+    # can't appear in a micros timestamp anyway)
     ord_key = F.concat(
-        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad((us + F.lit(1 << 62)).cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     return (

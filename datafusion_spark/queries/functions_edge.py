@@ -449,3 +449,155 @@ _sql_query(
     same values via make_timestamp(micros)/epoch().  bool→int included
     from the same corpus.""",
 )
+
+
+_sql_query(
+    "fn_edge_decimal_arith",
+    spark_sql="""
+    SELECT CAST(CAST(1.23 AS DECIMAL(10,4)) + CAST(2.77 AS DECIMAL(10,4)) AS DOUBLE) AS dec_add,
+           CAST(CAST(1.25 AS DECIMAL(10,2)) * CAST(0.04 AS DECIMAL(10,2)) AS DOUBLE) AS dec_mul,
+           CAST(ROUND(CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2)), 10) AS DOUBLE) AS dec_div_10dp,
+           CAST(CAST(1.2345 AS DECIMAL(24,2)) AS DOUBLE)                    AS dec_cast_trunc_scale,
+           CAST(CAST(CAST(1.23 AS DECIMAL(10,3)) AS DECIMAL(10,4)) AS DOUBLE) AS dec_rescale_up,
+           CAST((SELECT SUM(x) FROM VALUES (CAST(0.1 AS DECIMAL(3,1))),
+                                           (CAST(0.2 AS DECIMAL(3,1))) t(x)) AS DOUBLE) AS dec_sum_exact,
+           CAST((SELECT AVG(x) FROM VALUES (CAST(1 AS DECIMAL(5,2))),
+                                           (CAST(2 AS DECIMAL(5,2))) t(x)) AS DOUBLE) AS dec_avg,
+           CAST(CAST(0.00001 AS DECIMAL(10,6)) + CAST(0.0000001 AS DECIMAL(12,7)) AS DOUBLE) AS dec_mixed_scale_add
+    """,
+    duck_sql="""
+    SELECT CAST(CAST(1.23 AS DECIMAL(10,4)) + CAST(2.77 AS DECIMAL(10,4)) AS DOUBLE) AS dec_add,
+           CAST(CAST(1.25 AS DECIMAL(10,2)) * CAST(0.04 AS DECIMAL(10,2)) AS DOUBLE) AS dec_mul,
+           CAST(ROUND(CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2)), 10) AS DOUBLE) AS dec_div_10dp,
+           CAST(CAST(1.2345 AS DECIMAL(24,2)) AS DOUBLE)                    AS dec_cast_trunc_scale,
+           CAST(CAST(CAST(1.23 AS DECIMAL(10,3)) AS DECIMAL(10,4)) AS DOUBLE) AS dec_rescale_up,
+           CAST((SELECT SUM(x) FROM (VALUES (CAST(0.1 AS DECIMAL(3,1))),
+                                            (CAST(0.2 AS DECIMAL(3,1)))) t(x)) AS DOUBLE) AS dec_sum_exact,
+           CAST((SELECT AVG(x) FROM (VALUES (CAST(1 AS DECIMAL(5,2))),
+                                            (CAST(2 AS DECIMAL(5,2)))) t(x)) AS DOUBLE) AS dec_avg,
+           CAST(CAST(0.00001 AS DECIMAL(10,6)) + CAST(0.0000001 AS DECIMAL(12,7)) AS DOUBLE) AS dec_mixed_scale_add
+    """,
+    tags=("functions", "edge", "decimal"),
+    doc="""Decimal precision/scale propagation (reference sqllogictest
+    decimal.slt: add/mul widen precision, mixed-scale add unifies to the
+    wider scale, string->decimal(24,2) drops sub-scale digits, sum/avg of
+    decimals stay exact).  Division is pinned at ROUND(..,10): Spark's
+    quotient scale is 13 where DuckDB keeps more digits.  Excluded, known:
+    CAST(-1.555 AS DECIMAL(10,2)) — Spark HALF_UPs away from zero (-1.56),
+    DuckDB rounds to -1.55 (same family as the documented 9.95 case).""",
+)
+
+
+_sql_query(
+    "agg_edge_empty_input",
+    spark_sql="""
+    SELECT (SELECT SUM(x)    FROM (SELECT 1 AS x WHERE FALSE) t) AS empty_sum,
+           (SELECT COUNT(x)  FROM (SELECT 1 AS x WHERE FALSE) t) AS empty_count,
+           (SELECT COUNT(*)  FROM (SELECT 1 AS x WHERE FALSE) t) AS empty_count_star,
+           (SELECT MIN(x)    FROM (SELECT 1 AS x WHERE FALSE) t) AS empty_min,
+           (SELECT AVG(x)    FROM (SELECT CAST(1 AS DOUBLE) AS x WHERE FALSE) t) AS empty_avg,
+           (SELECT STDDEV_SAMP(x) FROM (SELECT CAST(1 AS DOUBLE) AS x WHERE FALSE) t) AS empty_stddev,
+           (SELECT STDDEV_SAMP(x) FROM VALUES (5.0), (5.0) t(x))  AS stddev_const,
+           (SELECT VAR_SAMP(x)    FROM VALUES (5.0) t(x))         AS var_single,
+           (SELECT VAR_POP(x)     FROM VALUES (5.0) t(x))         AS var_pop_single,
+           (SELECT COVAR_SAMP(x, y) FROM VALUES (1.0, 2.0) t(x, y)) AS covar_single,
+           (SELECT COUNT(*) FROM VALUES (NULL) t(x))              AS count_star_null_row,
+           (SELECT SUM(x) FILTER (WHERE x > 10) FROM VALUES (1), (2) t(x)) AS filtered_to_empty
+    """,
+    duck_sql="""
+    SELECT (SELECT SUM(x)    FROM (SELECT 1 AS x WHERE FALSE) t) AS empty_sum,
+           (SELECT COUNT(x)  FROM (SELECT 1 AS x WHERE FALSE) t) AS empty_count,
+           (SELECT COUNT(*)  FROM (SELECT 1 AS x WHERE FALSE) t) AS empty_count_star,
+           (SELECT MIN(x)    FROM (SELECT 1 AS x WHERE FALSE) t) AS empty_min,
+           (SELECT AVG(x)    FROM (SELECT CAST(1 AS DOUBLE) AS x WHERE FALSE) t) AS empty_avg,
+           (SELECT STDDEV_SAMP(x) FROM (SELECT CAST(1 AS DOUBLE) AS x WHERE FALSE) t) AS empty_stddev,
+           (SELECT STDDEV_SAMP(x) FROM (VALUES (5.0), (5.0)) t(x)) AS stddev_const,
+           (SELECT VAR_SAMP(x)    FROM (VALUES (5.0)) t(x))        AS var_single,
+           (SELECT VAR_POP(x)     FROM (VALUES (5.0)) t(x))        AS var_pop_single,
+           (SELECT COVAR_SAMP(x, y) FROM (VALUES (1.0, 2.0)) t(x, y)) AS covar_single,
+           (SELECT COUNT(*) FROM (VALUES (NULL)) t(x))             AS count_star_null_row,
+           (SELECT SUM(x) FILTER (WHERE x > 10) FROM (VALUES (1), (2)) t(x)) AS filtered_to_empty
+    """,
+    tags=("functions", "edge", "aggregate"),
+    doc="""Empty-input / degenerate-input aggregates (reference
+    sqllogictest aggregate.slt empty-relation blocks): SUM/MIN/AVG/STDDEV
+    over zero rows -> NULL while COUNT -> 0 (including a FILTER that
+    eliminates every row); single-row VAR_SAMP/COVAR_SAMP -> NULL but
+    VAR_POP -> 0.0; STDDEV of a constant -> exactly 0.0; COUNT(*) counts
+    all-NULL rows.  Excluded, known: SKEWNESS of n=2 (Spark 0.0, DuckDB
+    NULL) and CORR of a zero-variance side (Spark errors, DuckDB NULL).""",
+)
+
+
+_sql_query(
+    "agg_edge_null_groups",
+    spark_sql="""
+    SELECT COALESCE(k, '<null>') AS grp,
+           COUNT(*)              AS c_star,
+           COUNT(v)              AS c_v,
+           SUM(v)                AS s_v,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS cd_v
+    FROM VALUES (NULL, 1), (NULL, 2), (NULL, NULL),
+                ('a', 3), ('a', NULL), ('b', NULL) t(k, v)
+    GROUP BY k
+    ORDER BY grp
+    """,
+    duck_sql="""
+    SELECT COALESCE(k, '<null>') AS grp,
+           COUNT(*)              AS c_star,
+           COUNT(v)              AS c_v,
+           CAST(SUM(v) AS BIGINT) AS s_v,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS cd_v
+    FROM (VALUES (NULL, 1), (NULL, 2), (NULL, NULL),
+                 ('a', 3), ('a', NULL), ('b', NULL)) t(k, v)
+    GROUP BY k
+    ORDER BY grp
+    """,
+    tags=("functions", "edge", "aggregate", "group-by"),
+    doc="""NULL grouping-key semantics (reference sqllogictest
+    group_by.slt NULL-group corners): NULL keys form ONE group in both
+    engines; within it COUNT(*) counts rows, COUNT(v)/SUM(v)/COUNT(DISTINCT
+    v) skip NULL values; an all-NULL-value group yields SUM NULL with
+    COUNT(*) > 0.  DuckDB's SUM(int)->HUGEINT is pinned to BIGINT (Spark
+    sums integers in long).""",
+)
+
+
+_sql_query(
+    "agg_edge_overflow_moments",
+    spark_sql="""
+    SELECT (SELECT try_sum(v) FROM VALUES (CAST(9223372036854775807 AS BIGINT)),
+                                          (CAST(1 AS BIGINT)) t(v))  AS sum_bigint_overflow,
+           (SELECT AVG(v) FROM VALUES (CAST(9223372036854775807 AS BIGINT)),
+                                      (CAST(9223372036854775807 AS BIGINT)) t(v)) AS avg_at_int64_max,
+           (SELECT SUM(DISTINCT v) FROM VALUES (1), (1), (2) t(v))   AS sum_distinct,
+           (SELECT MEDIAN(v) FROM VALUES (1), (2), (3), (4) t(v))    AS median_even,
+           (SELECT MODE(v) FROM VALUES (1), (1), (2), (2) t(v))      AS mode_lowest_tie,
+           (SELECT BOOL_AND(b) FROM VALUES (true), (NULL) t(b))      AS bool_and_ignores_null,
+           (SELECT BOOL_OR(b) FROM VALUES (false), (NULL) t(b))      AS bool_or_ignores_null,
+           (SELECT MIN(s) FROM VALUES ('b'), ('A'), (NULL) t(s))     AS min_str_binary_order
+    """,
+    duck_sql="""
+    SELECT (SELECT CASE WHEN s BETWEEN -9223372036854775808 AND 9223372036854775807
+                        THEN CAST(s AS BIGINT) END
+            FROM (SELECT SUM(v) AS s FROM (VALUES (CAST(9223372036854775807 AS BIGINT)),
+                                                  (CAST(1 AS BIGINT))) t(v))) AS sum_bigint_overflow,
+           (SELECT AVG(v) FROM (VALUES (CAST(9223372036854775807 AS BIGINT)),
+                                       (CAST(9223372036854775807 AS BIGINT))) t(v)) AS avg_at_int64_max,
+           (SELECT CAST(SUM(DISTINCT v) AS BIGINT) FROM (VALUES (1), (1), (2)) t(v)) AS sum_distinct,
+           (SELECT MEDIAN(v) FROM (VALUES (1), (2), (3), (4)) t(v))   AS median_even,
+           (SELECT CAST(MODE(v) AS INTEGER) FROM (VALUES (1), (1), (2), (2)) t(v)) AS mode_lowest_tie,
+           (SELECT BOOL_AND(b) FROM (VALUES (true), (NULL)) t(b))     AS bool_and_ignores_null,
+           (SELECT BOOL_OR(b) FROM (VALUES (false), (NULL)) t(b))     AS bool_or_ignores_null,
+           (SELECT MIN(s) FROM (VALUES ('b'), ('A'), (NULL)) t(s))    AS min_str_binary_order
+    """,
+    tags=("functions", "edge", "aggregate", "overflow"),
+    doc="""Overflow and order-sensitive aggregate corners (reference
+    sqllogictest aggregate.slt overflow rows + duplicate/tie blocks):
+    int64 SUM overflow -> NULL under try semantics (DuckDB's HUGEINT sum
+    range-guarded to mirror it), AVG at int64 max computes in double
+    without overflow, SUM(DISTINCT) dedups first, even-count MEDIAN
+    interpolates to .5, MODE breaks ties to the lowest value in both
+    engines, BOOL_AND/BOOL_OR skip NULLs, and string MIN uses binary
+    (case-sensitive) order ('A' < 'b').""",
+)

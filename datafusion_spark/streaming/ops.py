@@ -480,8 +480,10 @@ def ohlc_downsample(
     — no sort, no custom state."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # epoch-offset keeps the lpad'd key order-correct for pre-1970
+    # (negative-micros) events, matching the batch twin in queries/events.py
     ord_key = F.concat(
-        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad((us + F.lit(1 << 62)).cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     keyed = src.filter(F.col("value").isNotNull()).withColumn("ord_key", ord_key)

@@ -285,6 +285,16 @@ def test_qualify_orderby_on_nonprojected_column():
     assert "EXCEPT (__qualify__, d)" in out
 
 
+def test_qualify_orderby_expression_over_nonprojected_column():
+    """ORDER BY upper(nm) post-QUALIFY: nm sits inside parens (depth 1) and
+    must still be carried through the rewrite subquery; a CAST's type name
+    must NOT be read as a column."""
+    out = translate_sql(
+        "SELECT id, RANK() OVER (ORDER BY s) AS r FROM t"
+        " QUALIFY r <= 2 ORDER BY upper(nm), cast(d AS INT), id")
+    assert "EXCEPT (__qualify__, nm, d)" in out
+
+
 def test_qualify_execution_matches_handwritten(spark):
     from conftest import SF_SMALL
     ctx = SessionContext(spark)

@@ -466,6 +466,31 @@ def test_wav_decode_known_answer():
     assert _decode_wav(b"not a riff container") is None
 
 
+def test_wav_decode_stereo_downmix():
+    """A stereo 16-bit WAV decodes to per-FRAME mono samples (channel
+    mean), not 2x interleaved samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from datafusion_spark.operators.multimodal import _decode_wav
+
+    # 3 frames of (L, R): mono mix is the per-frame channel mean
+    inter = np.array([1000, 3000, -2000, -4000, 32767, -32768], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    got = _decode_wav(buf.getvalue())
+    assert got is not None
+    assert len(got) == 3  # frames, not samples
+    expected = inter.astype(np.float64).reshape(-1, 2).mean(axis=1) / 32768.0
+    assert np.allclose(got, expected)
+
+
 def test_audio_windows_real_wav_rms(spark):
     """End-to-end: media_table_from_documents emits real WAV containers and
     extract_audio_windows recovers features computed from the ACTUAL PCM
