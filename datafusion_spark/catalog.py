@@ -71,6 +71,10 @@ def ensure_runtime_tuned(spark: SparkSession) -> None:
     ):
         if conf.get(knob, "true") == "true":
             conf.set(knob, "true")
+    # Estimate correction for compressed parquet (see session.py): only
+    # applied if still at the 1.0 default, so a deliberate caller value wins.
+    if conf.get("spark.sql.sources.fileCompressionFactor", "1.0") == "1.0":
+        conf.set("spark.sql.sources.fileCompressionFactor", "6.0")
 
 
 def table_path(sf_dir: str, name: str) -> str:

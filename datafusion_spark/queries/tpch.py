@@ -396,7 +396,11 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") <= _ts("1997-12-31"))
     )
-    orders = _t(spark, sf_dir, "orders")
+    # narrow projection + merge hint: orders is a fact — its 2-column
+    # estimate sits under the broadcast threshold, so without the hint the
+    # whole orders table becomes a broadcast build (linear-growing; measured
+    # 1.14s -> 0.59s at sf1 co-shuffled on orderkey)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").hint("merge")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
@@ -514,7 +518,9 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    orders = _t(spark, sf_dir, "orders")
+    # narrow projection + merge hint: see q7 — stops the full-orders
+    # broadcast build (measured 1.33s -> 0.94s at sf1)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").hint("merge")
     nat = _t(spark, sf_dir, "nation")
     amount = revenue_expr() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
     profit = (

@@ -105,13 +105,18 @@ def _install(spark, sf_dir: str, *, partsupp: bool = False,
     if view_state(spark) == (sf_dir, shadows):
         return
     # Materialize everything FIRST (derivations read the BASE views) ...
+    # partsupp and the orders overlay are FACT-sized: let AQE size their
+    # output files (a coalesce(1) single file means a one-task scan later —
+    # 71 MB/one split at sf1, unusable at 100 TB).  The part/customer
+    # overlays are dim-sized and stay single-file.
     paths = {}
     if partsupp:
         paths["partsupp"] = _materialize(
-            spark, sf_dir, _PARTSUPP_SQL, "partsupp.parquet")
+            spark, sf_dir, _PARTSUPP_SQL, "partsupp.parquet", coalesce1=False)
     for v in exts:
         sql, fname = _EXT_VIEWS[v]
-        paths[v] = _materialize(spark, sf_dir, sql, fname)
+        paths[v] = _materialize(spark, sf_dir, sql, fname,
+                                coalesce1=(v not in ("orders",)))
     if lineitem_ext:
         paths["lineitem"] = _materialize(
             spark, sf_dir, _LINEITEM_EXT_SQL, "lineitem_ext2.parquet",
