@@ -601,3 +601,125 @@ _sql_query(
     engines, BOOL_AND/BOOL_OR skip NULLs, and string MIN uses binary
     (case-sensitive) order ('A' < 'b').""",
 )
+
+
+_sql_query(
+    "fn_edge_case_coalesce",
+    spark_sql="""
+    SELECT CASE WHEN CAST(NULL AS BOOLEAN) THEN 'y' ELSE 'n' END  AS case_null_cond,
+           CASE WHEN 1 = 2 THEN 'y' END                           AS case_no_else,
+           CASE CAST(NULL AS INT) WHEN 1 THEN 'one' ELSE 'other' END AS case_null_subject,
+           CAST(CASE WHEN true THEN 1 ELSE 2.5 END AS DOUBLE)     AS case_type_unify,
+           NULLIF(3, 3)                                           AS nullif_same,
+           NULLIF(3, 4)                                           AS nullif_diff,
+           CAST(COALESCE(NULL, 1, 2.5) AS DOUBLE)                 AS coalesce_type_unify,
+           GREATEST(1, NULL, 3)                                   AS greatest_skips_null,
+           LEAST(CAST(NULL AS INT), CAST(NULL AS INT))            AS least_all_null,
+           CAST(NULL AS INT) IS DISTINCT FROM NULL                AS null_not_distinct_null,
+           1 IS NOT DISTINCT FROM NULL                            AS one_distinct_null
+    """,
+    duck_sql="""
+    SELECT CASE WHEN CAST(NULL AS BOOLEAN) THEN 'y' ELSE 'n' END  AS case_null_cond,
+           CASE WHEN 1 = 2 THEN 'y' END                           AS case_no_else,
+           CASE CAST(NULL AS INT) WHEN 1 THEN 'one' ELSE 'other' END AS case_null_subject,
+           CAST(CASE WHEN true THEN 1 ELSE 2.5 END AS DOUBLE)     AS case_type_unify,
+           NULLIF(3, 3)                                           AS nullif_same,
+           NULLIF(3, 4)                                           AS nullif_diff,
+           CAST(COALESCE(NULL, 1, 2.5) AS DOUBLE)                 AS coalesce_type_unify,
+           GREATEST(1, NULL, 3)                                   AS greatest_skips_null,
+           LEAST(CAST(NULL AS INT), CAST(NULL AS INT))            AS least_all_null,
+           CAST(NULL AS INT) IS DISTINCT FROM NULL                AS null_not_distinct_null,
+           1 IS NOT DISTINCT FROM NULL                            AS one_distinct_null
+    """,
+    tags=("functions", "edge", "conditional"),
+    doc="""Conditional-expression corners (reference sqllogictest case.slt /
+    coalesce.slt): a NULL condition selects the ELSE branch, a CASE with no
+    ELSE yields NULL, a NULL simple-CASE subject never matches, branch
+    types unify numerically (int+decimal -> decimal), NULLIF(x,x) is NULL,
+    GREATEST/LEAST skip NULLs (all-NULL -> NULL), and the IS [NOT] DISTINCT
+    FROM null-safe comparator treats NULL as a comparable value.""",
+)
+
+
+_sql_query(
+    "fn_edge_like_patterns",
+    spark_sql="""
+    SELECT 'abc' LIKE 'a_c'                          AS underscore_one_char,
+           'abcde' LIKE '_b%e'                       AS mixed_wildcards,
+           '' LIKE '%'                               AS empty_matches_pct,
+           '' LIKE '_'                               AS empty_not_one,
+           'a.c[1]' LIKE 'a.c[1]'                    AS regex_chars_literal,
+           '50%' LIKE '50!%' ESCAPE '!'              AS escaped_percent,
+           'a_c' LIKE 'a!_c' ESCAPE '!'              AS escaped_underscore,
+           'ABC' ILIKE 'abc'                         AS ilike_case_fold,
+           'Hello World' ILIKE 'hello%'              AS ilike_prefix,
+           NULL NOT LIKE 'x'                         AS null_not_like,
+           'abc123' RLIKE '[a-z]+[0-9]+'             AS regex_match
+    """,
+    duck_sql="""
+    SELECT 'abc' LIKE 'a_c'                          AS underscore_one_char,
+           'abcde' LIKE '_b%e'                       AS mixed_wildcards,
+           '' LIKE '%'                               AS empty_matches_pct,
+           '' LIKE '_'                               AS empty_not_one,
+           'a.c[1]' LIKE 'a.c[1]'                    AS regex_chars_literal,
+           '50%' LIKE '50!%' ESCAPE '!'              AS escaped_percent,
+           'a_c' LIKE 'a!_c' ESCAPE '!'              AS escaped_underscore,
+           'ABC' ILIKE 'abc'                         AS ilike_case_fold,
+           'Hello World' ILIKE 'hello%'              AS ilike_prefix,
+           NULL NOT LIKE 'x'                         AS null_not_like,
+           regexp_matches('abc123', '[a-z]+[0-9]+')  AS regex_match
+    """,
+    tags=("functions", "edge", "string", "pattern"),
+    doc="""LIKE/ILIKE pattern corners (reference sqllogictest
+    string/like.slt + predicates.slt): _ is exactly one char (so '' LIKE
+    '_' is false while '' LIKE '%' is true), regex metacharacters are
+    literal in LIKE, explicit ESCAPE neutralizes % and _, ILIKE
+    case-folds, NULL subjects propagate NULL through NOT LIKE, and RLIKE
+    is true regex.  Excluded, known: Spark treats backslash as a default
+    escape character; DuckDB only escapes via an explicit ESCAPE clause.""",
+)
+
+
+_sql_query(
+    "fn_edge_array_struct_corners",
+    spark_sql="""
+    SELECT element_at(array(1,2,3), -1)                          AS arr_neg_index,
+           try_element_at(array(1,2,3), 9)                       AS arr_oob_null,
+           array_join(slice(array(1,2,3,4), 2, 2), ',')          AS arr_slice,
+           array_position(array(10,20,30), 20)                   AS arr_position_1based,
+           array_join(transform(array_sort(array(3,NULL,1)),
+             x -> coalesce(cast(x as string),'N')), ',')         AS arr_sort_nulls_last,
+           array(1,2) = array(1,2)                               AS arr_eq,
+           struct(1, 'a') = struct(1, 'a')                       AS struct_eq,
+           struct(1, 'b') < struct(1, 'c')                       AS struct_lexicographic,
+           array_join(flatten(array(array(1,2), array(3))), ',') AS arr_flatten,
+           array_join(array_sort(array_distinct(array(2,1,2,NULL))), ',') AS arr_distinct,
+           array_join(array_sort(array_union(array(1,2), array(2,3))), ',') AS arr_union,
+           aggregate(zip_with(array(1,2), array(10,20), (x,y) -> x+y),
+                     0, (a,v) -> a+v)                            AS arr_zip_fold
+    """,
+    duck_sql="""
+    SELECT list_extract([1,2,3], -1)                             AS arr_neg_index,
+           list_extract([1,2,3], 9)                              AS arr_oob_null,
+           array_to_string([1,2,3,4][2:3], ',')                  AS arr_slice,
+           CAST(list_position([10,20,30], 20) AS BIGINT)         AS arr_position_1based,
+           array_to_string(list_transform(list_sort([3,NULL,1], 'ASC', 'NULLS LAST'),
+             x -> coalesce(cast(x as varchar),'N')), ',')        AS arr_sort_nulls_last,
+           [1,2] = [1,2]                                         AS arr_eq,
+           ROW(1, 'a') = ROW(1, 'a')                             AS struct_eq,
+           ROW(1, 'b') < ROW(1, 'c')                             AS struct_lexicographic,
+           array_to_string(flatten([[1,2],[3]]), ',')            AS arr_flatten,
+           array_to_string(list_sort(list_distinct([2,1,2,NULL]), 'ASC', 'NULLS LAST'), ',') AS arr_distinct,
+           array_to_string(list_sort(list_distinct(list_concat([1,2],[2,3]))), ',') AS arr_union,
+           list_reduce(list_transform(list_zip([1,2],[10,20]), p -> p[1]+p[2]),
+                       (a,v) -> a+v)                             AS arr_zip_fold
+    """,
+    tags=("functions", "edge", "nested"),
+    doc="""Array/struct point corners (reference sqllogictest array/ dir +
+    struct.slt): -1 indexes from the end, out-of-bounds is NULL under try
+    semantics, slice/position are 1-based, sort puts NULLs last ascending,
+    arrays and structs compare element-wise (structs lexicographically),
+    flatten/distinct/union normalize, and zip_with+fold is the dot-product
+    shape.  Excluded, known: array_contains over an array containing NULL
+    (Spark three-valued NULL, DuckDB false).""",
+)
