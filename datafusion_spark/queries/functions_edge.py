@@ -723,3 +723,77 @@ _sql_query(
     shape.  Excluded, known: array_contains over an array containing NULL
     (Spark three-valued NULL, DuckDB false).""",
 )
+
+
+_sql_query(
+    "window_edge_frames_nulls",
+    spark_sql="""
+    SELECT i,
+           CAST(SUM(v) OVER () AS DOUBLE)                          AS sum_whole_partition,
+           CAST(SUM(v) OVER (ORDER BY i) AS DOUBLE)                AS running_default_frame,
+           CAST(FIRST_VALUE(v) IGNORE NULLS OVER (ORDER BY i DESC) AS DOUBLE) AS first_ignore_nulls_desc,
+           CAST(LEAD(v, 1, -1.0) OVER (ORDER BY i) AS DOUBLE)      AS lead_with_default,
+           CAST(NTH_VALUE(v, 2) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS DOUBLE) AS nth2_full_frame,
+           NTILE(3) OVER (ORDER BY i)                              AS ntile_uneven
+    FROM VALUES (1, 10.0), (2, 20.0), (3, NULL), (4, 40.0), (5, 50.0) t(i, v)
+    ORDER BY i
+    """,
+    duck_sql="""
+    SELECT i,
+           CAST(SUM(v) OVER () AS DOUBLE)                          AS sum_whole_partition,
+           CAST(SUM(v) OVER (ORDER BY i) AS DOUBLE)                AS running_default_frame,
+           CAST(FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY i DESC) AS DOUBLE) AS first_ignore_nulls_desc,
+           CAST(LEAD(v, 1, -1.0) OVER (ORDER BY i) AS DOUBLE)      AS lead_with_default,
+           CAST(NTH_VALUE(v, 2) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS DOUBLE) AS nth2_full_frame,
+           NTILE(3) OVER (ORDER BY i)                              AS ntile_uneven
+    FROM (VALUES (1, 10.0), (2, 20.0), (3, NULL), (4, 40.0), (5, 50.0)) t(i, v)
+    ORDER BY i
+    """,
+    tags=("functions", "edge", "window"),
+    doc="""Window default-frame and NULL-handling corners (reference
+    sqllogictest window.slt): no-ORDER-BY means whole-partition frame; an
+    ORDER BY without a frame clause defaults to RANGE UNBOUNDED PRECEDING
+    .. CURRENT ROW (NULL rows still emit the running value of their peer
+    group); FIRST_VALUE IGNORE NULLS skips leading NULLs; LEAD's third
+    argument fills past the partition edge; NTH_VALUE needs the full frame
+    to see forward; NTILE distributes remainder rows to the first tiles.""",
+)
+
+
+_sql_query(
+    "fn_edge_union_range_limit",
+    spark_sql="""
+    SELECT (SELECT CAST(SUM(x) AS DOUBLE) FROM
+              (SELECT CAST(1 AS DOUBLE) AS x UNION ALL SELECT 2.5) u)     AS union_int_double_unify,
+           (SELECT COUNT(*) FROM
+              (SELECT 1 AS x UNION SELECT 1 UNION ALL SELECT 1) u)        AS union_distinct_then_all,
+           (SELECT COUNT(*) FROM (SELECT 1 AS x UNION ALL SELECT 2) u
+             LIMIT 5 OFFSET 0)                                            AS limit_beyond_rows,
+           (SELECT MAX(s) FROM (
+              SELECT CAST(SUM(v) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS s
+              FROM VALUES (1), (1), (2) t(v)) r)                          AS range_frame_peer_rows
+    """,
+    duck_sql="""
+    SELECT (SELECT CAST(SUM(x) AS DOUBLE) FROM
+              (SELECT CAST(1 AS DOUBLE) AS x UNION ALL SELECT 2.5) u)     AS union_int_double_unify,
+           (SELECT COUNT(*) FROM
+              (SELECT 1 AS x UNION SELECT 1 UNION ALL SELECT 1) u)        AS union_distinct_then_all,
+           (SELECT COUNT(*) FROM (SELECT 1 AS x UNION ALL SELECT 2) u
+             LIMIT 5 OFFSET 0)                                            AS limit_beyond_rows,
+           (SELECT MAX(s) FROM (
+              SELECT CAST(SUM(v) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS s
+              FROM (VALUES (1), (1), (2)) t(v)) r)                        AS range_frame_peer_rows
+    """,
+    tags=("functions", "edge", "setop", "window"),
+    doc="""Set-operation typing and RANGE-frame peer semantics (reference
+    sqllogictest union.slt / window.slt): UNION unifies int with double,
+    UNION (distinct) composes with a following UNION ALL left-to-right,
+    LIMIT beyond the row count returns what exists, and a RANGE frame
+    includes the whole peer group (duplicate ORDER BY values sum
+    together).  Excluded, known: int UNION varchar — DuckDB coerces to
+    varchar, Spark tries int and fails the cast.""",
+)
