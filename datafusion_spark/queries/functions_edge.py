@@ -797,3 +797,51 @@ _sql_query(
     together).  Excluded, known: int UNION varchar — DuckDB coerces to
     varchar, Spark tries int and fails the cast.""",
 )
+
+
+_sql_query(
+    "fn_edge_explode_map_dates",
+    spark_sql="""
+    SELECT (SELECT COUNT(*) FROM (SELECT explode(array()) AS x) t)            AS explode_empty_rows,
+           (SELECT COUNT(*) FROM (SELECT explode(CAST(NULL AS ARRAY<INT>)) AS x) t) AS explode_null_rows,
+           (SELECT COUNT(*) FROM (SELECT explode_outer(CAST(NULL AS ARRAY<INT>)) AS x) t) AS explode_outer_keeps_row,
+           (SELECT CAST(MIN(p) AS BIGINT) FROM (SELECT posexplode(array(7, 8)) AS (p, x)) t) AS posexplode_zero_based,
+           try_element_at(map('a', 1), 'zz')                                  AS map_missing_key_null,
+           array_join(array_sort(map_keys(map('b', 2, 'a', 1))), ',')        AS map_keys_all,
+           size(map('a', 1, 'b', 2))                                         AS map_cardinality,
+           CAST(date_trunc('week', TIMESTAMP '2024-03-14 10:00:00') AS TIMESTAMP) AS trunc_week_monday,
+           months_between(DATE '2024-03-31', DATE '2024-02-29')              AS months_between_eom,
+           CAST(add_months(DATE '2024-01-31', 1) AS TIMESTAMP)               AS add_months_clamps,
+           CAST(last_day(DATE '2024-02-05') AS TIMESTAMP)                    AS last_day_leap,
+           datediff(DATE '2024-03-01', DATE '2024-02-28')                    AS datediff_leap_span,
+           weekofyear(DATE '2021-01-01')                                     AS iso_week_jan1,
+           dayofweek(DATE '2024-03-17')                                      AS dow_sunday_is_1
+    """,
+    duck_sql="""
+    SELECT (SELECT COUNT(*) FROM (SELECT unnest([]) AS x) t)                  AS explode_empty_rows,
+           (SELECT COUNT(*) FROM (SELECT unnest(NULL::INT[]) AS x) t)         AS explode_null_rows,
+           (SELECT COUNT(*) FROM (SELECT unnest(COALESCE(NULL::INT[], [NULL::INT])) AS x) t) AS explode_outer_keeps_row,
+           (SELECT MIN(o - 1) FROM (SELECT generate_subscripts([7, 8], 1) AS o) t) AS posexplode_zero_based,
+           list_extract(map_extract(MAP(['a'], [1]), 'zz'), 1)                AS map_missing_key_null,
+           array_to_string(list_sort(map_keys(MAP(['b', 'a'], [2, 1]))), ',') AS map_keys_all,
+           CAST(cardinality(MAP(['a', 'b'], [1, 2])) AS INTEGER)              AS map_cardinality,
+           date_trunc('week', TIMESTAMP '2024-03-14 10:00:00')               AS trunc_week_monday,
+           CAST(1.0 AS DOUBLE)                                                AS months_between_eom,
+           CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS TIMESTAMP)           AS add_months_clamps,
+           CAST(last_day(DATE '2024-02-05') AS TIMESTAMP)                     AS last_day_leap,
+           CAST(datediff('day', DATE '2024-02-28', DATE '2024-03-01') AS INTEGER) AS datediff_leap_span,
+           CAST(weekofyear(DATE '2021-01-01') AS INTEGER)                     AS iso_week_jan1,
+           CAST(dayofweek(DATE '2024-03-17') + 1 AS INTEGER)                  AS dow_sunday_is_1
+    """,
+    tags=("functions", "edge", "nested", "datetime"),
+    doc="""Generator, map-access and calendar corners (reference
+    sqllogictest unnest.slt, map.slt, datetime/ dir): exploding an empty or
+    NULL array yields zero rows while explode_outer keeps one NULL row
+    (DuckDB spelled via COALESCE to a one-NULL list), posexplode positions
+    are 0-based (generate_subscripts is 1-based, offset in the oracle),
+    missing map keys are NULL under try access, month arithmetic clamps to
+    end-of-month (Jan 31 + 1 month = Feb 29 on a leap year;
+    months_between of two EOMs is exactly 1.0 — DuckDB has no
+    months_between, pinned), ISO week of 2021-01-01 is 53, and Spark's
+    dayofweek is 1-based Sunday (DuckDB 0-based, offset).""",
+)
