@@ -845,3 +845,48 @@ _sql_query(
     months_between, pinned), ISO week of 2021-01-01 is 53, and Spark's
     dayofweek is 1-based Sunday (DuckDB 0-based, offset).""",
 )
+
+
+_sql_query(
+    "fn_edge_string_slicing",
+    spark_sql="""
+    SELECT array_join(split('a,b,,', ','), '|')        AS split_keeps_trailing_empties,
+           array_join(split('a,b,c', ',', 2), '|')     AS split_with_limit,
+           trim(BOTH 'xy' FROM 'xyhixy')               AS trim_charset,
+           lpad('hello', 3, '*')                       AS lpad_truncates,
+           translate('hello', 'el', 'i')               AS translate_deletes_unmatched,
+           overlay('hello' PLACING 'XX' FROM 2)        AS overlay_replaces,
+           initcap('heLLo wORld')                      AS initcap_lowers_rest,
+           repeat('ab', 0)                             AS repeat_zero_empty,
+           reverse('añb')                              AS reverse_is_codepoint_safe,
+           substr('hello', -3)                         AS substr_negative_from_end,
+           CAST(instr('hello', 'zz') AS BIGINT)        AS instr_missing_zero,
+           concat_ws('-', 'a', NULL, 'b')              AS concat_ws_skips_nulls
+    """,
+    duck_sql="""
+    SELECT array_to_string(string_split('a,b,,', ','), '|')  AS split_keeps_trailing_empties,
+           array_to_string(['a', 'b,c'], '|')                AS split_with_limit,
+           trim('xyhixy', 'xy')                              AS trim_charset,
+           lpad('hello', 3, '*')                             AS lpad_truncates,
+           translate('hello', 'el', 'i')                     AS translate_deletes_unmatched,
+           concat(substr('hello', 1, 1), 'XX', substr('hello', 4)) AS overlay_replaces,
+           array_to_string(list_transform(string_split('heLLo wORld', ' '),
+             w -> upper(w[1]) || lower(w[2:])), ' ')         AS initcap_lowers_rest,
+           repeat('ab', 0)                                   AS repeat_zero_empty,
+           reverse('añb')                                    AS reverse_is_codepoint_safe,
+           substr('hello', -3)                               AS substr_negative_from_end,
+           strpos('hello', 'zz')                             AS instr_missing_zero,
+           concat_ws('-', 'a', NULL, 'b')                    AS concat_ws_skips_nulls
+    """,
+    tags=("functions", "edge", "string"),
+    doc="""String slicing/padding corners (reference sqllogictest string/
+    dir): split keeps trailing empty fields, Spark's 3-arg split limit has
+    no DuckDB spelling (tail pinned), charset trim, lpad TRUNCATES when
+    the input exceeds the target, translate deletes chars with no
+    replacement, overlay/initcap spelled via concat-substr and a
+    word-transform in the oracle, repeat x0 is '', reverse is
+    codepoint-safe, negative substr counts from the end, instr misses as
+    0, concat_ws skips NULLs.  Excluded, known: substr(s, 0, n) — Spark
+    treats start 0 as 1 but still consumes a length slot differently than
+    DuckDB; rpad with an empty pad — Spark no-ops, DuckDB errors.""",
+)
