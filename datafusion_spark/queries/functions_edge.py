@@ -890,3 +890,48 @@ _sql_query(
     treats start 0 as 1 but still consumes a length slot differently than
     DuckDB; rpad with an empty pad — Spark no-ops, DuckDB errors.""",
 )
+
+
+_sql_query(
+    "fn_edge_regex_datetime_parse",
+    spark_sql=r"""
+    SELECT regexp_replace('john smith', '(\\w+) (\\w+)', '$2 $1') AS re_backref_swap,
+           regexp_extract('<a><b>', '<(.*)>', 1)                  AS re_greedy_spans,
+           regexp_extract('<a><b>', '<(.*?)>', 1)                 AS re_lazy_minimal,
+           'abc' RLIKE '^abc$'                                    AS re_anchors,
+           regexp_extract('abc', '(\\d+)', 1)                     AS re_no_match_empty,
+           regexp_replace('abc', 'x*', '-')                       AS re_empty_match_global,
+           CAST(size(regexp_extract_all('a1b22c333', '\\d+', 0)) AS BIGINT) AS re_match_count,
+           'ABC' RLIKE '(?i)abc'                                  AS re_inline_flag,
+           CAST(to_date('14/03/2024', 'dd/MM/yyyy') AS TIMESTAMP) AS parse_date_fmt,
+           try_to_timestamp('nope', 'yyyy-MM-dd')                 AS try_parse_bad_null,
+           from_unixtime(1700000000, 'yyyy-MM-dd HH:mm:ss')       AS epoch_format_utc,
+           CAST(to_timestamp('2024-03-14 10:20:30.5',
+                'yyyy-MM-dd HH:mm:ss.S') AS STRING)               AS parse_fractional
+    """,
+    duck_sql=r"""
+    SELECT regexp_replace('john smith', '(\w+) (\w+)', '\2 \1')   AS re_backref_swap,
+           regexp_extract('<a><b>', '<(.*)>', 1)                  AS re_greedy_spans,
+           regexp_extract('<a><b>', '<(.*?)>', 1)                 AS re_lazy_minimal,
+           regexp_matches('abc', '^abc$')                         AS re_anchors,
+           regexp_extract('abc', '(\d+)', 1)                      AS re_no_match_empty,
+           regexp_replace('abc', 'x*', '-', 'g')                  AS re_empty_match_global,
+           CAST(len(regexp_extract_all('a1b22c333', '\d+')) AS BIGINT) AS re_match_count,
+           regexp_matches('ABC', '(?i)abc')                       AS re_inline_flag,
+           strptime('14/03/2024', '%d/%m/%Y')                     AS parse_date_fmt,
+           try_strptime('nope', '%Y-%m-%d')                       AS try_parse_bad_null,
+           strftime(to_timestamp(1700000000), '%Y-%m-%d %H:%M:%S') AS epoch_format_utc,
+           CAST(strptime('2024-03-14 10:20:30.500',
+                '%Y-%m-%d %H:%M:%S.%g') AS VARCHAR)               AS parse_fractional
+    """,
+    tags=("functions", "edge", "regex", "datetime"),
+    doc="""Regex engine and datetime-parse corners (reference sqllogictest
+    regexp.slt + datetime/ formats): capture backreferences ($n vs \\n
+    spelling), greedy vs lazy quantifiers agree between Java regex and
+    RE2, no-match extract is '' not NULL, empty-pattern replacement is
+    global in Spark (DuckDB pinned with the 'g' flag), inline (?i) flags,
+    format-string date parsing (Java letters vs strptime %codes), TRY
+    parse to NULL, epoch formatting under UTC, and fractional-second
+    parse (Spark 'S' = 0.5s spelled as %g milliseconds '500' in the
+    oracle).""",
+)
