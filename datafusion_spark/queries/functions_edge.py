@@ -935,3 +935,46 @@ _sql_query(
     parse (Spark 'S' = 0.5s spelled as %g milliseconds '500' in the
     oracle).""",
 )
+
+
+_sql_query(
+    "fn_edge_subquery_binary_bits",
+    spark_sql="""
+    SELECT (SELECT 1 IN (SELECT x FROM VALUES (1), (NULL) t(x)))     AS in_subq_match_wins,
+           (SELECT 5 WHERE FALSE)                                    AS scalar_subq_empty_null,
+           EXISTS (SELECT 1 LIMIT 0)                                 AS exists_limit0_false,
+           EXISTS (SELECT NULL)                                      AS exists_null_row_true,
+           (SELECT COUNT(*) FROM VALUES (1), (2) u(y) WHERE y > 0)   AS corr_count_all,
+           (SELECT COUNT(*) FROM VALUES (1), (2) u(y) WHERE y > 5)   AS corr_count_none,
+           hex(CAST('AB' AS BINARY))                                 AS hex_of_ascii,
+           CAST(unhex('4142') AS STRING)                             AS unhex_roundtrip,
+           shiftleft(CAST(1 AS BIGINT), 63)                          AS shift_to_sign_bit,
+           bit_count(255)                                            AS bit_count_byte,
+           12 ^ 10                                                   AS xor_infix
+    """,
+    duck_sql="""
+    SELECT (SELECT 1 IN (SELECT x FROM (VALUES (1), (NULL)) t(x)))   AS in_subq_match_wins,
+           (SELECT 5 WHERE FALSE)                                    AS scalar_subq_empty_null,
+           EXISTS (SELECT 1 LIMIT 0)                                 AS exists_limit0_false,
+           EXISTS (SELECT NULL)                                      AS exists_null_row_true,
+           (SELECT COUNT(*) FROM (VALUES (1), (2)) u(y) WHERE y > 0) AS corr_count_all,
+           (SELECT COUNT(*) FROM (VALUES (1), (2)) u(y) WHERE y > 5) AS corr_count_none,
+           hex(encode('AB'))                                         AS hex_of_ascii,
+           decode(unhex('4142'))                                     AS unhex_roundtrip,
+           CAST(-9223372036854775808 AS BIGINT)                      AS shift_to_sign_bit,
+           CAST(bit_count(255) AS INTEGER)                           AS bit_count_byte,
+           xor(12, 10)                                               AS xor_infix
+    """,
+    tags=("functions", "edge", "subquery", "binary"),
+    doc="""Subquery boolean semantics and binary/bit corners (reference
+    sqllogictest subquery/ + binary.slt + bitwise.slt): IN-subquery is
+    true on a match even with NULLs present, an empty scalar subquery is
+    NULL, EXISTS respects LIMIT 0 and counts all-NULL rows, hex/unhex
+    round-trip ASCII, shifting 1 into bit 63 produces int64 min (pinned —
+    DuckDB's << widens to HUGEINT instead of wrapping), bit_count, and ^
+    (Spark XOR infix; DuckDB's ^ is exponentiation, spelled xor()).
+    Excluded, known: `x IN (subquery containing NULL)` with NO match —
+    Spark returns false where DuckDB keeps three-valued NULL; ANY/ALL
+    comparison syntax (Spark lacks it; see subquery_any_all for the
+    equivalent shapes).""",
+)
