@@ -521,3 +521,35 @@ def test_audio_windows_real_wav_rms(spark):
         seg = samples[i * span:(i + 1) * span]
         assert r.n_samples == len(seg)
         assert abs(r.rms - float(np.sqrt(np.mean(seg * seg)))) < 1e-12
+
+
+def test_view_state_cache_transitions(spark):
+    """register_views is cached per (session, sf_dir); official-track
+    overlays shadow base views and the next plain registration restores
+    them — the full official->plain->official cycle must stay correct."""
+    from datafusion_spark import catalog
+    from datafusion_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL, SF_ORACLE
+
+    catalog.invalidate_views(spark)
+    catalog.register_views(spark, SF_SMALL)
+    assert catalog.view_state(spark) == (SF_SMALL, frozenset())
+    plain_cols = set(spark.table("lineitem").columns)
+    assert "l_commitdate" not in plain_cols
+
+    # official entry shadows lineitem with the extended overlay
+    QUERIES["tpch_official_q4"](spark, SF_SMALL).collect()
+    state = catalog.view_state(spark)
+    assert state is not None and "lineitem" in state[1]
+    assert "l_commitdate" in set(spark.table("lineitem").columns)
+
+    # plain re-registration restores the base view
+    catalog.register_views(spark, SF_SMALL)
+    assert catalog.view_state(spark) == (SF_SMALL, frozenset())
+    assert "l_commitdate" not in set(spark.table("lineitem").columns)
+
+    # switching sf_dir invalidates the cache even in plain state
+    catalog.register_views(spark, SF_ORACLE)
+    assert catalog.view_state(spark) == (SF_ORACLE, frozenset())
+    catalog.register_views(spark, SF_SMALL)
+    assert catalog.view_state(spark) == (SF_SMALL, frozenset())
