@@ -978,3 +978,53 @@ _sql_query(
     comparison syntax (Spark lacks it; see subquery_any_all for the
     equivalent shapes).""",
 )
+
+
+_sql_query(
+    "fn_edge_joins_having_null",
+    spark_sql="""
+    SELECT (SELECT COUNT(*) FROM VALUES (1), (2) t(x) HAVING COUNT(*) > 1)  AS having_global_pass,
+           (SELECT COUNT(*) FROM (SELECT COUNT(*) AS c FROM VALUES (1) t(x)
+                                  HAVING COUNT(*) > 5) z)                   AS having_global_empty,
+           (SELECT COUNT(*) FROM VALUES (1), (NULL) a(x)
+              JOIN VALUES (1), (NULL) b(y) ON x = y)                        AS join_drops_null_keys,
+           (SELECT COUNT(*) FROM VALUES (1), (NULL) a(x)
+              JOIN VALUES (1), (NULL) b(y) ON x <=> y)                      AS null_safe_join_matches,
+           (SELECT COUNT(*) FROM VALUES (1), (2) a(x)
+              LEFT JOIN VALUES (1) b(y) ON x = y AND y > 5)                 AS left_on_filter_keeps_left,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k) a JOIN (SELECT 1 AS k) b USING (k)) AS using_join_count,
+           (SELECT COUNT(*) FROM VALUES (1), (NULL) a(x)
+              FULL JOIN VALUES (2), (NULL) b(y) ON x = y)                   AS full_join_all_unmatched,
+           1 + CAST(NULL AS INT)                                            AS null_add,
+           CAST(NULL AS INT) * 0                                            AS null_times_zero,
+           'x' || CAST(NULL AS STRING)                                      AS null_concat_op
+    """,
+    duck_sql="""
+    SELECT (SELECT COUNT(*) FROM (VALUES (1), (2)) t(x) HAVING COUNT(*) > 1) AS having_global_pass,
+           (SELECT COUNT(*) FROM (SELECT COUNT(*) AS c FROM (VALUES (1)) t(x)
+                                  HAVING COUNT(*) > 5) z)                    AS having_global_empty,
+           (SELECT COUNT(*) FROM (VALUES (1), (NULL)) a(x)
+              JOIN (VALUES (1), (NULL)) b(y) ON x = y)                       AS join_drops_null_keys,
+           (SELECT COUNT(*) FROM (VALUES (1), (NULL)) a(x)
+              JOIN (VALUES (1), (NULL)) b(y) ON x IS NOT DISTINCT FROM y)    AS null_safe_join_matches,
+           (SELECT COUNT(*) FROM (VALUES (1), (2)) a(x)
+              LEFT JOIN (VALUES (1)) b(y) ON x = y AND y > 5)                AS left_on_filter_keeps_left,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k) a JOIN (SELECT 1 AS k) b USING (k)) AS using_join_count,
+           (SELECT COUNT(*) FROM (VALUES (1), (NULL)) a(x)
+              FULL JOIN (VALUES (2), (NULL)) b(y) ON x = y)                  AS full_join_all_unmatched,
+           1 + CAST(NULL AS INT)                                             AS null_add,
+           CAST(NULL AS INT) * 0                                             AS null_times_zero,
+           'x' || CAST(NULL AS VARCHAR)                                      AS null_concat_op
+    """,
+    tags=("functions", "edge", "join", "null"),
+    doc="""Join/HAVING NULL-semantics corners (reference sqllogictest
+    joins.slt + having-without-GROUP-BY blocks): a global HAVING filters
+    the single implicit-group row (to zero rows when false), equality
+    joins DROP NULL keys while the null-safe comparator (<=> / IS NOT
+    DISTINCT FROM) matches them, a LEFT JOIN's ON-clause filter never
+    eliminates left rows (it only suppresses the match), USING dedups the
+    join column, FULL JOIN keeps every unmatched row from both sides,
+    NULL propagates through arithmetic (even *0) and the || string
+    operator.  Excluded, known: concat() — Spark is NULL-strict, DuckDB
+    concat skips NULL arguments.""",
+)
