@@ -433,3 +433,67 @@ def nested_map_construction(spark, sf_dir):
         ent_map.getItem("rp").alias("price_from_entries_map"),
         str_map.getItem("absent").alias("missing_key"),
     )
+
+
+@query(
+    "nested_vector_elementwise",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 50
+    )
+    SELECT vec_id,
+           ROUND(list_transform(list_zip(v, v), p -> p[1] + p[2])[1], 6)  AS add_head,
+           list_sum(list_transform(list_zip(v, v), p -> abs(p[1] - p[2]))) = 0 AS sub_self_is_zero,
+           ROUND(list_transform(v, x -> x * 2.5)[1], 6)                  AS scale_head,
+           ROUND(list_avg(v), 6)                                         AS avg_elements,
+           ROUND(list_aggregate(v[1:4], 'product'), 6)                   AS product_head4,
+           ROUND(list_filter(v, x -> x > 0)[1], 6)                       AS first_positive,
+           CAST(len(list_concat(v, [0.25, 0.25, 0.25, 0.25, 0.25, 0.25])) AS INTEGER) AS resized_len,
+           ROUND(list_concat(v, [0.25, 0.25, 0.25, 0.25, 0.25, 0.25])[70], 6) AS resized_fill
+    FROM e ORDER BY vec_id
+    """,
+    tags=("nested", "vector", "elementwise"),
+)
+def nested_vector_elementwise(spark, sf_dir):
+    """Element-wise vector algebra over real embedding arrays — the
+    functions-nested vector family (reference functions-nested/src/
+    array_add.rs, array_subtract.rs, array_scale.rs, array_avg.rs,
+    array_product.rs, array_first.rs, array_filter.rs, resize.rs)
+    composed from Spark's higher-order array functions: zip_with for the
+    element-wise add/subtract (per-position NULL propagation for free),
+    transform for scalar scale, NULL-skipping aggregate for avg, a
+    multiplicative fold for product, filter+head for first-match, and
+    slice/concat/array_repeat for resize-with-fill (the oracle spells the
+    fill with list_concat: this DuckDB build's list_resize crashes on
+    parquet-scanned DOUBLE[] inputs)."""
+    from datafusion_spark.catalog import load_table
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    add = F.zip_with("v", "v", lambda x, y: x + y)
+    sub_abs = F.zip_with("v", "v", lambda x, y: F.abs(x - y))
+    fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    nn = F.filter("v", lambda x: x.isNotNull())
+    avg = F.when(
+        F.size(nn) > 0, fold_sum(nn) / F.size(nn)
+    )
+    product4 = F.aggregate(F.slice("v", 1, 4), F.lit(1.0), lambda a, x: a * x)
+    resized = F.concat(F.slice("v", 1, 70), F.array_repeat(F.lit(0.25), 70 - 64))
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(add, 1), 6).alias("add_head"),
+        (fold_sum(sub_abs) == 0).alias("sub_self_is_zero"),
+        F.round(F.element_at(F.transform("v", lambda x: x * 2.5), 1), 6).alias("scale_head"),
+        F.round(avg, 6).alias("avg_elements"),
+        F.round(product4, 6).alias("product_head4"),
+        F.round(F.element_at(F.filter("v", lambda x: x > 0), 1), 6).alias("first_positive"),
+        F.size(resized).alias("resized_len"),
+        F.round(F.element_at(resized, 70), 6).alias("resized_fill"),
+    ).orderBy("vec_id")
