@@ -102,8 +102,7 @@ def test_range_partitioned_sort_invariant(spark):
     df = QUERIES["sort_global_range_partitioned"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
-    rows = df.collect()
-    assert rows and all(r["ordered_ok"] for r in rows)
-    total = sum(r["n"] for r in rows)
+    [row] = df.collect()
+    assert row["ranges_non_overlapping"] and row["partitions_bounded"]
     expected = load_table(spark, SF_SMALL, "orders").count()
-    assert total == expected
+    assert row["total_n"] == expected
