@@ -1028,3 +1028,51 @@ _sql_query(
     operator.  Excluded, known: concat() — Spark is NULL-strict, DuckDB
     concat skips NULL arguments.""",
 )
+
+
+_sql_query(
+    "fn_edge_math_domain",
+    spark_sql="""
+    SELECT log(2, 8.0)                                  AS log_base2,
+           power(0.0, 0.0)                              AS power_zero_zero,
+           isnan(power(-8.0, 1.0/3.0))                  AS power_neg_frac_nan,
+           CAST(5.3 AS DOUBLE) % 2.0                    AS fmod_bitexact,
+           atan2(-1.0, -1.0)                            AS atan2_third_quadrant,
+           CAST(round(2.5, 0) AS DOUBLE)                AS round_half_up_away,
+           CAST(bround(2.5, 0) AS DOUBLE)               AS round_half_even_banker,
+           CAST(bround(3.5, 0) AS DOUBLE)               AS round_half_even_up,
+           (CAST(NULL AS INT) BETWEEN 1 AND 2) IS NULL  AS between_null_is_null,
+           2 BETWEEN 2 AND 2                            AS between_inclusive,
+           '10' = 10                                    AS string_number_coerce,
+           CAST('true' AS BOOLEAN) AND CAST('1' AS BOOLEAN) AS bool_string_casts,
+           NULL OR TRUE                                 AS null_or_true,
+           NULL AND FALSE                               AS null_and_false
+    """,
+    duck_sql="""
+    SELECT log(2, 8.0)                                  AS log_base2,
+           power(0.0, 0.0)                              AS power_zero_zero,
+           isnan(power(-8.0, 1.0/3.0))                  AS power_neg_frac_nan,
+           CAST(5.3 AS DOUBLE) % 2.0                    AS fmod_bitexact,
+           atan2(-1.0, -1.0)                            AS atan2_third_quadrant,
+           CAST(round(2.5, 0) AS DOUBLE)                AS round_half_up_away,
+           round_even(2.5, 0)                           AS round_half_even_banker,
+           round_even(3.5, 0)                           AS round_half_even_up,
+           (CAST(NULL AS INT) BETWEEN 1 AND 2) IS NULL  AS between_null_is_null,
+           2 BETWEEN 2 AND 2                            AS between_inclusive,
+           '10' = 10                                    AS string_number_coerce,
+           CAST('true' AS BOOLEAN) AND CAST('1' AS BOOLEAN) AS bool_string_casts,
+           NULL OR TRUE                                 AS null_or_true,
+           NULL AND FALSE                               AS null_and_false
+    """,
+    tags=("functions", "edge", "math", "boolean"),
+    doc="""Math domain and three-valued-logic corners (reference
+    sqllogictest math.slt + predicates.slt): arbitrary-base log, 0^0 = 1,
+    a negative base to a fractional power is NaN in BOTH engines, float
+    modulo is bit-exact IEEE, banker's rounding (bround / round_even)
+    versus decimal HALF_UP round, BETWEEN is inclusive and NULL-strict,
+    string-number equality coerces numerically, string-to-boolean casts,
+    and the Kleene rules NULL OR TRUE = TRUE / NULL AND FALSE = FALSE.
+    Excluded, known (domain-error style differs by design): ln(0)/ln(-1)
+    — Spark NULL (non-ANSI) vs DuckDB -inf/error; sqrt(-1) — Spark NaN vs
+    DuckDB error; cot(0) — Spark inf vs DuckDB error.""",
+)
