@@ -1076,3 +1076,54 @@ _sql_query(
     — Spark NULL (non-ANSI) vs DuckDB -inf/error; sqrt(-1) — Spark NaN vs
     DuckDB error; cot(0) — Spark inf vs DuckDB error.""",
 )
+
+
+_sql_query(
+    "fn_edge_identifiers_projection",
+    spark_sql="""
+    SELECT (SELECT X FROM (SELECT 1 AS x) t)                           AS ident_case_insensitive,
+           (SELECT `My Col` FROM (SELECT 2 AS `My Col`) t)             AS quoted_space_ident,
+           (SELECT `select` FROM (SELECT 3 AS `select`) t)             AS keyword_quoted_ident,
+           (SELECT COUNT(*) FROM (SELECT x % 2 AS g FROM VALUES (1), (2), (3) t(x)
+                                  GROUP BY 1) z)                       AS group_by_ordinal,
+           (SELECT MIN(y) FROM (SELECT x + 1 AS y FROM VALUES (3), (1) t(x)
+                                ORDER BY y) z)                         AS order_by_alias,
+           (SELECT a FROM (SELECT * EXCEPT (b) FROM (SELECT 1 AS a, 2 AS b) t) z) AS star_except_prunes,
+           (SELECT dbl1 FROM (SELECT x * 2 AS dbl, dbl + 1 AS dbl1
+                              FROM (SELECT 5 AS x) t) z)               AS lateral_column_alias,
+           CAST(from_utc_timestamp(TIMESTAMP '2024-03-10 01:30:00',
+                                   'America/New_York') AS STRING)      AS utc_to_zone_pre_dst,
+           timestampdiff(HOUR, TIMESTAMP '2024-03-14 10:00:00',
+                               TIMESTAMP '2024-03-15 13:30:00')        AS ts_diff_trunc_hours,
+           CAST(timestampadd(MINUTE, 90, TIMESTAMP '2024-03-14 10:00:00') AS STRING) AS ts_add_minutes,
+           date_format(TIMESTAMP '2024-03-14 09:05:00', 'yyyy/MM/dd HH-mm') AS format_letters
+    """,
+    duck_sql="""
+    SELECT (SELECT X FROM (SELECT 1 AS x) t)                           AS ident_case_insensitive,
+           (SELECT "My Col" FROM (SELECT 2 AS "My Col") t)             AS quoted_space_ident,
+           (SELECT "select" FROM (SELECT 3 AS "select") t)             AS keyword_quoted_ident,
+           (SELECT COUNT(*) FROM (SELECT x % 2 AS g FROM (VALUES (1), (2), (3)) t(x)
+                                  GROUP BY 1) z)                       AS group_by_ordinal,
+           (SELECT MIN(y) FROM (SELECT x + 1 AS y FROM (VALUES (3), (1)) t(x)
+                                ORDER BY y) z)                         AS order_by_alias,
+           (SELECT a FROM (SELECT * EXCLUDE (b) FROM (SELECT 1 AS a, 2 AS b) t) z) AS star_except_prunes,
+           (SELECT dbl1 FROM (SELECT x * 2 AS dbl, dbl + 1 AS dbl1
+                              FROM (SELECT 5 AS x) t) z)               AS lateral_column_alias,
+           CAST(TIMESTAMP '2024-03-10 01:30:00' AT TIME ZONE 'UTC'
+                AT TIME ZONE 'America/New_York' AS VARCHAR)            AS utc_to_zone_pre_dst,
+           date_diff('hour', TIMESTAMP '2024-03-14 10:00:00',
+                             TIMESTAMP '2024-03-15 13:30:00')          AS ts_diff_trunc_hours,
+           CAST(TIMESTAMP '2024-03-14 10:00:00' + INTERVAL 90 MINUTE AS VARCHAR) AS ts_add_minutes,
+           strftime(TIMESTAMP '2024-03-14 09:05:00', '%Y/%m/%d %H-%M') AS format_letters
+    """,
+    tags=("functions", "edge", "identifiers", "datetime"),
+    doc="""Identifier resolution and timestamp-unit corners (reference
+    sqllogictest identifiers.slt + select.slt + timestamps.slt):
+    case-insensitive unquoted identifiers, quoted identifiers with spaces
+    and reserved words, GROUP BY ordinals, ORDER BY select-list aliases,
+    SELECT * EXCEPT/EXCLUDE pruning, lateral column aliases (an alias
+    referenced later in the SAME select list), UTC→zone conversion just
+    before a DST boundary, whole-unit timestampdiff truncation (27h not
+    27.5), minute-granular timestampadd, and format-letter rendering
+    (Java letters ⇔ strftime codes).""",
+)
