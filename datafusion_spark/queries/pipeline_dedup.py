@@ -24,7 +24,7 @@ Scale design (the point of these operators):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_spark.catalog import load_table
@@ -576,15 +576,25 @@ def dedup_substring_windows(spark, sf_dir):
             "transform(sequence(1, size(t) - 7),"
             " i -> md5(array_join(slice(t, i, 8), ' ')))")).alias("h"),
     ).distinct()
-    shared = wins.groupBy("h").agg(F.count(F.lit(1)).alias("nd")) \
-                 .filter(F.col("nd") >= 2).select("h")
-    tot = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total_windows"))
-    sh = wins.join(shared, "h") \
-             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("shared_windows"))
-    return tot.join(sh, "doc_id", "left").select(
+    # Single pass over the distinct windows: Catalyst does NOT reuse the
+    # explode+md5+distinct subtree across self-join sides (the naive
+    # shared/tot/sh formulation scanned and hashed the corpus three
+    # times), so the per-hash doc count rides a window over the h
+    # partitioning and both per-doc counters come out of ONE doc_id
+    # aggregation — one corpus scan, three keyed shuffles total.
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    per_doc = (
+        wins.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_windows"),
+            F.count(F.when(F.col("nd") >= 2, 1)).alias("shared_windows"),
+        )
+    )
+    return per_doc.select(
         "doc_id",
         "total_windows",
-        F.coalesce("shared_windows", F.lit(0)).alias("shared_windows"),
-        F.round(F.coalesce("shared_windows", F.lit(0)).cast("double")
+        "shared_windows",
+        F.round(F.col("shared_windows").cast("double")
                 / F.col("total_windows"), 6).alias("dup_frac"),
     )
