@@ -1127,3 +1127,54 @@ _sql_query(
     27.5), minute-granular timestampadd, and format-letter rendering
     (Java letters ⇔ strftime codes).""",
 )
+
+
+_sql_query(
+    "fn_spark_bit_get_shift",
+    spark_sql="""
+    SELECT bit_get(CAST(5 AS BIGINT), 0)           AS bit0_of_5,
+           bit_get(CAST(5 AS BIGINT), 1)           AS bit1_of_5,
+           getbit(CAST(5 AS BIGINT), 2)            AS getbit2_of_5,
+           shiftright(CAST(-16 AS INT), 2)         AS arith_shift_keeps_sign,
+           shiftrightunsigned(CAST(-1 AS INT), 28) AS logical_shift_zero_fill,
+           ~CAST(5 AS INT)                         AS bitwise_not,
+           conv('ff', 16, 10)                      AS conv_hex_to_dec,
+           conv('10', 10, 2)                       AS conv_dec_to_bin,
+           ROUND(cbrt(-27.0), 10)                  AS cbrt_negative,
+           hypot(3.0, 4.0)                         AS hypot_345,
+           negative(5)                             AS negative_fn,
+           rint(2.5)                               AS rint_half_even,
+           ROUND(csc(1.0) + sec(1.0), 10)          AS csc_sec_sum,
+           array_join(sequence(1, 9, 3), ',')      AS sequence_with_step,
+           array_join(sequence(5, 1), ',')         AS sequence_descending,
+           array_join(array_repeat('x', 3), ',')   AS array_repeat_n
+    """,
+    duck_sql="""
+    SELECT CAST((5 >> 0) & 1 AS TINYINT)           AS bit0_of_5,
+           CAST((5 >> 1) & 1 AS TINYINT)           AS bit1_of_5,
+           CAST((5 >> 2) & 1 AS TINYINT)           AS getbit2_of_5,
+           CAST(-16 // 4 AS INT)                   AS arith_shift_keeps_sign,
+           CAST(15 AS INT)                         AS logical_shift_zero_fill,
+           ~CAST(5 AS INT)                         AS bitwise_not,
+           CAST(255 AS VARCHAR)                    AS conv_hex_to_dec,
+           CAST(1010 AS VARCHAR)                   AS conv_dec_to_bin,
+           ROUND(cbrt(-27.0), 10)                  AS cbrt_negative,
+           sqrt(3.0*3.0 + 4.0*4.0)                 AS hypot_345,
+           CAST(-5 AS INT)                         AS negative_fn,
+           round_even(2.5, 0)                      AS rint_half_even,
+           ROUND(1/sin(1.0) + 1/cos(1.0), 10)      AS csc_sec_sum,
+           array_to_string(generate_series(1, 9, 3), ',')  AS sequence_with_step,
+           array_to_string(generate_series(5, 1, -1), ',') AS sequence_descending,
+           array_to_string(['x', 'x', 'x'], ',')   AS array_repeat_n
+    """,
+    tags=("functions", "edge", "spark-compat", "bitwise"),
+    doc="""spark/bitwise + math parity leftovers (reference sqllogictest
+    spark/bitwise/{bit_get,getbit,shiftrightunsigned,bitwise_not}.slt,
+    spark/math/{conv,cbrt,hypot,negative,rint,csc,sec}.slt,
+    spark/array/{sequence,array_repeat}.slt): LSB-indexed bit_get/getbit
+    (oracle spelled as shift-and-mask), arithmetic vs logical right
+    shift, radix conversion, signed cube root (ROUND(..,10): DuckDB's
+    cbrt differs in the last ulp for exact cubes), hypot, rint's
+    HALF_EVEN, reciprocal trig, stepped/descending sequence, and
+    array_repeat.""",
+)
