@@ -1178,3 +1178,43 @@ _sql_query(
     HALF_EVEN, reciprocal trig, stepped/descending sequence, and
     array_repeat.""",
 )
+
+
+_sql_query(
+    "fn_spark_misc_parity2",
+    spark_sql="""
+    SELECT assert_true(1 < 2) IS NULL                      AS assert_true_passes,
+           soundex('Robert')                               AS soundex_code,
+           array_join(flatten(sentences('Hi there. Bye now.')), '|') AS sentences_tokens,
+           quote("O'Brien")                                AS quote_escapes,
+           printf('%d-%s-%.2f', 7, 'x', CAST(1.5 AS DOUBLE)) AS printf_formats,
+           CAST(to_number('12,345', '99,999') AS BIGINT)   AS to_number_grouped,
+           try_to_number('abc', '999') IS NULL             AS try_to_number_null,
+           is_valid_utf8('ok')                             AS utf8_valid,
+           (SELECT COUNT(DISTINCT id) FROM
+              (SELECT monotonically_increasing_id() AS id FROM range(100)) t) AS mono_ids_distinct
+    """,
+    duck_sql="""
+    SELECT CAST(true AS BOOLEAN)                           AS assert_true_passes,
+           CAST('R163' AS VARCHAR)                         AS soundex_code,
+           CAST('Hi|there|Bye|now' AS VARCHAR)             AS sentences_tokens,
+           CAST('''O\\''Brien''' AS VARCHAR)               AS quote_escapes,
+           printf('%d-%s-%.2f', 7, 'x', 1.5)               AS printf_formats,
+           CAST(12345 AS BIGINT)                           AS to_number_grouped,
+           CAST(true AS BOOLEAN)                           AS try_to_number_null,
+           CAST(true AS BOOLEAN)                           AS utf8_valid,
+           CAST(100 AS BIGINT)                             AS mono_ids_distinct
+    """,
+    tags=("functions", "edge", "spark-compat", "misc"),
+    doc="""spark/misc + string parity leftovers (reference sqllogictest
+    spark/misc/{assert_true,monotonically_increasing_id}.slt,
+    spark/string/{soundex,sentences,quote,printf,to_number}.slt):
+    assert_true yields NULL on success (pinned via IS NULL), soundex codes, sentence/word
+    tokenization, SQL-quoting with embedded apostrophes, printf format
+    parity (float args must be DOUBLE — Spark rejects %f on Decimal),
+    format-model number parsing with grouping separators (NULL under
+    TRY on junk), UTF-8 validity, and the distinctness guarantee of
+    monotonically_increasing_id (values are partition-dependent, so the
+    entry pins the COUNT DISTINCT invariant, not the values).  DuckDB
+    lacks quote/soundex/sentences — known answers pinned.""",
+)
