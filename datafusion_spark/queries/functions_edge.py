@@ -1218,3 +1218,58 @@ _sql_query(
     entry pins the COUNT DISTINCT invariant, not the values).  DuckDB
     lacks quote/soundex/sentences — known answers pinned.""",
 )
+
+
+_sql_query(
+    "fn_spark_datetime_ctor_aliases",
+    spark_sql="""
+    SELECT CAST(dateadd(DAY, 5, TIMESTAMP '2024-03-14 10:00:00') AS STRING) AS dateadd_unit,
+           CAST(convert_timezone('UTC', 'Asia/Tokyo',
+                TIMESTAMP_NTZ '2024-03-14 00:00:00') AS STRING)  AS convert_tz_fwd,
+           CAST(make_timestamp_ntz(2024, 3, 14, 10, 30, 15.5) AS STRING) AS make_ts_ntz_frac,
+           CAST(make_timestamp_ltz(2024, 3, 14, 10, 30, 0, 'UTC') AS STRING) AS make_ts_ltz_utc,
+           CAST(to_timestamp_ntz('2024-03-14 10:00:00') AS STRING) AS to_ts_ntz,
+           to_unix_timestamp('2024-03-14 00:00:00', 'yyyy-MM-dd HH:mm:ss') AS to_unix_ts,
+           CAST(date_trunc('HOUR', TIMESTAMP '2024-03-14 10:45:00') AS STRING) AS trunc_hour,
+           lcase('AbC') || ucase('AbC')                          AS lcase_ucase_aliases,
+           to_varchar(1234.56, '9999.99')                        AS to_varchar_model,
+           CAST(try_to_binary('4142', 'hex') AS STRING)          AS try_to_binary_hex,
+           try_to_binary('zz', 'hex') IS NULL                    AS try_to_binary_junk_null,
+           xxhash64('spark')                                     AS xxhash64_seed42,
+           try_parse_url('https://a.b/c?d=e', 'HOST')            AS try_parse_url_host,
+           try_parse_url('::bad::', 'HOST') IS NULL              AS try_parse_url_bad_null,
+           try_url_decode('a%20b')                               AS try_url_decode_space,
+           try_url_decode('%zz') IS NULL                         AS try_url_decode_bad_null
+    """,
+    duck_sql="""
+    SELECT CAST(TIMESTAMP '2024-03-14 10:00:00' + INTERVAL 5 DAY AS VARCHAR) AS dateadd_unit,
+           CAST(TIMESTAMP '2024-03-14 00:00:00' AT TIME ZONE 'UTC'
+                AT TIME ZONE 'Asia/Tokyo' AS VARCHAR)            AS convert_tz_fwd,
+           CAST(make_timestamp(2024, 3, 14, 10, 30, 15.5) AS VARCHAR) AS make_ts_ntz_frac,
+           CAST(make_timestamp(2024, 3, 14, 10, 30, 0.0) AS VARCHAR) AS make_ts_ltz_utc,
+           CAST(TIMESTAMP '2024-03-14 10:00:00' AS VARCHAR)      AS to_ts_ntz,
+           CAST(epoch(TIMESTAMP '2024-03-14 00:00:00') AS BIGINT) AS to_unix_ts,
+           CAST(date_trunc('hour', TIMESTAMP '2024-03-14 10:45:00') AS VARCHAR) AS trunc_hour,
+           lcase('AbC') || ucase('AbC')                          AS lcase_ucase_aliases,
+           CAST('1234.56' AS VARCHAR)                            AS to_varchar_model,
+           CAST('AB' AS VARCHAR)                                 AS try_to_binary_hex,
+           CAST(true AS BOOLEAN)                                 AS try_to_binary_junk_null,
+           CAST(-1960931134668248110 AS BIGINT)                  AS xxhash64_seed42,
+           CAST('a.b' AS VARCHAR)                                AS try_parse_url_host,
+           CAST(true AS BOOLEAN)                                 AS try_parse_url_bad_null,
+           CAST('a b' AS VARCHAR)                                AS try_url_decode_space,
+           CAST(true AS BOOLEAN)                                 AS try_url_decode_bad_null
+    """,
+    tags=("functions", "edge", "spark-compat", "datetime", "url"),
+    doc="""spark/datetime constructors + TRY-url/binary aliases (reference
+    sqllogictest spark/datetime/{dateadd,convert_timezone,
+    make_timestamp_ltz,make_timestamp_ntz,to_timestamp_ntz,
+    to_unix_timestamp,time_trunc}.slt, spark/string/{lcase,ucase,
+    to_varchar,try_to_binary}.slt, spark/url/try_*.slt,
+    spark/hash/xxhash64.slt): unit-style dateadd, cross-zone conversion
+    of an NTZ wall time, fractional-second timestamp constructors, epoch
+    extraction via a parse format, case-change aliases, format-model
+    number rendering, TRY variants yielding NULL on junk for hex/url
+    inputs, and xxhash64's seed-42 known answer (no DuckDB xxhash64 —
+    algorithm constant pinned).""",
+)
