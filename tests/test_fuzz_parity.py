@@ -334,3 +334,68 @@ def test_random_edge_scalar_parity(spark, duck, spec):
             assert (gv == wv) or (gv is None and wv is None) or (
                 isinstance(gv, float) and gv != gv and wv != wv
             ), (s_sql, d_sql)
+
+
+# --- window-function fuzz (reference fuzz_cases/window_fuzz.rs) -------------
+
+_WIN_PARTS = ["o_orderstatus", "o_orderpriority", "CAST(o_custkey % 5 AS BIGINT)"]
+_WIN_ORDERS = ["o_orderkey", "o_totalprice, o_orderkey", "o_orderdate, o_orderkey"]
+_WIN_FRAMES = [
+    "",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+]
+# fn sql (identical both engines), takes_frame
+_WIN_FNS = [
+    ("ROW_NUMBER() OVER w", False),
+    ("RANK() OVER w", False),
+    ("DENSE_RANK() OVER w", False),
+    ("CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)", True),
+    ("CAST(COUNT(*) OVER w AS BIGINT)", True),
+    ("MIN(o_totalprice) OVER w", True),
+    ("MAX(o_totalprice) OVER w", True),
+    ("LAG(o_orderkey, 1) OVER w", False),
+    ("LEAD(o_orderkey, 2, -1) OVER w", False),
+    ("NTILE(4) OVER w", False),
+    ("CAST(PERCENT_RANK() OVER w AS DOUBLE)", False),
+    ("CUME_DIST() OVER w", False),
+]
+
+
+@st.composite
+def window_spec(draw):
+    part = draw(st.sampled_from(_WIN_PARTS))
+    order = draw(st.sampled_from(_WIN_ORDERS))
+    fn, takes_frame = draw(st.sampled_from(_WIN_FNS))
+    frame = draw(st.sampled_from(_WIN_FRAMES)) if takes_frame else ""
+    return part, order, fn, frame
+
+
+@given(window_spec())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_parity(spark, duck, spec):
+    """Window specs (partition x total order x frame x function) run
+    identically in both engines — the generator's whole space, not just
+    the hand-written window entries.  Every ORDER BY is made total with
+    o_orderkey so frame contents are engine-independent."""
+    part, order, fn, frame = spec
+    sql = (
+        f"SELECT o_orderkey, {fn} AS val FROM orders "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {order} {frame}) "
+        "ORDER BY o_orderkey LIMIT 500"
+    )
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and wv is not None:
+                assert gv == pytest.approx(float(wv), abs=1e-9), sql
+            else:
+                assert (gv == wv) or (gv is None and wv is None), sql
