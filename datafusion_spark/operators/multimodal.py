@@ -20,11 +20,19 @@ materializing the partition.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Repo root, captured BY VALUE into every worker-executed closure below:
+# a Python worker only inherits PYTHONPATH, not the driver's sys.path, so a
+# driver launched from another cwd (the harness may import this repo by
+# absolute path) would otherwise hit ModuleNotFoundError the moment a
+# pickled-by-value nested function tries to resolve this module's helpers.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DECODE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, "
@@ -107,7 +115,15 @@ def decode_media(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
     side without a shuffle.
     """
 
+    root = _PKG_ROOT
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        from datafusion_spark.operators.multimodal import _decode_payload
+
         for pdf in batches:
             decoded = [_decode_payload(bytes(p)) for p in pdf[payload_col]]
             out = pd.DataFrame(
@@ -188,8 +204,14 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     stub)."""
     from pyspark.sql.functions import pandas_udf
 
+    root = _PKG_ROOT
+
     @pandas_udf("binary")
     def png_payload(text: pd.Series) -> pd.Series:
+        import sys
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
         from datafusion_spark.operators.png_lite import encode_png
 
         out = []
@@ -262,7 +284,15 @@ def extract_audio_windows(
     """
     import numpy as np
 
+    root = _PKG_ROOT
+
     def audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        from datafusion_spark.operators.multimodal import _decode_wav
+
         for pdf in batches:
             ids, idxs, ns, rmss, zcs = [], [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
@@ -332,7 +362,15 @@ def resize_normalize_images(
     """
     import numpy as np
 
+    root = _PKG_ROOT
+
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        from datafusion_spark.operators.multimodal import _decode_payload
+
         for pdf in batches:
             out = {k: [] for k in (
                 "doc_id", "src_w", "src_h", "out_w", "out_h",
