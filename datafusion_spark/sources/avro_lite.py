@@ -155,8 +155,16 @@ def write_avro(df: DataFrame, path: str) -> None:
     ]
     cols = [f.name for f in df.schema.fields]
 
+    root = _PKG_ROOT
+
     def write_partition(batches):
+        import sys
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
         from pyspark import TaskContext
+
+        from datafusion_spark.sources.avro_lite import _write_container
 
         pid = TaskContext.get().partitionId()
         rows = []
@@ -242,6 +250,12 @@ def read_avro_file(fpath: str):
         return schema, rows
 
 
+# Repo root, closure-captured into worker functions: Python workers only
+# inherit PYTHONPATH, so a driver launched from another cwd could not
+# otherwise resolve this module inside mapInPandas (helpers referenced from
+# pickled-by-value closures resolve by module import).
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 _AVRO_TO_SPARK = {
     "boolean": "boolean",
     "int": "int",
@@ -275,8 +289,16 @@ def read_avro_lite(spark: SparkSession, path: str) -> DataFrame:
         [(f,) for f in files], "fpath string"
     ).repartition(min(len(files), 32))
 
+    root = _PKG_ROOT
+
     def decode(batches):
+        import sys
+
         import pandas as pd
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        from datafusion_spark.sources.avro_lite import read_avro_file
 
         for pdf in batches:
             for fpath in pdf["fpath"]:
