@@ -299,10 +299,25 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
 def sessionize_stateful(events: DataFrame) -> DataFrame:
     """applyInPandasWithState sessionization: per-user state, 30-min gap,
     processing-time timeout flushes idle sessions."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def fn(key, pdfs, state):
+        # cwd-independent worker import (free-variable root pickles by
+        # value; the module-level _session_fn would pickle by reference)
+        import sys
+
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        from datafusion_spark.streaming.ops import _session_fn
+
+        return _session_fn(key, pdfs, state)
+
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn,
+            fn,
             outputStructType=_SESSION_OUT,
             stateStructType=_SESSION_STATE,
             outputMode="append",
