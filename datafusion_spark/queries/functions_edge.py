@@ -1273,3 +1273,52 @@ _sql_query(
     inputs, and xxhash64's seed-42 known answer (no DuckDB xxhash64 —
     algorithm constant pinned).""",
 )
+
+
+_sql_query(
+    "agg_edge_filter_distinct",
+    spark_sql="""
+    SELECT (SELECT COUNT(DISTINCT v) FILTER (WHERE v > 1)
+            FROM VALUES (1), (2), (2), (3) t(v))                     AS filter_then_distinct,
+           (SELECT SUM(v) FILTER (WHERE v IS NOT NULL)
+            FROM VALUES (1), (NULL), (3) t(v))                       AS filter_skips_null,
+           (SELECT AVG(v) FILTER (WHERE v > 99)
+            FROM VALUES (1.0), (2.0) t(v)) IS NULL                   AS filter_to_empty_null,
+           (SELECT array_join(array_sort(collect_set(v)), ',')
+            FROM VALUES (2), (1), (2) t(v))                          AS set_agg_dedups,
+           (SELECT listagg(s, '-') WITHIN GROUP (ORDER BY s)
+            FROM VALUES ('b'), ('a') t(s))                           AS listagg_within_group,
+           (SELECT transform(percentile_approx(v, array(0.25, 0.75), 1000000),
+                             x -> CAST(x AS DOUBLE))
+            FROM VALUES (1), (2), (3), (4) t(v))                     AS percentile_array_disc,
+           (SELECT count_if(v > 1) FROM VALUES (1), (2), (3) t(v))   AS count_if_predicate,
+           (SELECT any_value(v) FROM VALUES (7) t(v))                AS any_value_single
+    """,
+    duck_sql="""
+    SELECT (SELECT COUNT(DISTINCT v) FILTER (WHERE v > 1)
+            FROM (VALUES (1), (2), (2), (3)) t(v))                   AS filter_then_distinct,
+           (SELECT CAST(SUM(v) FILTER (WHERE v IS NOT NULL) AS BIGINT)
+            FROM (VALUES (1), (NULL), (3)) t(v))                     AS filter_skips_null,
+           (SELECT AVG(v) FILTER (WHERE v > 99)
+            FROM (VALUES (1.0), (2.0)) t(v)) IS NULL                 AS filter_to_empty_null,
+           (SELECT array_to_string(list_sort(list(DISTINCT v)), ',')
+            FROM (VALUES (2), (1), (2)) t(v))                        AS set_agg_dedups,
+           (SELECT string_agg(s, '-' ORDER BY s)
+            FROM (VALUES ('b'), ('a')) t(s))                         AS listagg_within_group,
+           (SELECT [CAST(quantile_disc(v, 0.25) AS DOUBLE),
+                    CAST(quantile_disc(v, 0.75) AS DOUBLE)]
+            FROM (VALUES (1), (2), (3), (4)) t(v))                   AS percentile_array_disc,
+           (SELECT CAST(count_if(v > 1) AS BIGINT) FROM (VALUES (1), (2), (3)) t(v)) AS count_if_predicate,
+           (SELECT any_value(v) FROM (VALUES (7)) t(v))              AS any_value_single
+    """,
+    tags=("functions", "edge", "aggregate", "filter"),
+    doc="""FILTER-clause and DISTINCT aggregate combinations (reference
+    sqllogictest aggregate.slt FILTER blocks + array_agg.slt +
+    string_agg.slt): FILTER composes with DISTINCT, skips NULLs, and an
+    all-filtered input degrades to the empty-aggregate NULL; collect_set
+    dedups (order pinned via sort), listagg WITHIN GROUP ⇔ string_agg
+    ORDER BY, percentile arrays return per-quantile discrete values at
+    exact capacity, count_if, and single-row any_value is deterministic.
+    Excluded, known: max_by on tied keys — Spark keeps the later row,
+    DuckDB the earlier (both unspecified by contract).""",
+)
