@@ -106,8 +106,31 @@ def _interleave_families() -> None:
     """
     verified = _driver_verified()
 
+    # Hand-pinned front of the prefix for the CURRENT round: fixed failures
+    # that need driver re-verification, entries whose oracle just changed,
+    # and newly-added corner families.  Rotate per round; harmless if an
+    # entry is already verified (it drops to tier 1/2 automatically).
+    priority = {
+        "compat_sql_vectors",          # r4 FAIL, -0.0 normalization fix (r5)
+        "multimodal_image_resize",     # last multimodal VALUES oracle unverified
+        "multimodal_frame_sample",
+        "multimodal_audio_features",
+        "fn_edge_negative_zero",       # new r5 corner families
+        "window_lead_lag_extreme_offsets",
+        "fn_edge_string_numeric_coercion",
+        "fn_edge_type_coercion",
+        "fn_edge_in_list_typed",
+        "window_limits_prefix",
+        "dedup_minhash_lsh_pairs",     # r5 bucket-cap change to the plan
+        "nested_vector_elementwise",   # latent -0.0 flushed by the hardened sweep (r5)
+    }
+
     def tier(name: str) -> int:
-        return 0 if (name in ORACLES and name not in verified) else 1
+        if name in priority and name in ORACLES:
+            return 0  # even if verified before: these changed this round
+        if name not in ORACLES or name in verified:
+            return 2
+        return 1
 
     by_mod: dict[str, list[str]] = {m: [] for m in _MODULES}
     for name, fn in QUERIES.items():
@@ -117,7 +140,7 @@ def _interleave_families() -> None:
     extra = [m for m in by_mod if m not in _MODULES and by_mod[m]]
     mods = [m for m in _MODULES if by_mod.get(m)] + sorted(extra)
     order: list[str] = []
-    for t in (0, 1):
+    for t in (0, 1, 2):
         cols = [[n for n in by_mod[m] if tier(n) == t] for m in mods]
         cols = [c for c in cols if c]
         depth = max((len(c) for c in cols), default=0)

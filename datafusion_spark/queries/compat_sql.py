@@ -169,10 +169,14 @@ def compat_sql_arrays(spark, sf_dir):
                  x -> CAST(x AS DOUBLE) / sqrt(list_sum(
                       list_transform(embedding, y -> CAST(y AS DOUBLE) * y))))), 6)
                                                                      AS norm_sum,
+           -- + 0.0 normalizes -0.0 to +0.0: when dot/(norm*norm) lands a
+           -- hair above 1, DuckDB's ROUND keeps the sign (-0.0) while
+           -- Spark's HALF_UP BigDecimal path returns +0.0 — numerically
+           -- equal but hash-distinct (r4 driver failure).
            ROUND(1.0 - list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))
                  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
                     * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))), 6)
-                                                                     AS cos_self
+                 + CAST(0.0 AS DOUBLE)                               AS cos_self
     FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
     """,
     tags=("compat", "arrays", "vectors"),
@@ -188,7 +192,8 @@ def compat_sql_vectors(spark, sf_dir):
            ROUND(array_distance(embedding,
                  array_transform(embedding, x -> x + 1)), 6)      AS dist_shift,
            ROUND(array_sum(array_normalize(embedding)), 6)        AS norm_sum,
-           ROUND(cosine_distance(embedding, embedding), 6)        AS cos_self
+           ROUND(cosine_distance(embedding, embedding), 6)
+               + CAST(0.0 AS DOUBLE)                              AS cos_self
     FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
     """)
 

@@ -1322,3 +1322,309 @@ _sql_query(
     Excluded, known: max_by on tied keys — Spark keeps the later row,
     DuckDB the earlier (both unspecified by contract).""",
 )
+
+
+_sql_query(
+    "fn_edge_negative_zero",
+    spark_sql="""
+SELECT CAST('-0.0' AS DOUBLE) = CAST('0.0' AS DOUBLE)            AS eq_zeros,
+       CAST('-0.0' AS DOUBLE) < CAST('0.0' AS DOUBLE)            AS lt_zeros,
+       CAST('-0.0' AS DOUBLE) > CAST('0.0' AS DOUBLE)            AS gt_zeros,
+       CAST('0.0' AS DOUBLE) IS DISTINCT FROM CAST('-0.0' AS DOUBLE) AS is_dist,
+       CAST(CAST('-0.0' AS DOUBLE) AS STRING)                    AS neg_zero_str,
+       (SELECT COUNT(DISTINCT a) FROM VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) AS v(a)) AS cnt_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT a FROM VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) AS v(a)) t) AS n_distinct_rows,
+       (SELECT CAST(MAX(a + CAST('0.0' AS DOUBLE)) AS STRING) FROM (SELECT DISTINCT a FROM VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)) AS v(a)) t) AS distinct_rep_norm,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT a, CAST(a AS STRING) AS s FROM VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) AS v(a)) t) AS n_distinct_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT a, COUNT(*) AS c FROM VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) AS v(a) GROUP BY a) g) AS n_groups,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT a, COUNT(*) AS c FROM VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) AS v(a) GROUP BY a) g) AS rows_in_group,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a UNION SELECT CAST('-0.0' AS DOUBLE) UNION SELECT CAST('0.0' AS DOUBLE)) t) AS n_union,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a UNION ALL SELECT CAST('-0.0' AS DOUBLE) UNION ALL SELECT CAST('0.0' AS DOUBLE)) t) AS n_union_all,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a INTERSECT SELECT CAST('-0.0' AS DOUBLE)) t) AS n_intersect,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a INTERSECT ALL SELECT CAST('-0.0' AS DOUBLE)) t) AS n_intersect_all,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a EXCEPT SELECT CAST('-0.0' AS DOUBLE)) t) AS n_except,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('-0.0' AS DOUBLE) AS a EXCEPT ALL SELECT CAST('0.0' AS DOUBLE)) t) AS n_except_all_rev,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a) t1 JOIN (SELECT CAST('-0.0' AS DOUBLE) AS b) t2 ON t1.a = t2.b) AS n_join_hash,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT /*+ MERGE(t2) */ 1 FROM (SELECT CAST('0.0' AS DOUBLE) AS a) t1 JOIN (SELECT CAST('-0.0' AS DOUBLE) AS b) t2 ON t1.a = t2.b) j) AS n_join_merge,
+       (SELECT COUNT(DISTINCT a) FROM VALUES (CAST('0.0' AS FLOAT)), (CAST('-0.0' AS FLOAT)), (CAST('0.0' AS FLOAT)) AS v(a)) AS f32_cnt_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS FLOAT) AS a INTERSECT SELECT CAST('-0.0' AS FLOAT)) t) AS f32_intersect,
+       CAST(CAST('-0.0' AS FLOAT) AS STRING)                     AS f32_neg_zero_str
+""",
+    duck_sql="""
+SELECT CAST('-0.0' AS DOUBLE) = CAST('0.0' AS DOUBLE)            AS eq_zeros,
+       CAST('-0.0' AS DOUBLE) < CAST('0.0' AS DOUBLE)            AS lt_zeros,
+       CAST('-0.0' AS DOUBLE) > CAST('0.0' AS DOUBLE)            AS gt_zeros,
+       CAST('0.0' AS DOUBLE) IS DISTINCT FROM CAST('-0.0' AS DOUBLE) AS is_dist,
+       CAST(CAST('-0.0' AS DOUBLE) AS VARCHAR)                    AS neg_zero_str,
+       (SELECT COUNT(DISTINCT a) FROM (VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) ) v(a)) AS cnt_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT a FROM (VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) ) v(a)) t) AS n_distinct_rows,
+       (SELECT CAST(MAX(a + CAST('0.0' AS DOUBLE)) AS VARCHAR) FROM (SELECT DISTINCT a FROM (VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)) ) v(a)) t) AS distinct_rep_norm,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT a, CAST(a AS VARCHAR) AS s FROM (VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) ) v(a)) t) AS n_distinct_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT a, COUNT(*) AS c FROM (VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) ) v(a) GROUP BY a) g) AS n_groups,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT a, COUNT(*) AS c FROM (VALUES (CAST('0.0' AS DOUBLE)), (CAST('-0.0' AS DOUBLE)), (CAST('0.0' AS DOUBLE)) ) v(a) GROUP BY a) g) AS rows_in_group,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a UNION SELECT CAST('-0.0' AS DOUBLE) UNION SELECT CAST('0.0' AS DOUBLE)) t) AS n_union,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a UNION ALL SELECT CAST('-0.0' AS DOUBLE) UNION ALL SELECT CAST('0.0' AS DOUBLE)) t) AS n_union_all,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a INTERSECT SELECT CAST('-0.0' AS DOUBLE)) t) AS n_intersect,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a INTERSECT ALL SELECT CAST('-0.0' AS DOUBLE)) t) AS n_intersect_all,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a EXCEPT SELECT CAST('-0.0' AS DOUBLE)) t) AS n_except,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('-0.0' AS DOUBLE) AS a EXCEPT ALL SELECT CAST('0.0' AS DOUBLE)) t) AS n_except_all_rev,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS DOUBLE) AS a) t1 JOIN (SELECT CAST('-0.0' AS DOUBLE) AS b) t2 ON t1.a = t2.b) AS n_join_hash,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT 1 FROM (SELECT CAST('0.0' AS DOUBLE) AS a) t1 JOIN (SELECT CAST('-0.0' AS DOUBLE) AS b) t2 ON t1.a = t2.b) j) AS n_join_merge,
+       (SELECT COUNT(DISTINCT a) FROM (VALUES (CAST('0.0' AS FLOAT)), (CAST('-0.0' AS FLOAT)), (CAST('0.0' AS FLOAT)) ) v(a)) AS f32_cnt_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT CAST('0.0' AS FLOAT) AS a INTERSECT SELECT CAST('-0.0' AS FLOAT)) t) AS f32_intersect,
+       CAST(CAST('-0.0' AS FLOAT) AS VARCHAR)                     AS f32_neg_zero_str
+""",
+    tags=("functions", "edge", "float", "setops"),
+    doc="""Signed-zero SET semantics, mirroring the reference's dedicated
+    negative_zero.slt (sqllogictest/test_files/negative_zero.slt): IEEE 754
+    says +0.0 == -0.0, so DISTINCT / GROUP BY / UNION / INTERSECT / EXCEPT
+    and equi-joins (hash AND sort-merge) must all treat them as ONE value
+    even though the bit patterns differ — any code path hashing raw float
+    bits without normalizing breaks every one of these.  Spark normalizes
+    -0.0 -> +0.0 in grouping/join keys (NormalizeFloatingNumbers); DuckDB
+    compares IEEE-equal.  Representative-value choice DIVERGES by design
+    (Spark emits the normalized +0.0 group key, DuckDB keeps first-seen
+    -0.0), so grouped keys are asserted via counts and the +0.0-normalized
+    rendering, never the raw key; the sign itself is pinned by the
+    CAST(-0.0 AS STRING) baselines.  The (a, CAST(a AS STRING)) pair
+    distinct = 2 is the slt's 1.0/a sign-exposure trick restated without
+    division (DuckDB zero-division yields NULL, Spark ANSI errors).""",
+)
+
+
+_sql_query(
+    "window_lead_lag_extreme_offsets",
+    spark_sql="""
+    WITH t(id, value) AS (VALUES (1, 10), (2, 20), (3, 30))
+    SELECT id,
+           lead(value, 1000000000, 0)  OVER (ORDER BY id) AS lead_big_def,
+           lead(value, 1000000000)     OVER (ORDER BY id) AS lead_big_null,
+           lag(value, 1000000000, 0)   OVER (ORDER BY id) AS lag_big_def,
+           lag(value, 1000000000)      OVER (ORDER BY id) AS lag_big_null,
+           lead(value, -1000000000, 0) OVER (ORDER BY id) AS lead_negbig_def,
+           lag(value, -1000000000, 0)  OVER (ORDER BY id) AS lag_negbig_def,
+           lead(value, -1)             OVER (ORDER BY id) AS lead_neg1,
+           lag(value, -1)              OVER (ORDER BY id) AS lag_neg1,
+           lead(value, 0)              OVER (ORDER BY id) AS lead_zero,
+           lag(value, 0)               OVER (ORDER BY id) AS lag_zero
+    FROM t ORDER BY id
+    """,
+    duck_sql="""
+    WITH t(id, value) AS (VALUES (1, 10), (2, 20), (3, 30))
+    SELECT id,
+           lead(value, 1000000000, 0)  OVER (ORDER BY id) AS lead_big_def,
+           lead(value, 1000000000)     OVER (ORDER BY id) AS lead_big_null,
+           lag(value, 1000000000, 0)   OVER (ORDER BY id) AS lag_big_def,
+           lag(value, 1000000000)      OVER (ORDER BY id) AS lag_big_null,
+           lead(value, -1000000000, 0) OVER (ORDER BY id) AS lead_negbig_def,
+           lag(value, -1000000000, 0)  OVER (ORDER BY id) AS lag_negbig_def,
+           lead(value, -1)             OVER (ORDER BY id) AS lead_neg1,
+           lag(value, -1)              OVER (ORDER BY id) AS lag_neg1,
+           lead(value, 0)              OVER (ORDER BY id) AS lead_zero,
+           lag(value, 0)               OVER (ORDER BY id) AS lag_zero
+    FROM t ORDER BY id
+    """,
+    tags=("functions", "edge", "window"),
+    doc="""Extreme lead/lag offsets, mirroring the reference's
+    lead_lag_extreme_offsets.slt (sqllogictest/test_files/
+    lead_lag_extreme_offsets.slt, regression tests for offsets near the
+    integer limits): an offset far beyond the partition size must yield
+    the provided default (or NULL without one) — never panic or index
+    out of bounds — and negative offsets flip lead<->lag; offset 0 is the
+    row itself.  Both engines take the same SQL text.  The reference
+    probes i64 extremes; Spark's offset is 32-bit and its frame
+    arithmetic ANSI-overflows at exactly INT_MIN/INT_MAX, so the mirror
+    pins +/-1e9 (still ~1e9 rows past either partition edge).""",
+)
+
+
+_sql_query(
+    "fn_edge_string_numeric_coercion",
+    spark_sql="""
+    WITH t_int(a) AS (VALUES (1), (5), (325), (499), (1000)),
+         t_float(f) AS (VALUES (CAST(1.5 AS DOUBLE)), (CAST(5.0 AS DOUBLE)),
+                               (CAST(325.7 AS DOUBLE)), (CAST(499.9 AS DOUBLE)),
+                               (CAST(1000.1 AS DOUBLE))),
+         t_str(s) AS (VALUES ('one'), ('two'), ('three'))
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a < '5')    AS int_lt_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a > '5')    AS int_gt_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a <= '5')   AS int_le_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a >= '5')   AS int_ge_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a = '5')    AS int_eq_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a != '5')   AS int_ne_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a > '100')  AS int_gt_str100,
+      (SELECT CAST(SUM(a) AS BIGINT)   FROM t_int WHERE a > '100')  AS int_gt_str100_sum,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_float WHERE f < '5')  AS flt_lt_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_float WHERE f = '5')  AS flt_eq_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_float WHERE f = '5.0') AS flt_eq_str50,
+      (SELECT CAST(SUM(f) AS DOUBLE)   FROM t_float WHERE f > '5')  AS flt_gt_str5_sum,
+      (SELECT COUNT(*) FROM (SELECT CAST(a AS STRING) AS u FROM t_int
+                             UNION ALL SELECT s FROM t_str) x)      AS union_int_str_n,
+      (SELECT MIN(u) FROM (SELECT CAST(a AS STRING) AS u FROM t_int
+                           UNION ALL SELECT s FROM t_str) x)        AS union_int_str_min
+""",
+    duck_sql="""
+    WITH t_int(a) AS (VALUES (1), (5), (325), (499), (1000)),
+         t_float(f) AS (VALUES (CAST(1.5 AS DOUBLE)), (CAST(5.0 AS DOUBLE)),
+                               (CAST(325.7 AS DOUBLE)), (CAST(499.9 AS DOUBLE)),
+                               (CAST(1000.1 AS DOUBLE))),
+         t_str(s) AS (VALUES ('one'), ('two'), ('three'))
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a < '5')    AS int_lt_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a > '5')    AS int_gt_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a <= '5')   AS int_le_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a >= '5')   AS int_ge_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a = '5')    AS int_eq_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a != '5')   AS int_ne_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_int WHERE a > '100')  AS int_gt_str100,
+      (SELECT CAST(SUM(a) AS BIGINT)   FROM t_int WHERE a > '100')  AS int_gt_str100_sum,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_float WHERE f < '5')  AS flt_lt_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_float WHERE f = '5')  AS flt_eq_str5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t_float WHERE f = '5.0') AS flt_eq_str50,
+      (SELECT CAST(SUM(f) AS DOUBLE)   FROM t_float WHERE f > '5')  AS flt_gt_str5_sum,
+      (SELECT COUNT(*) FROM (SELECT CAST(a AS VARCHAR) AS u FROM t_int
+                             UNION ALL SELECT s FROM t_str) x)      AS union_int_str_n,
+      (SELECT MIN(u) FROM (SELECT CAST(a AS VARCHAR) AS u FROM t_int
+                           UNION ALL SELECT s FROM t_str) x)        AS union_int_str_min
+""",
+    tags=("functions", "edge", "coercion"),
+    doc="""String-vs-numeric comparison coercion, mirroring the reference's
+    string_numeric_coercion.slt: a numeric column compared to a string
+    literal must compare NUMERICALLY (the string coerces to the number
+    side) — 325 > '5' is true; lexicographic '325' < '5' would invert
+    half these counts.  Pinned for int and double columns across all six
+    comparison operators plus the aggregated survivors (sum catches a
+    wrong-row match the count alone could alias).  The int/string UNION
+    mirror casts explicitly: DataFusion and DuckDB resolve that union to
+    VARCHAR while Spark resolves it to BIGINT (documented divergence),
+    so the common surface is the value set, not the implicit type.""",
+)
+
+
+_sql_query(
+    "fn_edge_type_coercion",
+    spark_sql="""
+    SELECT CAST(DATE '2023-05-01' - INTERVAL '1' MONTH AS DATE)        AS date_minus_month,
+           TIMESTAMP '2023-05-01 12:30:00' - INTERVAL '1' MONTH        AS ts_minus_month,
+           CAST(DATE '2023-03-31' - INTERVAL '1' MONTH AS DATE)        AS date_month_clamp,
+           CAST(DATE '2024-02-29' + INTERVAL '1' YEAR AS DATE)         AS leap_plus_year,
+           TIMESTAMP '2023-05-01 12:30:00' + INTERVAL '90' MINUTE      AS ts_plus_min,
+           (SELECT CAST(SUM(u) AS DOUBLE) FROM (SELECT 1 AS u UNION ALL SELECT CAST(1.1 AS DOUBLE)) x) AS union_int_dbl_sum,
+           (SELECT COUNT(*) FROM (SELECT CAST(NULL AS DOUBLE) AS u UNION ALL SELECT CAST(1.1 AS DOUBLE)) x WHERE u IS NULL) AS union_null_dbl_nulls,
+           (SELECT MIN(u) FROM (SELECT 'a' AS u UNION ALL SELECT CAST(CAST(1.1 AS DOUBLE) AS STRING)) x) AS union_str_dbl_min,
+           (SELECT CAST(SUM(u) AS BIGINT) FROM (SELECT CAST(1 AS SMALLINT) AS u UNION ALL SELECT CAST(300 AS INT) UNION ALL SELECT CAST(70000 AS BIGINT)) x) AS union_int_widen_sum,
+           (SELECT CAST(SUM(u) AS DOUBLE) FROM (SELECT CAST(1 AS TINYINT) AS u UNION ALL SELECT CAST(2.5 AS DOUBLE)) x) AS union_tiny_dbl_sum,
+           'x' = 'x'                                                    AS str_self_eq,
+           (1 = CAST(1.0 AS DOUBLE))                                    AS int_eq_dbl,
+           (CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) > CAST(0.3 AS DOUBLE)) AS float_assoc
+""",
+    duck_sql="""
+    SELECT CAST(DATE '2023-05-01' - INTERVAL '1' MONTH AS DATE)        AS date_minus_month,
+           TIMESTAMP '2023-05-01 12:30:00' - INTERVAL '1' MONTH        AS ts_minus_month,
+           CAST(DATE '2023-03-31' - INTERVAL '1' MONTH AS DATE)        AS date_month_clamp,
+           CAST(DATE '2024-02-29' + INTERVAL '1' YEAR AS DATE)         AS leap_plus_year,
+           TIMESTAMP '2023-05-01 12:30:00' + INTERVAL '90' MINUTE      AS ts_plus_min,
+           (SELECT CAST(SUM(u) AS DOUBLE) FROM (SELECT 1 AS u UNION ALL SELECT CAST(1.1 AS DOUBLE)) x) AS union_int_dbl_sum,
+           (SELECT COUNT(*) FROM (SELECT CAST(NULL AS DOUBLE) AS u UNION ALL SELECT CAST(1.1 AS DOUBLE)) x WHERE u IS NULL) AS union_null_dbl_nulls,
+           (SELECT MIN(u) FROM (SELECT 'a' AS u UNION ALL SELECT CAST(CAST(1.1 AS DOUBLE) AS VARCHAR)) x) AS union_str_dbl_min,
+           (SELECT CAST(SUM(u) AS BIGINT) FROM (SELECT CAST(1 AS SMALLINT) AS u UNION ALL SELECT CAST(300 AS INT) UNION ALL SELECT CAST(70000 AS BIGINT)) x) AS union_int_widen_sum,
+           (SELECT CAST(SUM(u) AS DOUBLE) FROM (SELECT CAST(1 AS TINYINT) AS u UNION ALL SELECT CAST(2.5 AS DOUBLE)) x) AS union_tiny_dbl_sum,
+           'x' = 'x'                                                    AS str_self_eq,
+           (1 = CAST(1.0 AS DOUBLE))                                    AS int_eq_dbl,
+           (CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) > CAST(0.3 AS DOUBLE)) AS float_assoc
+""",
+    tags=("functions", "edge", "coercion", "datetime"),
+    doc="""Implicit type-coercion matrix, mirroring the reference's
+    type_coercion.slt value surface (the slt is largely EXPLAIN-shape
+    assertions; the value-level kernel is what transfers cross-engine):
+    date/timestamp +/- month intervals including end-of-month clamping
+    (Mar 31 - 1 month = Feb 28) and leap-day year arithmetic (Feb 29 +
+    1 year = Feb 28), UNION branch promotions (int+double -> double,
+    NULL+double keeps NULL, int widening smallint+int+bigint -> bigint,
+    tinyint+double -> double), and mixed int=double equality.  The
+    string+double union is cast explicitly for the same Spark-vs-DuckDB
+    resolution divergence documented on fn_edge_string_numeric_coercion.""",
+)
+
+
+_sql_query(
+    "fn_edge_in_list_typed",
+    spark_sql="""
+    WITH ints(label, i8, i16, i32, i64) AS (VALUES
+      ('min',       CAST(-128 AS TINYINT), CAST(-32768 AS SMALLINT), CAST(-2147483648 AS INT), CAST(-9223372036854775808 AS BIGINT)),
+      ('minus_one', CAST(-1 AS TINYINT),   CAST(-1 AS SMALLINT),     CAST(-1 AS INT),          CAST(-1 AS BIGINT)),
+      ('zero',      CAST(0 AS TINYINT),    CAST(0 AS SMALLINT),      CAST(0 AS INT),           CAST(0 AS BIGINT)),
+      ('one',       CAST(1 AS TINYINT),    CAST(1 AS SMALLINT),      CAST(1 AS INT),           CAST(1 AS BIGINT)),
+      ('eleven',    CAST(11 AS TINYINT),   CAST(11 AS SMALLINT),     CAST(11 AS INT),          CAST(11 AS BIGINT)),
+      ('max',       CAST(127 AS TINYINT),  CAST(32767 AS SMALLINT),  CAST(2147483647 AS INT),  CAST(9223372036854775807 AS BIGINT)),
+      ('nulls',     CAST(NULL AS TINYINT), CAST(NULL AS SMALLINT),   CAST(NULL AS INT),        CAST(NULL AS BIGINT)))
+    SELECT label,
+           i8  IN (CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT), CAST(-128 AS TINYINT))   AS i8_in_min,
+           i16 IN (CAST(1 AS SMALLINT), CAST(2 AS SMALLINT), CAST(3 AS SMALLINT), CAST(-32768 AS SMALLINT)) AS i16_in_min,
+           i32 IN (1, 2, 3, CAST(-2147483648 AS INT))                                                   AS i32_in_min,
+           i64 IN (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(-9223372036854775808 AS BIGINT)) AS i64_in_min,
+           i8  IN (CAST(-64 AS TINYINT), CAST(32 AS TINYINT), CAST(127 AS TINYINT))                     AS i8_in_max,
+           i16 IN (CAST(258 AS SMALLINT), CAST(16385 AS SMALLINT), CAST(32767 AS SMALLINT))             AS i16_in_max,
+           i32 IN (66051, 16909060, CAST(2147483647 AS INT))                                            AS i32_in_max,
+           i64 IN (CAST(66051 AS BIGINT), CAST(9223372036854775807 AS BIGINT))                          AS i64_in_max,
+           i8  NOT IN (CAST(3 AS TINYINT), CAST(4 AS TINYINT), CAST(11 AS TINYINT))                     AS i8_notin,
+           i64 NOT IN (CAST(3 AS BIGINT), CAST(11 AS BIGINT))                                           AS i64_notin,
+           i32 IN (NULL, 3, 11)                                                                         AS i32_in_withnull,
+           i32 NOT IN (NULL, 3, 11)                                                                     AS i32_notin_withnull,
+           CAST(i64 AS DOUBLE) IN (CAST(3.0 AS DOUBLE), CAST(11.0 AS DOUBLE))                           AS f64_in,
+           CAST(i64 AS DOUBLE) IN (NULL, CAST(3.0 AS DOUBLE), CAST(11.0 AS DOUBLE))                     AS f64_in_withnull,
+           CAST(i8 AS DECIMAL(10,2)) IN (CAST(3 AS DECIMAL(10,2)), CAST(11 AS DECIMAL(10,2)))          AS dec_in,
+           CAST(i8 AS DECIMAL(10,2)) NOT IN (CAST(3 AS DECIMAL(10,2)), CAST(11 AS DECIMAL(10,2)))      AS dec_notin,
+           label IN ('min', 'eleven', 'nope')                                                           AS str_in,
+           label NOT IN (NULL, 'nope')                                                                  AS str_notin_withnull,
+           (DATE '2024-01-01' + i8) IN (DATE '2023-12-31', DATE '2024-01-12')                           AS date_in,
+           (TIMESTAMP '2024-01-01 00:00:00' + i8 * INTERVAL '1' HOUR)
+               IN (TIMESTAMP '2024-01-01 11:00:00', TIMESTAMP '2023-12-31 23:00:00')                    AS ts_in
+    FROM ints ORDER BY label
+""",
+    duck_sql="""
+    WITH ints(label, i8, i16, i32, i64) AS (VALUES
+      ('min',       CAST(-128 AS TINYINT), CAST(-32768 AS SMALLINT), CAST(-2147483648 AS INT), CAST(-9223372036854775808 AS BIGINT)),
+      ('minus_one', CAST(-1 AS TINYINT),   CAST(-1 AS SMALLINT),     CAST(-1 AS INT),          CAST(-1 AS BIGINT)),
+      ('zero',      CAST(0 AS TINYINT),    CAST(0 AS SMALLINT),      CAST(0 AS INT),           CAST(0 AS BIGINT)),
+      ('one',       CAST(1 AS TINYINT),    CAST(1 AS SMALLINT),      CAST(1 AS INT),           CAST(1 AS BIGINT)),
+      ('eleven',    CAST(11 AS TINYINT),   CAST(11 AS SMALLINT),     CAST(11 AS INT),          CAST(11 AS BIGINT)),
+      ('max',       CAST(127 AS TINYINT),  CAST(32767 AS SMALLINT),  CAST(2147483647 AS INT),  CAST(9223372036854775807 AS BIGINT)),
+      ('nulls',     CAST(NULL AS TINYINT), CAST(NULL AS SMALLINT),   CAST(NULL AS INT),        CAST(NULL AS BIGINT)))
+    SELECT label,
+           i8  IN (CAST(1 AS TINYINT), CAST(2 AS TINYINT), CAST(3 AS TINYINT), CAST(-128 AS TINYINT))   AS i8_in_min,
+           i16 IN (CAST(1 AS SMALLINT), CAST(2 AS SMALLINT), CAST(3 AS SMALLINT), CAST(-32768 AS SMALLINT)) AS i16_in_min,
+           i32 IN (1, 2, 3, CAST(-2147483648 AS INT))                                                   AS i32_in_min,
+           i64 IN (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(-9223372036854775808 AS BIGINT)) AS i64_in_min,
+           i8  IN (CAST(-64 AS TINYINT), CAST(32 AS TINYINT), CAST(127 AS TINYINT))                     AS i8_in_max,
+           i16 IN (CAST(258 AS SMALLINT), CAST(16385 AS SMALLINT), CAST(32767 AS SMALLINT))             AS i16_in_max,
+           i32 IN (66051, 16909060, CAST(2147483647 AS INT))                                            AS i32_in_max,
+           i64 IN (CAST(66051 AS BIGINT), CAST(9223372036854775807 AS BIGINT))                          AS i64_in_max,
+           i8  NOT IN (CAST(3 AS TINYINT), CAST(4 AS TINYINT), CAST(11 AS TINYINT))                     AS i8_notin,
+           i64 NOT IN (CAST(3 AS BIGINT), CAST(11 AS BIGINT))                                           AS i64_notin,
+           i32 IN (NULL, 3, 11)                                                                         AS i32_in_withnull,
+           i32 NOT IN (NULL, 3, 11)                                                                     AS i32_notin_withnull,
+           CAST(i64 AS DOUBLE) IN (CAST(3.0 AS DOUBLE), CAST(11.0 AS DOUBLE))                           AS f64_in,
+           CAST(i64 AS DOUBLE) IN (NULL, CAST(3.0 AS DOUBLE), CAST(11.0 AS DOUBLE))                     AS f64_in_withnull,
+           CAST(i8 AS DECIMAL(10,2)) IN (CAST(3 AS DECIMAL(10,2)), CAST(11 AS DECIMAL(10,2)))          AS dec_in,
+           CAST(i8 AS DECIMAL(10,2)) NOT IN (CAST(3 AS DECIMAL(10,2)), CAST(11 AS DECIMAL(10,2)))      AS dec_notin,
+           label IN ('min', 'eleven', 'nope')                                                           AS str_in,
+           label NOT IN (NULL, 'nope')                                                                  AS str_notin_withnull,
+           (DATE '2024-01-01' + i8) IN (DATE '2023-12-31', DATE '2024-01-12')                           AS date_in,
+           (TIMESTAMP '2024-01-01 00:00:00' + i8 * INTERVAL '1' HOUR)
+               IN (TIMESTAMP '2024-01-01 11:00:00', TIMESTAMP '2023-12-31 23:00:00')                    AS ts_in
+    FROM ints ORDER BY label
+""",
+    tags=("functions", "edge", "in-list"),
+    doc="""Typed IN-list semantics at integer-width extremes, mirroring the
+    reference's in_list.slt remainder beyond the 3VL corners already in
+    fn_edge_in_list_null: every signed width (tinyint/smallint/int/bigint)
+    probed at its MIN and MAX against lists containing those extremes (a
+    specialized kernel that compares narrowed bytes wrongly would miss
+    -128/127-class sentinels), NOT IN complements, NULL-in-list 3VL per
+    width, and the float / decimal(10,2) / string / date / timestamp
+    variants of the same shape.  Unsigned widths and Float16 have no Spark
+    type and are documented out of scope (SURVEY §2.10).  Identical SQL
+    text on both engines.""",
+)

@@ -447,7 +447,9 @@ def nested_map_construction(spark, sf_dir):
            list_sum(list_transform(list_zip(v, v), p -> abs(p[1] - p[2]))) = 0 AS sub_self_is_zero,
            ROUND(list_transform(v, x -> x * 2.5)[1], 6)                  AS scale_head,
            ROUND(list_avg(v), 6)                                         AS avg_elements,
-           ROUND(list_aggregate(v[1:4], 'product'), 6)                   AS product_head4,
+           -- + 0.0 normalizes a rounded -0.0 (negative product rounding
+           -- to zero keeps its sign in DuckDB, not in Spark; hash-breaking)
+           ROUND(list_aggregate(v[1:4], 'product'), 6) + CAST(0.0 AS DOUBLE) AS product_head4,
            ROUND(list_filter(v, x -> x > 0)[1], 6)                       AS first_positive,
            CAST(len(list_concat(v, [0.25, 0.25, 0.25, 0.25, 0.25, 0.25])) AS INTEGER) AS resized_len,
            ROUND(list_concat(v, [0.25, 0.25, 0.25, 0.25, 0.25, 0.25])[70], 6) AS resized_fill
@@ -492,7 +494,7 @@ def nested_vector_elementwise(spark, sf_dir):
         (fold_sum(sub_abs) == 0).alias("sub_self_is_zero"),
         F.round(F.element_at(F.transform("v", lambda x: x * 2.5), 1), 6).alias("scale_head"),
         F.round(avg, 6).alias("avg_elements"),
-        F.round(product4, 6).alias("product_head4"),
+        (F.round(product4, 6) + F.lit(0.0)).alias("product_head4"),
         F.round(F.element_at(F.filter("v", lambda x: x > 0), 1), 6).alias("first_positive"),
         F.size(resized).alias("resized_len"),
         F.round(F.element_at(resized, 70), 6).alias("resized_fill"),

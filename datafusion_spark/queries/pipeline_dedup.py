@@ -32,6 +32,17 @@ from datafusion_spark.queries.helpers import fan_out
 from datafusion_spark.queries.registry import query
 
 K_MINHASH = 8  # signature length; banded 4 x 2 below
+
+# Pathological-bucket cap for LSH banding: near-universal signatures
+# (boilerplate, empty/templated docs) make some band buckets enormous at
+# corpus scale, and an un-capped collect_list + quadratic pair expand is
+# a single-task OOM at 100 TB.  Buckets beyond the cap keep only their
+# first CAP (sorted) members — content that collides that broadly is
+# boilerplate to drop, not to pair exhaustively.  The cap sits far above
+# any bucket reachable at oracle scale factors (measured max 15 at sf1),
+# so driver/oracle semantics are unchanged; a production corpus would
+# tune this down (e.g. 64) and route dropped buckets to review.
+LSH_BUCKET_CAP = 1024
 SHINGLE = 3  # word n-gram size
 
 
@@ -193,9 +204,11 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     expand from the sorted list — ONE signature pass, one shuffle fewer,
     identical result set (the oracle keeps the self-join formulation).
     Bucket lists are bounded by band-key collision counts (max 15 on this
-    corpus at sf1); a production corpus would cap pathological buckets
-    (near-universal signatures) with `F.slice(ds, 1, CAP)` — buckets that
-    big are content to drop, not pair."""
+    corpus at sf1); pathological buckets (near-universal signatures) are
+    capped at LSH_BUCKET_CAP members before the quadratic expand, and the
+    number of truncated buckets is surfaced as an observed metric
+    (`dedup_lsh_buckets.truncated_buckets`) so a production run sees the
+    drop without an extra corpus pass."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = _shingles(docs, distinct=False).groupBy("doc_id").agg(*_minhash_cols())
     band_structs = F.array(
@@ -214,6 +227,14 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
+        .observe(
+            "dedup_lsh_buckets",
+            F.sum(F.when(F.size("ds") > LSH_BUCKET_CAP, 1).otherwise(0)).alias(
+                "truncated_buckets"
+            ),
+            F.max(F.size("ds")).alias("max_bucket_size"),
+        )
+        .withColumn("ds", F.slice("ds", 1, LSH_BUCKET_CAP))
     )
     return (
         buckets.select(

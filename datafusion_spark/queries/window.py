@@ -439,3 +439,61 @@ def window_distinct_count(spark, sf_dir):
             .alias("distinct_flags"),
         )
     )
+
+
+@query(
+    "window_limits_prefix",
+    oracle="""
+    SELECT o_orderkey,
+           lead(o_orderkey)    OVER w AS next_key,
+           lead(o_orderkey, 2) OVER w AS next2_key,
+           lag(o_orderkey)     OVER w AS prev_key,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+                (ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+    FROM orders
+    WINDOW w AS (ORDER BY o_orderkey)
+    ORDER BY o_orderkey
+    LIMIT 50
+    """,
+    tags=("window", "limits"),
+)
+def window_limits_prefix(spark, sf_dir):
+    """LIMIT over a globally-ordered window query, mirroring the
+    reference's window_limits.slt (sqllogictest/test_files/
+    window_limits.slt: enable_window_limits rewrites the scan to
+    TopK(fetch = limit + max offset) under the window, asserting values
+    are unchanged).  Spark has no such rewrite, so this entry IMPLEMENTS
+    it declaratively: lead(<=2) / lag / row_number / preceding-frame
+    running sum over the first 50 keys need only the first 52 rows, so
+    the window runs over orderBy().limit(52) — which Spark plans as a
+    distributed TakeOrderedAndProject, never a full-table global-order
+    window — then trims to 50.  The oracle computes the window over the
+    FULL table and limits after, so the comparison proves the rewrite
+    preserves values (the slt's exact assertion).  The trailing NULL
+    lead slots at rows 51/52 are outside the final 50, mirroring the
+    fetch = limit + offset bound."""
+    limit_n, max_off = 50, 2
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(limit_n + max_off)
+    )
+    w = Window.orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        base.select(
+            "o_orderkey",
+            F.lead("o_orderkey").over(w).alias("next_key"),
+            F.lead("o_orderkey", 2).over(w).alias("next2_key"),
+            F.lag("o_orderkey").over(w).alias("prev_key"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum(F.col("o_totalprice").cast(DEC)).over(wf)
+            .cast("double").alias("running_total"),
+        )
+        .orderBy("o_orderkey")
+        .limit(limit_n)
+    )

@@ -379,7 +379,7 @@ def window_spec(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_random_window_parity(spark, duck, spec):
+def test_random_window_spec_parity(spark, duck, spec):
     """Window specs (partition x total order x frame x function) run
     identically in both engines — the generator's whole space, not just
     the hand-written window entries.  Every ORDER BY is made total with

@@ -83,7 +83,7 @@ SHUFFLE_BUDGETS = {
     "sort_pushdown_topk_desc": 0,
     "sort_pushdown_topk_wide": 0,
     # official-schema TPC-H on derived columns (audited at tuning time):
-    "tpch_official_q4": 2,    # EXISTS semi join + priority agg
+    "tpch_official_q4": 4,    # merge-pinned SMJ semi (2 side shuffles) + agg + sort (r5: broadcast build flipped off — it grew with the fact table)
     "tpch_official_q12": 2,   # lineitem-orders join + shipmode agg
     "tpch_official_q21": 1,   # semi+anti co-partitioned on l_orderkey; dims broadcast
     # corpus-unigram LM scoring: explode + vocab agg + words-vocab join +
@@ -204,3 +204,20 @@ def test_window_topn_group_limit(spark, name):
     from datafusion_spark.plans import explain_str
 
     assert "WindowGroupLimit" in explain_str(QUERIES[name](spark, SF_SMALL))
+
+
+def test_lsh_bucket_cap_in_plan(spark):
+    """The LSH pair expansion must cap pathological buckets BEFORE the
+    quadratic expand (un-capped collect_list + i<j expansion is a
+    single-task OOM at corpus scale) and surface the truncation count as
+    an observed metric rather than a second corpus pass."""
+    from datafusion_spark.plans import explain_str
+    from datafusion_spark.queries.pipeline_dedup import LSH_BUCKET_CAP
+
+    df = QUERIES["dedup_minhash_lsh_pairs"](spark, SF_SMALL)
+    txt = explain_str(df)
+    assert f"slice(ds#" in txt or f", 1, {LSH_BUCKET_CAP})" in txt, (
+        "bucket cap slice missing from plan"
+    )
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "CollectMetrics" in analyzed and "truncated_buckets" in analyzed

@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
@@ -43,7 +44,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _sortable(v):
     """Make unhashable cells (binary, arrays) sortable/comparable: bytes and
-    bytearray normalize to the same hex text, list/ndarray to a joined text."""
+    bytearray normalize to the same hex text, list/ndarray to a joined text,
+    and null-likes (None vs float NaN — Spark hands back None where DuckDB's
+    fetchdf uses NaN in object columns, e.g. nullable booleans) to None."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -85,6 +90,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             mx = float(diff[mask].max()) if mask.any() and len(sa) else 0.0
             if not (mx == 0.0 or math.isnan(mx)):
                 problems.append(f"col {c}: max abs diff {mx:g} (NOT bit-exact)")
+            else:
+                # The driver's value hash is BIT-sensitive: -0.0 and +0.0
+                # compare numerically equal (abs diff 0) but hash apart.
+                # Both hard failures so far (r3 abs(-0.0), r4 ROUND→-0.0)
+                # slipped through this path; check sign bits explicitly.
+                sz = np.signbit(sa) & (sa == 0.0)
+                dz = np.signbit(da) & (da == 0.0)
+                if (sz != dz).any():
+                    bad = int(np.argmax(sz != dz))
+                    problems.append(
+                        f"col {c}: signed-zero mismatch at row {bad}: "
+                        f"spark={sa[bad]!r} duck={da[bad]!r} (hash-breaking)"
+                    )
         else:
             if not sv.astype(str).equals(dv.astype(str)):
                 bad = (sv.astype(str) != dv.astype(str)).idxmax()
