@@ -123,6 +123,10 @@ def _interleave_families() -> None:
         "window_limits_prefix",
         "dedup_minhash_lsh_pairs",     # r5 bucket-cap change to the plan
         "nested_vector_elementwise",   # latent -0.0 flushed by the hardened sweep (r5)
+        "pg_compat_dialect",           # new r5 pg_compat family
+        "fn_edge_timestamp_tz_parse",
+        "fn_edge_floor_preimage",
+        "subquery_correlated_corners",
     }
 
     def tier(name: str) -> int:

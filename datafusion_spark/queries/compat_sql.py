@@ -431,3 +431,60 @@ def compat_sql_qualify(spark, sf_dir):
     QUALIFY rn <= 2 AND n_ord > 20
     ORDER BY o_custkey, rn
     """)
+
+
+def _run_plain(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Like _run but without dialect translation: for entries whose text is
+    ALREADY valid in both Spark and the oracle (the pg_compat surface)."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+_PG_COMPAT_SQL = """
+    WITH nullable AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS n5,
+             CASE WHEN o_orderkey % 3 != 0 THEN o_totalprice ELSE NULL END AS n9
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                             AS cnt_star,
+           CAST(COUNT(n5) AS BIGINT)                            AS cnt_n5,
+           CAST(COUNT(n9) AS BIGINT)                            AS cnt_n9,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)        AS cnt_d_status,
+           CAST(SUM(n5) AS BIGINT)                              AS sum_n5,
+           -- avg spelled sum/count: DuckDB's AVG(decimal) accumulates in
+           -- double (bit-drifts vs Spark's decimal avg); an exact decimal
+           -- SUM cast to double then one IEEE divide is bit-stable.
+           CAST(SUM(CAST(n9 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n9) AS avg_n9,
+           CAST(MIN(n5) AS BIGINT)                              AS min_n5,
+           CAST(MAX(n9) AS DOUBLE)                              AS max_n9,
+           1::BIGINT                                            AS pg_cast_int,
+           (-1)::SMALLINT                                       AS pg_cast_small,
+           'a'::VARCHAR(5)                                      AS pg_cast_varchar,
+           3.5::DOUBLE                                          AS pg_cast_double,
+           '2024-02-29'::DATE                                   AS pg_cast_date,
+           '2024-02-29 12:00:00'::TIMESTAMP                     AS pg_cast_ts,
+           NULL::VARCHAR(5)                                     AS pg_cast_null
+    FROM nullable
+"""
+
+
+@query(
+    "pg_compat_dialect",
+    oracle=_PG_COMPAT_SQL,
+    tags=("compat", "pg", "nulls"),
+)
+def pg_compat_dialect(spark, sf_dir):
+    """PostgreSQL-compat surface, mirroring the reference's
+    sqllogictest/test_files/pg_compat/ family (pg_compat_null.slt's
+    NULL-count battery over a CASE-derived nullable table;
+    pg_compat_types.slt's ``expr::TYPE`` cast syntax across int widths,
+    varchar, double, date, timestamp and typed NULL).  Both engines accept
+    the identical pg-flavoured text natively — Spark since 3.4 parses
+    ``::`` casts — so this entry pins the shared dialect subset a
+    postgres-origin workload relies on: COUNT(*) vs COUNT(col) null
+    skipping, COUNT(DISTINCT), SUM/AVG/MIN/MAX over mixed-NULL columns
+    (decimal-accumulated avg for a bit-stable double), and every ``::``
+    cast round-trip."""
+    return _run_plain(spark, sf_dir, _PG_COMPAT_SQL)

@@ -1628,3 +1628,147 @@ _sql_query(
     type and are documented out of scope (SURVEY §2.10).  Identical SQL
     text on both engines.""",
 )
+
+
+_sql_query(
+    "fn_edge_timestamp_tz_parse",
+    spark_sql="""
+    SELECT CAST('2020-09-08T13:42:29' AS TIMESTAMP)        AS plain,
+           CAST('2020-09-08T13:42:29Z' AS TIMESTAMP)       AS zulu,
+           CAST('2020-09-08T13:42:29+05:00' AS TIMESTAMP)  AS plus5,
+           CAST('2020-09-08T13:42:29-03:30' AS TIMESTAMP)  AS minus330,
+           CAST('2020-09-08 13:42:29+00' AS TIMESTAMP)     AS plus0,
+           CAST(CAST('2020-03-08 06:30:00Z' AS TIMESTAMP) AS DATE) AS date_of_instant
+""",
+    duck_sql="""
+    SELECT CAST('2020-09-08T13:42:29' AS TIMESTAMP)        AS plain,
+           CAST('2020-09-08T13:42:29Z' AS TIMESTAMP)       AS zulu,
+           CAST('2020-09-08T13:42:29+05:00' AS TIMESTAMP)  AS plus5,
+           CAST('2020-09-08T13:42:29-03:30' AS TIMESTAMP)  AS minus330,
+           CAST('2020-09-08 13:42:29+00' AS TIMESTAMP)     AS plus0,
+           CAST(CAST('2020-03-08 06:30:00Z' AS TIMESTAMP) AS DATE) AS date_of_instant
+""",
+    tags=("functions", "edge", "datetime", "timezone"),
+    doc="""Offset-suffixed timestamp parsing, mirroring the reference's
+    to_timestamp_timezone.slt under a UTC session: 'Z', '+05:00',
+    '-03:30' and bare '+00' suffixes must shift the parsed instant to
+    UTC (13:42+05:00 -> 08:42Z), a bare local string parses unshifted,
+    and the DATE of a shifted instant is taken after normalization.
+    Identical SQL both engines.  Out-of-range offsets (+25:00) DIVERGE
+    by design — DuckDB wraps them, Spark rejects to NULL — and are
+    excluded.""",
+)
+
+
+_sql_query(
+    "fn_edge_floor_preimage",
+    spark_sql="""
+    WITH t(id, f, i, d) AS (VALUES
+      (1, CAST(5.3 AS DOUBLE),  100,              CAST(100.00 AS DECIMAL(10,2))),
+      (2, CAST(5.7 AS DOUBLE),  101,              CAST(100.50 AS DECIMAL(10,2))),
+      (3, CAST(6.0 AS DOUBLE),  102,              CAST(101.00 AS DECIMAL(10,2))),
+      (4, CAST(6.5 AS DOUBLE),  -5,               CAST(101.99 AS DECIMAL(10,2))),
+      (5, CAST(7.0 AS DOUBLE),  0,                CAST(102.00 AS DECIMAL(10,2))),
+      (6, CAST(-5.3 AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS DECIMAL(10,2))))
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(f) = CAST(5 AS DOUBLE))   AS floor_f_eq5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(f) = CAST(6 AS DOUBLE))   AS floor_f_eq6,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(f) = CAST(-6 AS DOUBLE))  AS floor_f_eqm6,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE ceil(f) = CAST(6 AS DOUBLE))    AS ceil_f_eq6,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE ceil(f) = CAST(-5 AS DOUBLE))   AS ceil_f_eqm5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE round(f) = CAST(6 AS DOUBLE))   AS round_f_eq6,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(i) = 100)                 AS floor_i_eq100,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(i) = -5)                  AS floor_i_eqm5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(i) = 0)                   AS floor_i_eq0,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE CAST(5 AS DOUBLE) = floor(f))   AS eq5_floor_f,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(d) = CAST(100 AS DECIMAL(10,2))) AS floor_d_eq100,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(d) = CAST(101 AS DECIMAL(10,2))) AS floor_d_eq101,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(f) IS NULL)               AS floor_null,
+      (SELECT CAST(SUM(CAST(floor(f) AS BIGINT)) AS BIGINT) FROM t)                 AS floor_f_sum,
+      (SELECT CAST(SUM(CAST(ceil(f)  AS BIGINT)) AS BIGINT) FROM t)                 AS ceil_f_sum
+""",
+    duck_sql="""
+    WITH t(id, f, i, d) AS (VALUES
+      (1, CAST(5.3 AS DOUBLE),  100,              CAST(100.00 AS DECIMAL(10,2))),
+      (2, CAST(5.7 AS DOUBLE),  101,              CAST(100.50 AS DECIMAL(10,2))),
+      (3, CAST(6.0 AS DOUBLE),  102,              CAST(101.00 AS DECIMAL(10,2))),
+      (4, CAST(6.5 AS DOUBLE),  -5,               CAST(101.99 AS DECIMAL(10,2))),
+      (5, CAST(7.0 AS DOUBLE),  0,                CAST(102.00 AS DECIMAL(10,2))),
+      (6, CAST(-5.3 AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS DECIMAL(10,2))))
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(f) = CAST(5 AS DOUBLE))   AS floor_f_eq5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(f) = CAST(6 AS DOUBLE))   AS floor_f_eq6,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(f) = CAST(-6 AS DOUBLE))  AS floor_f_eqm6,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE ceil(f) = CAST(6 AS DOUBLE))    AS ceil_f_eq6,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE ceil(f) = CAST(-5 AS DOUBLE))   AS ceil_f_eqm5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE round(f) = CAST(6 AS DOUBLE))   AS round_f_eq6,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(i) = 100)                 AS floor_i_eq100,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(i) = -5)                  AS floor_i_eqm5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(i) = 0)                   AS floor_i_eq0,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE CAST(5 AS DOUBLE) = floor(f))   AS eq5_floor_f,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(d) = CAST(100 AS DECIMAL(10,2))) AS floor_d_eq100,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(d) = CAST(101 AS DECIMAL(10,2))) AS floor_d_eq101,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM t WHERE floor(f) IS NULL)               AS floor_null,
+      (SELECT CAST(SUM(CAST(floor(f) AS BIGINT)) AS BIGINT) FROM t)                 AS floor_f_sum,
+      (SELECT CAST(SUM(CAST(ceil(f)  AS BIGINT)) AS BIGINT) FROM t)                 AS ceil_f_sum
+""",
+    tags=("functions", "edge", "math"),
+    doc="""floor/ceil/round equality-predicate preimages, mirroring the
+    reference's floor_preimage.slt (its optimizer rewrites floor(x) = c
+    into a range predicate; the assertion that transfers is that the
+    SELECTED SET is unchanged): doubles at the x.0 boundary (floor(6.0)
+    belongs to =6, not =5), negative preimages (floor(-5.3) = -6,
+    ceil(-5.3) = -5), identity on ints including 0 and negatives,
+    decimal(10,2) preimages spanning the fractional range, flipped
+    literal-on-the-left comparison, NULL propagation, and sum-over-floor
+    totals that would catch any off-by-one the counts alias.  Identical
+    SQL both engines.""",
+)
+
+
+_sql_query(
+    "subquery_correlated_corners",
+    spark_sql="""
+    WITH t1(t1_id, t1_name, t1_int) AS (VALUES
+      (11, 'a', 1), (22, 'b', 2), (33, 'c', 3), (44, 'd', 4)),
+    t2(t2_id, t2_name, t2_int) AS (VALUES
+      (11, 'z', 3), (22, 'y', 1), (44, 'x', 3), (55, 'w', 3))
+    SELECT t1_id,
+           (SELECT CAST(SUM(t2_int) AS BIGINT) FROM t2 WHERE t2.t2_id = t1.t1_id) AS sum_corr,
+           (SELECT CAST(SUM(t2_int * 1.0) + 1 AS DOUBLE) FROM t2 WHERE t2.t2_id = t1.t1_id) AS sum_arith,
+           (SELECT CAST(SUM(t2_int) AS BIGINT) FROM t2 WHERE t2.t2_id = t1.t1_id HAVING SUM(t2_int) < 3) AS sum_having,
+           (SELECT t2_int FROM t2 WHERE t2.t2_int = t1.t1_int GROUP BY t2_int) AS eq_group,
+           (SELECT a FROM (SELECT 1 AS a) s WHERE a = t1.t1_int) AS derived_eq,
+           EXISTS (SELECT * FROM t2 WHERE t2_id = t1_id LIMIT 1) AS exists_limit,
+           t1_int IN (SELECT t2_int FROM t2 WHERE t1.t1_id > t1.t1_int) AS in_corr_pred,
+           NOT EXISTS (SELECT 1 FROM t2 WHERE t2_id = t1_id AND t2_int > 2) AS not_exists,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t2 WHERE t2.t2_id = t1.t1_id) AS count_corr
+    FROM t1 ORDER BY t1_id""",
+    duck_sql="""
+    WITH t1(t1_id, t1_name, t1_int) AS (VALUES
+      (11, 'a', 1), (22, 'b', 2), (33, 'c', 3), (44, 'd', 4)),
+    t2(t2_id, t2_name, t2_int) AS (VALUES
+      (11, 'z', 3), (22, 'y', 1), (44, 'x', 3), (55, 'w', 3))
+    SELECT t1_id,
+           (SELECT CAST(SUM(t2_int) AS BIGINT) FROM t2 WHERE t2.t2_id = t1.t1_id) AS sum_corr,
+           (SELECT CAST(SUM(t2_int * 1.0) + 1 AS DOUBLE) FROM t2 WHERE t2.t2_id = t1.t1_id) AS sum_arith,
+           (SELECT CAST(SUM(t2_int) AS BIGINT) FROM t2 WHERE t2.t2_id = t1.t1_id HAVING SUM(t2_int) < 3) AS sum_having,
+           (SELECT t2_int FROM t2 WHERE t2.t2_int = t1.t1_int GROUP BY t2_int) AS eq_group,
+           (SELECT a FROM (SELECT 1 AS a) s WHERE a = t1.t1_int) AS derived_eq,
+           EXISTS (SELECT * FROM t2 WHERE t2_id = t1_id LIMIT 1) AS exists_limit,
+           t1_int IN (SELECT t2_int FROM t2 WHERE t1.t1_id > t1.t1_int) AS in_corr_pred,
+           NOT EXISTS (SELECT 1 FROM t2 WHERE t2_id = t1_id AND t2_int > 2) AS not_exists,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t2 WHERE t2.t2_id = t1.t1_id) AS count_corr
+    FROM t1 ORDER BY t1_id""",
+    tags=("functions", "edge", "subquery"),
+    doc="""Correlated-subquery decorrelation corners, mirroring the
+    reference's subquery.slt t1/t2 battery (same VALUES rows): correlated
+    scalar aggregates including post-aggregate arithmetic over an empty
+    group (SUM(..)+1 must stay NULL, not 1), correlated HAVING that
+    filters the single aggregated row, a non-aggregated correlated scalar
+    made single-row by GROUP BY, a correlated filter against a derived
+    one-row relation, EXISTS with LIMIT inside, a correlated IN whose
+    outer predicate references only outer columns, NOT EXISTS, and the
+    classic COUNT(*)-over-no-rows = 0 (not NULL) decorrelation trap.
+    Identical SQL both engines.""",
+)
