@@ -413,7 +413,7 @@ _register_ext(
 _register_ext(
     "tpch_official_q21",
     """
-    SELECT s_name, COUNT(*) AS numwait
+    SELECT /*+ MERGE(orders) */ s_name, COUNT(*) AS numwait
     FROM supplier, lineitem l1, orders, nation
     WHERE s_suppkey = l1.l_suppkey
       AND o_orderkey = l1.l_orderkey
@@ -438,7 +438,10 @@ _register_ext(
     derived commit/receipt dates: the hardest TPC-H shape — fact self-joins
     as EXISTS (left-semi, <> on suppkey) and NOT EXISTS (left-anti), both
     co-partitioned on l_orderkey so AQE plans one exchange per side;
-    supplier/nation broadcast.  (s_name, numwait) ordering has unique
+    supplier/nation broadcast.  The MERGE(orders) hint (a comment to the
+    oracle) pins the orders leg to the same l_orderkey sort-merge
+    co-shuffle: without it AQE broadcasts the 'F'-status HALF of orders —
+    a fact-sized hash relation that cannot exist at 100 TB.  (s_name, numwait) ordering has unique
     s_name -> deterministic LIMIT.  Counts-only output -> exact match.""",
 )
 
