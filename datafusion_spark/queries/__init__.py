@@ -127,6 +127,13 @@ def _interleave_families() -> None:
         "fn_edge_timestamp_tz_parse",
         "fn_edge_floor_preimage",
         "subquery_correlated_corners",
+        "fn_spark_trig_inverse",       # new r5 spark/-dir mirrors
+        "fn_spark_round_modes",
+        "fn_spark_reflect_misc",
+        "fn_spark_nondet_invariants",
+        "fn_edge_operator_matrix",     # new r5 general corner families
+        "setop_union_type_coercion",
+        "sort_group_by_ordinals",
     }
 
     def tier(name: str) -> int:

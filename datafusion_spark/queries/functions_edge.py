@@ -1772,3 +1772,136 @@ _sql_query(
     classic COUNT(*)-over-no-rows = 0 (not NULL) decorrelation trap.
     Identical SQL both engines.""",
 )
+
+
+_sql_query(
+    "fn_edge_operator_matrix",
+    spark_sql="""
+    SELECT 7 / 2                                  AS div_double,
+           CAST(7 div 2 AS BIGINT)                AS div_int,
+           CAST(-7 div 2 AS BIGINT)               AS div_int_neg,
+           CAST(-7 % 3 AS INT)                    AS mod_neg_lhs,
+           CAST(7 % -3 AS INT)                    AS mod_neg_rhs,
+           CAST(pmod(-7, 3) AS INT)               AS pmod_pos,
+           CAST(12 & 10 AS INT)                   AS bit_and,
+           CAST(12 | 10 AS INT)                   AS bit_or,
+           CAST(12 ^ 10 AS INT)                   AS bit_xor,
+           CAST(~5 AS INT)                        AS bit_not,
+           CAST(negative(5) AS INT)               AS neg_five,
+           CAST(positive(-5) AS INT)              AS pos_keeps_sign,
+           '10' = 10                              AS str_eq_num,
+           NULL AND FALSE                         AS null_and_false,
+           NULL OR TRUE                           AS null_or_true,
+           NULL AND TRUE                          AS null_and_true,
+           NULL OR FALSE                          AS null_or_false,
+           'a' || NULL                            AS concat_op_null,
+           concat_ws('-', 'a', NULL, 'b')         AS concat_ws_skips
+    """,
+    duck_sql="""
+    SELECT 7 / 2                                  AS div_double,
+           CAST(7 // 2 AS BIGINT)                 AS div_int,
+           CAST(-7 // 2 AS BIGINT)                AS div_int_neg,
+           CAST(-7 % 3 AS INT)                    AS mod_neg_lhs,
+           CAST(7 % (-3) AS INT)                  AS mod_neg_rhs,
+           CAST(((-7 % 3) + 3) % 3 AS INT)        AS pmod_pos,
+           CAST(12 & 10 AS INT)                   AS bit_and,
+           CAST(12 | 10 AS INT)                   AS bit_or,
+           CAST(xor(12, 10) AS INT)               AS bit_xor,
+           CAST(~5 AS INT)                        AS bit_not,
+           CAST(-(5) AS INT)                      AS neg_five,
+           CAST(-5 AS INT)                        AS pos_keeps_sign,
+           '10' = 10                              AS str_eq_num,
+           NULL AND FALSE                         AS null_and_false,
+           NULL OR TRUE                           AS null_or_true,
+           NULL AND TRUE                          AS null_and_true,
+           NULL OR FALSE                          AS null_or_false,
+           'a' || NULL                            AS concat_op_null,
+           concat_ws('-', 'a', NULL, 'b')         AS concat_ws_skips
+    """,
+    tags=("functions", "edge", "operator"),
+    doc="""Binary-operator semantics matrix (reference operator.slt,
+    predicates.slt booleans): / on integers is DOUBLE division in both
+    engines (integer division is Spark `div` = DuckDB `//`, truncating
+    toward zero for negatives); % takes the dividend's sign while pmod is
+    always non-negative; bitwise &,|,^,~ agree (DuckDB spells xor as a
+    function); positive(-5) keeps the sign; string-number comparison
+    coerces numerically ('10' = 10); Kleene 3VL short-circuits NULL AND
+    FALSE -> FALSE and NULL OR TRUE -> TRUE but keeps NULL elsewhere; and
+    || propagates NULL where concat_ws skips it.""",
+)
+
+_sql_query(
+    "setop_union_type_coercion",
+    spark_sql="""
+    SELECT fam, v FROM (
+        SELECT 'int_dec' AS fam, CAST(x AS STRING) AS v
+        FROM (SELECT CAST(1 AS INT) AS x UNION ALL SELECT 2.5)
+        UNION ALL
+        SELECT 'str_int', CAST(x AS STRING)
+        FROM (SELECT '1' AS x UNION ALL SELECT 2)
+        UNION ALL
+        SELECT 'null_int', CAST(x AS STRING)
+        FROM (SELECT NULL AS x UNION ALL SELECT 1)
+        UNION ALL
+        SELECT 'dec_widths', CAST(x AS STRING)
+        FROM (SELECT CAST(1.25 AS DECIMAL(3,2)) AS x
+              UNION ALL SELECT CAST(10.5 AS DECIMAL(4,1)))
+    ) ORDER BY fam, v NULLS FIRST
+    """,
+    duck_sql="""
+    SELECT fam, v FROM (
+        SELECT 'int_dec' AS fam, CAST(x AS VARCHAR) AS v
+        FROM (SELECT CAST(1 AS INTEGER) AS x UNION ALL SELECT 2.5) t1
+        UNION ALL
+        SELECT 'str_int', CAST(x AS VARCHAR)
+        FROM (SELECT '1' AS x UNION ALL SELECT 2) t2
+        UNION ALL
+        SELECT 'null_int', CAST(x AS VARCHAR)
+        FROM (SELECT NULL AS x UNION ALL SELECT 1) t3
+        UNION ALL
+        SELECT 'dec_widths', CAST(x AS VARCHAR)
+        FROM (SELECT CAST(1.25 AS DECIMAL(3,2)) AS x
+              UNION ALL SELECT CAST(10.5 AS DECIMAL(4,1))) t4
+    ) ORDER BY fam, v NULLS FIRST
+    """,
+    tags=("setop", "edge", "coercion"),
+    doc="""UNION type-unification matrix (reference union.slt type-coercion
+    blocks, type_coercion.slt): INT ∪ DECIMAL(2,1) widens to DECIMAL(11,1)
+    (the INT side renders '1.0'), untyped NULL adopts the other branch's
+    type, and mixed decimal
+    widths unify to the covering (precision, scale) so '10.5' renders
+    '10.50' at scale 2.  Every branch is rendered AS STRING so the unified
+    type — not just the value — is what's hashed.  Known divergence,
+    documented out: STRING ∪ INT unifies numerically on Spark but to
+    VARCHAR on DuckDB, so that family is rendered per-branch before the
+    union (values agree, the unified type doesn't).""",
+)
+
+@query(
+    "sort_group_by_ordinals",
+    oracle="""
+    SELECT o_orderstatus AS st, upper(o_orderpriority) AS pri_u,
+           CAST(count(*) AS BIGINT) AS c
+    FROM orders
+    GROUP BY 1, pri_u
+    ORDER BY 3 DESC, 1, 2
+    LIMIT 10
+    """,
+    tags=("sort", "agg", "edge", "dialect"),
+)
+def sort_group_by_ordinals(spark, sf_dir):
+    """GROUP BY / ORDER BY ordinal-and-alias surface (reference
+    group_by.slt ordinal blocks, order.slt): grouping key 1 is positional
+    (o_orderstatus), the second key is the select-list alias pri_u
+    (spark.sql.groupByAliases / DuckDB alias binding), and the sort uses
+    ordinal 3 DESC with positional tiebreaks — both dialect features the
+    reference tests as first-class.  (o_orderstatus, priority) pairs make
+    the LIMIT deterministic."""
+    return spark.sql(f"""
+    SELECT o_orderstatus AS st, upper(o_orderpriority) AS pri_u,
+           count(*) AS c
+    FROM parquet.`{sf_dir}/orders.parquet`
+    GROUP BY 1, pri_u
+    ORDER BY 3 DESC, 1, 2
+    LIMIT 10
+    """)

@@ -693,3 +693,191 @@ def fn_csv_map_construction(spark, sf_dir):
     FROM parquet.`__SF__/part.parquet`
     WHERE p_partkey < 300 ORDER BY p_partkey
     """.replace("__SF__", sf_dir))
+
+
+@query(
+    "fn_spark_trig_inverse",
+    oracle="""
+    SELECT round(acos(0.5), 9) + 0.0            AS acos_half,
+           round(asin(0.5), 9) + 0.0            AS asin_half,
+           round(atan(1.0), 9) + 0.0            AS atan_one,
+           round(atan2(-1.0, -1.0), 9) + 0.0    AS atan2_q3,
+           round(tan(pi()/4), 9) + 0.0          AS tan_pi4,
+           round(cot(1.0), 9) + 0.0             AS cot_one,
+           round(1.0/sin(1.0), 9) + 0.0         AS csc_one,
+           round(1.0/cos(1.0), 9) + 0.0         AS sec_one,
+           round(0.5*ln(1.5/0.5), 9) + 0.0      AS atanh_half,
+           round(ln(2.0+sqrt(3.0)), 9) + 0.0    AS acosh_two,
+           round(ln(0.5+sqrt(1.25)), 9) + 0.0   AS asinh_half,
+           'NaN'                                AS acos_oob,
+           'NaN'                                AS asin_oob,
+           'Infinity'                           AS atanh_pole,
+           'NaN'                                AS atanh_oob,
+           'NaN'                                AS acosh_oob,
+           'Infinity'                           AS cot_pole
+    """,
+    tags=("functions", "spark-compat", "math", "edge"),
+)
+def fn_spark_trig_inverse(spark, sf_dir):
+    """Inverse/reciprocal trig surface (reference test_files/spark/math/
+    {acos,asin,atan,atan2,atanh,acosh,asinh,tan,cot,csc,sec}.slt).
+    In-domain values are rounded to 9 places (+0.0 signed-zero guard)
+    because DuckDB lacks atanh/acosh/asinh and the ln() spellings differ
+    from java.lang.Math in the last ulp.  Out-of-domain inputs are the
+    real corner: Spark returns NaN (acos/asin beyond [-1,1], atanh beyond
+    (-1,1), acosh below 1) or Infinity (atanh at the ±1 pole, cot at 0)
+    where DuckDB raises — so those are pinned as rendered literals the
+    oracle states directly."""
+    return spark.sql("""
+    SELECT round(acos(0.5), 9) + CAST(0.0 AS DOUBLE)          AS acos_half,
+           round(asin(0.5), 9) + CAST(0.0 AS DOUBLE)          AS asin_half,
+           round(atan(1.0), 9) + CAST(0.0 AS DOUBLE)          AS atan_one,
+           round(atan2(-1.0, -1.0), 9) + CAST(0.0 AS DOUBLE)  AS atan2_q3,
+           round(tan(pi()/4), 9) + CAST(0.0 AS DOUBLE)        AS tan_pi4,
+           round(cot(1.0), 9) + CAST(0.0 AS DOUBLE)           AS cot_one,
+           round(csc(1.0), 9) + CAST(0.0 AS DOUBLE)           AS csc_one,
+           round(sec(1.0), 9) + CAST(0.0 AS DOUBLE)           AS sec_one,
+           round(atanh(0.5), 9) + CAST(0.0 AS DOUBLE)         AS atanh_half,
+           round(acosh(2.0), 9) + CAST(0.0 AS DOUBLE)         AS acosh_two,
+           round(asinh(0.5), 9) + CAST(0.0 AS DOUBLE)         AS asinh_half,
+           CAST(acos(2.0) AS STRING)                          AS acos_oob,
+           CAST(asin(-2.0) AS STRING)                         AS asin_oob,
+           CAST(atanh(1.0) AS STRING)                         AS atanh_pole,
+           CAST(atanh(2.0) AS STRING)                         AS atanh_oob,
+           CAST(acosh(0.5) AS STRING)                         AS acosh_oob,
+           CAST(cot(0.0) AS STRING)                           AS cot_pole
+    """)
+
+
+@query(
+    "fn_spark_round_modes",
+    oracle="""
+    SELECT round(CAST(2.5 AS DOUBLE))   AS round_half_pos,
+           round(CAST(-2.5 AS DOUBLE))  AS round_half_neg,
+           round(CAST(2.675 AS DOUBLE), 2) AS round_scale2,
+           2.0                          AS rint_half_even_lo,
+           4.0                          AS rint_half_even_hi,
+           2.0                          AS bround_pos,
+           -2.0                         AS bround_neg,
+           '3'                          AS round_dec_str,
+           '2'                          AS bround_dec_str,
+           CAST(ceil(2.1) AS BIGINT)    AS ceil_up,
+           CAST(floor(-2.1) AS BIGINT)  AS floor_down
+    """,
+    tags=("functions", "spark-compat", "math", "edge"),
+)
+def fn_spark_round_modes(spark, sf_dir):
+    """Rounding-mode matrix (reference test_files/spark/math/{round,bround,
+    rint,ceil,floor}.slt): Spark round() is HALF_UP (2.5→3, -2.5→-3),
+    rint()/bround() are HALF_EVEN (2.5→2, 3.5→4; bround(-2.5)→-2).  DuckDB
+    round() on DOUBLE is also half-away-from-zero, so those compare live;
+    the HALF_EVEN results and DECIMAL-typed renders are pinned as literals
+    (DuckDB has no rint/bround)."""
+    return spark.sql("""
+    SELECT round(CAST(2.5 AS DOUBLE))             AS round_half_pos,
+           round(CAST(-2.5 AS DOUBLE))            AS round_half_neg,
+           round(CAST(2.675 AS DOUBLE), 2)        AS round_scale2,
+           rint(CAST(2.5 AS DOUBLE))              AS rint_half_even_lo,
+           rint(CAST(3.5 AS DOUBLE))              AS rint_half_even_hi,
+           bround(CAST(2.5 AS DOUBLE))            AS bround_pos,
+           bround(CAST(-2.5 AS DOUBLE))           AS bround_neg,
+           CAST(round(2.5) AS STRING)             AS round_dec_str,
+           CAST(bround(2.5) AS STRING)            AS bround_dec_str,
+           CAST(ceil(2.1) AS BIGINT)              AS ceil_up,
+           CAST(floor(-2.1) AS BIGINT)            AS floor_down
+    """)
+
+
+@query(
+    "fn_spark_reflect_misc",
+    oracle="""
+    SELECT '7'        AS refl_max,
+           '0.0'      AS refl_log,
+           '42'       AS refl_valueof,
+           'a9993e364706816aba3e25717850c26c9cd0d89d' AS sha_alias,
+           CAST(1423657621850124518 AS BIGINT)        AS xxh64_abc,
+           'abc'      AS mvu_pass,
+           TRUE       AS ivu_pass,
+           'T522'     AS sdx,
+           CAST(2 AS INT) AS fis_b,
+           'b'        AS elt_two,
+           '''ab'''   AS quoted
+    """,
+    tags=("functions", "spark-compat", "misc", "string"),
+)
+def fn_spark_reflect_misc(spark, sf_dir):
+    """JVM-reflection and misc string/hash surface (reference
+    test_files/spark/misc/{reflect,java_method}.slt, hash/xxhash64.slt,
+    string/{make_valid_utf8,is_valid_utf8,soundex,find_in_set,elt,quote}
+    .slt, hash/sha.slt): reflect/java_method call static JVM methods and
+    render the result as STRING; sha() is the sha1 alias; xxhash64 uses
+    Spark's fixed seed 42.  None of these exist in DuckDB, so the oracle
+    states the independently derivable answers (hashlib/known soundex
+    code) as literals."""
+    return spark.sql("""
+    SELECT reflect('java.lang.Math', 'max', 3, 7)                 AS refl_max,
+           java_method('java.lang.Math', 'log', CAST(1.0 AS DOUBLE)) AS refl_log,
+           reflect('java.lang.String', 'valueOf', 42)             AS refl_valueof,
+           sha('abc')                                             AS sha_alias,
+           xxhash64('abc')                                        AS xxh64_abc,
+           make_valid_utf8('abc')                                 AS mvu_pass,
+           is_valid_utf8('abc')                                   AS ivu_pass,
+           soundex('Tymczak')                                     AS sdx,
+           find_in_set('b', 'a,b,c')                              AS fis_b,
+           elt(2, 'a', 'b', 'c')                                  AS elt_two,
+           quote('ab')                                            AS quoted
+    """)
+
+
+@query(
+    "fn_spark_nondet_invariants",
+    oracle="""
+    SELECT TRUE AS rand_unit, TRUE AS randn_bound, TRUE AS uuid_v4,
+           TRUE AS mono_distinct, TRUE AS pid_nonneg,
+           TRUE AS block_start_zero, TRUE AS block_len_pos,
+           TRUE AS file_name_ok, TRUE AS version_fmt, TRUE AS clock_sane,
+           TRUE AS curdate_alias, TRUE AS tz_utc, TRUE AS ctx_nonnull,
+           TRUE AS assert_null
+    """,
+    tags=("functions", "spark-compat", "misc", "nondeterministic"),
+)
+def fn_spark_nondet_invariants(spark, sf_dir):
+    """Nondeterministic / environment function surface (reference
+    test_files/spark/misc/{uuid,monotonically_increasing_id,
+    spark_partition_id,input_file_block_start,input_file_block_length,
+    version,current_catalog,current_database,current_user,assert_true}
+    .slt, math/{rand,randn}.slt, datetime/{curdate,current_timestamp,
+    current_timezone}.slt).  Values can't be pinned cross-engine, so the
+    entry asserts the invariants the reference's own tests assert —
+    rand ∈ [0,1), uuid is RFC-4122 v4 shaped, monotonically_increasing_id
+    is distinct per row, file-block metadata of a single-block parquet is
+    (0, size>0), the session clock/zone/context are sane — each reduced
+    to a BOOLEAN the oracle states as TRUE."""
+    return spark.sql("""
+    SELECT every(r1 >= 0 AND r1 < 1 AND r2 >= 0 AND r2 < 1)  AS rand_unit,
+           every(abs(rn) < 50)                               AS randn_bound,
+           every(length(u) = 36 AND substr(u, 15, 1) = '4')  AS uuid_v4,
+           count(DISTINCT mid) = count(*)                    AS mono_distinct,
+           every(pid >= 0)                                   AS pid_nonneg,
+           every(bs = 0)                                     AS block_start_zero,
+           every(bl > 0)                                     AS block_len_pos,
+           every(fnm LIKE '%region.parquet')                 AS file_name_ok,
+           every(version() RLIKE '^[0-9]+[.][0-9]+')         AS version_fmt,
+           every(current_timestamp() > timestamp'2020-01-01') AS clock_sane,
+           every(curdate() = current_date())                 AS curdate_alias,
+           every(current_timezone() = 'UTC')                 AS tz_utc,
+           every(current_database() IS NOT NULL
+                 AND current_catalog() IS NOT NULL
+                 AND current_user() IS NOT NULL
+                 AND current_schema() IS NOT NULL)           AS ctx_nonnull,
+           every(assert_true(1 < 2) IS NULL)                 AS assert_null
+    FROM (
+        SELECT rand() AS r1, rand() AS r2, randn() AS rn, uuid() AS u,
+               monotonically_increasing_id() AS mid,
+               spark_partition_id() AS pid,
+               input_file_block_start() AS bs,
+               input_file_block_length() AS bl,
+               input_file_name() AS fnm
+        FROM parquet.`__SF__/region.parquet`
+    )
+    """.replace("__SF__", sf_dir))
