@@ -134,6 +134,7 @@ def _interleave_families() -> None:
         "fn_edge_operator_matrix",     # new r5 general corner families
         "setop_union_type_coercion",
         "sort_group_by_ordinals",
+        "source_dynamic_partition_prune",  # new r5 DPP scale entry
     }
 
     def tier(name: str) -> int:

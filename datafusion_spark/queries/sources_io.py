@@ -478,3 +478,45 @@ def source_json_corrupt_records(spark, sf_dir):
         F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
         F.sum("v").alias("v_sum"),
     )
+
+
+@query(
+    "source_dynamic_partition_prune",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    """,
+    tags=("sources", "partitioning", "scale"),
+)
+def source_dynamic_partition_prune(spark, sf_dir):
+    """Dynamic partition pruning (reference dynamic_filter_pushdown_config
+    .slt, dynamic_row_group_pruning.slt — runtime filters derived from the
+    join's build side prune the probe scan).  The fact (orders) is written
+    hive-partitioned on o_orderpriority; the dim is a tiny parquet table
+    whose selective predicate is on a NON-partition attribute (cls),
+    so static pruning cannot know which fact partitions survive — Spark's
+    DPP inserts a dynamicpruningexpression into the fact scan's
+    PartitionFilters, reusing the broadcast of the dim (pinned by
+    tests/test_plan_budget.py).  At 100 TB this is the difference between
+    scanning 2/5 of the fact and all of it."""
+    orders = load_table(spark, sf_dir, "orders")
+    fact_path = os.path.join(_SCRATCH, "orders_by_priority")
+    copy_to(orders, fact_path, fmt="parquet", partition_by=["o_orderpriority"])
+    dim_path = os.path.join(_SCRATCH, "priority_dim")
+    dim = spark.createDataFrame(
+        [("1-URGENT", "expedited"), ("2-HIGH", "expedited"),
+         ("3-MEDIUM", "standard"), ("4-NOT SPECIFIED", "standard"),
+         ("5-LOW", "standard")],
+        "o_orderpriority string, cls string",
+    )
+    copy_to(dim, dim_path, fmt="parquet")
+    fact = spark.read.parquet(fact_path)
+    dim_back = spark.read.parquet(dim_path).filter(F.col("cls") == "expedited")
+    joined = fact.join(F.broadcast(dim_back), "o_orderpriority")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+    )

@@ -85,7 +85,10 @@ SHUFFLE_BUDGETS = {
     # official-schema TPC-H on derived columns (audited at tuning time):
     "tpch_official_q4": 4,    # merge-pinned SMJ semi (2 side shuffles) + agg + sort (r5: broadcast build flipped off — it grew with the fact table)
     "tpch_official_q12": 2,   # lineitem-orders join + shipmode agg
-    "tpch_official_q21": 1,   # semi+anti co-partitioned on l_orderkey; dims broadcast
+    "tpch_official_q21": 7,   # r5: MERGE(orders) pins the orders leg onto the
+    # l_orderkey co-shuffle (4 fact legs) instead of AQE broadcasting the
+    # 'F'-status half of orders — a fact-sized build that can't exist at
+    # 100 TB; + agg + sort exchanges, supplier/nation still broadcast
     # corpus-unigram LM scoring: explode + vocab agg + words-vocab join +
     # per-doc agg (static plan; AQE broadcasts the vocab side at runtime)
     "text_unigram_logprob": 7,
@@ -221,3 +224,21 @@ def test_lsh_bucket_cap_in_plan(spark):
     )
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "CollectMetrics" in analyzed and "truncated_buckets" in analyzed
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """source_dynamic_partition_prune must carry a dynamicpruningexpression
+    in the fact scan's PartitionFilters: the dim's selective predicate is on
+    a non-partition attribute, so only a runtime filter (DPP, reusing the
+    dim broadcast) can prune the fact partitions — the 100 TB difference
+    between scanning the expedited 2/5 of the fact and all of it."""
+    import contextlib
+    import io
+
+    df = QUERIES["source_dynamic_partition_prune"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "dynamicpruningexpression" in buf.getvalue().lower(), (
+        "dynamic partition pruning did not fire on the partitioned fact scan"
+    )
