@@ -135,6 +135,8 @@ def _interleave_families() -> None:
         "setop_union_type_coercion",
         "sort_group_by_ordinals",
         "source_dynamic_partition_prune",  # new r5 DPP scale entry
+        "fn_edge_limit_corners",
+        "agg_edge_constant_group",
     }
 
     def tier(name: str) -> int:

@@ -1905,3 +1905,73 @@ def sort_group_by_ordinals(spark, sf_dir):
     ORDER BY 3 DESC, 1, 2
     LIMIT 10
     """)
+
+
+_sql_query(
+    "fn_edge_limit_corners",
+    spark_sql="""
+    SELECT (SELECT COUNT(*) FROM (SELECT * FROM range(10) LIMIT 0) t)  AS limit_zero,
+           (SELECT COUNT(*) FROM (SELECT * FROM range(10) ORDER BY id LIMIT 3) t) AS limit_in_subquery,
+           (SELECT COUNT(*) FROM (SELECT * FROM range(5) ORDER BY id LIMIT 10 OFFSET 7) t) AS offset_beyond_end,
+           (SELECT SUM(id) FROM (SELECT * FROM range(5) ORDER BY id LIMIT 2 OFFSET 2) t) AS offset_window_sum,
+           (SELECT COUNT(*) FROM (SELECT * FROM range(3) LIMIT 100) t) AS limit_beyond_rows,
+           (SELECT MAX(id) FROM (SELECT * FROM range(100) ORDER BY id DESC LIMIT 1) t) AS topk_one
+    """,
+    duck_sql="""
+    SELECT (SELECT COUNT(*) FROM (SELECT * FROM range(10) LIMIT 0) t)  AS limit_zero,
+           (SELECT COUNT(*) FROM (SELECT * FROM range(10) ORDER BY range LIMIT 3) t) AS limit_in_subquery,
+           (SELECT COUNT(*) FROM (SELECT * FROM range(5) ORDER BY range LIMIT 10 OFFSET 7) t) AS offset_beyond_end,
+           (SELECT SUM(range) FROM (SELECT * FROM range(5) ORDER BY range LIMIT 2 OFFSET 2) t) AS offset_window_sum,
+           (SELECT COUNT(*) FROM (SELECT * FROM range(3) LIMIT 100) t) AS limit_beyond_rows,
+           (SELECT MAX(range) FROM (SELECT * FROM range(100) ORDER BY range DESC LIMIT 1) t) AS topk_one
+    """,
+    tags=("functions", "edge", "limit"),
+    doc="""LIMIT/OFFSET corner semantics (reference limit.slt,
+    limit_pruning.slt): LIMIT 0 produces an empty (not failing) relation,
+    LIMIT inside a subquery bounds what the outer aggregate sees, OFFSET
+    beyond the input yields zero rows, OFFSET+LIMIT carve a deterministic
+    window under ORDER BY, LIMIT larger than the input is a no-op, and a
+    sorted LIMIT 1 is the top-k degenerate case (Spark plans
+    TakeOrderedAndProject — no global sort).  DuckDB's range() exposes the
+    column as `range` where Spark calls it `id`; aggregates make the
+    outputs schema-stable.""",
+)
+
+_sql_query(
+    "agg_edge_constant_group",
+    spark_sql="""
+    SELECT (SELECT COUNT(*) FROM (
+                SELECT 'k' AS g, COUNT(*) AS c
+                FROM (SELECT 1 AS x WHERE FALSE) GROUP BY g)) AS const_group_empty_rows,
+           (SELECT COUNT(*) FROM (SELECT 1 AS x WHERE FALSE)) AS global_agg_empty,
+           (SELECT CAST(SUM(x) AS BIGINT) FROM (SELECT 2 AS x UNION ALL SELECT 3) GROUP BY 'k') AS const_group_sum,
+           (SELECT COUNT(NULL) FROM range(4))                 AS count_null,
+           (SELECT COUNT(DISTINCT NULL) FROM range(4))        AS count_distinct_null,
+           (SELECT MIN('abc') FROM range(3))                  AS min_const_str,
+           (SELECT CAST(AVG(CAST(2.0 AS DOUBLE)) AS DOUBLE) FROM range(3)) AS avg_const,
+           (SELECT c FROM (SELECT 1 AS a, 'x' AS b, COUNT(*) AS c
+                           FROM range(7) GROUP BY a, b))      AS all_const_keys_count
+    """,
+    duck_sql="""
+    SELECT (SELECT COUNT(*) FROM (
+                SELECT 'k' AS g, COUNT(*) AS c
+                FROM (SELECT 1 AS x WHERE FALSE) t GROUP BY g) z) AS const_group_empty_rows,
+           (SELECT COUNT(*) FROM (SELECT 1 AS x WHERE FALSE) t) AS global_agg_empty,
+           (SELECT CAST(SUM(x) AS BIGINT) FROM (SELECT 2 AS x UNION ALL SELECT 3) t GROUP BY 'k') AS const_group_sum,
+           (SELECT COUNT(NULL) FROM range(4))                 AS count_null,
+           (SELECT COUNT(DISTINCT NULL) FROM range(4))        AS count_distinct_null,
+           (SELECT MIN('abc') FROM range(3))                  AS min_const_str,
+           (SELECT CAST(AVG(CAST(2.0 AS DOUBLE)) AS DOUBLE) FROM range(3)) AS avg_const,
+           (SELECT c FROM (SELECT 1 AS a, 'x' AS b, COUNT(*) AS c
+                           FROM range(7) GROUP BY a, b) z)    AS all_const_keys_count
+    """,
+    tags=("agg", "edge", "optimizer"),
+    doc="""Constant-group-key and degenerate-aggregate semantics (reference
+    optimizer_group_by_constant.slt, count_star_rule.slt,
+    aggregates_simplify.slt): GROUP BY a constant over an EMPTY input
+    yields zero groups while the global aggregate yields one zero row —
+    the distinction the constant-folding rule must preserve; COUNT(NULL)
+    and COUNT(DISTINCT NULL) are 0 not NULL; aggregates of constants fold
+    to the constant; grouping on all-constant keys still aggregates the
+    whole input into one row.""",
+)
