@@ -137,6 +137,8 @@ def _interleave_families() -> None:
         "source_dynamic_partition_prune",  # new r5 DPP scale entry
         "fn_edge_limit_corners",
         "agg_edge_constant_group",
+        "fn_spark_datetime_ctor_aliases",  # r5: +to_timestamp_ltz/localtimestamp
+        "join_array_keys",                 # new r5 array-key join family
     }
 
     def tier(name: str) -> int:

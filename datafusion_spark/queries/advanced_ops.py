@@ -749,7 +749,7 @@ def job_style_join_ordering(spark, sf_dir):
 )
 def dml_merge_upsert(spark, sf_dir):
     """MERGE INTO as copy-on-write full-outer rewrite (reference:
-    DataFusion DML surface; the lakehouse upsert every format compiles
+    sqllogictest merge_into.slt; the lakehouse upsert every format compiles
     MERGE to when there's no deletion-vector support).  Source = changed
     rows (updates for even keys, inserts for new keys); target = nation.
     The rewrite classifies every output row as insert/update/keep and the

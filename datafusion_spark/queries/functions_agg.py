@@ -222,8 +222,11 @@ def agg_count_variants(spark, sf_dir):
     tags=("aggregate", "minmax"),
 )
 def agg_any_value(spark, sf_dir):
-    # any_value is only deterministic when the value is functionally
-    # dependent on the key — which it is here (nationkey → name).
+    """any_value under functional dependency (reference sqllogictest
+    aggregate_any_value.slt, functional_dependencies.slt): deterministic
+    only when the value is functionally dependent on the group key —
+    which it is here (nationkey → name), the same dependency DataFusion's
+    planner exploits to allow non-grouped projections."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (

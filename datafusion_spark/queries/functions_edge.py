@@ -1229,6 +1229,8 @@ _sql_query(
            CAST(make_timestamp_ntz(2024, 3, 14, 10, 30, 15.5) AS STRING) AS make_ts_ntz_frac,
            CAST(make_timestamp_ltz(2024, 3, 14, 10, 30, 0, 'UTC') AS STRING) AS make_ts_ltz_utc,
            CAST(to_timestamp_ntz('2024-03-14 10:00:00') AS STRING) AS to_ts_ntz,
+           CAST(to_timestamp_ltz('2024-03-14 10:00:00') AS STRING) AS to_ts_ltz,
+           localtimestamp() >= TIMESTAMP_NTZ '2020-01-01 00:00:00' AS localts_sane,
            to_unix_timestamp('2024-03-14 00:00:00', 'yyyy-MM-dd HH:mm:ss') AS to_unix_ts,
            CAST(date_trunc('HOUR', TIMESTAMP '2024-03-14 10:45:00') AS STRING) AS trunc_hour,
            lcase('AbC') || ucase('AbC')                          AS lcase_ucase_aliases,
@@ -1248,6 +1250,8 @@ _sql_query(
            CAST(make_timestamp(2024, 3, 14, 10, 30, 15.5) AS VARCHAR) AS make_ts_ntz_frac,
            CAST(make_timestamp(2024, 3, 14, 10, 30, 0.0) AS VARCHAR) AS make_ts_ltz_utc,
            CAST(TIMESTAMP '2024-03-14 10:00:00' AS VARCHAR)      AS to_ts_ntz,
+           CAST(TIMESTAMP '2024-03-14 10:00:00' AS VARCHAR)      AS to_ts_ltz,
+           CAST(true AS BOOLEAN)                                 AS localts_sane,
            CAST(epoch(TIMESTAMP '2024-03-14 00:00:00') AS BIGINT) AS to_unix_ts,
            CAST(date_trunc('hour', TIMESTAMP '2024-03-14 10:45:00') AS VARCHAR) AS trunc_hour,
            lcase('AbC') || ucase('AbC')                          AS lcase_ucase_aliases,
@@ -1264,7 +1268,9 @@ _sql_query(
     doc="""spark/datetime constructors + TRY-url/binary aliases (reference
     sqllogictest spark/datetime/{dateadd,convert_timezone,
     make_timestamp_ltz,make_timestamp_ntz,to_timestamp_ntz,
-    to_unix_timestamp,time_trunc}.slt, spark/string/{lcase,ucase,
+    to_timestamp_ltz,localtimestamp,to_unix_timestamp,time_trunc}.slt
+    — to_timestamp_ltz equals the NTZ parse under the pinned UTC session,
+    localtimestamp() reduces to a sanity boolean (clock-dependent) — spark/string/{lcase,ucase,
     to_varchar,try_to_binary}.slt, spark/url/try_*.slt,
     spark/hash/xxhash64.slt): unit-style dateadd, cross-zone conversion
     of an NTZ wall time, fractional-second timestamp constructors, epoch
@@ -1927,7 +1933,9 @@ _sql_query(
     """,
     tags=("functions", "edge", "limit"),
     doc="""LIMIT/OFFSET corner semantics (reference limit.slt,
-    limit_pruning.slt): LIMIT 0 produces an empty (not failing) relation,
+    limit_pruning.slt, subquery_sort.slt — ORDER BY + LIMIT inside a
+    subquery is load-bearing and must not be pruned away):
+    LIMIT 0 produces an empty (not failing) relation,
     LIMIT inside a subquery bounds what the outer aggregate sees, OFFSET
     beyond the input yields zero rows, OFFSET+LIMIT carve a deterministic
     window under ORDER BY, LIMIT larger than the input is a no-op, and a

@@ -338,7 +338,8 @@ def fn_cast_conversions(spark, sf_dir):
 )
 def fn_datetime_bin(spark, sf_dir):
     """date_bin parity (reference: datafusion/functions/src/datetime/
-    date_bin.rs): arbitrary-interval bucketing ⇔ Spark window().start /
+    date_bin.rs, sqllogictest date_bin_errors.slt for the rejected
+    zero/negative strides): arbitrary-interval bucketing ⇔ Spark window().start /
     DuckDB time_bucket.  Both engines' default origins are midnight-aligned
     for sub-day intervals, so buckets coincide."""
     e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)

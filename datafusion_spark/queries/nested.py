@@ -499,3 +499,46 @@ def nested_vector_elementwise(spark, sf_dir):
         F.size(resized).alias("resized_len"),
         F.round(F.element_at(resized, 70), 6).alias("resized_fill"),
     ).orderBy("vec_id")
+
+
+@query(
+    "join_array_keys",
+    oracle="""
+    WITH pa AS (
+        SELECT p_partkey,
+               list_value(p_size % 7, CAST(p_partkey % 5 AS INT)) AS arr
+        FROM part
+    ),
+    d AS (SELECT arr, CAST(COUNT(*) AS BIGINT) AS n FROM pa GROUP BY arr)
+    SELECT pa.p_partkey, d.n
+    FROM pa JOIN d USING (arr)
+    WHERE pa.p_partkey < 200
+    ORDER BY pa.p_partkey
+    """,
+    tags=("join", "nested", "edge"),
+)
+def join_array_keys(spark, sf_dir):
+    """Array-typed equi-join and group keys (reference join_lists.slt,
+    array_query.slt: lists compare element-wise, so they work as join and
+    grouping keys).  A derived array column is grouped (array GROUP BY →
+    hash partitioning on the array value) and joined back to its source
+    (array equi-join); both engines treat []=[] and element-wise equality
+    identically.  At scale this is the shape of joining on tokenized
+    composite keys without string-concatenation hacks — Spark hash-
+    partitions array values natively, no shuffle-key serialization
+    tricks."""
+    part = load_table(spark, sf_dir, "part")
+    pa = part.select(
+        "p_partkey",
+        F.array(
+            (F.col("p_size") % 7).cast("int"),
+            (F.col("p_partkey") % 5).cast("int"),
+        ).alias("arr"),
+    )
+    d = pa.groupBy("arr").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pa.join(d, "arr")
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", "n")
+        .orderBy("p_partkey")
+    )

@@ -228,6 +228,8 @@ def setop_union_distinct(spark, sf_dir):
     tags=("relational", "setop"),
 )
 def setop_intersect(spark, sf_dir):
+    """INTERSECT distinct semantics (reference sqllogictest
+    intersection.slt, union.slt INTERSECT blocks)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.intersect(s)

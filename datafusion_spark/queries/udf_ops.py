@@ -113,7 +113,8 @@ def udf_grouped_zscore(spark, sf_dir):
 )
 def udf_table_function(spark, sf_dir):
     """Python user-defined TABLE function (reference: datafusion/expr/src/
-    udf TableFunctionImpl + functions-table/) — the row→rows extension
+    udf TableFunctionImpl + functions-table/, sqllogictest
+    table_functions.slt) — the row→rows extension
     point.  Spark 4's @udtf runs Arrow-batched and composes with LATERAL,
     so the expansion executes where the row lives (no shuffle, no
     collect).  The class-based eval keeps per-partition state possible

@@ -378,7 +378,8 @@ def window_groups_frame(spark, sf_dir):
 )
 def window_array_agg_sliding(spark, sf_dir):
     """array_agg over a sliding ROWS frame (reference: sqllogictest
-    array_agg_sliding_window.slt — DataFusion's retractable ARRAY_AGG
+    array_agg_sliding_window.slt and spark/aggregate/collect_window.slt —
+    DataFusion's retractable ARRAY_AGG
     accumulator).  Spark's collect_list over a bounded frame is the same
     retract/append window state; the frame's ORDER BY is a unique total
     order (§4 rule 6) so the produced arrays are deterministic on both

@@ -399,3 +399,93 @@ def test_random_window_spec_parity(spark, duck, spec):
                 assert gv == pytest.approx(float(wv), abs=1e-9), sql
             else:
                 assert (gv == wv) or (gv is None and wv is None), sql
+
+
+# ---------------------------------------------------------------------------
+# Compositional scalar-expression trees (reference fuzz_cases/ expression
+# fuzzers; expr.slt, simplify_expr.slt).  Everything is evaluated in the
+# DOUBLE domain: IEEE-754 binary64 +,-,*,/ are defined bit-exactly, so both
+# engines must agree to the last bit as long as operand magnitudes stay well
+# under 2^53 (leaves are bounded by small moduli) and division is
+# NULL-guarded.  NULL leaves exercise 3VL propagation through whole trees;
+# CASE branches exercise predicate-under-expression planning.
+
+_EXPR_LEAVES = [
+    "CAST(o_orderkey % 31 AS DOUBLE)",
+    "CAST(o_custkey % 29 AS DOUBLE)",
+    "CAST(o_orderkey % 13 - 6 AS DOUBLE)",
+    "CAST(2 AS DOUBLE)",
+    "CAST(-3 AS DOUBLE)",
+    "CAST(0 AS DOUBLE)",
+    "CAST(NULL AS DOUBLE)",
+]
+
+_EXPR_NODE_KINDS = [
+    "add", "sub", "mul", "div", "abs", "neg",
+    "least", "greatest", "coalesce", "case_min",
+]
+
+
+def _grow_expr(draw, st, depth):
+    if depth >= 3:
+        return draw(st.sampled_from(_EXPR_LEAVES))
+    if depth > 0 and draw(st.booleans()):
+        return draw(st.sampled_from(_EXPR_LEAVES))
+    kind = draw(st.sampled_from(_EXPR_NODE_KINDS))
+    a = _grow_expr(draw, st, depth + 1)
+    if kind == "abs":
+        return f"abs({a})"
+    if kind == "neg":
+        return f"(- {a})"
+    b = _grow_expr(draw, st, depth + 1)
+    if kind == "add":
+        return f"({a} + {b})"
+    if kind == "sub":
+        return f"({a} - {b})"
+    if kind == "mul":
+        return f"({a} * {b})"
+    if kind == "div":
+        return f"({a} / nullif({b}, CAST(0 AS DOUBLE)))"
+    if kind == "least":
+        return f"least({a}, {b})"
+    if kind == "greatest":
+        return f"greatest({a}, {b})"
+    if kind == "coalesce":
+        return f"coalesce({a}, {b})"
+    return f"(CASE WHEN {a} < {b} THEN {a} ELSE {b} END)"
+
+
+@st.composite
+def expr_tree_spec(draw):
+    n_cols = draw(st.integers(1, 4))
+    return [_grow_expr(draw, st, 0) for _ in range(n_cols)]
+
+
+@given(expr_tree_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_expression_tree_parity(spark, duck, exprs):
+    """Random expression trees (depth ≤3) over orders columns: the SAME SQL
+    text runs on both engines; doubles must match bit-for-bit (IEEE ops),
+    NULLs must land in the same rows."""
+    import math
+
+    cols = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    sql = (
+        f"SELECT {cols} FROM orders "
+        "WHERE o_orderkey % 17 = 3 ORDER BY o_orderkey LIMIT 120"
+    )
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if gv is None or wv is None:
+                assert gv is None and wv is None, sql
+            elif isinstance(gv, float) and math.isnan(gv):
+                assert math.isnan(float(wv)), sql
+            else:
+                assert float(gv) == float(wv), sql
