@@ -619,3 +619,84 @@ def dedup_substring_windows(spark, sf_dir):
         F.round(F.col("shared_windows").cast("double")
                 / F.col("total_windows"), 6).alias("dup_frac"),
     )
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(SUBSTR(MD5(sh) || MD5(sh || '#'), {i * 8 + 1}, 8)) AS m{i}" for i in range(K_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_key
+      FROM sigs, LATERAL (VALUES
+        (0, m0 || m1), (1, m2 || m3), (2, m4 || m5), (3, m6 || m7)
+      ) AS b(band_id, band_key)
+    )
+    SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS hist_doc
+    FROM (SELECT * FROM bands WHERE doc_id % 10 >= 8) n
+    JOIN (SELECT * FROM bands WHERE doc_id % 10 < 8) h
+      ON n.band_id = h.band_id AND n.band_key = h.band_key
+    """,
+    tags=("pipeline", "dedup", "minhash", "incremental"),
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental near-dup screening: a NEW ingest batch (doc_id%10 >= 8,
+    ~20% of the corpus) is checked against the HISTORICAL corpus
+    (doc_id%10 < 8) through the same 4-band MinHash LSH index — the shape
+    of every production 100 TB pipeline, where data arrives in batches
+    and each batch must be deduped against everything already accepted
+    WITHOUT re-pairing history against itself.
+
+    Plan shape (single-pass, like dedup_minhash_lsh_pairs): ONE signature
+    pass over the corpus — a bands self-join would evaluate the whole
+    shingle→md5→signature pipeline twice, two corpus scans at 100 TB —
+    then one shuffle onto (band_id, band_key) collecting the bucket's new
+    and history members into two SEPARATE capped lists (collect_list
+    skips the CASE-null side), and the (new × hist) candidates expand
+    inside each bucket: no history self-pairs ever materialize.  In a
+    real deployment the history side is the persisted band index (cf. the
+    PQ code artifact in pipeline_similarity) and only the batch is
+    scanned; pathological buckets are capped at LSH_BUCKET_CAP per side
+    before the expand, same policy and metric as the full-corpus entry."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = _shingles(docs, distinct=False).groupBy("doc_id").agg(*_minhash_cols())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("band_key"),
+            )
+            for b in range(K_MINHASH // 2)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    is_new = F.col("doc_id") % 10 >= 8
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.when(is_new, F.col("doc_id")))),
+                1, LSH_BUCKET_CAP,
+            ).alias("new_ds"),
+            F.slice(
+                F.sort_array(F.collect_list(F.when(~is_new, F.col("doc_id")))),
+                1, LSH_BUCKET_CAP,
+            ).alias("hist_ds"),
+        )
+        .filter((F.size("new_ds") > 0) & (F.size("hist_ds") > 0))
+    )
+    return (
+        buckets.select(
+            F.explode("new_ds").alias("new_doc"), "hist_ds"
+        )
+        .select("new_doc", F.explode("hist_ds").alias("hist_doc"))
+        .distinct()
+    )

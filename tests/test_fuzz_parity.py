@@ -489,3 +489,57 @@ def test_random_expression_tree_parity(spark, duck, exprs):
                 assert math.isnan(float(wv)), sql
             else:
                 assert float(gv) == float(wv), sql
+
+
+# ---------------------------------------------------------------------------
+# Sort-spec fuzz (reference core/tests/fuzz_cases/sort_fuzz.rs, order.slt):
+# random multi-key ORDER BY with mixed directions and NULLS placement over a
+# derived nullable column.  The trailing o_orderkey key makes the total
+# order unique, so both engines must produce the identical row sequence —
+# compared POSITIONALLY (this is the one axis where order is the subject).
+#
+# Known engine-default divergence (documented out by always spelling the
+# placement): Spark defaults ASC to NULLS FIRST / DESC to NULLS LAST
+# (NULLS-smallest), DuckDB defaults to NULLS LAST on ASC (NULLS-largest,
+# Postgres-style).  Explicit NULLS FIRST/LAST agrees everywhere.
+
+_SORT_KEYS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "CAST(o_custkey % 7 AS BIGINT)",
+    # nullable derived key: NULL for ~1/3 of rows
+    "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END",
+]
+_DIRS = ["ASC", "DESC"]
+_NULLS = ["NULLS FIRST", "NULLS LAST"]
+
+
+@st.composite
+def sort_spec(draw):
+    n_keys = draw(st.integers(1, 3))
+    keys = draw(
+        st.lists(st.sampled_from(_SORT_KEYS), min_size=n_keys, max_size=n_keys,
+                 unique=True)
+    )
+    specs = [
+        (k, draw(st.sampled_from(_DIRS)), draw(st.sampled_from(_NULLS)))
+        for k in keys
+    ]
+    return specs
+
+
+@given(sort_spec())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_sort_spec_parity(spark, duck, specs):
+    order = ", ".join(f"{k} {d} {n}".strip() for k, d, n in specs)
+    sql = (
+        "SELECT o_orderkey FROM orders "
+        f"WHERE o_orderkey % 5 = 1 ORDER BY {order}, o_orderkey LIMIT 200"
+    )
+    got = [r[0] for r in spark.sql(sql).collect()]
+    want = [r[0] for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
