@@ -140,6 +140,7 @@ def _interleave_families() -> None:
         "fn_spark_datetime_ctor_aliases",  # r5: +to_timestamp_ltz/localtimestamp
         "join_array_keys",                 # new r5 array-key join family
         "dedup_incremental_lsh",           # new r5 incremental-ingest dedup
+        "join_empty_side_propagation",
     }
 
     def tier(name: str) -> int:

@@ -1983,3 +1983,45 @@ _sql_query(
     to the constant; grouping on all-constant keys still aggregates the
     whole input into one row.""",
 )
+
+
+_sql_query(
+    "join_empty_side_propagation",
+    spark_sql="""
+    SELECT (SELECT COUNT(*) FROM (SELECT 1 AS k) a
+            LEFT JOIN (SELECT 1 AS k WHERE FALSE) b USING (k))     AS left_vs_empty,
+           (SELECT b.k IS NULL FROM (SELECT 1 AS k) a
+            LEFT JOIN (SELECT 2 AS k WHERE FALSE) b ON a.k = b.k)  AS left_pad_null,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k WHERE FALSE) a
+            RIGHT JOIN (SELECT 1 AS k) b ON a.k = b.k)             AS right_vs_empty,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k WHERE FALSE) a
+            FULL JOIN (SELECT 1 AS k WHERE FALSE) b ON a.k = b.k)  AS full_both_empty,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k) a
+            JOIN (SELECT 1 AS k WHERE FALSE) b ON a.k = b.k)       AS inner_vs_empty,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k) a
+            CROSS JOIN (SELECT 1 AS k WHERE FALSE) b)              AS cross_vs_empty
+    """,
+    duck_sql="""
+    SELECT (SELECT COUNT(*) FROM (SELECT 1 AS k) a
+            LEFT JOIN (SELECT 1 AS k WHERE FALSE) b USING (k))     AS left_vs_empty,
+           (SELECT b.k IS NULL FROM (SELECT 1 AS k) a
+            LEFT JOIN (SELECT 2 AS k WHERE FALSE) b ON a.k = b.k)  AS left_pad_null,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k WHERE FALSE) a
+            RIGHT JOIN (SELECT 1 AS k) b ON a.k = b.k)             AS right_vs_empty,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k WHERE FALSE) a
+            FULL JOIN (SELECT 1 AS k WHERE FALSE) b ON a.k = b.k)  AS full_both_empty,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k) a
+            JOIN (SELECT 1 AS k WHERE FALSE) b ON a.k = b.k)       AS inner_vs_empty,
+           (SELECT COUNT(*) FROM (SELECT 1 AS k) a
+            CROSS JOIN (SELECT 1 AS k WHERE FALSE) b)              AS cross_vs_empty
+    """,
+    tags=("join", "edge", "optimizer"),
+    doc="""Empty-relation propagation through joins (reference
+    propagate_empty_relation_outer_join.slt, eliminate_outer_join.slt):
+    a provably-empty build side must NOT empty an outer join — LEFT/RIGHT
+    preserve the non-empty side with NULL padding — while inner and cross
+    joins DO collapse to empty, and FULL of two empties is empty.  The
+    distinction is exactly what the reference's PropagateEmptyRelation
+    rule must preserve; Catalyst's equivalent folds these at plan time
+    and must agree with DuckDB's runtime results.""",
+)
