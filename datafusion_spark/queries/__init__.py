@@ -141,6 +141,7 @@ def _interleave_families() -> None:
         "join_array_keys",                 # new r5 array-key join family
         "dedup_incremental_lsh",           # new r5 incremental-ingest dedup
         "join_empty_side_propagation",
+        "fn_edge_datetime_arith_matrix",
     }
 
     def tier(name: str) -> int:

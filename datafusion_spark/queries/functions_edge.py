@@ -2025,3 +2025,47 @@ _sql_query(
     rule must preserve; Catalyst's equivalent folds these at plan time
     and must agree with DuckDB's runtime results.""",
 )
+
+
+@query(
+    "fn_edge_datetime_arith_matrix",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1994-01-01' AS BIGINT) AS days_since,
+           CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT)      AS d_plus_int,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP))
+                - epoch(TIMESTAMP '1994-01-01 00:00:00') AS BIGINT)      AS ts_diff_s,
+           CAST(o_orderdate AS TIMESTAMP) + (- INTERVAL 3 DAY)           AS neg_interval,
+           CAST(o_orderdate AS TIMESTAMP)
+                + INTERVAL 1 DAY * CAST(o_orderkey % 5 AS BIGINT)        AS ival_scaled_int,
+           CAST(o_orderdate AS TIMESTAMP)
+                + to_seconds(CAST(86400 * 2.5 AS BIGINT))                AS ival_scaled_frac,
+           CAST(o_orderdate AS DATE) < DATE '1996-01-01'                 AS date_cmp
+    FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("functions", "edge", "datetime"),
+)
+def fn_edge_datetime_arith_matrix(spark, sf_dir):
+    """Temporal-arithmetic operator matrix (reference datetime/
+    {arith_date_date,arith_date_integer,arith_timestamp_timestamp,
+    arith_negate_interval,arith_interval_double,arith_timestamp_interval}
+    .slt): date−date as day counts (Spark datediff ⇔ DuckDB date
+    subtraction), date+integer day offsets, timestamp−timestamp as epoch
+    seconds, unary-negated intervals, intervals scaled by an integer
+    column and by a fractional constant (Spark INTERVAL*2.5 ⇔ DuckDB
+    to_seconds — DuckDB's `*` rejects INTERVAL×DECIMAL), and date
+    comparison.  Time-typed arithmetic (arith_time_*.slt) is out of
+    scope: Spark has no TIME type (documented, SURVEY §2.10)."""
+    return spark.sql(f"""
+    SELECT o_orderkey,
+           CAST(datediff(CAST(o_orderdate AS DATE), DATE '1994-01-01') AS BIGINT) AS days_since,
+           date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 30 AS INT))      AS d_plus_int,
+           CAST(unix_timestamp(CAST(o_orderdate AS TIMESTAMP))
+                - unix_timestamp(TIMESTAMP '1994-01-01 00:00:00') AS BIGINT)      AS ts_diff_s,
+           CAST(o_orderdate AS TIMESTAMP) + (- INTERVAL 3 DAY)                    AS neg_interval,
+           CAST(o_orderdate AS TIMESTAMP)
+                + INTERVAL '1' DAY * (o_orderkey % 5)                             AS ival_scaled_int,
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL '1' DAY * 2.5               AS ival_scaled_frac,
+           CAST(o_orderdate AS DATE) < DATE '1996-01-01'                          AS date_cmp
+    FROM parquet.`{sf_dir}/orders.parquet` WHERE o_orderkey < 300
+    """)
