@@ -47,6 +47,7 @@ _MODULES = [
     "functions_spark_compat",
     "functions_edge",
     "compat_sql",
+    "tpcds_planning",
 ]
 
 
@@ -142,6 +143,7 @@ def _interleave_families() -> None:
         "dedup_incremental_lsh",           # new r5 incremental-ingest dedup
         "join_empty_side_propagation",
         "fn_edge_datetime_arith_matrix",
+        "tpcds_planning_sweep",            # new r5 TPC-DS planning parity
     }
 
     def tier(name: str) -> int:
