@@ -48,6 +48,7 @@ _MODULES = [
     "functions_edge",
     "compat_sql",
     "tpcds_planning",
+    "tpcds_exec",
 ]
 
 
@@ -144,6 +145,10 @@ def _interleave_families() -> None:
         "join_empty_side_propagation",
         "fn_edge_datetime_arith_matrix",
         "tpcds_planning_sweep",            # new r5 TPC-DS planning parity
+        "tpcds_q3",                        # new r5 executed TPC-DS subset
+        "tpcds_q42",
+        "tpcds_q52",
+        "tpcds_q55",
     }
 
     def tier(name: str) -> int:

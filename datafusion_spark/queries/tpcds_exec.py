@@ -1,0 +1,199 @@
+"""Executed TPC-DS star-join subset on deterministically derived tables.
+
+The reference only PLANS TPC-DS (see tpcds_planning.py); this module goes
+one step further and EXECUTES the classic star-join reporting family
+(q3 / q42 / q52 / q55 — date_dim ⋈ store_sales ⋈ item, grouped brand /
+category rollups) with value-checked results, using the same technique as
+the official-schema TPC-H track (tpch_official.py): every TPC-DS column
+is a DETERMINISTIC function of the synthetic TPC-H testdata, spelled
+identically in Spark and in the DuckDB oracle, so both engines derive
+bit-identical inputs at any scale factor.
+
+Derivations (pure key functions / calendar math — no randomness):
+  date_dim     d_date_sk = days-since-1992-01-01 + 2450000 over the
+               calendar 1995-01-01..2001-12-31; d_year/d_moy/d_dom.
+  item         i_item_sk = p_partkey, i_brand = p_brand,
+               i_brand_id = int suffix of p_brand, i_category = p_type,
+               i_category_id = p_size % 10 + 1,
+               i_manufact_id = p_partkey % 500,
+               i_manager_id = p_partkey % 40 + 1.
+  store_sales  one row per lineitem: ss_sold_date_sk from o_orderdate,
+               ss_item_sk = l_partkey,
+               ss_ext_sales_price = l_extendedprice.
+
+Query-text adaptations (each inline, same policy as tpch.py):
+  * sum(ss_ext_sales_price) wrapped CAST(.. AS DOUBLE) + aliased on both
+    sides (house determinism rule for decimal aggregates, SURVEY §4).
+  * q55: d_year 2001 → 2000 (the synthetic order calendar ends 2001-08;
+    December 2001 does not exist in the data).  Join graph, grouping,
+    ordering and LIMIT are verbatim.
+  * q3 keeps i_manufact_id = 436, q42/q52 keep i_manager_id = 1, q55
+    keeps i_manager_id = 36 — all nonempty under the derivations above.
+
+Scale: the fact derivation is a single lineitem⋈orders equi-join on
+l_orderkey (co-partitioned); date_dim and item are dimension-sized and
+broadcast into the star join exactly as a real TPC-DS plan would.
+"""
+
+from __future__ import annotations
+
+from datafusion_spark.queries.registry import query
+
+_DATE_LO, _DATE_HI = "1995-01-01", "2001-12-31"
+
+_SPARK_DERIVE = f"""
+WITH date_dim AS (
+  SELECT CAST(d AS DATE) AS d_date,
+         datediff(CAST(d AS DATE), DATE '1992-01-01') + 2450000 AS d_date_sk,
+         year(d) AS d_year, month(d) AS d_moy, day(d) AS d_dom
+  FROM (SELECT explode(sequence(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
+                                INTERVAL 1 DAY)) AS d)
+),
+item AS (
+  SELECT p_partkey AS i_item_sk,
+         p_brand AS i_brand,
+         CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
+         p_type AS i_category,
+         CAST(p_size % 10 + 1 AS INT) AS i_category_id,
+         CAST(p_partkey % 500 AS INT) AS i_manufact_id,
+         CAST(p_partkey % 40 + 1 AS INT) AS i_manager_id
+  FROM parquet.`__SF__/part.parquet`
+),
+store_sales AS (
+  SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
+             AS ss_sold_date_sk,
+         l_partkey AS ss_item_sk,
+         l_extendedprice AS ss_ext_sales_price
+  FROM parquet.`__SF__/lineitem.parquet`
+  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+)
+"""
+
+_DUCK_DERIVE = f"""
+WITH date_dim AS (
+  SELECT CAST(d AS DATE) AS d_date,
+         (CAST(d AS DATE) - DATE '1992-01-01') + 2450000 AS d_date_sk,
+         year(d) AS d_year, month(d) AS d_moy, day(d) AS d_dom
+  FROM (SELECT unnest(generate_series(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
+                                      INTERVAL '1 day')) AS d) t
+),
+item AS (
+  SELECT p_partkey AS i_item_sk,
+         p_brand AS i_brand,
+         CAST(SUBSTR(p_brand, 7) AS INT) AS i_brand_id,
+         p_type AS i_category,
+         CAST(p_size % 10 + 1 AS INT) AS i_category_id,
+         CAST(p_partkey % 500 AS INT) AS i_manufact_id,
+         CAST(p_partkey % 40 + 1 AS INT) AS i_manager_id
+  FROM part
+),
+store_sales AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
+             AS ss_sold_date_sk,
+         l_partkey AS ss_item_sk,
+         l_extendedprice AS ss_ext_sales_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+"""
+
+
+def _register(name: str, body: str, doc: str) -> None:
+    def fn(spark, sf_dir, _body=body):
+        return spark.sql(
+            (_SPARK_DERIVE + _body).replace("__SF__", sf_dir)
+        )
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    query(name, oracle=_DUCK_DERIVE + body, tags=("tpcds", "exec"))(fn)
+
+
+_register(
+    "tpcds_q3",
+    """
+    SELECT dt.d_year,
+           item.i_brand_id AS brand_id,
+           item.i_brand AS brand,
+           CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_agg
+    FROM date_dim dt, store_sales, item
+    WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      AND store_sales.ss_item_sk = item.i_item_sk
+      AND item.i_manufact_id = 436
+      AND dt.d_moy = 12
+    GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+    ORDER BY dt.d_year, sum_agg DESC, brand_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q3 (reference tpcds_sql/3.sql) executed on the derived
+    star schema: December brand revenue by year for one manufacturer.
+    Verbatim join graph/grouping/ordering; sum CAST to DOUBLE per house
+    rule.""",
+)
+
+_register(
+    "tpcds_q42",
+    """
+    SELECT dt.d_year,
+           item.i_category_id,
+           item.i_category,
+           CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_sales
+    FROM date_dim dt, store_sales, item
+    WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      AND store_sales.ss_item_sk = item.i_item_sk
+      AND item.i_manager_id = 1
+      AND dt.d_moy = 12
+      AND dt.d_year = 1998
+    GROUP BY dt.d_year, item.i_category_id, item.i_category
+    ORDER BY sum_sales DESC, dt.d_year, item.i_category_id, item.i_category
+    LIMIT 100
+    """,
+    doc="""TPC-DS q42 (reference tpcds_sql/42.sql) executed: December 1998
+    category revenue for manager 1.  The bare ORDER BY sum() is aliased
+    (sum_sales) so both engines hash the same column name.""",
+)
+
+_register(
+    "tpcds_q52",
+    """
+    SELECT dt.d_year,
+           item.i_brand_id AS brand_id,
+           item.i_brand AS brand,
+           CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS ext_price
+    FROM date_dim dt, store_sales, item
+    WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+      AND store_sales.ss_item_sk = item.i_item_sk
+      AND item.i_manager_id = 1
+      AND dt.d_moy = 12
+      AND dt.d_year = 1998
+    GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+    ORDER BY dt.d_year, ext_price DESC, brand_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q52 (reference tpcds_sql/52.sql) executed: December 1998
+    brand revenue for manager 1, ext_price-descending.""",
+)
+
+_register(
+    "tpcds_q55",
+    """
+    SELECT item.i_brand_id AS brand_id,
+           item.i_brand AS brand,
+           CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS ext_price
+    FROM date_dim, store_sales, item
+    WHERE d_date_sk = ss_sold_date_sk
+      AND ss_item_sk = i_item_sk
+      AND i_manager_id = 36
+      AND d_moy = 12
+      AND d_year = 2000
+    GROUP BY i_brand, i_brand_id
+    ORDER BY ext_price DESC, i_brand_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q55 (reference tpcds_sql/55.sql) executed: December
+    brand revenue for manager 36.  d_year 2001 → 2000 (the synthetic
+    calendar ends 2001-08; December 2001 is empty by construction).""",
+)

@@ -114,6 +114,10 @@ SHUFFLE_BUDGETS = {
     "compat_sql_qualify": 2,       # window exchange + output sort
     "text_sequence_packing": 6,    # bucket cumsum + tiny offsets + output sort
     "text_pack_assembly": 7,       # + the single pack_id assembly shuffle
+    # executed TPC-DS star joins (r5): date_dim/item broadcast into the
+    # fact; the only exchanges are the group-by and the ordered LIMIT
+    "tpcds_q3": 2,
+    "tpcds_q52": 2,
 }
 
 BROADCAST_EXPECTED = [
@@ -131,6 +135,8 @@ BROADCAST_EXPECTED = [
     "similarity_pq_topk", # codebooks + reconstructions broadcast
     "similarity_ivfpq_topk",
     "similarity_ivfpq_residual_topk",
+    "tpcds_q3",           # date_dim + item dimension legs broadcast
+    "tpcds_q55",
 ]
 
 
