@@ -149,6 +149,9 @@ def _interleave_families() -> None:
         "tpcds_q42",
         "tpcds_q52",
         "tpcds_q55",
+        "tpcds_q98",
+        "tpcds_q12",
+        "tpcds_q20",
     }
 
     def tier(name: str) -> int:

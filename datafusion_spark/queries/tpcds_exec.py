@@ -20,6 +20,13 @@ Derivations (pure key functions / calendar math — no randomness):
   store_sales  one row per lineitem: ss_sold_date_sk from o_orderdate,
                ss_item_sk = l_partkey,
                ss_ext_sales_price = l_extendedprice.
+  web_sales / catalog_sales   disjoint deterministic channel subsets of
+               the same fact (l_suppkey % 4 = 1 / = 2) with ws_*/cs_*
+               columns, so the three-channel query family (q12/q20/q98)
+               sees distinct channels as TPC-DS intends.
+  item (q98 family extras)    i_item_id = zero-padded key, i_item_desc =
+               p_name, i_class = key mod 7, i_current_price =
+               p_retailprice.
 
 Query-text adaptations (each inline, same policy as tpch.py):
   * sum(ss_ext_sales_price) wrapped CAST(.. AS DOUBLE) + aliased on both
@@ -56,7 +63,11 @@ item AS (
          p_type AS i_category,
          CAST(p_size % 10 + 1 AS INT) AS i_category_id,
          CAST(p_partkey % 500 AS INT) AS i_manufact_id,
-         CAST(p_partkey % 40 + 1 AS INT) AS i_manager_id
+         CAST(p_partkey % 40 + 1 AS INT) AS i_manager_id,
+         'I' || lpad(CAST(p_partkey AS STRING), 9, '0') AS i_item_id,
+         p_name AS i_item_desc,
+         'CLASS#' || CAST(p_partkey % 7 AS STRING) AS i_class,
+         p_retailprice AS i_current_price
   FROM parquet.`__SF__/part.parquet`
 ),
 store_sales AS (
@@ -66,6 +77,24 @@ store_sales AS (
          l_extendedprice AS ss_ext_sales_price
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+),
+web_sales AS (
+  SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
+             AS ws_sold_date_sk,
+         l_partkey AS ws_item_sk,
+         l_extendedprice AS ws_ext_sales_price
+  FROM parquet.`__SF__/lineitem.parquet`
+  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 4 = 1
+),
+catalog_sales AS (
+  SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
+             AS cs_sold_date_sk,
+         l_partkey AS cs_item_sk,
+         l_extendedprice AS cs_ext_sales_price
+  FROM parquet.`__SF__/lineitem.parquet`
+  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 4 = 2
 )
 """
 
@@ -84,7 +113,11 @@ item AS (
          p_type AS i_category,
          CAST(p_size % 10 + 1 AS INT) AS i_category_id,
          CAST(p_partkey % 500 AS INT) AS i_manufact_id,
-         CAST(p_partkey % 40 + 1 AS INT) AS i_manager_id
+         CAST(p_partkey % 40 + 1 AS INT) AS i_manager_id,
+         'I' || lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS i_item_id,
+         p_name AS i_item_desc,
+         'CLASS#' || CAST(p_partkey % 7 AS VARCHAR) AS i_class,
+         p_retailprice AS i_current_price
   FROM part
 ),
 store_sales AS (
@@ -93,6 +126,22 @@ store_sales AS (
          l_partkey AS ss_item_sk,
          l_extendedprice AS ss_ext_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+web_sales AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
+             AS ws_sold_date_sk,
+         l_partkey AS ws_item_sk,
+         l_extendedprice AS ws_ext_sales_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 4 = 1
+),
+catalog_sales AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
+             AS cs_sold_date_sk,
+         l_partkey AS cs_item_sk,
+         l_extendedprice AS cs_ext_sales_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 4 = 2
 )
 """
 
@@ -196,4 +245,103 @@ _register(
     doc="""TPC-DS q55 (reference tpcds_sql/55.sql) executed: December
     brand revenue for manager 36.  d_year 2001 → 2000 (the synthetic
     calendar ends 2001-08; December 2001 is empty by construction).""",
+)
+
+_register(
+    "tpcds_q98",
+    """
+    SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+           CAST(rev AS DOUBLE) AS itemrevenue,
+           CAST(rev AS DOUBLE) * 100.0
+               / CAST(SUM(rev) OVER (PARTITION BY i_class) AS DOUBLE)
+               AS revenueratio
+    FROM (
+      SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+             SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS rev
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk = i_item_sk
+        AND i_category IN ('ECONOMY', 'PROMO', 'STANDARD')
+        AND ss_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('2001-01-12' AS DATE)
+                       AND CAST('2001-01-12' AS DATE) + INTERVAL 30 DAY
+      GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+    ) t
+    ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+    
+""",
+    doc="""TPC-DS q98 (reference tpcds_sql/98.sql) executed: the
+    item-revenue share-of-class report over the store channel, with
+    the sum(x)*100/sum(sum(x)) OVER (PARTITION BY i_class) window over
+    the grouped star join.  Adaptations documented in the module
+    docstring: the window-over-aggregate is restructured as an inner
+    aggregate + outer window so the class total accumulates in
+    DECIMAL(38,6) (a DOUBLE window total would be order-dependent), the
+    ratio divides the two exact decimals as doubles (IEEE-identical),
+    and the category IN-list targets three synthetic p_type values.""",
+)
+
+_register(
+    "tpcds_q12",
+    """
+    SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+           CAST(rev AS DOUBLE) AS itemrevenue,
+           CAST(rev AS DOUBLE) * 100.0
+               / CAST(SUM(rev) OVER (PARTITION BY i_class) AS DOUBLE)
+               AS revenueratio
+    FROM (
+      SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+             SUM(CAST(ws_ext_sales_price AS DECIMAL(38,6))) AS rev
+      FROM web_sales, item, date_dim
+      WHERE ws_item_sk = i_item_sk
+        AND i_category IN ('ECONOMY', 'PROMO', 'STANDARD')
+        AND ws_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('2001-01-12' AS DATE)
+                       AND CAST('2001-01-12' AS DATE) + INTERVAL 30 DAY
+      GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+    ) t
+    ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+    LIMIT 100
+""",
+    doc="""TPC-DS q12 (reference tpcds_sql/12.sql) executed: the
+    item-revenue share-of-class report over the web channel, with
+    the sum(x)*100/sum(sum(x)) OVER (PARTITION BY i_class) window over
+    the grouped star join.  Adaptations documented in the module
+    docstring: the window-over-aggregate is restructured as an inner
+    aggregate + outer window so the class total accumulates in
+    DECIMAL(38,6) (a DOUBLE window total would be order-dependent), the
+    ratio divides the two exact decimals as doubles (IEEE-identical),
+    and the category IN-list targets three synthetic p_type values.""",
+)
+
+_register(
+    "tpcds_q20",
+    """
+    SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+           CAST(rev AS DOUBLE) AS itemrevenue,
+           CAST(rev AS DOUBLE) * 100.0
+               / CAST(SUM(rev) OVER (PARTITION BY i_class) AS DOUBLE)
+               AS revenueratio
+    FROM (
+      SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+             SUM(CAST(cs_ext_sales_price AS DECIMAL(38,6))) AS rev
+      FROM catalog_sales, item, date_dim
+      WHERE cs_item_sk = i_item_sk
+        AND i_category IN ('ECONOMY', 'PROMO', 'STANDARD')
+        AND cs_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('2001-01-12' AS DATE)
+                       AND CAST('2001-01-12' AS DATE) + INTERVAL 30 DAY
+      GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+    ) t
+    ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+    LIMIT 100
+""",
+    doc="""TPC-DS q20 (reference tpcds_sql/20.sql) executed: the
+    item-revenue share-of-class report over the catalog channel, with
+    the sum(x)*100/sum(sum(x)) OVER (PARTITION BY i_class) window over
+    the grouped star join.  Adaptations documented in the module
+    docstring: the window-over-aggregate is restructured as an inner
+    aggregate + outer window so the class total accumulates in
+    DECIMAL(38,6) (a DOUBLE window total would be order-dependent), the
+    ratio divides the two exact decimals as doubles (IEEE-identical),
+    and the category IN-list targets three synthetic p_type values.""",
 )
