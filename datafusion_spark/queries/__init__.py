@@ -152,6 +152,8 @@ def _interleave_families() -> None:
         "tpcds_q98",
         "tpcds_q12",
         "tpcds_q20",
+        "tpcds_q96",
+        "tpcds_q7",
     }
 
     def tier(name: str) -> int:

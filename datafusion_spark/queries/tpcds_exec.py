@@ -74,9 +74,50 @@ store_sales AS (
   SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
              AS ss_sold_date_sk,
          l_partkey AS ss_item_sk,
-         l_extendedprice AS ss_ext_sales_price
+         l_extendedprice AS ss_ext_sales_price,
+         CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
+             AS ss_sold_time_sk,
+         CAST(o_custkey % 7200 + 1 AS INT) AS ss_hdemo_sk,
+         CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
+         CAST(o_custkey % 1000 + 1 AS INT) AS ss_cdemo_sk,
+         CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
+         l_quantity AS ss_quantity,
+         l_extendedprice AS ss_list_price,
+         l_discount AS ss_coupon_amt,
+         l_tax AS ss_sales_price
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+),
+time_dim AS (
+  SELECT id AS t_time_sk, CAST(id div 3600 AS INT) AS t_hour,
+         CAST((id % 3600) div 60 AS INT) AS t_minute,
+         CAST(id % 60 AS INT) AS t_second
+  FROM (SELECT explode(sequence(0, 86399)) AS id)
+),
+household_demographics AS (
+  SELECT id AS hd_demo_sk, CAST(id % 10 AS INT) AS hd_dep_count
+  FROM (SELECT explode(sequence(1, 7200)) AS id)
+),
+store AS (
+  SELECT id AS s_store_sk, 'store_' || CAST(id AS STRING) AS s_store_name
+  FROM (SELECT explode(sequence(1, 10)) AS id)
+),
+customer_demographics AS (
+  SELECT id AS cd_demo_sk,
+         CASE WHEN id % 2 = 0 THEN 'F' ELSE 'M' END AS cd_gender,
+         CASE id % 5 WHEN 0 THEN 'S' WHEN 1 THEN 'M' WHEN 2 THEN 'W'
+                     WHEN 3 THEN 'D' ELSE 'U' END AS cd_marital_status,
+         CASE id % 7 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
+                     WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree'
+                     WHEN 4 THEN '4 yr Degree' WHEN 5 THEN 'Advanced Degree'
+                     ELSE 'Unknown' END AS cd_education_status
+  FROM (SELECT explode(sequence(1, 1000)) AS id)
+),
+promotion AS (
+  SELECT id AS p_promo_sk,
+         CASE WHEN id % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
+         CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
+  FROM (SELECT explode(sequence(1, 300)) AS id)
 ),
 web_sales AS (
   SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
@@ -124,8 +165,49 @@ store_sales AS (
   SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
              AS ss_sold_date_sk,
          l_partkey AS ss_item_sk,
-         l_extendedprice AS ss_ext_sales_price
+         l_extendedprice AS ss_ext_sales_price,
+         CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
+             AS ss_sold_time_sk,
+         CAST(o_custkey % 7200 + 1 AS INT) AS ss_hdemo_sk,
+         CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
+         CAST(o_custkey % 1000 + 1 AS INT) AS ss_cdemo_sk,
+         CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
+         l_quantity AS ss_quantity,
+         l_extendedprice AS ss_list_price,
+         l_discount AS ss_coupon_amt,
+         l_tax AS ss_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+time_dim AS (
+  SELECT id AS t_time_sk, CAST(id // 3600 AS INT) AS t_hour,
+         CAST((id % 3600) // 60 AS INT) AS t_minute,
+         CAST(id % 60 AS INT) AS t_second
+  FROM range(0, 86400) t(id)
+),
+household_demographics AS (
+  SELECT id AS hd_demo_sk, CAST(id % 10 AS INT) AS hd_dep_count
+  FROM range(1, 7201) t(id)
+),
+store AS (
+  SELECT id AS s_store_sk, 'store_' || CAST(id AS VARCHAR) AS s_store_name
+  FROM range(1, 11) t(id)
+),
+customer_demographics AS (
+  SELECT id AS cd_demo_sk,
+         CASE WHEN id % 2 = 0 THEN 'F' ELSE 'M' END AS cd_gender,
+         CASE id % 5 WHEN 0 THEN 'S' WHEN 1 THEN 'M' WHEN 2 THEN 'W'
+                     WHEN 3 THEN 'D' ELSE 'U' END AS cd_marital_status,
+         CASE id % 7 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
+                     WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree'
+                     WHEN 4 THEN '4 yr Degree' WHEN 5 THEN 'Advanced Degree'
+                     ELSE 'Unknown' END AS cd_education_status
+  FROM range(1, 1001) t(id)
+),
+promotion AS (
+  SELECT id AS p_promo_sk,
+         CASE WHEN id % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
+         CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
+  FROM range(1, 301) t(id)
 ),
 web_sales AS (
   SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
@@ -344,4 +426,63 @@ _register(
     DECIMAL(38,6) (a DOUBLE window total would be order-dependent), the
     ratio divides the two exact decimals as doubles (IEEE-identical),
     and the category IN-list targets three synthetic p_type values.""",
+)
+
+_register(
+    "tpcds_q96",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM store_sales, household_demographics, time_dim, store
+    WHERE ss_sold_time_sk = time_dim.t_time_sk
+      AND ss_hdemo_sk = household_demographics.hd_demo_sk
+      AND ss_store_sk = s_store_sk
+      AND time_dim.t_hour = 8
+      AND time_dim.t_minute >= 30
+      AND household_demographics.hd_dep_count = 5
+      AND store.s_store_name = 'store_3'
+    ORDER BY cnt
+    LIMIT 100
+    """,
+    doc="""TPC-DS q96 (reference tpcds_sql/96.sql) executed: the
+    4-dimension counting star (time-of-day slice × household dependents
+    × one store).  time_dim (86 400 seconds), household_demographics
+    (7 200 profiles) and store (10 stores) are generated dimensions —
+    pure functions of their surrogate key, identical in both engines;
+    the fact carries deterministic ss_sold_time_sk / ss_hdemo_sk /
+    ss_store_sk derivations.  s_store_name constant retargeted
+    'ese' → 'store_3' (synthetic store names); count aliased cnt.""",
+)
+
+_AVG = "CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c})"
+
+_register(
+    "tpcds_q7",
+    f"""
+    SELECT i_item_id,
+           {_AVG.format(c='ss_quantity')}    AS agg1,
+           {_AVG.format(c='ss_list_price')}  AS agg2,
+           {_AVG.format(c='ss_coupon_amt')}  AS agg3,
+           {_AVG.format(c='ss_sales_price')} AS agg4
+    FROM store_sales, customer_demographics, date_dim, item, promotion
+    WHERE ss_sold_date_sk = d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_cdemo_sk = cd_demo_sk
+      AND ss_promo_sk = p_promo_sk
+      AND cd_gender = 'F'
+      AND cd_marital_status = 'W'
+      AND cd_education_status = 'Primary'
+      AND (p_channel_email = 'N' OR p_channel_event = 'N')
+      AND d_year = 1998
+    GROUP BY i_item_id
+    ORDER BY i_item_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q7 (reference tpcds_sql/7.sql) executed: demographic ×
+    promotion item averages over the 5-relation star.
+    customer_demographics (gender/marital/education as key functions)
+    and promotion (channel flags) are generated dimensions; the fact
+    carries ss_cdemo_sk/ss_promo_sk plus the quantity/price/coupon
+    measures.  Each avg() is spelled as exact-decimal-sum / count (house
+    determinism rule — a native double avg is accumulation-order-
+    dependent); join graph, filters, grouping and LIMIT verbatim.""",
 )
