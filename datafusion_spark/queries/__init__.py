@@ -154,6 +154,7 @@ def _interleave_families() -> None:
         "tpcds_q20",
         "tpcds_q96",
         "tpcds_q7",
+        "tpcds_q26",
     }
 
     def tier(name: str) -> int:

@@ -132,7 +132,13 @@ catalog_sales AS (
   SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
              AS cs_sold_date_sk,
          l_partkey AS cs_item_sk,
-         l_extendedprice AS cs_ext_sales_price
+         l_extendedprice AS cs_ext_sales_price,
+         CAST(o_custkey % 1000 + 1 AS INT) AS cs_bill_cdemo_sk,
+         CAST(l_partkey % 300 + 1 AS INT) AS cs_promo_sk,
+         l_quantity AS cs_quantity,
+         l_extendedprice AS cs_list_price,
+         l_discount AS cs_coupon_amt,
+         l_tax AS cs_sales_price
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2
@@ -221,7 +227,13 @@ catalog_sales AS (
   SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
              AS cs_sold_date_sk,
          l_partkey AS cs_item_sk,
-         l_extendedprice AS cs_ext_sales_price
+         l_extendedprice AS cs_ext_sales_price,
+         CAST(o_custkey % 1000 + 1 AS INT) AS cs_bill_cdemo_sk,
+         CAST(l_partkey % 300 + 1 AS INT) AS cs_promo_sk,
+         l_quantity AS cs_quantity,
+         l_extendedprice AS cs_list_price,
+         l_discount AS cs_coupon_amt,
+         l_tax AS cs_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2
 )
@@ -485,4 +497,34 @@ _register(
     measures.  Each avg() is spelled as exact-decimal-sum / count (house
     determinism rule — a native double avg is accumulation-order-
     dependent); join graph, filters, grouping and LIMIT verbatim.""",
+)
+
+
+_register(
+    "tpcds_q26",
+    f"""
+    SELECT i_item_id,
+           {_AVG.format(c='cs_quantity')}    AS agg1,
+           {_AVG.format(c='cs_list_price')}  AS agg2,
+           {_AVG.format(c='cs_coupon_amt')}  AS agg3,
+           {_AVG.format(c='cs_sales_price')} AS agg4
+    FROM catalog_sales, customer_demographics, date_dim, item, promotion
+    WHERE cs_sold_date_sk = d_date_sk
+      AND cs_item_sk = i_item_sk
+      AND cs_bill_cdemo_sk = cd_demo_sk
+      AND cs_promo_sk = p_promo_sk
+      AND cd_gender = 'F'
+      AND cd_marital_status = 'W'
+      AND cd_education_status = 'Primary'
+      AND (p_channel_email = 'N' OR p_channel_event = 'N')
+      AND d_year = 1998
+    GROUP BY i_item_id
+    ORDER BY i_item_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q26 (reference tpcds_sql/26.sql) executed: the catalog-
+    channel twin of q7 over the same generated customer_demographics and
+    promotion dimensions, with the cs_bill_cdemo_sk/cs_promo_sk and
+    measure derivations on the catalog channel subset.  Same avg-as-
+    exact-sum/count spelling as q7; text otherwise verbatim.""",
 )
