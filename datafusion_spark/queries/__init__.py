@@ -155,6 +155,7 @@ def _interleave_families() -> None:
         "tpcds_q96",
         "tpcds_q7",
         "tpcds_q26",
+        "tpcds_q34",
     }
 
     def tier(name: str) -> int:

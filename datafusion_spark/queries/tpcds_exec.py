@@ -79,6 +79,8 @@ store_sales AS (
              AS ss_sold_time_sk,
          CAST(o_custkey % 7200 + 1 AS INT) AS ss_hdemo_sk,
          CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
+         l_orderkey AS ss_ticket_number,
+         o_custkey AS ss_customer_sk,
          CAST(o_custkey % 1000 + 1 AS INT) AS ss_cdemo_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
          l_quantity AS ss_quantity,
@@ -95,12 +97,33 @@ time_dim AS (
   FROM (SELECT explode(sequence(0, 86399)) AS id)
 ),
 household_demographics AS (
-  SELECT id AS hd_demo_sk, CAST(id % 10 AS INT) AS hd_dep_count
+  SELECT id AS hd_demo_sk, CAST(id % 10 AS INT) AS hd_dep_count,
+         CASE id % 5 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000'
+                     WHEN 2 THEN '1001-5000' WHEN 3 THEN '501-1000'
+                     ELSE '0-500' END AS hd_buy_potential,
+         CAST(id % 5 AS INT) AS hd_vehicle_count
   FROM (SELECT explode(sequence(1, 7200)) AS id)
 ),
 store AS (
-  SELECT id AS s_store_sk, 'store_' || CAST(id AS STRING) AS s_store_name
+  SELECT id AS s_store_sk, 'store_' || CAST(id AS STRING) AS s_store_name,
+         CASE id % 10 WHEN 0 THEN 'Daviess County'
+             WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
+             WHEN 3 THEN 'Luce County' WHEN 4 THEN 'Fairfield County'
+             WHEN 5 THEN 'Richland County' WHEN 6 THEN 'Ziebach County'
+             WHEN 7 THEN 'Walker County' WHEN 8 THEN 'Other County A'
+             ELSE 'Other County B' END AS s_county
   FROM (SELECT explode(sequence(1, 10)) AS id)
+),
+customer AS (
+  SELECT c_custkey AS c_customer_sk,
+         'CF' || CAST(c_custkey % 97 AS STRING) AS c_first_name,
+         'CL' || CAST(c_custkey % 701 AS STRING) AS c_last_name,
+         CASE c_custkey % 6 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
+              WHEN 2 THEN 'Ms.' WHEN 3 THEN 'Dr.' WHEN 4 THEN 'Miss'
+              ELSE 'Sir' END AS c_salutation,
+         CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
+             AS c_preferred_cust_flag
+  FROM parquet.`__SF__/customer.parquet`
 ),
 customer_demographics AS (
   SELECT id AS cd_demo_sk,
@@ -176,6 +199,8 @@ store_sales AS (
              AS ss_sold_time_sk,
          CAST(o_custkey % 7200 + 1 AS INT) AS ss_hdemo_sk,
          CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
+         l_orderkey AS ss_ticket_number,
+         o_custkey AS ss_customer_sk,
          CAST(o_custkey % 1000 + 1 AS INT) AS ss_cdemo_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
          l_quantity AS ss_quantity,
@@ -191,12 +216,33 @@ time_dim AS (
   FROM range(0, 86400) t(id)
 ),
 household_demographics AS (
-  SELECT id AS hd_demo_sk, CAST(id % 10 AS INT) AS hd_dep_count
+  SELECT id AS hd_demo_sk, CAST(id % 10 AS INT) AS hd_dep_count,
+         CASE id % 5 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000'
+                     WHEN 2 THEN '1001-5000' WHEN 3 THEN '501-1000'
+                     ELSE '0-500' END AS hd_buy_potential,
+         CAST(id % 5 AS INT) AS hd_vehicle_count
   FROM range(1, 7201) t(id)
 ),
 store AS (
-  SELECT id AS s_store_sk, 'store_' || CAST(id AS VARCHAR) AS s_store_name
+  SELECT id AS s_store_sk, 'store_' || CAST(id AS VARCHAR) AS s_store_name,
+         CASE id % 10 WHEN 0 THEN 'Daviess County'
+             WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
+             WHEN 3 THEN 'Luce County' WHEN 4 THEN 'Fairfield County'
+             WHEN 5 THEN 'Richland County' WHEN 6 THEN 'Ziebach County'
+             WHEN 7 THEN 'Walker County' WHEN 8 THEN 'Other County A'
+             ELSE 'Other County B' END AS s_county
   FROM range(1, 11) t(id)
+),
+customer AS (
+  SELECT c_custkey AS c_customer_sk,
+         'CF' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
+         'CL' || CAST(c_custkey % 701 AS VARCHAR) AS c_last_name,
+         CASE c_custkey % 6 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
+              WHEN 2 THEN 'Ms.' WHEN 3 THEN 'Dr.' WHEN 4 THEN 'Miss'
+              ELSE 'Sir' END AS c_salutation,
+         CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
+             AS c_preferred_cust_flag
+  FROM main.customer
 ),
 customer_demographics AS (
   SELECT id AS cd_demo_sk,
@@ -527,4 +573,49 @@ _register(
     promotion dimensions, with the cs_bill_cdemo_sk/cs_promo_sk and
     measure derivations on the catalog channel subset.  Same avg-as-
     exact-sum/count spelling as q7; text otherwise verbatim.""",
+)
+
+
+_register(
+    "tpcds_q34",
+    """
+    SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+           ss_ticket_number, cnt
+    FROM (
+      SELECT ss_ticket_number, ss_customer_sk,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (date_dim.d_dom BETWEEN 1 AND 3
+             OR date_dim.d_dom BETWEEN 25 AND 28)
+        AND (household_demographics.hd_buy_potential = '>10000'
+             OR household_demographics.hd_buy_potential = '5001-10000')
+        AND household_demographics.hd_vehicle_count > 0
+        AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+                  THEN household_demographics.hd_dep_count
+                       / household_demographics.hd_vehicle_count
+                  ELSE NULL END) > 1.2
+        AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        AND store.s_county IN ('Daviess County', 'Franklin Parish',
+                               'Barrow County', 'Luce County',
+                               'Fairfield County', 'Richland County',
+                               'Ziebach County', 'Walker County')
+      GROUP BY ss_ticket_number, ss_customer_sk
+    ) dn, customer
+    WHERE ss_customer_sk = c_customer_sk
+      AND cnt BETWEEN 2 AND 4
+    ORDER BY c_last_name, c_first_name, c_salutation,
+             c_preferred_cust_flag DESC, ss_ticket_number
+    """,
+    doc="""TPC-DS q34 (reference tpcds_sql/34.sql) executed: ticket-level
+    basket counts under month-boundary / buy-potential / vehicle-ratio
+    slices, rejoined to customer.  The county IN-list constants are kept
+    VERBATIM — the derived store dimension places 8 of its 10 stores in
+    exactly those counties; hd_buy_potential keeps the reference's value
+    domain.  One documented retarget: cnt BETWEEN 15 AND 20 → 2 AND 4
+    (a synthetic order has at most ~7 line items, so the original band
+    is empty by construction).  The int/int vehicle-ratio division is
+    DOUBLE in both engines.""",
 )
