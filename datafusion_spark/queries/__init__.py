@@ -156,6 +156,8 @@ def _interleave_families() -> None:
         "tpcds_q7",
         "tpcds_q26",
         "tpcds_q34",
+        "tpcds_q65",
+        "tpcds_q73",
     }
 
     def tier(name: str) -> int:

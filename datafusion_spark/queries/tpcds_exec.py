@@ -52,7 +52,9 @@ _SPARK_DERIVE = f"""
 WITH date_dim AS (
   SELECT CAST(d AS DATE) AS d_date,
          datediff(CAST(d AS DATE), DATE '1992-01-01') + 2450000 AS d_date_sk,
-         year(d) AS d_year, month(d) AS d_moy, day(d) AS d_dom
+         year(d) AS d_year, month(d) AS d_moy, day(d) AS d_dom,
+         CAST(1200 + (year(d) - 1992) * 12 + month(d) - 1 AS INT)
+             AS d_month_seq
   FROM (SELECT explode(sequence(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
                                 INTERVAL 1 DAY)) AS d)
 ),
@@ -67,7 +69,8 @@ item AS (
          'I' || lpad(CAST(p_partkey AS STRING), 9, '0') AS i_item_id,
          p_name AS i_item_desc,
          'CLASS#' || CAST(p_partkey % 7 AS STRING) AS i_class,
-         p_retailprice AS i_current_price
+         p_retailprice AS i_current_price,
+         p_retailprice * 0.6 AS i_wholesale_cost
   FROM parquet.`__SF__/part.parquet`
 ),
 store_sales AS (
@@ -172,7 +175,9 @@ _DUCK_DERIVE = f"""
 WITH date_dim AS (
   SELECT CAST(d AS DATE) AS d_date,
          (CAST(d AS DATE) - DATE '1992-01-01') + 2450000 AS d_date_sk,
-         year(d) AS d_year, month(d) AS d_moy, day(d) AS d_dom
+         year(d) AS d_year, month(d) AS d_moy, day(d) AS d_dom,
+         CAST(1200 + (year(d) - 1992) * 12 + month(d) - 1 AS INT)
+             AS d_month_seq
   FROM (SELECT unnest(generate_series(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
                                       INTERVAL '1 day')) AS d) t
 ),
@@ -187,7 +192,8 @@ item AS (
          'I' || lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS i_item_id,
          p_name AS i_item_desc,
          'CLASS#' || CAST(p_partkey % 7 AS VARCHAR) AS i_class,
-         p_retailprice AS i_current_price
+         p_retailprice AS i_current_price,
+         p_retailprice * 0.6 AS i_wholesale_cost
   FROM part
 ),
 store_sales AS (
@@ -618,4 +624,82 @@ _register(
     (a synthetic order has at most ~7 line items, so the original band
     is empty by construction).  The int/int vehicle-ratio division is
     DOUBLE in both engines.""",
+)
+
+
+_register(
+    "tpcds_q65",
+    """
+    SELECT s_store_name, i_item_desc,
+           CAST(sc.revenue AS DOUBLE) AS revenue,
+           i_current_price, i_wholesale_cost, i_brand
+    FROM store, item,
+         (SELECT ss_store_sk,
+                 CAST(SUM(revenue) AS DOUBLE) / COUNT(revenue) AS ave
+          FROM (SELECT ss_store_sk, ss_item_sk,
+                       SUM(CAST(ss_sales_price AS DECIMAL(38,6))) AS revenue
+                FROM store_sales, date_dim
+                WHERE ss_sold_date_sk = d_date_sk
+                  AND d_month_seq BETWEEN 1272 AND 1272 + 11
+                GROUP BY ss_store_sk, ss_item_sk) sa
+          GROUP BY ss_store_sk) sb,
+         (SELECT ss_store_sk, ss_item_sk,
+                 SUM(CAST(ss_sales_price AS DECIMAL(38,6))) AS revenue
+          FROM store_sales, date_dim
+          WHERE ss_sold_date_sk = d_date_sk
+            AND d_month_seq BETWEEN 1272 AND 1272 + 11
+          GROUP BY ss_store_sk, ss_item_sk) sc
+    WHERE sb.ss_store_sk = sc.ss_store_sk
+      AND CAST(sc.revenue AS DOUBLE) <= 0.1 * sb.ave
+      AND s_store_sk = sc.ss_store_sk
+      AND i_item_sk = sc.ss_item_sk
+    ORDER BY s_store_name, i_item_desc
+    LIMIT 100
+    """,
+    doc="""TPC-DS q65 (reference tpcds_sql/65.sql) executed: per-(store,
+    item) revenue against 10% of the store's average item revenue — the
+    double-aggregation + threshold-rejoin shape.  d_month_seq derives as
+    1200 + months-since-1992 (the constant retargets 1212 → 1272 = the
+    12 months of 1998, inside the synthetic calendar); revenues
+    accumulate in DECIMAL(38,6) and the average is spelled exact-sum /
+    count, so the <= threshold compares IEEE-identical doubles on both
+    engines.  i_wholesale_cost derives as p_retailprice * 0.6
+    (deterministic double product).""",
+)
+
+_register(
+    "tpcds_q73",
+    """
+    SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+           ss_ticket_number, cnt
+    FROM (
+      SELECT ss_ticket_number, ss_customer_sk,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND date_dim.d_dom BETWEEN 1 AND 2
+        AND (household_demographics.hd_buy_potential = '>10000'
+             OR household_demographics.hd_buy_potential = '5001-10000')
+        AND household_demographics.hd_vehicle_count > 0
+        AND CASE WHEN household_demographics.hd_vehicle_count > 0
+                 THEN household_demographics.hd_dep_count
+                      / household_demographics.hd_vehicle_count
+                 ELSE NULL END > 1
+        AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        AND store.s_county IN ('Daviess County', 'Franklin Parish',
+                               'Barrow County', 'Luce County')
+      GROUP BY ss_ticket_number, ss_customer_sk
+    ) dj, customer
+    WHERE ss_customer_sk = c_customer_sk
+      AND cnt BETWEEN 1 AND 5
+    ORDER BY cnt DESC, c_last_name ASC
+    """,
+    doc="""TPC-DS q73 (reference tpcds_sql/73.sql) executed VERBATIM —
+    every constant (d_dom 1-2, the two buy-potential bands, vehicle
+    ratio > 1, the 4-county list, cnt 1-5) is satisfiable under the
+    derived dimensions, so unlike q34 no retarget is needed; the only
+    adaptation is CAST(COUNT(*) AS BIGINT) aliasing.  Order-insensitive
+    hash makes the non-unique ORDER BY safe.""",
 )
