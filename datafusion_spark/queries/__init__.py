@@ -158,6 +158,7 @@ def _interleave_families() -> None:
         "tpcds_q34",
         "tpcds_q65",
         "tpcds_q73",
+        "fn_edge_array_minmax_ops",
     }
 
     def tier(name: str) -> int:

@@ -2069,3 +2069,51 @@ def fn_edge_datetime_arith_matrix(spark, sf_dir):
            CAST(o_orderdate AS DATE) < DATE '1996-01-01'                          AS date_cmp
     FROM parquet.`{sf_dir}/orders.parquet` WHERE o_orderkey < 300
     """)
+
+
+_sql_query(
+    "fn_edge_array_minmax_ops",
+    spark_sql="""
+    SELECT array_min(array(3,1,2))                              AS amin,
+           array_max(array(3,1,2))                              AS amax,
+           array_min(array(1,NULL,3))                           AS amin_skips_null,
+           array_min(CAST(array() AS ARRAY<INT>))               AS amin_empty,
+           array(1,2) || array(3)                               AS concat_op,
+           CAST(array() AS ARRAY<INT>) || array(1)              AS concat_empty,
+           array(1,2) = array(1,2)                              AS arr_eq,
+           array(1,2) < array(1,3)                              AS arr_lt_lex,
+           array(1) < array(1,0)                                AS arr_lt_prefix,
+           CAST(array(1,2) AS ARRAY<DOUBLE>)                    AS cast_int_double,
+           CAST(array('1','2') AS ARRAY<INT>)                   AS cast_str_int,
+           array_compact(array(1,NULL,2))                       AS compacted,
+           CAST(array_position(array(10,20,30), 20) AS BIGINT)  AS pos_found,
+           CAST(array_position(array(10), 99) AS BIGINT)        AS pos_missing,
+           array_contains(array(1,NULL), 1)                     AS contains_with_null
+    """,
+    duck_sql="""
+    SELECT list_min([3,1,2])                                    AS amin,
+           list_max([3,1,2])                                    AS amax,
+           list_min([1,NULL,3])                                 AS amin_skips_null,
+           list_min([]::INT[])                                  AS amin_empty,
+           [1,2] || [3]                                         AS concat_op,
+           []::INT[] || [1]                                     AS concat_empty,
+           [1,2] = [1,2]                                        AS arr_eq,
+           [1,2] < [1,3]                                        AS arr_lt_lex,
+           [1] < [1,0]                                          AS arr_lt_prefix,
+           CAST([1,2] AS DOUBLE[])                              AS cast_int_double,
+           CAST(['1','2'] AS INT[])                             AS cast_str_int,
+           list_filter([1,NULL,2], x -> x IS NOT NULL)          AS compacted,
+           CAST(list_position([10,20,30], 20) AS BIGINT)        AS pos_found,
+           CAST(list_position([10], 99) AS BIGINT)              AS pos_missing,
+           list_contains([1,NULL], 1)                           AS contains_with_null
+    """,
+    tags=("nested", "edge", "array"),
+    doc="""Array min/max, operators and casts (reference array/
+    {array_min_max,array_operators,array_cast,array_position}.slt):
+    array_min/max SKIP NULL elements and return NULL on empty; || is
+    element concat with empty identity; comparison is lexicographic with
+    the shorter-prefix-sorts-first rule; CAST re-types elements
+    (int→double, string→int); array_compact ⇔ list_filter NOT NULL;
+    position is 1-based with 0 for not-found in BOTH engines (DataFusion
+    documents the same convention).""",
+)
