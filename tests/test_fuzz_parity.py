@@ -543,3 +543,81 @@ def test_random_sort_spec_parity(spark, duck, specs):
     got = [r[0] for r in spark.sql(sql).collect()]
     want = [r[0] for r in duck.execute(sql).fetchall()]
     assert got == want, sql
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array-function trees (reference array/{array_transform,
+# array_filter,array_sort,array_distinct}.slt + fuzz_cases/ philosophy):
+# random compositions of transform/filter/sort/distinct/reverse/concat over
+# integer arrays derived from orders columns, reduced to scalars.  The two
+# engines spell the combinators differently (transform ⇔ list_transform,
+# || ⇔ concat, aggregate-fold ⇔ list_sum), so every node carries a dual
+# template; the integer domain keeps every value exact.
+
+_HOF_LEAVES = [
+    ("sequence(1, CAST(o_orderkey % 5 + 1 AS INT))",
+     "generate_series(1, CAST(o_orderkey % 5 + 1 AS INT))"),
+    ("array(CAST(o_orderkey % 7 AS INT), CAST(o_custkey % 5 AS INT), 2)",
+     "[CAST(o_orderkey % 7 AS INT), CAST(o_custkey % 5 AS INT), 2]"),
+    ("array(3, 1, 2, 1)", "[3, 1, 2, 1]"),
+]
+
+
+def _grow_hof(draw, st, depth):
+    if depth >= 3 or (depth > 0 and draw(st.booleans())):
+        return draw(st.sampled_from(_HOF_LEAVES))
+    kind = draw(st.sampled_from(
+        ["transform", "filter", "sort", "distinct", "reverse", "concat"]))
+    s_a, d_a = _grow_hof(draw, st, depth + 1)
+    if kind == "transform":
+        k = draw(st.sampled_from([2, 3]))
+        return (f"transform({s_a}, x -> x * {k} + 1)",
+                f"list_transform({d_a}, x -> x * {k} + 1)")
+    if kind == "filter":
+        k = draw(st.sampled_from([2, 3]))
+        return (f"filter({s_a}, x -> x % {k} = 0)",
+                f"list_filter({d_a}, x -> x % {k} = 0)")
+    if kind == "sort":
+        return (f"array_sort({s_a})", f"list_sort({d_a})")
+    if kind == "distinct":
+        # distinct order is engine-defined; always sort after
+        return (f"array_sort(array_distinct({s_a}))",
+                f"list_sort(list_distinct({d_a}))")
+    if kind == "reverse":
+        return (f"reverse({s_a})", f"list_reverse({d_a})")
+    s_b, d_b = _grow_hof(draw, st, depth + 1)
+    return (f"concat({s_a}, {s_b})", f"({d_a} || {d_b})")
+
+
+_HOF_REDUCERS = [
+    ("CAST(aggregate({s}, 0L, (acc, x) -> acc + x) AS BIGINT)",
+     "CAST(coalesce(list_sum({d}), 0) AS BIGINT)"),
+    ("CAST(size({s}) AS BIGINT)", "CAST(len({d}) AS BIGINT)"),
+    ("element_at(concat({s}, array(0)), 1)", "({d} || [0])[1]"),
+]
+
+
+@st.composite
+def hof_spec(draw):
+    cols = []
+    for _ in range(draw(st.integers(1, 3))):
+        s, d = _grow_hof(draw, st, 0)
+        rs, rd = draw(st.sampled_from(_HOF_REDUCERS))
+        cols.append((rs.format(s=s), rd.format(d=d)))
+    return cols
+
+
+@given(hof_spec())
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_hof_array_parity(spark, duck, cols):
+    s_sql = ("SELECT " + ", ".join(f"{s} AS c{i}" for i, (s, _) in enumerate(cols))
+             + " FROM orders WHERE o_orderkey % 23 = 5 ORDER BY o_orderkey LIMIT 80")
+    d_sql = ("SELECT " + ", ".join(f"{d} AS c{i}" for i, (_, d) in enumerate(cols))
+             + " FROM orders WHERE o_orderkey % 23 = 5 ORDER BY o_orderkey LIMIT 80")
+    got = [tuple(r) for r in spark.sql(s_sql).collect()]
+    want = [tuple(r) for r in duck.execute(d_sql).fetchall()]
+    assert got == want, f"{s_sql}\n{d_sql}"
