@@ -159,6 +159,7 @@ def _interleave_families() -> None:
         "tpcds_q65",
         "tpcds_q73",
         "fn_edge_array_minmax_ops",
+        "tpcds_q88",
     }
 
     def tier(name: str) -> int:

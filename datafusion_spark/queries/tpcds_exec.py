@@ -703,3 +703,86 @@ _register(
     adaptation is CAST(COUNT(*) AS BIGINT) aliasing.  Order-insensitive
     hash makes the non-unique ORDER BY safe.""",
 )
+
+
+_register(
+    "tpcds_q88",
+    """
+    SELECT *
+    FROM
+    (SELECT CAST(COUNT(*) AS BIGINT) AS h8_30_to_9
+     FROM store_sales, household_demographics, time_dim, store
+     WHERE ss_sold_time_sk = time_dim.t_time_sk
+       AND ss_hdemo_sk = household_demographics.hd_demo_sk
+       AND ss_store_sk = s_store_sk
+       AND time_dim.t_hour = 8 AND time_dim.t_minute >= 30
+       AND ((household_demographics.hd_dep_count = 3 AND household_demographics.hd_vehicle_count <= 3+2) OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0+2) OR (household_demographics.hd_dep_count = 1 AND household_demographics.hd_vehicle_count <= 1+2))
+       AND store.s_store_name = 'store_3') s1,
+    (SELECT CAST(COUNT(*) AS BIGINT) AS h9_to_9_30
+     FROM store_sales, household_demographics, time_dim, store
+     WHERE ss_sold_time_sk = time_dim.t_time_sk
+       AND ss_hdemo_sk = household_demographics.hd_demo_sk
+       AND ss_store_sk = s_store_sk
+       AND time_dim.t_hour = 9 AND time_dim.t_minute < 30
+       AND ((household_demographics.hd_dep_count = 3 AND household_demographics.hd_vehicle_count <= 3+2) OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0+2) OR (household_demographics.hd_dep_count = 1 AND household_demographics.hd_vehicle_count <= 1+2))
+       AND store.s_store_name = 'store_3') s2,
+    (SELECT CAST(COUNT(*) AS BIGINT) AS h9_30_to_10
+     FROM store_sales, household_demographics, time_dim, store
+     WHERE ss_sold_time_sk = time_dim.t_time_sk
+       AND ss_hdemo_sk = household_demographics.hd_demo_sk
+       AND ss_store_sk = s_store_sk
+       AND time_dim.t_hour = 9 AND time_dim.t_minute >= 30
+       AND ((household_demographics.hd_dep_count = 3 AND household_demographics.hd_vehicle_count <= 3+2) OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0+2) OR (household_demographics.hd_dep_count = 1 AND household_demographics.hd_vehicle_count <= 1+2))
+       AND store.s_store_name = 'store_3') s3,
+    (SELECT CAST(COUNT(*) AS BIGINT) AS h10_to_10_30
+     FROM store_sales, household_demographics, time_dim, store
+     WHERE ss_sold_time_sk = time_dim.t_time_sk
+       AND ss_hdemo_sk = household_demographics.hd_demo_sk
+       AND ss_store_sk = s_store_sk
+       AND time_dim.t_hour = 10 AND time_dim.t_minute < 30
+       AND ((household_demographics.hd_dep_count = 3 AND household_demographics.hd_vehicle_count <= 3+2) OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0+2) OR (household_demographics.hd_dep_count = 1 AND household_demographics.hd_vehicle_count <= 1+2))
+       AND store.s_store_name = 'store_3') s4,
+    (SELECT CAST(COUNT(*) AS BIGINT) AS h10_30_to_11
+     FROM store_sales, household_demographics, time_dim, store
+     WHERE ss_sold_time_sk = time_dim.t_time_sk
+       AND ss_hdemo_sk = household_demographics.hd_demo_sk
+       AND ss_store_sk = s_store_sk
+       AND time_dim.t_hour = 10 AND time_dim.t_minute >= 30
+       AND ((household_demographics.hd_dep_count = 3 AND household_demographics.hd_vehicle_count <= 3+2) OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0+2) OR (household_demographics.hd_dep_count = 1 AND household_demographics.hd_vehicle_count <= 1+2))
+       AND store.s_store_name = 'store_3') s5,
+    (SELECT CAST(COUNT(*) AS BIGINT) AS h11_to_11_30
+     FROM store_sales, household_demographics, time_dim, store
+     WHERE ss_sold_time_sk = time_dim.t_time_sk
+       AND ss_hdemo_sk = household_demographics.hd_demo_sk
+       AND ss_store_sk = s_store_sk
+       AND time_dim.t_hour = 11 AND time_dim.t_minute < 30
+       AND ((household_demographics.hd_dep_count = 3 AND household_demographics.hd_vehicle_count <= 3+2) OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0+2) OR (household_demographics.hd_dep_count = 1 AND household_demographics.hd_vehicle_count <= 1+2))
+       AND store.s_store_name = 'store_3') s6,
+    (SELECT CAST(COUNT(*) AS BIGINT) AS h11_30_to_12
+     FROM store_sales, household_demographics, time_dim, store
+     WHERE ss_sold_time_sk = time_dim.t_time_sk
+       AND ss_hdemo_sk = household_demographics.hd_demo_sk
+       AND ss_store_sk = s_store_sk
+       AND time_dim.t_hour = 11 AND time_dim.t_minute >= 30
+       AND ((household_demographics.hd_dep_count = 3 AND household_demographics.hd_vehicle_count <= 3+2) OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0+2) OR (household_demographics.hd_dep_count = 1 AND household_demographics.hd_vehicle_count <= 1+2))
+       AND store.s_store_name = 'store_3') s7,
+    (SELECT CAST(COUNT(*) AS BIGINT) AS h12_to_12_30
+     FROM store_sales, household_demographics, time_dim, store
+     WHERE ss_sold_time_sk = time_dim.t_time_sk
+       AND ss_hdemo_sk = household_demographics.hd_demo_sk
+       AND ss_store_sk = s_store_sk
+       AND time_dim.t_hour = 12 AND time_dim.t_minute < 30
+       AND ((household_demographics.hd_dep_count = 3 AND household_demographics.hd_vehicle_count <= 3+2) OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0+2) OR (household_demographics.hd_dep_count = 1 AND household_demographics.hd_vehicle_count <= 1+2))
+       AND store.s_store_name = 'store_3') s8
+    """,
+    doc="""TPC-DS q88 (reference tpcds_sql/88.sql) executed: eight
+    half-hour time-slice counting stars (8:30-12:30) over the generated
+    time_dim/household_demographics/store dimensions, cross-joined into
+    a single row — the multi-subquery scan-reuse shape.  The
+    dep-count/vehicle-count OR-of-ANDs predicate is verbatim
+    (satisfiable under hd_dep_count = sk%10, hd_vehicle_count = sk%5);
+    s_store_name retargets 'ese' -> 'store_3' as in q96; counts are
+    BIGINT-aliased.  At scale each subquery is the same broadcast-dims
+    star; Spark evaluates the eight scans in one stage wave and the
+    cross join of eight 1-row relations is free.""",
+)
