@@ -118,6 +118,8 @@ SHUFFLE_BUDGETS = {
     # fact; the only exchanges are the group-by and the ordered LIMIT
     "tpcds_q3": 2,
     "tpcds_q52": 2,
+    "tpcds_q88": 8,  # one scalar-agg merge exchange per time-slice subquery;
+                     # every star leg's dims broadcast (no fact shuffle)
 }
 
 BROADCAST_EXPECTED = [
