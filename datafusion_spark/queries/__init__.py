@@ -160,6 +160,7 @@ def _interleave_families() -> None:
         "tpcds_q73",
         "fn_edge_array_minmax_ops",
         "tpcds_q88",
+        "tpcds_q19",
     }
 
     def tier(name: str) -> int:

@@ -69,6 +69,7 @@ item AS (
          'I' || lpad(CAST(p_partkey AS STRING), 9, '0') AS i_item_id,
          p_name AS i_item_desc,
          'CLASS#' || CAST(p_partkey % 7 AS STRING) AS i_class,
+         'MFG#' || CAST(p_partkey % 500 AS STRING) AS i_manufact,
          p_retailprice AS i_current_price,
          p_retailprice * 0.6 AS i_wholesale_cost
   FROM parquet.`__SF__/part.parquet`
@@ -109,6 +110,7 @@ household_demographics AS (
 ),
 store AS (
   SELECT id AS s_store_sk, 'store_' || CAST(id AS STRING) AS s_store_name,
+         lpad(CAST(id * 977 % 3001 AS STRING), 5, '0') || '-0' AS s_zip,
          CASE id % 10 WHEN 0 THEN 'Daviess County'
              WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
              WHEN 3 THEN 'Luce County' WHEN 4 THEN 'Fairfield County'
@@ -125,7 +127,14 @@ customer AS (
               WHEN 2 THEN 'Ms.' WHEN 3 THEN 'Dr.' WHEN 4 THEN 'Miss'
               ELSE 'Sir' END AS c_salutation,
          CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
-             AS c_preferred_cust_flag
+             AS c_preferred_cust_flag,
+         c_custkey AS c_current_addr_sk
+  FROM parquet.`__SF__/customer.parquet`
+),
+customer_address AS (
+  SELECT c_custkey AS ca_address_sk,
+         lpad(CAST(c_custkey % 97 * 131 AS STRING), 5, '0') || '-' ||
+             CAST(c_custkey % 13 AS STRING) AS ca_zip
   FROM parquet.`__SF__/customer.parquet`
 ),
 customer_demographics AS (
@@ -192,6 +201,7 @@ item AS (
          'I' || lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS i_item_id,
          p_name AS i_item_desc,
          'CLASS#' || CAST(p_partkey % 7 AS VARCHAR) AS i_class,
+         'MFG#' || CAST(p_partkey % 500 AS VARCHAR) AS i_manufact,
          p_retailprice AS i_current_price,
          p_retailprice * 0.6 AS i_wholesale_cost
   FROM part
@@ -231,6 +241,7 @@ household_demographics AS (
 ),
 store AS (
   SELECT id AS s_store_sk, 'store_' || CAST(id AS VARCHAR) AS s_store_name,
+         lpad(CAST(id * 977 % 3001 AS VARCHAR), 5, '0') || '-0' AS s_zip,
          CASE id % 10 WHEN 0 THEN 'Daviess County'
              WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
              WHEN 3 THEN 'Luce County' WHEN 4 THEN 'Fairfield County'
@@ -247,7 +258,14 @@ customer AS (
               WHEN 2 THEN 'Ms.' WHEN 3 THEN 'Dr.' WHEN 4 THEN 'Miss'
               ELSE 'Sir' END AS c_salutation,
          CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
-             AS c_preferred_cust_flag
+             AS c_preferred_cust_flag,
+         c_custkey AS c_current_addr_sk
+  FROM main.customer
+),
+customer_address AS (
+  SELECT c_custkey AS ca_address_sk,
+         lpad(CAST(c_custkey % 97 * 131 AS VARCHAR), 5, '0') || '-' ||
+             CAST(c_custkey % 13 AS VARCHAR) AS ca_zip
   FROM main.customer
 ),
 customer_demographics AS (
@@ -785,4 +803,36 @@ _register(
     BIGINT-aliased.  At scale each subquery is the same broadcast-dims
     star; Spark evaluates the eight scans in one stage wave and the
     cross join of eight 1-row relations is free.""",
+)
+
+
+_register(
+    "tpcds_q19",
+    """
+    SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id,
+           i_manufact,
+           CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS ext_price
+    FROM date_dim, store_sales, item, customer, customer_address, store
+    WHERE d_date_sk = ss_sold_date_sk
+      AND ss_item_sk = i_item_sk
+      AND i_manager_id = 7
+      AND d_moy = 11
+      AND d_year = 1999
+      AND ss_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+      AND ss_store_sk = s_store_sk
+    GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+    ORDER BY ext_price DESC, i_brand, i_brand_id, i_manufact_id, i_manufact
+    LIMIT 100
+    """,
+    doc="""TPC-DS q19 (reference tpcds_sql/19.sql) executed VERBATIM (only
+    the decimal-sum CAST adaptation): November brand revenue restricted
+    to customers shopping OUTSIDE their own zip prefix — the
+    cross-dimension negation predicate (substr(ca_zip) <> substr(s_zip))
+    that can only be evaluated after both geography dims join in.
+    customer_address derives as a key-functional zip per customer and
+    store gains a deterministic s_zip; all six relations and the filter
+    constants (i_manager_id=7, 1999-11) are the reference's own.""",
 )
