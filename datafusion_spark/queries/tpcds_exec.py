@@ -54,7 +54,9 @@ WITH date_dim AS (
          datediff(CAST(d AS DATE), DATE '1992-01-01') + 2450000 AS d_date_sk,
          year(d) AS d_year, month(d) AS d_moy, day(d) AS d_dom,
          CAST(1200 + (year(d) - 1992) * 12 + month(d) - 1 AS INT)
-             AS d_month_seq
+             AS d_month_seq,
+         CAST((datediff(CAST(d AS DATE), DATE '1992-01-01') + 3) % 7 AS INT)
+             AS d_dow
   FROM (SELECT explode(sequence(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
                                 INTERVAL 1 DAY)) AS d)
 ),
@@ -85,6 +87,10 @@ store_sales AS (
          CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
          l_orderkey AS ss_ticket_number,
          o_custkey AS ss_customer_sk,
+         o_custkey + l_linenumber % 2 AS ss_addr_sk,
+         l_extendedprice + l_tax AS ss_ext_list_price,
+         l_tax AS ss_ext_tax,
+         l_extendedprice - l_quantity AS ss_net_profit,
          CAST(o_custkey % 1000 + 1 AS INT) AS ss_cdemo_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
          l_quantity AS ss_quantity,
@@ -111,6 +117,10 @@ household_demographics AS (
 store AS (
   SELECT id AS s_store_sk, 'store_' || CAST(id AS STRING) AS s_store_name,
          lpad(CAST(id * 977 % 3001 AS STRING), 5, '0') || '-0' AS s_zip,
+         CAST(150 + id * 15 AS INT) AS s_number_employees,
+         CASE id % 5 WHEN 0 THEN 'Oakland' WHEN 1 THEN 'Riverside'
+             WHEN 2 THEN 'Georgetown' WHEN 3 THEN 'Springfield'
+             ELSE 'Fairview' END AS s_city,
          CASE id % 10 WHEN 0 THEN 'Daviess County'
              WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
              WHEN 3 THEN 'Luce County' WHEN 4 THEN 'Fairfield County'
@@ -134,7 +144,8 @@ customer AS (
 customer_address AS (
   SELECT c_custkey AS ca_address_sk,
          lpad(CAST(c_custkey % 97 * 131 AS STRING), 5, '0') || '-' ||
-             CAST(c_custkey % 13 AS STRING) AS ca_zip
+             CAST(c_custkey % 13 AS STRING) AS ca_zip,
+         'city_' || CAST(c_custkey % 19 AS STRING) AS ca_city
   FROM parquet.`__SF__/customer.parquet`
 ),
 customer_demographics AS (
@@ -186,7 +197,9 @@ WITH date_dim AS (
          (CAST(d AS DATE) - DATE '1992-01-01') + 2450000 AS d_date_sk,
          year(d) AS d_year, month(d) AS d_moy, day(d) AS d_dom,
          CAST(1200 + (year(d) - 1992) * 12 + month(d) - 1 AS INT)
-             AS d_month_seq
+             AS d_month_seq,
+         CAST(((CAST(d AS DATE) - DATE '1992-01-01') + 3) % 7 AS INT)
+             AS d_dow
   FROM (SELECT unnest(generate_series(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
                                       INTERVAL '1 day')) AS d) t
 ),
@@ -217,6 +230,10 @@ store_sales AS (
          CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
          l_orderkey AS ss_ticket_number,
          o_custkey AS ss_customer_sk,
+         o_custkey + l_linenumber % 2 AS ss_addr_sk,
+         l_extendedprice + l_tax AS ss_ext_list_price,
+         l_tax AS ss_ext_tax,
+         l_extendedprice - l_quantity AS ss_net_profit,
          CAST(o_custkey % 1000 + 1 AS INT) AS ss_cdemo_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
          l_quantity AS ss_quantity,
@@ -242,6 +259,10 @@ household_demographics AS (
 store AS (
   SELECT id AS s_store_sk, 'store_' || CAST(id AS VARCHAR) AS s_store_name,
          lpad(CAST(id * 977 % 3001 AS VARCHAR), 5, '0') || '-0' AS s_zip,
+         CAST(150 + id * 15 AS INT) AS s_number_employees,
+         CASE id % 5 WHEN 0 THEN 'Oakland' WHEN 1 THEN 'Riverside'
+             WHEN 2 THEN 'Georgetown' WHEN 3 THEN 'Springfield'
+             ELSE 'Fairview' END AS s_city,
          CASE id % 10 WHEN 0 THEN 'Daviess County'
              WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
              WHEN 3 THEN 'Luce County' WHEN 4 THEN 'Fairfield County'
@@ -265,7 +286,8 @@ customer AS (
 customer_address AS (
   SELECT c_custkey AS ca_address_sk,
          lpad(CAST(c_custkey % 97 * 131 AS VARCHAR), 5, '0') || '-' ||
-             CAST(c_custkey % 13 AS VARCHAR) AS ca_zip
+             CAST(c_custkey % 13 AS VARCHAR) AS ca_zip,
+         'city_' || CAST(c_custkey % 19 AS VARCHAR) AS ca_city
   FROM main.customer
 ),
 customer_demographics AS (
@@ -835,4 +857,86 @@ _register(
     customer_address derives as a key-functional zip per customer and
     store gains a deterministic s_zip; all six relations and the filter
     constants (i_manager_id=7, 1999-11) are the reference's own.""",
+)
+
+
+_register(
+    "tpcds_q79",
+    """
+    SELECT c_last_name, c_first_name,
+           substr(s_city, 1, 30) AS s_city30, ss_ticket_number, amt, profit
+    FROM (
+      SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+             CAST(SUM(CAST(ss_coupon_amt AS DECIMAL(38,6))) AS DOUBLE)
+                 AS amt,
+             CAST(SUM(CAST(ss_net_profit AS DECIMAL(38,6))) AS DOUBLE)
+                 AS profit
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (household_demographics.hd_dep_count = 8
+             OR household_demographics.hd_vehicle_count > 0)
+        AND date_dim.d_dow = 1
+        AND date_dim.d_year IN (1998, 1998 + 1, 1998 + 2)
+        AND store.s_number_employees BETWEEN 200 AND 295
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, store.s_city
+    ) ms, customer
+    WHERE ss_customer_sk = c_customer_sk
+    ORDER BY c_last_name, c_first_name, substr(s_city, 1, 30), profit,
+             ss_ticket_number
+    LIMIT 100
+    """,
+    doc="""TPC-DS q79 (reference tpcds_sql/79.sql) executed: Monday
+    ticket-level coupon/profit per customer for mid-size stores.  d_dow
+    derives ARITHMETICALLY ((days-since-1992-01-01 + 3) % 7, Sunday=0 —
+    builtin dayofweek conventions differ between engines, pure modular
+    arithmetic does not); s_number_employees = 150 + 15·sk puts stores
+    4-9 in the 200-295 band; every filter constant is verbatim.  Money
+    sums decimal-accumulate per house rule, and ss_ticket_number joins
+    the ORDER BY as a uniqueness tiebreak for the LIMIT (the reference
+    order is non-unique across tickets).""",
+)
+
+_register(
+    "tpcds_q68",
+    """
+    SELECT c_last_name, c_first_name, ca_city, bought_city,
+           ss_ticket_number, extended_price, extended_tax, list_price
+    FROM (
+      SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+             CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+                 AS extended_price,
+             CAST(SUM(CAST(ss_ext_list_price AS DECIMAL(38,6))) AS DOUBLE)
+                 AS list_price,
+             CAST(SUM(CAST(ss_ext_tax AS DECIMAL(38,6))) AS DOUBLE)
+                 AS extended_tax
+      FROM store_sales, date_dim, store, household_demographics,
+           customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND date_dim.d_dom BETWEEN 1 AND 2
+        AND (household_demographics.hd_dep_count = 6
+             OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        AND store.s_city IN ('Oakland', 'Riverside')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city
+    ) dn, customer, customer_address current_addr
+    WHERE ss_customer_sk = c_customer_sk
+      AND customer.c_current_addr_sk = current_addr.ca_address_sk
+      AND current_addr.ca_city <> bought_city
+    ORDER BY c_last_name, ss_ticket_number
+    LIMIT 100
+    """,
+    doc="""TPC-DS q68 (reference tpcds_sql/68.sql) executed: month-start
+    ticket totals where the purchase address city differs from the
+    customer's CURRENT address city — customer_address joins twice under
+    different roles.  ss_addr_sk derives as o_custkey + l_linenumber%2,
+    so a ticket's purchase address usually differs from the current one
+    and the <> predicate is selective; the city IN-list is verbatim
+    against the derived s_city domain.  Money sums decimal-accumulate;
+    (c_last_name, ss_ticket_number) is unique under the derivations so
+    the LIMIT is deterministic.""",
 )
