@@ -56,7 +56,8 @@ WITH date_dim AS (
          CAST(1200 + (year(d) - 1992) * 12 + month(d) - 1 AS INT)
              AS d_month_seq,
          CAST((datediff(CAST(d AS DATE), DATE '1992-01-01') + 3) % 7 AS INT)
-             AS d_dow
+             AS d_dow,
+         CAST((month(d) - 1) div 3 + 1 AS INT) AS d_qoy
   FROM (SELECT explode(sequence(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
                                 INTERVAL 1 DAY)) AS d)
 ),
@@ -145,7 +146,10 @@ customer_address AS (
   SELECT c_custkey AS ca_address_sk,
          lpad(CAST(c_custkey % 97 * 131 AS STRING), 5, '0') || '-' ||
              CAST(c_custkey % 13 AS STRING) AS ca_zip,
-         'city_' || CAST(c_custkey % 19 AS STRING) AS ca_city
+         'city_' || CAST(c_custkey % 19 AS STRING) AS ca_city,
+         CASE c_custkey % 7 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA'
+              WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'NY'
+              WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state
   FROM parquet.`__SF__/customer.parquet`
 ),
 customer_demographics AS (
@@ -180,6 +184,7 @@ catalog_sales AS (
          l_partkey AS cs_item_sk,
          l_extendedprice AS cs_ext_sales_price,
          CAST(o_custkey % 1000 + 1 AS INT) AS cs_bill_cdemo_sk,
+         o_custkey AS cs_bill_customer_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS cs_promo_sk,
          l_quantity AS cs_quantity,
          l_extendedprice AS cs_list_price,
@@ -199,7 +204,8 @@ WITH date_dim AS (
          CAST(1200 + (year(d) - 1992) * 12 + month(d) - 1 AS INT)
              AS d_month_seq,
          CAST(((CAST(d AS DATE) - DATE '1992-01-01') + 3) % 7 AS INT)
-             AS d_dow
+             AS d_dow,
+         CAST((month(d) - 1) // 3 + 1 AS INT) AS d_qoy
   FROM (SELECT unnest(generate_series(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
                                       INTERVAL '1 day')) AS d) t
 ),
@@ -287,7 +293,10 @@ customer_address AS (
   SELECT c_custkey AS ca_address_sk,
          lpad(CAST(c_custkey % 97 * 131 AS VARCHAR), 5, '0') || '-' ||
              CAST(c_custkey % 13 AS VARCHAR) AS ca_zip,
-         'city_' || CAST(c_custkey % 19 AS VARCHAR) AS ca_city
+         'city_' || CAST(c_custkey % 19 AS VARCHAR) AS ca_city,
+         CASE c_custkey % 7 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA'
+              WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'NY'
+              WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state
   FROM main.customer
 ),
 customer_demographics AS (
@@ -321,6 +330,7 @@ catalog_sales AS (
          l_partkey AS cs_item_sk,
          l_extendedprice AS cs_ext_sales_price,
          CAST(o_custkey % 1000 + 1 AS INT) AS cs_bill_cdemo_sk,
+         o_custkey AS cs_bill_customer_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS cs_promo_sk,
          l_quantity AS cs_quantity,
          l_extendedprice AS cs_list_price,
@@ -939,4 +949,35 @@ _register(
     against the derived s_city domain.  Money sums decimal-accumulate;
     (c_last_name, ss_ticket_number) is unique under the derivations so
     the LIMIT is deterministic.""",
+)
+
+
+_register(
+    "tpcds_q15",
+    """
+    SELECT ca_zip,
+           CAST(SUM(CAST(cs_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_sales
+    FROM catalog_sales, customer, customer_address, date_dim
+    WHERE cs_bill_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+                                    '86475', '85392', '85460', '80348',
+                                    '81792')
+           OR ca_state IN ('CA', 'WA', 'GA')
+           OR cs_sales_price > 500)
+      AND cs_sold_date_sk = d_date_sk
+      AND d_qoy = 2 AND d_year = 2000
+    GROUP BY ca_zip
+    ORDER BY ca_zip
+    LIMIT 100
+    """,
+    doc="""TPC-DS q15 (reference tpcds_sql/15.sql) executed VERBATIM (only
+    the decimal-sum CAST): Q2-2000 catalog revenue by customer zip under
+    the three-branch OR (zip prefix list / state list / high-ticket).
+    The state branch is the live one under the derivations (ca_state =
+    key-functional 7-state domain including CA/WA/GA); the reference's
+    zip literals and the >500 price branch evaluate but select nothing
+    on the synthetic domains — the OR short-circuit semantics are still
+    exercised on every row.  d_qoy derives as (d_moy-1)/3+1.""",
 )
