@@ -149,7 +149,8 @@ customer_address AS (
          'city_' || CAST(c_custkey % 19 AS STRING) AS ca_city,
          CASE c_custkey % 7 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA'
               WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'NY'
-              WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state
+              WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state,
+         'county_' || CAST(c_custkey % 11 AS STRING) AS ca_county
   FROM parquet.`__SF__/customer.parquet`
 ),
 customer_demographics AS (
@@ -173,7 +174,9 @@ web_sales AS (
   SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
              AS ws_sold_date_sk,
          l_partkey AS ws_item_sk,
-         l_extendedprice AS ws_ext_sales_price
+         l_extendedprice AS ws_ext_sales_price,
+         o_custkey AS ws_bill_customer_sk,
+         l_tax AS ws_sales_price
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
@@ -296,7 +299,8 @@ customer_address AS (
          'city_' || CAST(c_custkey % 19 AS VARCHAR) AS ca_city,
          CASE c_custkey % 7 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA'
               WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'NY'
-              WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state
+              WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state,
+         'county_' || CAST(c_custkey % 11 AS VARCHAR) AS ca_county
   FROM main.customer
 ),
 customer_demographics AS (
@@ -320,7 +324,9 @@ web_sales AS (
   SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
              AS ws_sold_date_sk,
          l_partkey AS ws_item_sk,
-         l_extendedprice AS ws_ext_sales_price
+         l_extendedprice AS ws_ext_sales_price,
+         o_custkey AS ws_bill_customer_sk,
+         l_tax AS ws_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
 ),
@@ -980,4 +986,37 @@ _register(
     zip literals and the >500 price branch evaluate but select nothing
     on the synthetic domains — the OR short-circuit semantics are still
     exercised on every row.  d_qoy derives as (d_moy-1)/3+1.""",
+)
+
+
+_register(
+    "tpcds_q45",
+    """
+    SELECT ca_zip, ca_county,
+           CAST(SUM(CAST(ws_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_sales
+    FROM web_sales, customer, customer_address, date_dim, item
+    WHERE ws_bill_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND ws_item_sk = i_item_sk
+      AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+                                    '86475', '85392', '85460', '80348',
+                                    '81792')
+           OR i_item_id IN (SELECT i_item_id
+                            FROM item
+                            WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17,
+                                                19, 23, 29)))
+      AND ws_sold_date_sk = d_date_sk
+      AND d_qoy = 2 AND d_year = 2000
+    GROUP BY ca_zip, ca_county
+    ORDER BY ca_zip, ca_county
+    LIMIT 100
+    """,
+    doc="""TPC-DS q45 (reference tpcds_sql/45.sql) executed VERBATIM (only
+    the decimal-sum CAST): Q2-2000 web revenue by customer zip/county
+    where the OR's live branch is an uncorrelated item-id IN-subquery
+    over the ten prime item keys — which exist as p_partkey values at
+    every scale factor, so the reference's own constants select real
+    rows; the zip-literal branch evaluates but is empty on the derived
+    zip domain (as in q15).  ca_county derives key-functionally.""",
 )
