@@ -73,6 +73,10 @@ item AS (
          p_name AS i_item_desc,
          'CLASS#' || CAST(p_partkey % 7 AS STRING) AS i_class,
          'MFG#' || CAST(p_partkey % 500 AS STRING) AS i_manufact,
+         CASE p_partkey % 8 WHEN 0 THEN 'orchid' WHEN 1 THEN 'chiffon'
+              WHEN 2 THEN 'lace' WHEN 3 THEN 'navy' WHEN 4 THEN 'salmon'
+              WHEN 5 THEN 'peru' WHEN 6 THEN 'ivory'
+              ELSE 'slate' END AS i_color,
          p_retailprice AS i_current_price,
          p_retailprice * 0.6 AS i_wholesale_cost
   FROM parquet.`__SF__/part.parquet`
@@ -150,7 +154,8 @@ customer_address AS (
          CASE c_custkey % 7 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA'
               WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'NY'
               WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state,
-         'county_' || CAST(c_custkey % 11 AS STRING) AS ca_county
+         'county_' || CAST(c_custkey % 11 AS STRING) AS ca_county,
+         CAST(-8 + c_custkey % 3 AS INT) AS ca_gmt_offset
   FROM parquet.`__SF__/customer.parquet`
 ),
 customer_demographics AS (
@@ -176,6 +181,7 @@ web_sales AS (
          l_partkey AS ws_item_sk,
          l_extendedprice AS ws_ext_sales_price,
          o_custkey AS ws_bill_customer_sk,
+         o_custkey + l_linenumber % 2 AS ws_bill_addr_sk,
          l_tax AS ws_sales_price
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
@@ -188,6 +194,7 @@ catalog_sales AS (
          l_extendedprice AS cs_ext_sales_price,
          CAST(o_custkey % 1000 + 1 AS INT) AS cs_bill_cdemo_sk,
          o_custkey AS cs_bill_customer_sk,
+         o_custkey + l_linenumber % 2 AS cs_bill_addr_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS cs_promo_sk,
          l_quantity AS cs_quantity,
          l_extendedprice AS cs_list_price,
@@ -224,6 +231,10 @@ item AS (
          p_name AS i_item_desc,
          'CLASS#' || CAST(p_partkey % 7 AS VARCHAR) AS i_class,
          'MFG#' || CAST(p_partkey % 500 AS VARCHAR) AS i_manufact,
+         CASE p_partkey % 8 WHEN 0 THEN 'orchid' WHEN 1 THEN 'chiffon'
+              WHEN 2 THEN 'lace' WHEN 3 THEN 'navy' WHEN 4 THEN 'salmon'
+              WHEN 5 THEN 'peru' WHEN 6 THEN 'ivory'
+              ELSE 'slate' END AS i_color,
          p_retailprice AS i_current_price,
          p_retailprice * 0.6 AS i_wholesale_cost
   FROM part
@@ -300,7 +311,8 @@ customer_address AS (
          CASE c_custkey % 7 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA'
               WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'NY'
               WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state,
-         'county_' || CAST(c_custkey % 11 AS VARCHAR) AS ca_county
+         'county_' || CAST(c_custkey % 11 AS VARCHAR) AS ca_county,
+         CAST(-8 + c_custkey % 3 AS INT) AS ca_gmt_offset
   FROM main.customer
 ),
 customer_demographics AS (
@@ -326,6 +338,7 @@ web_sales AS (
          l_partkey AS ws_item_sk,
          l_extendedprice AS ws_ext_sales_price,
          o_custkey AS ws_bill_customer_sk,
+         o_custkey + l_linenumber % 2 AS ws_bill_addr_sk,
          l_tax AS ws_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
@@ -337,6 +350,7 @@ catalog_sales AS (
          l_extendedprice AS cs_ext_sales_price,
          CAST(o_custkey % 1000 + 1 AS INT) AS cs_bill_cdemo_sk,
          o_custkey AS cs_bill_customer_sk,
+         o_custkey + l_linenumber % 2 AS cs_bill_addr_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS cs_promo_sk,
          l_quantity AS cs_quantity,
          l_extendedprice AS cs_list_price,
@@ -1019,4 +1033,53 @@ _register(
     every scale factor, so the reference's own constants select real
     rows; the zip-literal branch evaluates but is empty on the derived
     zip domain (as in q15).  ca_county derives key-functionally.""",
+)
+
+
+def _q56_channel(alias: str, table: str, p: str, addr: str) -> str:
+    return f"""
+    {alias} AS (
+      SELECT i_item_id,
+             SUM(CAST({p}_ext_sales_price AS DECIMAL(38,6))) AS total_sales
+      FROM {table}, date_dim, customer_address, item
+      WHERE i_item_id IN (SELECT i_item_id FROM item
+                          WHERE i_color IN ('orchid', 'chiffon', 'lace'))
+        AND {p}_item_sk = i_item_sk
+        AND {p}_sold_date_sk = d_date_sk
+        AND d_year = 2000
+        AND d_moy = 1
+        AND {addr} = ca_address_sk
+        AND ca_gmt_offset = -8
+      GROUP BY i_item_id)"""
+
+
+_register(
+    "tpcds_q56",
+    ","
+    + _q56_channel("ss2", "store_sales", "ss", "ss_addr_sk")
+    + ","
+    + _q56_channel("cs2", "catalog_sales", "cs", "cs_bill_addr_sk")
+    + ","
+    + _q56_channel("ws2", "web_sales", "ws", "ws_bill_addr_sk")
+    + """
+    SELECT i_item_id,
+           CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+    FROM (SELECT * FROM ss2
+          UNION ALL SELECT * FROM cs2
+          UNION ALL SELECT * FROM ws2) tmp1
+    GROUP BY i_item_id
+    ORDER BY total_sales, i_item_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q56 (reference tpcds_sql/56.sql) executed: the
+    three-channel UNION ALL aggregation — per-channel (item, color-list
+    IN-subquery, January-2000, GMT-8 address) stars summed per item and
+    re-aggregated across channels.  Every filter constant is VERBATIM:
+    the derived i_color domain contains orchid/chiffon/lace, ca_gmt_offset
+    = -8 + key%3 makes a third of addresses GMT-8, and the channel facts
+    carry their own bill-address keys.  Both aggregation levels
+    accumulate in DECIMAL(38,6) (the inner channel totals stay decimal
+    through the UNION so the outer sum is exact); only the final cast is
+    DOUBLE.  The channel CTEs ride the shared WITH list (leading-comma
+    continuation), so Spark and DuckDB parse the same shape.""",
 )
