@@ -1083,3 +1083,76 @@ _register(
     DOUBLE.  The channel CTEs ride the shared WITH list (leading-comma
     continuation), so Spark and DuckDB parse the same shape.""",
 )
+
+
+def _tri_channel(alias: str, table: str, p: str, addr: str, key: str,
+                 subq: str, year: int, moy: int, gmt: int) -> str:
+    """One channel CTE of the q33/q56/q60 family: star over (fact,
+    date_dim, customer_address, item) filtered by an item subquery,
+    month and GMT band, aggregated per ``key`` in exact DECIMAL."""
+    return f"""
+    {alias} AS (
+      SELECT {key},
+             SUM(CAST({p}_ext_sales_price AS DECIMAL(38,6))) AS total_sales
+      FROM {table}, date_dim, customer_address, item
+      WHERE {key} IN ({subq})
+        AND {p}_item_sk = i_item_sk
+        AND {p}_sold_date_sk = d_date_sk
+        AND d_year = {year}
+        AND d_moy = {moy}
+        AND {addr} = ca_address_sk
+        AND ca_gmt_offset = {gmt}
+      GROUP BY {key})"""
+
+
+def _tri_body(key: str, subq: str, year: int, moy: int, gmt: int,
+              order_tail: str) -> str:
+    chans = [
+        _tri_channel("ss2", "store_sales", "ss", "ss_addr_sk",
+                     key, subq, year, moy, gmt),
+        _tri_channel("cs2", "catalog_sales", "cs", "cs_bill_addr_sk",
+                     key, subq, year, moy, gmt),
+        _tri_channel("ws2", "web_sales", "ws", "ws_bill_addr_sk",
+                     key, subq, year, moy, gmt),
+    ]
+    return ("," + ",".join(chans) + f"""
+    SELECT {key},
+           CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+    FROM (SELECT * FROM ss2
+          UNION ALL SELECT * FROM cs2
+          UNION ALL SELECT * FROM ws2) tmp1
+    GROUP BY {key}
+    ORDER BY total_sales{order_tail}
+    LIMIT 100
+    """)
+
+
+_register(
+    "tpcds_q60",
+    _tri_body(
+        "i_item_id",
+        "SELECT i_item_id FROM item WHERE i_category IN ('PROMO')",
+        1999, 9, -6, ", i_item_id",
+    ),
+    doc="""TPC-DS q60 (reference tpcds_sql/60.sql) executed: the q56
+    shape keyed by item with an i_category subquery, September-1999,
+    GMT-6.  One retarget: 'Children' → 'PROMO' (the derived i_category
+    domain is the synthetic p_type vocabulary); ca_gmt_offset = -6 is
+    the reference's own constant and lives in the derived -8..-6 band.
+    i_item_id keeps its ORDER BY tiebreak from the reference text.""",
+)
+
+_register(
+    "tpcds_q33",
+    _tri_body(
+        "i_manufact_id",
+        "SELECT i_manufact_id FROM item WHERE i_category IN ('SMALL')",
+        1999, 3, -6, ", i_manufact_id",
+    ),
+    doc="""TPC-DS q33 (reference tpcds_sql/33.sql) executed: the q56
+    shape keyed by MANUFACTURER with an i_category-driven manufact-id
+    subquery, March-1999, GMT-6 (verbatim).  Retargets: 'Books' →
+    'SMALL' (synthetic category vocabulary) and i_manufact_id appended
+    to the bare ORDER BY total_sales as a uniqueness tiebreak (the
+    reference order is tie-ambiguous under LIMIT).""",
+)
