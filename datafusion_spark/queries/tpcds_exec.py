@@ -108,7 +108,10 @@ store_sales AS (
 time_dim AS (
   SELECT id AS t_time_sk, CAST(id div 3600 AS INT) AS t_hour,
          CAST((id % 3600) div 60 AS INT) AS t_minute,
-         CAST(id % 60 AS INT) AS t_second
+         CAST(id % 60 AS INT) AS t_second,
+         CASE WHEN id >= 6*3600 AND id < 9*3600 THEN 'breakfast'
+              WHEN id >= 17*3600 AND id < 20*3600 THEN 'dinner'
+              ELSE NULL END AS t_meal_time
   FROM (SELECT explode(sequence(0, 86399)) AS id)
 ),
 household_demographics AS (
@@ -182,6 +185,8 @@ web_sales AS (
          l_extendedprice AS ws_ext_sales_price,
          o_custkey AS ws_bill_customer_sk,
          o_custkey + l_linenumber % 2 AS ws_bill_addr_sk,
+         CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
+             AS ws_sold_time_sk,
          l_tax AS ws_sales_price
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
@@ -195,6 +200,8 @@ catalog_sales AS (
          CAST(o_custkey % 1000 + 1 AS INT) AS cs_bill_cdemo_sk,
          o_custkey AS cs_bill_customer_sk,
          o_custkey + l_linenumber % 2 AS cs_bill_addr_sk,
+         CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
+             AS cs_sold_time_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS cs_promo_sk,
          l_quantity AS cs_quantity,
          l_extendedprice AS cs_list_price,
@@ -265,7 +272,10 @@ store_sales AS (
 time_dim AS (
   SELECT id AS t_time_sk, CAST(id // 3600 AS INT) AS t_hour,
          CAST((id % 3600) // 60 AS INT) AS t_minute,
-         CAST(id % 60 AS INT) AS t_second
+         CAST(id % 60 AS INT) AS t_second,
+         CASE WHEN id >= 6*3600 AND id < 9*3600 THEN 'breakfast'
+              WHEN id >= 17*3600 AND id < 20*3600 THEN 'dinner'
+              ELSE NULL END AS t_meal_time
   FROM range(0, 86400) t(id)
 ),
 household_demographics AS (
@@ -339,6 +349,8 @@ web_sales AS (
          l_extendedprice AS ws_ext_sales_price,
          o_custkey AS ws_bill_customer_sk,
          o_custkey + l_linenumber % 2 AS ws_bill_addr_sk,
+         CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
+             AS ws_sold_time_sk,
          l_tax AS ws_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
@@ -351,6 +363,8 @@ catalog_sales AS (
          CAST(o_custkey % 1000 + 1 AS INT) AS cs_bill_cdemo_sk,
          o_custkey AS cs_bill_customer_sk,
          o_custkey + l_linenumber % 2 AS cs_bill_addr_sk,
+         CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
+             AS cs_sold_time_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS cs_promo_sk,
          l_quantity AS cs_quantity,
          l_extendedprice AS cs_list_price,
@@ -1155,4 +1169,47 @@ _register(
     'SMALL' (synthetic category vocabulary) and i_manufact_id appended
     to the bare ORDER BY total_sales as a uniqueness tiebreak (the
     reference order is tie-ambiguous under LIMIT).""",
+)
+
+
+_register(
+    "tpcds_q71",
+    """
+    SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+           CAST(SUM(CAST(ext_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS ext_price
+    FROM item,
+         (SELECT ws_ext_sales_price AS ext_price,
+                 ws_sold_date_sk AS sold_date_sk,
+                 ws_item_sk AS sold_item_sk,
+                 ws_sold_time_sk AS time_sk
+          FROM web_sales, date_dim
+          WHERE d_date_sk = ws_sold_date_sk AND d_moy = 12 AND d_year = 2000
+          UNION ALL
+          SELECT cs_ext_sales_price, cs_sold_date_sk, cs_item_sk,
+                 cs_sold_time_sk
+          FROM catalog_sales, date_dim
+          WHERE d_date_sk = cs_sold_date_sk AND d_moy = 12 AND d_year = 2000
+          UNION ALL
+          SELECT ss_ext_sales_price, ss_sold_date_sk, ss_item_sk,
+                 ss_sold_time_sk
+          FROM store_sales, date_dim
+          WHERE d_date_sk = ss_sold_date_sk AND d_moy = 12 AND d_year = 2000
+         ) tmp, time_dim
+    WHERE sold_item_sk = i_item_sk
+      AND i_manager_id = 1
+      AND time_sk = t_time_sk
+      AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+    GROUP BY i_brand, i_brand_id, t_hour, t_minute
+    ORDER BY ext_price DESC, i_brand_id
+    """,
+    doc="""TPC-DS q71 (reference tpcds_sql/71.sql) executed: December-2000
+    brand revenue by minute-of-day across the three channels UNIONed
+    BEFORE the item/time joins (the opposite composition order to
+    q56/q60/q33).  t_meal_time derives deterministically on the
+    generated time_dim (breakfast 06:00-09:00, dinner 17:00-20:00);
+    ws/cs facts gain sold_time_sk with the same arithmetic as the store
+    channel.  i_manager_id = 1 and all date constants verbatim; the
+    bare ORDER BY is safe under the order-insensitive hash (no
+    LIMIT).""",
 )
