@@ -108,59 +108,42 @@ def _interleave_families() -> None:
     """
     verified = _driver_verified()
 
-    # Hand-pinned front of the prefix for the CURRENT round: fixed failures
-    # that need driver re-verification, entries whose oracle just changed,
-    # and newly-added corner families.  Rotate per round; harmless if an
-    # entry is already verified (it drops to tier 1/2 automatically).
+    # Hand-pinned front of the prefix for the CURRENT round (r6): the two r5
+    # FAILs (fixed, need driver re-verification), the 8 TPC-DS exec entries
+    # that landed after the r5 prefix snapshot, the new r6 TPC-DS tranche,
+    # and the new r6 slt-mirror families.  Rotate per round; harmless if an
+    # entry is already verified (it drops to tier 1/2 automatically) or not
+    # yet registered (tier() is only consulted for registered names).
     priority = {
-        "compat_sql_vectors",          # r4 FAIL, -0.0 normalization fix (r5)
-        "multimodal_image_resize",     # last multimodal VALUES oracle unverified
-        "multimodal_frame_sample",
-        "multimodal_audio_features",
-        "fn_edge_negative_zero",       # new r5 corner families
-        "window_lead_lag_extreme_offsets",
-        "fn_edge_string_numeric_coercion",
-        "fn_edge_type_coercion",
-        "fn_edge_in_list_typed",
-        "window_limits_prefix",
-        "dedup_minhash_lsh_pairs",     # r5 bucket-cap change to the plan
-        "nested_vector_elementwise",   # latent -0.0 flushed by the hardened sweep (r5)
-        "pg_compat_dialect",           # new r5 pg_compat family
-        "fn_edge_timestamp_tz_parse",
-        "fn_edge_floor_preimage",
-        "subquery_correlated_corners",
-        "fn_spark_trig_inverse",       # new r5 spark/-dir mirrors
-        "fn_spark_round_modes",
-        "fn_spark_reflect_misc",
-        "fn_spark_nondet_invariants",
-        "fn_edge_operator_matrix",     # new r5 general corner families
-        "setop_union_type_coercion",
-        "sort_group_by_ordinals",
-        "source_dynamic_partition_prune",  # new r5 DPP scale entry
-        "fn_edge_limit_corners",
-        "agg_edge_constant_group",
-        "fn_spark_datetime_ctor_aliases",  # r5: +to_timestamp_ltz/localtimestamp
-        "join_array_keys",                 # new r5 array-key join family
-        "dedup_incremental_lsh",           # new r5 incremental-ingest dedup
-        "join_empty_side_propagation",
-        "fn_edge_datetime_arith_matrix",
-        "tpcds_planning_sweep",            # new r5 TPC-DS planning parity
-        "tpcds_q3",                        # new r5 executed TPC-DS subset
-        "tpcds_q42",
-        "tpcds_q52",
-        "tpcds_q55",
-        "tpcds_q98",
-        "tpcds_q12",
-        "tpcds_q20",
-        "tpcds_q96",
-        "tpcds_q7",
-        "tpcds_q26",
-        "tpcds_q34",
-        "tpcds_q65",
-        "tpcds_q73",
-        "fn_edge_array_minmax_ops",
-        "tpcds_q88",
-        "tpcds_q19",
+        "fn_edge_limit_corners",       # r5 FAIL: HUGEINT sum now CAST BIGINT
+        "fn_edge_array_minmax_ops",    # r5 ERR: arrays now rendered to text
+        "agg_edge_filter_distinct",    # flushed by the r6 hardened lint:
+        "agg_minmax_nested",           #   top-level ARRAY columns now rendered
+        "similarity_pq_encode",        #   to text on both engine sides
+        "tpcds_q15",                   # landed after the r5 prefix snapshot
+        "tpcds_q45",
+        "tpcds_q56",
+        "tpcds_q60",
+        "tpcds_q33",
+        "tpcds_q71",
+        "tpcds_q79",
+        "tpcds_q68",
+        "tpcds_q1",                    # new r6 executed tranche
+        "tpcds_q13",
+        "tpcds_q36",
+        "tpcds_q48",
+        "tpcds_q62",
+        "tpcds_q86",
+        "tpcds_q99",
+        "tpcds_q6",
+        "tpcds_q59",
+        "tpcds_q43",
+        "tpcds_q41",
+        "tpcds_q82",
+        "agg_topk_min_max_groups",     # new r6 aggregates_topk.slt mirror
+        "join_limit_pushdown",         # new r6 join_limit_pushdown.slt mirror
+        "source_nested_schema_pruning",  # new r6 nested-projection-pruning pin
+        "source_parquet_cdc_feed",       # new r6 parquet CDC adjudication
     }
 
     def tier(name: str) -> int:
@@ -181,11 +164,18 @@ def _interleave_families() -> None:
     for t in (0, 1, 2):
         cols = [[n for n in by_mod[m] if tier(n) == t] for m in mods]
         cols = [c for c in cols if c]
-        depth = max((len(c) for c in cols), default=0)
-        for i in range(depth):
-            for c in cols:
-                if i < len(c):
-                    order.append(c[i])
+        # Proportional (fair-share) interleave: entry i of an n-entry family
+        # sorts at fraction (i+1)/n, so a family with 2× the unverified
+        # backlog contributes 2× the prefix slots — big blocks (job_suite
+        # ~100 unverified, clickbench_full ~37) drain proportionally faster
+        # while every family still appears in each prefix.  Module position
+        # breaks ties so the order stays deterministic.
+        keyed = [
+            ((i + 1) / len(c), j, n)
+            for j, c in enumerate(cols)
+            for i, n in enumerate(c)
+        ]
+        order.extend(n for _, _, n in sorted(keyed))
     if len(order) != len(QUERIES):
         raise RuntimeError(
             f"registry reorder dropped entries: {len(order)} != {len(QUERIES)}"

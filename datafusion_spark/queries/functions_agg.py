@@ -580,10 +580,11 @@ def agg_first_last_ordered(spark, sf_dir):
     "agg_minmax_nested",
     oracle="""
     SELECT l_returnflag,
-           MIN([CAST(l_linenumber AS BIGINT), CAST(l_orderkey AS BIGINT)]) AS mn_arr,
-           MAX([CAST(l_linenumber AS BIGINT), CAST(l_orderkey AS BIGINT)]) AS mx_arr,
-           ARG_MAX([CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT)],
-                   CAST(l_orderkey AS BIGINT) * 10 + l_linenumber)         AS last_arr
+           array_to_string(MIN([CAST(l_linenumber AS BIGINT), CAST(l_orderkey AS BIGINT)]), ',') AS mn_arr,
+           array_to_string(MAX([CAST(l_linenumber AS BIGINT), CAST(l_orderkey AS BIGINT)]), ',') AS mx_arr,
+           array_to_string(
+               ARG_MAX([CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT)],
+                       CAST(l_orderkey AS BIGINT) * 10 + l_linenumber), ',') AS last_arr
     FROM lineitem
     WHERE l_orderkey < 4000
     GROUP BY l_returnflag
@@ -604,9 +605,9 @@ def agg_minmax_nested(spark, sf_dir):
     key_arr = F.array(F.col("l_orderkey").cast("long"), F.col("l_linenumber").cast("long"))
     ukey = F.col("l_orderkey").cast("long") * 10 + F.col("l_linenumber")
     return l.groupBy("l_returnflag").agg(
-        F.min(arr).alias("mn_arr"),
-        F.max(arr).alias("mx_arr"),
-        F.max_by(key_arr, ukey).alias("last_arr"),
+        F.array_join(F.min(arr), ",").alias("mn_arr"),
+        F.array_join(F.max(arr), ",").alias("mx_arr"),
+        F.array_join(F.max_by(key_arr, ukey), ",").alias("last_arr"),
     )
 
 

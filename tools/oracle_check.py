@@ -73,6 +73,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
+    # The driver's canonicalizer (sort_values → factorize) cannot hash
+    # list/dict cells and ERRs the whole entry (r5: fn_edge_array_minmax_ops);
+    # _sortable() below stringifies them so the local sweep would otherwise
+    # stay blind.  Detect them on the RAW frame, before normalization.
+    for c in spark_pdf.columns:
+        col = spark_pdf[c]
+        if str(col.dtype) == "object":
+            sample = next(
+                (v for v in col
+                 if v is not None and not (isinstance(v, float) and math.isnan(v))),
+                None,
+            )
+            if isinstance(sample, (list, dict)) or type(sample).__name__ == "ndarray":
+                problems.append(
+                    f"col {c}: {type(sample).__name__} cells — driver harness "
+                    "cannot hash ARRAY/MAP output; render to text on both sides"
+                )
+    if problems:
+        return problems
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     if list(s.columns) != list(d.columns):
         problems.append(f"columns differ: spark={list(s.columns)} duck={list(d.columns)}")
@@ -110,7 +129,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                     f"col {c}: values differ, e.g. row {bad}: spark={sv[bad]!r} duck={dv[bad]!r}"
                 )
         if str(sv.dtype) != str(dv.dtype):
-            problems.append(f"col {c}: dtype spark={sv.dtype} duck={dv.dtype} (warn)")
+            # int-vs-float disagreement is HASH-BREAKING at the driver (it
+            # hashes raw values: 5 != 5.0) — hard failure, not a warning.
+            # Root cause is almost always a width/widening mismatch, e.g.
+            # DuckDB SUM(BIGINT)→HUGEINT→float64 (r5: fn_edge_limit_corners);
+            # fix with explicit CASTs on both sides (SURVEY §4 rule 5).
+            s_int = pd.api.types.is_integer_dtype(sv)
+            d_int = pd.api.types.is_integer_dtype(dv)
+            s_flt = pd.api.types.is_float_dtype(sv)
+            d_flt = pd.api.types.is_float_dtype(dv)
+            if (s_int and d_flt) or (s_flt and d_int):
+                problems.append(
+                    f"col {c}: dtype spark={sv.dtype} duck={dv.dtype} "
+                    "(int-vs-float: driver hash WILL mismatch — cast both sides)"
+                )
+            else:
+                problems.append(f"col {c}: dtype spark={sv.dtype} duck={dv.dtype} (warn)")
     return problems
 
 
