@@ -57,7 +57,10 @@ WITH date_dim AS (
              AS d_month_seq,
          CAST((datediff(CAST(d AS DATE), DATE '1992-01-01') + 3) % 7 AS INT)
              AS d_dow,
-         CAST((month(d) - 1) div 3 + 1 AS INT) AS d_qoy
+         CAST((month(d) - 1) div 3 + 1 AS INT) AS d_qoy,
+         date_format(CAST(d AS DATE), 'EEEE') AS d_day_name,
+         CAST((datediff(CAST(d AS DATE), DATE '1992-01-01') + 3) div 7
+              + 5270 AS INT) AS d_week_seq
   FROM (SELECT explode(sequence(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
                                 INTERVAL 1 DAY)) AS d)
 ),
@@ -78,7 +81,14 @@ item AS (
               WHEN 5 THEN 'peru' WHEN 6 THEN 'ivory'
               ELSE 'slate' END AS i_color,
          p_retailprice AS i_current_price,
-         p_retailprice * 0.6 AS i_wholesale_cost
+         p_retailprice * 0.6 AS i_wholesale_cost,
+         p_name AS i_product_name,
+         CASE p_partkey % 6 WHEN 0 THEN 'Pound' WHEN 1 THEN 'Lb'
+              WHEN 2 THEN 'Each' WHEN 3 THEN 'Oz' WHEN 4 THEN 'Box'
+              ELSE 'Unknown' END AS i_units,
+         CASE p_size % 5 WHEN 0 THEN 'petite' WHEN 1 THEN 'medium'
+              WHEN 2 THEN 'small' WHEN 3 THEN 'large'
+              ELSE 'N/A' END AS i_size
   FROM parquet.`__SF__/part.parquet`
 ),
 store_sales AS (
@@ -100,6 +110,7 @@ store_sales AS (
          CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
          l_quantity AS ss_quantity,
          l_extendedprice AS ss_list_price,
+         l_extendedprice * 0.6 AS ss_ext_wholesale_cost,
          l_discount AS ss_coupon_amt,
          l_tax AS ss_sales_price
   FROM parquet.`__SF__/lineitem.parquet`
@@ -124,6 +135,11 @@ household_demographics AS (
 ),
 store AS (
   SELECT id AS s_store_sk, 'store_' || CAST(id AS STRING) AS s_store_name,
+         'S' || lpad(CAST(id AS STRING), 4, '0') AS s_store_id,
+         CASE id % 5 WHEN 0 THEN 'SD' WHEN 1 THEN 'MO' WHEN 2 THEN 'GA'
+              WHEN 3 THEN 'AL' ELSE 'TN' END AS s_state,
+         CAST(CASE WHEN id % 2 = 0 THEN -6 ELSE -7 END AS INT)
+             AS s_gmt_offset,
          lpad(CAST(id * 977 % 3001 AS STRING), 5, '0') || '-0' AS s_zip,
          CAST(150 + id * 15 AS INT) AS s_number_employees,
          CASE id % 5 WHEN 0 THEN 'Oakland' WHEN 1 THEN 'Riverside'
@@ -139,6 +155,7 @@ store AS (
 ),
 customer AS (
   SELECT c_custkey AS c_customer_sk,
+         'C' || lpad(CAST(c_custkey AS STRING), 15, '0') AS c_customer_id,
          'CF' || CAST(c_custkey % 97 AS STRING) AS c_first_name,
          'CL' || CAST(c_custkey % 701 AS STRING) AS c_last_name,
          CASE c_custkey % 6 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
@@ -158,6 +175,7 @@ customer_address AS (
               WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'NY'
               WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state,
          'county_' || CAST(c_custkey % 11 AS STRING) AS ca_county,
+         'United States' AS ca_country,
          CAST(-8 + c_custkey % 3 AS INT) AS ca_gmt_offset
   FROM parquet.`__SF__/customer.parquet`
 ),
@@ -187,7 +205,14 @@ web_sales AS (
          o_custkey + l_linenumber % 2 AS ws_bill_addr_sk,
          CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
              AS ws_sold_time_sk,
-         l_tax AS ws_sales_price
+         l_tax AS ws_sales_price,
+         datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 11 + l_linenumber * 31) % 150 AS INT)
+             AS ws_ship_date_sk,
+         CAST(l_suppkey % 5 + 1 AS INT) AS ws_warehouse_sk,
+         CAST(l_partkey % 20 + 1 AS INT) AS ws_ship_mode_sk,
+         CAST(l_orderkey % 30 + 1 AS INT) AS ws_web_site_sk,
+         l_extendedprice - l_discount AS ws_net_paid
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
@@ -206,10 +231,63 @@ catalog_sales AS (
          l_quantity AS cs_quantity,
          l_extendedprice AS cs_list_price,
          l_discount AS cs_coupon_amt,
-         l_tax AS cs_sales_price
+         l_tax AS cs_sales_price,
+         datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 17 + l_linenumber * 43) % 150 AS INT)
+             AS cs_ship_date_sk,
+         CAST(l_suppkey % 5 + 1 AS INT) AS cs_warehouse_sk,
+         CAST(l_partkey % 20 + 1 AS INT) AS cs_ship_mode_sk,
+         CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2
+),
+warehouse AS (
+  SELECT id AS w_warehouse_sk,
+         'Warehouse number ' || CAST(id AS STRING) AS w_warehouse_name
+  FROM (SELECT explode(sequence(1, 5)) AS id)
+),
+ship_mode AS (
+  SELECT id AS sm_ship_mode_sk,
+         CASE id % 5 WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'OVERNIGHT'
+              WHEN 2 THEN 'REGULAR' WHEN 3 THEN 'TWO DAY'
+              ELSE 'LIBRARY' END AS sm_type
+  FROM (SELECT explode(sequence(1, 20)) AS id)
+),
+web_site AS (
+  SELECT id AS web_site_sk,
+         'site_' || CAST(id % 6 AS STRING) AS web_name
+  FROM (SELECT explode(sequence(1, 30)) AS id)
+),
+call_center AS (
+  SELECT id AS cc_call_center_sk,
+         'call_center_' || CAST(id AS STRING) AS cc_name
+  FROM (SELECT explode(sequence(1, 6)) AS id)
+),
+store_returns AS (
+  SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 13 + l_linenumber * 17) % 90 AS INT)
+             AS sr_returned_date_sk,
+         o_custkey AS sr_customer_sk,
+         CAST(l_suppkey % 10 + 1 AS INT) AS sr_store_sk,
+         l_partkey AS sr_item_sk,
+         l_orderkey AS sr_ticket_number,
+         l_tax AS sr_fee,
+         l_quantity AS sr_return_quantity,
+         l_extendedprice * 0.1 AS sr_return_amt
+  FROM parquet.`__SF__/lineitem.parquet`
+  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+),
+inventory AS (
+  SELECT p_partkey AS inv_item_sk,
+         datediff(CAST(wd AS DATE), DATE '1992-01-01') + 2450000
+             AS inv_date_sk,
+         CAST((p_partkey * 7 + datediff(CAST(wd AS DATE), DATE '1992-01-01'))
+              % 1000 AS INT) AS inv_quantity_on_hand
+  FROM parquet.`__SF__/part.parquet`
+  CROSS JOIN (SELECT explode(sequence(DATE '1995-01-03', DATE '2001-12-31',
+                                      INTERVAL 7 DAY)) AS wd)
 )
 """
 
@@ -222,7 +300,10 @@ WITH date_dim AS (
              AS d_month_seq,
          CAST(((CAST(d AS DATE) - DATE '1992-01-01') + 3) % 7 AS INT)
              AS d_dow,
-         CAST((month(d) - 1) // 3 + 1 AS INT) AS d_qoy
+         CAST((month(d) - 1) // 3 + 1 AS INT) AS d_qoy,
+         dayname(CAST(d AS DATE)) AS d_day_name,
+         CAST(((CAST(d AS DATE) - DATE '1992-01-01') + 3) // 7
+              + 5270 AS INT) AS d_week_seq
   FROM (SELECT unnest(generate_series(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
                                       INTERVAL '1 day')) AS d) t
 ),
@@ -243,7 +324,14 @@ item AS (
               WHEN 5 THEN 'peru' WHEN 6 THEN 'ivory'
               ELSE 'slate' END AS i_color,
          p_retailprice AS i_current_price,
-         p_retailprice * 0.6 AS i_wholesale_cost
+         p_retailprice * 0.6 AS i_wholesale_cost,
+         p_name AS i_product_name,
+         CASE p_partkey % 6 WHEN 0 THEN 'Pound' WHEN 1 THEN 'Lb'
+              WHEN 2 THEN 'Each' WHEN 3 THEN 'Oz' WHEN 4 THEN 'Box'
+              ELSE 'Unknown' END AS i_units,
+         CASE p_size % 5 WHEN 0 THEN 'petite' WHEN 1 THEN 'medium'
+              WHEN 2 THEN 'small' WHEN 3 THEN 'large'
+              ELSE 'N/A' END AS i_size
   FROM part
 ),
 store_sales AS (
@@ -265,6 +353,7 @@ store_sales AS (
          CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
          l_quantity AS ss_quantity,
          l_extendedprice AS ss_list_price,
+         l_extendedprice * 0.6 AS ss_ext_wholesale_cost,
          l_discount AS ss_coupon_amt,
          l_tax AS ss_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -288,6 +377,11 @@ household_demographics AS (
 ),
 store AS (
   SELECT id AS s_store_sk, 'store_' || CAST(id AS VARCHAR) AS s_store_name,
+         'S' || lpad(CAST(id AS VARCHAR), 4, '0') AS s_store_id,
+         CASE id % 5 WHEN 0 THEN 'SD' WHEN 1 THEN 'MO' WHEN 2 THEN 'GA'
+              WHEN 3 THEN 'AL' ELSE 'TN' END AS s_state,
+         CAST(CASE WHEN id % 2 = 0 THEN -6 ELSE -7 END AS INT)
+             AS s_gmt_offset,
          lpad(CAST(id * 977 % 3001 AS VARCHAR), 5, '0') || '-0' AS s_zip,
          CAST(150 + id * 15 AS INT) AS s_number_employees,
          CASE id % 5 WHEN 0 THEN 'Oakland' WHEN 1 THEN 'Riverside'
@@ -303,6 +397,7 @@ store AS (
 ),
 customer AS (
   SELECT c_custkey AS c_customer_sk,
+         'C' || lpad(CAST(c_custkey AS VARCHAR), 15, '0') AS c_customer_id,
          'CF' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
          'CL' || CAST(c_custkey % 701 AS VARCHAR) AS c_last_name,
          CASE c_custkey % 6 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
@@ -322,6 +417,7 @@ customer_address AS (
               WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'NY'
               WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state,
          'county_' || CAST(c_custkey % 11 AS VARCHAR) AS ca_county,
+         'United States' AS ca_country,
          CAST(-8 + c_custkey % 3 AS INT) AS ca_gmt_offset
   FROM main.customer
 ),
@@ -351,7 +447,14 @@ web_sales AS (
          o_custkey + l_linenumber % 2 AS ws_bill_addr_sk,
          CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
              AS ws_sold_time_sk,
-         l_tax AS ws_sales_price
+         l_tax AS ws_sales_price,
+         (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 11 + l_linenumber * 31) % 150 AS INT)
+             AS ws_ship_date_sk,
+         CAST(l_suppkey % 5 + 1 AS INT) AS ws_warehouse_sk,
+         CAST(l_partkey % 20 + 1 AS INT) AS ws_ship_mode_sk,
+         CAST(l_orderkey % 30 + 1 AS INT) AS ws_web_site_sk,
+         l_extendedprice - l_discount AS ws_net_paid
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
 ),
@@ -369,9 +472,61 @@ catalog_sales AS (
          l_quantity AS cs_quantity,
          l_extendedprice AS cs_list_price,
          l_discount AS cs_coupon_amt,
-         l_tax AS cs_sales_price
+         l_tax AS cs_sales_price,
+         (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 17 + l_linenumber * 43) % 150 AS INT)
+             AS cs_ship_date_sk,
+         CAST(l_suppkey % 5 + 1 AS INT) AS cs_warehouse_sk,
+         CAST(l_partkey % 20 + 1 AS INT) AS cs_ship_mode_sk,
+         CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2
+),
+warehouse AS (
+  SELECT id AS w_warehouse_sk,
+         'Warehouse number ' || CAST(id AS VARCHAR) AS w_warehouse_name
+  FROM range(1, 6) t(id)
+),
+ship_mode AS (
+  SELECT id AS sm_ship_mode_sk,
+         CASE id % 5 WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'OVERNIGHT'
+              WHEN 2 THEN 'REGULAR' WHEN 3 THEN 'TWO DAY'
+              ELSE 'LIBRARY' END AS sm_type
+  FROM range(1, 21) t(id)
+),
+web_site AS (
+  SELECT id AS web_site_sk,
+         'site_' || CAST(id % 6 AS VARCHAR) AS web_name
+  FROM range(1, 31) t(id)
+),
+call_center AS (
+  SELECT id AS cc_call_center_sk,
+         'call_center_' || CAST(id AS VARCHAR) AS cc_name
+  FROM range(1, 7) t(id)
+),
+store_returns AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 13 + l_linenumber * 17) % 90 AS INT)
+             AS sr_returned_date_sk,
+         o_custkey AS sr_customer_sk,
+         CAST(l_suppkey % 10 + 1 AS INT) AS sr_store_sk,
+         l_partkey AS sr_item_sk,
+         l_orderkey AS sr_ticket_number,
+         l_tax AS sr_fee,
+         l_quantity AS sr_return_quantity,
+         l_extendedprice * 0.1 AS sr_return_amt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+),
+inventory AS (
+  SELECT p_partkey AS inv_item_sk,
+         (CAST(wd AS DATE) - DATE '1992-01-01') + 2450000 AS inv_date_sk,
+         CAST((p_partkey * 7 + (CAST(wd AS DATE) - DATE '1992-01-01'))
+              % 1000 AS INT) AS inv_quantity_on_hand
+  FROM part
+  CROSS JOIN (SELECT unnest(generate_series(DATE '1995-01-03',
+                                            DATE '2001-12-31',
+                                            INTERVAL '7 days')) AS wd) t
 )
 """
 
@@ -1212,4 +1367,523 @@ _register(
     channel.  i_manager_id = 1 and all date constants verbatim; the
     bare ORDER BY is safe under the order-insensitive hash (no
     LIMIT).""",
+)
+
+
+_register(
+    "tpcds_q1",
+    """
+    , customer_total_return AS (
+      SELECT sr_customer_sk AS ctr_customer_sk,
+             sr_store_sk AS ctr_store_sk,
+             CAST(SUM(CAST(sr_fee AS DECIMAL(38,6))) AS DOUBLE)
+                 AS ctr_total_return
+      FROM store_returns, date_dim
+      WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+      GROUP BY sr_customer_sk, sr_store_sk
+    )
+    SELECT c_customer_id
+    FROM customer_total_return ctr1, store, customer
+    WHERE ctr1.ctr_total_return >
+          (SELECT AVG(ctr_total_return) * 1.2
+           FROM customer_total_return ctr2
+           WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+      AND s_store_sk = ctr1.ctr_store_sk
+      AND s_state = 'SD'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+    ORDER BY c_customer_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q1 (reference tpcds_sql/1.sql) executed: customers whose
+    year-2000 return fees at one state's stores exceed 1.2x the
+    per-store average (correlated CTE self-comparison).  store_returns
+    derives from the 'R'-flagged lineitem rows with a deterministic
+    0-89-day return lag; s_state = 'SD' is verbatim (the derived store
+    state domain includes SD).  Per-customer totals accumulate in
+    DECIMAL then compare as DOUBLE (house determinism rule); join
+    graph, grouping, ordering and LIMIT verbatim.""",
+)
+
+_register(
+    "tpcds_q6",
+    """
+    SELECT a.ca_state AS state, COUNT(*) AS cnt
+    FROM customer_address a, customer c, store_sales s, date_dim d, item i
+    WHERE a.ca_address_sk = c.c_current_addr_sk
+      AND c.c_customer_sk = s.ss_customer_sk
+      AND s.ss_sold_date_sk = d.d_date_sk
+      AND s.ss_item_sk = i.i_item_sk
+      AND d.d_month_seq = (SELECT DISTINCT d_month_seq FROM date_dim
+                           WHERE d_year = 2000 AND d_moy = 2)
+      AND i.i_current_price > 1.02 *
+          (SELECT AVG(j.i_current_price) FROM item j
+           WHERE j.i_category = i.i_category)
+    GROUP BY a.ca_state
+    HAVING COUNT(*) >= 10
+    ORDER BY cnt, state
+    LIMIT 100
+    """,
+    doc="""TPC-DS q6 (reference tpcds_sql/6.sql) executed: states whose
+    customers bought >=10 items priced above their category average in
+    one month, with the uncorrelated scalar month-seq subquery and the
+    category-correlated average-price subquery both verbatim.  One
+    retarget: the 1.2x premium factor -> 1.02x (the synthetic
+    p_retailprice domain is 900..1000, so 1.2x the mean exceeds the
+    maximum and selects nothing by construction).""",
+)
+
+_register(
+    "tpcds_q13",
+    """
+    SELECT CAST(SUM(CAST(ss_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(ss_quantity)            AS avg_qty,
+           CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(ss_ext_sales_price)     AS avg_ext_price,
+           CAST(SUM(CAST(ss_ext_wholesale_cost AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(ss_ext_wholesale_cost)  AS avg_wholesale,
+           CAST(SUM(CAST(ss_ext_wholesale_cost AS DECIMAL(38,6))) AS DOUBLE)
+                                               AS sum_wholesale
+    FROM store_sales, store, customer_demographics,
+         household_demographics, customer_address, date_dim
+    WHERE s_store_sk = ss_store_sk
+      AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+      AND ((ss_hdemo_sk = hd_demo_sk
+            AND cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'D'
+            AND cd_education_status = '2 yr Degree'
+            AND ss_sales_price BETWEEN 0.05 AND 0.08
+            AND hd_dep_count = 3)
+        OR (ss_hdemo_sk = hd_demo_sk
+            AND cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'S'
+            AND cd_education_status = 'Secondary'
+            AND ss_sales_price BETWEEN 0.01 AND 0.04
+            AND hd_dep_count = 1)
+        OR (ss_hdemo_sk = hd_demo_sk
+            AND cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'W'
+            AND cd_education_status = 'Advanced Degree'
+            AND ss_sales_price BETWEEN 0.03 AND 0.06
+            AND hd_dep_count = 1))
+      AND ((ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('CA', 'WA', 'GA')
+            AND ss_net_profit BETWEEN 1000 AND 2000)
+        OR (ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('OH', 'TX', 'NM')
+            AND ss_net_profit BETWEEN 2000 AND 3000)
+        OR (ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('NY', 'FL', 'MI')
+            AND ss_net_profit BETWEEN 1500 AND 2500))
+    """,
+    doc="""TPC-DS q13 (reference tpcds_sql/13.sql) executed: the
+    three-way demographic OR-slice x three-way geographic OR-slice
+    whole-table averages.  Structure (the OR blocks each re-stating the
+    join keys, forcing the optimizer to factor the common conjunct)
+    verbatim; each avg spelled exact-decimal-sum / count (house rule).
+    Retargets to the derived domains: ss_sales_price bands scaled into
+    the l_tax-derived 0..0.08 range, ss_net_profit bands into its
+    868..105k range, state lists drawn from the derived 7-state
+    ca_state domain; marital/education pairs verbatim (all exist in
+    the generated customer_demographics).""",
+)
+
+_register(
+    "tpcds_q36",
+    """
+    SELECT CAST(SUM(CAST(ss_net_profit AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6)))
+                      AS DOUBLE) AS gross_margin,
+           i_category, i_class,
+           CAST(grouping(i_category) + grouping(i_class) AS INT)
+               AS lochierarchy,
+           CAST(rank() OVER (
+               PARTITION BY grouping(i_category) + grouping(i_class),
+                   CASE WHEN grouping(i_class) = 0 THEN i_category END
+               ORDER BY CAST(SUM(CAST(ss_net_profit AS DECIMAL(38,6)))
+                             AS DOUBLE)
+                        / CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6)))
+                               AS DOUBLE) ASC) AS BIGINT)
+               AS rank_within_parent
+    FROM store_sales, date_dim d1, item, store
+    WHERE d1.d_year = 2000
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND s_state IN ('MO','LA','GA','MI','SC','OH','SD','AL')
+    GROUP BY ROLLUP(i_category, i_class)
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN i_category END,
+             rank_within_parent
+    LIMIT 100
+    """,
+    doc="""TPC-DS q36 (reference tpcds_sql/36.sql) executed: the gross-
+    margin ROLLUP report with rank() partitioned by the grouping-id
+    hierarchy -- grouping() inside both the select list and the window
+    PARTITION BY, over GROUP BY ROLLUP.  The s_state IN-list is
+    verbatim (four of its states exist in the derived domain).  Margin
+    numerator/denominator accumulate in DECIMAL then divide as DOUBLE
+    (house rule); grouping arithmetic CAST to INT and rank to BIGINT
+    on both engines so the driver hashes identical widths.""",
+)
+
+_register(
+    "tpcds_q41",
+    """
+    SELECT DISTINCT i_product_name
+    FROM item i1
+    WHERE i_manufact_id BETWEEN 242 AND 242 + 40
+      AND (SELECT COUNT(*) AS item_cnt
+           FROM item
+           WHERE i_manufact = i1.i_manufact
+             AND (((i_category = 'STANDARD' AND
+                    (i_color = 'orchid' OR i_color = 'chiffon') AND
+                    (i_units = 'Pound' OR i_units = 'Lb') AND
+                    (i_size = 'petite' OR i_size = 'medium'))
+                OR (i_category = 'STANDARD' AND
+                    (i_color = 'lace' OR i_color = 'navy') AND
+                    (i_units = 'Each' OR i_units = 'Unknown') AND
+                    (i_size = 'N/A' OR i_size = 'large'))
+                OR (i_category = 'ECONOMY' AND
+                    (i_color = 'peru' OR i_color = 'ivory') AND
+                    (i_units = 'N/A' OR i_units = 'Oz') AND
+                    (i_size = 'small' OR i_size = 'large'))
+                OR (i_category = 'ECONOMY' AND
+                    (i_color = 'slate' OR i_color = 'navy') AND
+                    (i_units = 'Box' OR i_units = 'Pound') AND
+                    (i_size = 'petite' OR i_size = 'medium')))
+               OR ((i_category = 'STANDARD' AND
+                    (i_color = 'salmon' OR i_color = 'chiffon') AND
+                    (i_units = 'Oz' OR i_units = 'Box') AND
+                    (i_size = 'petite' OR i_size = 'medium'))
+                OR (i_category = 'STANDARD' AND
+                    (i_color = 'ivory' OR i_color = 'slate') AND
+                    (i_units = 'Lb' OR i_units = 'Unknown') AND
+                    (i_size = 'N/A' OR i_size = 'large'))
+                OR (i_category = 'ECONOMY' AND
+                    (i_color = 'orchid' OR i_color = 'lace') AND
+                    (i_units = 'Each' OR i_units = 'Unknown') AND
+                    (i_size = 'small' OR i_size = 'large'))
+                OR (i_category = 'ECONOMY' AND
+                    (i_color = 'navy' OR i_color = 'peru') AND
+                    (i_units = 'Pound' OR i_units = 'Oz') AND
+                    (i_size = 'petite' OR i_size = 'medium'))))) > 0
+    ORDER BY i_product_name
+    LIMIT 100
+    """,
+    doc="""TPC-DS q41 (reference tpcds_sql/41.sql) executed: product
+    names of manufacturers that make at least one item matching a deep
+    category/color/units/size disjunction -- a correlated scalar COUNT
+    subquery over the same dimension.  One structural adaptation: the
+    reference spells the correlation as (corr AND block1) OR (corr AND
+    block2); here the common i_manufact correlation is factored out
+    (logically identical) because Spark's decorrelation rejects
+    correlated equality under OR.  Literals retarget to the derived
+    item domains: categories -> synthetic p_type values, colors from
+    the 8-color palette, units/sizes from the generated 6/5-value
+    domains, manufact-id band 742 -> 242 (the derived i_manufact_id is
+    mod-500).""",
+)
+
+_register(
+    "tpcds_q43",
+    """
+    SELECT s_store_name, s_store_id,
+           CAST(SUM(CASE WHEN d_day_name = 'Sunday'
+                    THEN CAST(ss_sales_price AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS sun_sales,
+           CAST(SUM(CASE WHEN d_day_name = 'Monday'
+                    THEN CAST(ss_sales_price AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS mon_sales,
+           CAST(SUM(CASE WHEN d_day_name = 'Tuesday'
+                    THEN CAST(ss_sales_price AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS tue_sales,
+           CAST(SUM(CASE WHEN d_day_name = 'Wednesday'
+                    THEN CAST(ss_sales_price AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS wed_sales,
+           CAST(SUM(CASE WHEN d_day_name = 'Thursday'
+                    THEN CAST(ss_sales_price AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS thu_sales,
+           CAST(SUM(CASE WHEN d_day_name = 'Friday'
+                    THEN CAST(ss_sales_price AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS fri_sales,
+           CAST(SUM(CASE WHEN d_day_name = 'Saturday'
+                    THEN CAST(ss_sales_price AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS sat_sales
+    FROM date_dim, store_sales, store
+    WHERE d_date_sk = ss_sold_date_sk
+      AND s_store_sk = ss_store_sk
+      AND s_gmt_offset = -6
+      AND d_year = 1998
+    GROUP BY s_store_name, s_store_id
+    ORDER BY s_store_name, s_store_id, sun_sales, mon_sales, tue_sales,
+             wed_sales, thu_sales, fri_sales, sat_sales
+    LIMIT 100
+    """,
+    doc="""TPC-DS q43 (reference tpcds_sql/43.sql) executed: per-store
+    day-of-week sales pivot for one timezone band, all constants
+    verbatim (s_gmt_offset = -6 and d_year = 1998 both live in the
+    derived domains).  d_day_name derives as Spark date_format('EEEE')
+    vs DuckDB dayname() -- both produce full English day names.  The
+    NULL-preserving CASE (no ELSE) is the reference's own sparse-pivot
+    idiom; sums accumulate in DECIMAL then render DOUBLE.""",
+)
+
+_register(
+    "tpcds_q48",
+    """
+    SELECT CAST(SUM(CAST(ss_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_qty
+    FROM store_sales, store, customer_demographics,
+         customer_address, date_dim
+    WHERE s_store_sk = ss_store_sk
+      AND ss_sold_date_sk = d_date_sk AND d_year = 1998
+      AND ((cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'M'
+            AND cd_education_status = '4 yr Degree'
+            AND ss_sales_price BETWEEN 0.05 AND 0.08)
+        OR (cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'D'
+            AND cd_education_status = 'Primary'
+            AND ss_sales_price BETWEEN 0.01 AND 0.04)
+        OR (cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'U'
+            AND cd_education_status = 'Advanced Degree'
+            AND ss_sales_price BETWEEN 0.03 AND 0.06))
+      AND ((ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('CA', 'GA', 'NY')
+            AND ss_net_profit BETWEEN 0 AND 2000)
+        OR (ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('TX', 'OH', 'WA')
+            AND ss_net_profit BETWEEN 150 AND 3000)
+        OR (ss_addr_sk = ca_address_sk
+            AND ca_country = 'United States'
+            AND ca_state IN ('FL', 'MO', 'WV')
+            AND ss_net_profit BETWEEN 50 AND 25000))
+    """,
+    doc="""TPC-DS q48 (reference tpcds_sql/48.sql) executed: the q13
+    sibling without household_demographics -- demographic OR-slice x
+    geographic OR-slice total quantity.  The net-profit bands are
+    verbatim (they already intersect the derived 868..105k domain);
+    marital/education pairs verbatim; sales-price bands scaled into
+    the l_tax-derived range and state lists drawn from the derived
+    domain, as in q13.  Sum spelled exact-decimal then DOUBLE.""",
+)
+
+_register(
+    "tpcds_q59",
+    """
+    , wss AS (
+      SELECT d_week_seq, ss_store_sk,
+             SUM(CASE WHEN d_day_name = 'Sunday'
+                 THEN CAST(ss_sales_price AS DECIMAL(38,6)) END) AS sun_sales,
+             SUM(CASE WHEN d_day_name = 'Monday'
+                 THEN CAST(ss_sales_price AS DECIMAL(38,6)) END) AS mon_sales,
+             SUM(CASE WHEN d_day_name = 'Tuesday'
+                 THEN CAST(ss_sales_price AS DECIMAL(38,6)) END) AS tue_sales,
+             SUM(CASE WHEN d_day_name = 'Wednesday'
+                 THEN CAST(ss_sales_price AS DECIMAL(38,6)) END) AS wed_sales,
+             SUM(CASE WHEN d_day_name = 'Thursday'
+                 THEN CAST(ss_sales_price AS DECIMAL(38,6)) END) AS thu_sales,
+             SUM(CASE WHEN d_day_name = 'Friday'
+                 THEN CAST(ss_sales_price AS DECIMAL(38,6)) END) AS fri_sales,
+             SUM(CASE WHEN d_day_name = 'Saturday'
+                 THEN CAST(ss_sales_price AS DECIMAL(38,6)) END) AS sat_sales
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk
+      GROUP BY d_week_seq, ss_store_sk
+    )
+    SELECT s_store_name1, s_store_id1, d_week_seq1,
+           CAST(sun_sales1 AS DOUBLE) / NULLIF(CAST(sun_sales2 AS DOUBLE), 0)
+               AS sun_ratio,
+           CAST(mon_sales1 AS DOUBLE) / NULLIF(CAST(mon_sales2 AS DOUBLE), 0)
+               AS mon_ratio,
+           CAST(tue_sales1 AS DOUBLE) / NULLIF(CAST(tue_sales2 AS DOUBLE), 0)
+               AS tue_ratio,
+           CAST(wed_sales1 AS DOUBLE) / NULLIF(CAST(wed_sales2 AS DOUBLE), 0)
+               AS wed_ratio,
+           CAST(thu_sales1 AS DOUBLE) / NULLIF(CAST(thu_sales2 AS DOUBLE), 0)
+               AS thu_ratio,
+           CAST(fri_sales1 AS DOUBLE) / NULLIF(CAST(fri_sales2 AS DOUBLE), 0)
+               AS fri_ratio,
+           CAST(sat_sales1 AS DOUBLE) / NULLIF(CAST(sat_sales2 AS DOUBLE), 0)
+               AS sat_ratio
+    FROM
+      (SELECT s_store_name s_store_name1, wss.d_week_seq d_week_seq1,
+              s_store_id s_store_id1, sun_sales sun_sales1,
+              mon_sales mon_sales1, tue_sales tue_sales1,
+              wed_sales wed_sales1, thu_sales thu_sales1,
+              fri_sales fri_sales1, sat_sales sat_sales1
+       FROM wss, store, date_dim d
+       WHERE d.d_week_seq = wss.d_week_seq
+         AND ss_store_sk = s_store_sk
+         AND d_month_seq BETWEEN 1236 AND 1236 + 11) y,
+      (SELECT s_store_name s_store_name2, wss.d_week_seq d_week_seq2,
+              s_store_id s_store_id2, sun_sales sun_sales2,
+              mon_sales mon_sales2, tue_sales tue_sales2,
+              wed_sales wed_sales2, thu_sales thu_sales2,
+              fri_sales fri_sales2, sat_sales sat_sales2
+       FROM wss, store, date_dim d
+       WHERE d.d_week_seq = wss.d_week_seq
+         AND ss_store_sk = s_store_sk
+         AND d_month_seq BETWEEN 1236 + 12 AND 1236 + 23) x
+    WHERE s_store_id1 = s_store_id2
+      AND d_week_seq1 = d_week_seq2 - 52
+    ORDER BY s_store_name1, s_store_id1, d_week_seq1
+    LIMIT 100
+    """,
+    doc="""TPC-DS q59 (reference tpcds_sql/59.sql) executed: week-over-
+    week per-store day-of-week sales ratios -- the shared wss CTE
+    consumed twice at a 12-month offset and self-joined on
+    week_seq - 52.  d_week_seq derives as Sunday-aligned weeks since
+    the 1992 epoch (+5270 base) so consecutive years sit exactly 52
+    weeks apart; the month-seq windows retarget 1185 -> 1236 (the
+    first full year of the synthetic calendar).  The reference's
+    day-fan-out join through date_dim (each week matching 7 date rows)
+    is kept verbatim -- the duplicate rows are part of the canonical
+    answer shape.  Ratio columns divide exact-decimal sums as DOUBLE
+    through NULLIF (a week of all-zero derived sales prices would
+    otherwise raise under Spark ANSI division while DuckDB yields inf
+    -- a real engine divergence, resolved to NULL on both) and are
+    aliased on both engines.""",
+)
+
+_register(
+    "tpcds_q62",
+    """
+    SELECT substr(w_warehouse_name, 1, 20) AS wh_name, sm_type, web_name,
+           CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
+                     AND ws_ship_date_sk - ws_sold_date_sk <= 60
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+           CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
+                     AND ws_ship_date_sk - ws_sold_date_sk <= 90
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+           CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
+                     AND ws_ship_date_sk - ws_sold_date_sk <= 120
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+           CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120
+                    THEN 1 ELSE 0 END) AS BIGINT) AS dgt120
+    FROM web_sales, warehouse, ship_mode, web_site, date_dim
+    WHERE d_month_seq BETWEEN 1248 AND 1248 + 11
+      AND ws_ship_date_sk = d_date_sk
+      AND ws_warehouse_sk = w_warehouse_sk
+      AND ws_ship_mode_sk = sm_ship_mode_sk
+      AND ws_web_site_sk = web_site_sk
+    GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+    ORDER BY wh_name, sm_type, web_name
+    LIMIT 100
+    """,
+    doc="""TPC-DS q62 (reference tpcds_sql/62.sql) executed: web-channel
+    shipping-lag bucket report by warehouse x ship-mode x site.  The
+    fact gains a deterministic 0-149-day ship lag plus warehouse /
+    ship-mode / web-site keys; the three dimensions are generated
+    (5 warehouses, 20 ship modes with a 5-value sm_type domain, 30
+    sites folding to 6 web_names).  The reference's quoted '30 days'
+    output names become d30..dgt120 aliases on both engines (house
+    column-name rule) and the month-seq window retargets 1212 -> 1248
+    (in-calendar).  Bucket counts CAST to BIGINT on both sides.""",
+)
+
+_register(
+    "tpcds_q82",
+    """
+    SELECT i_item_id, i_item_desc, i_current_price
+    FROM item, inventory, date_dim, store_sales
+    WHERE i_current_price BETWEEN 920 AND 920 + 30
+      AND inv_item_sk = i_item_sk
+      AND d_date_sk = inv_date_sk
+      AND d_date BETWEEN CAST('2000-05-30' AS DATE)
+                     AND CAST('2000-05-30' AS DATE) + INTERVAL 60 DAY
+      AND i_manufact_id IN (437, 129, 227, 163)
+      AND inv_quantity_on_hand BETWEEN 100 AND 500
+      AND ss_item_sk = i_item_sk
+    GROUP BY i_item_id, i_item_desc, i_current_price
+    ORDER BY i_item_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q82 (reference tpcds_sql/82.sql) executed: items in a
+    price band from selected manufacturers with mid-range stock in a
+    60-day window that actually sold in stores.  inventory derives as
+    a weekly part x date grid with a deterministic quantity hash (the
+    TPC-DS inventory table is itself weekly); the GROUP BY dedupes the
+    store_sales existence fan-in exactly as the reference intends.
+    Retargets: price band 30..60 -> 920..950 (derived p_retailprice
+    domain), manufact list (437,129,727,663) -> (437,129,227,163)
+    (i_manufact_id is mod-500), date 2002-05-30 -> 2000-05-30
+    (in-calendar); quantity band 100..500 verbatim.""",
+)
+
+_register(
+    "tpcds_q86",
+    """
+    SELECT CAST(SUM(CAST(ws_net_paid AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_sum,
+           i_category, i_class,
+           CAST(grouping(i_category) + grouping(i_class) AS INT)
+               AS lochierarchy,
+           CAST(rank() OVER (
+               PARTITION BY grouping(i_category) + grouping(i_class),
+                   CASE WHEN grouping(i_class) = 0 THEN i_category END
+               ORDER BY CAST(SUM(CAST(ws_net_paid AS DECIMAL(38,6)))
+                             AS DOUBLE) DESC) AS BIGINT)
+               AS rank_within_parent
+    FROM web_sales, date_dim d1, item
+    WHERE d1.d_month_seq BETWEEN 1248 AND 1248 + 11
+      AND d1.d_date_sk = ws_sold_date_sk
+      AND i_item_sk = ws_item_sk
+    GROUP BY ROLLUP(i_category, i_class)
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN i_category END,
+             rank_within_parent
+    LIMIT 100
+    """,
+    doc="""TPC-DS q86 (reference tpcds_sql/86.sql) executed: the q36
+    ROLLUP/grouping-rank shape over the WEB channel's net-paid revenue
+    (ws_net_paid = extendedprice - discount, deterministic).  Month-seq
+    window retargets 1212 -> 1248 (in-calendar); sums accumulate in
+    DECIMAL then render DOUBLE; grouping arithmetic and rank CAST to
+    fixed widths on both engines.""",
+)
+
+_register(
+    "tpcds_q99",
+    """
+    SELECT substr(w_warehouse_name, 1, 20) AS wh_name, sm_type, cc_name,
+           CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
+                     AND cs_ship_date_sk - cs_sold_date_sk <= 60
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+           CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
+                     AND cs_ship_date_sk - cs_sold_date_sk <= 90
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+           CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
+                     AND cs_ship_date_sk - cs_sold_date_sk <= 120
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+           CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120
+                    THEN 1 ELSE 0 END) AS BIGINT) AS dgt120
+    FROM catalog_sales, warehouse, ship_mode, call_center, date_dim
+    WHERE d_month_seq BETWEEN 1248 AND 1248 + 11
+      AND cs_ship_date_sk = d_date_sk
+      AND cs_warehouse_sk = w_warehouse_sk
+      AND cs_ship_mode_sk = sm_ship_mode_sk
+      AND cs_call_center_sk = cc_call_center_sk
+    GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+    ORDER BY wh_name, sm_type, cc_name
+    LIMIT 100
+    """,
+    doc="""TPC-DS q99 (reference tpcds_sql/99.sql) executed: the q62
+    sibling over the CATALOG channel -- shipping-lag buckets by
+    warehouse x ship-mode x call-center.  The catalog fact gains its
+    own deterministic ship lag (a different 17/43 hash than web so the
+    two channels' lag distributions differ) plus warehouse/ship-mode/
+    call-center keys; call_center is a 6-row generated dimension.
+    Same alias and width rules as q62; month-seq retarget 1212 ->
+    1248.""",
 )

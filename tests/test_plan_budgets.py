@@ -120,6 +120,19 @@ SHUFFLE_BUDGETS = {
     "tpcds_q52": 2,
     "tpcds_q88": 8,  # one scalar-agg merge exchange per time-slice subquery;
                      # every star leg's dims broadcast (no fact shuffle)
+    # r6 executed tranche (audited at pin time; dims broadcast throughout):
+    "tpcds_q1": 4,   # returns agg + per-store avg agg + rejoin + TopK feed
+    "tpcds_q6": 5,   # month-seq scalar + per-category avg + state agg
+    "tpcds_q13": 1,  # OR-slice star collapses to one scalar-agg exchange
+    "tpcds_q36": 2,  # ROLLUP agg + grouping-partitioned rank window
+    "tpcds_q41": 2,  # item self-correlation: per-manufact count + rejoin
+    "tpcds_q43": 1,  # day-of-week pivot: single keyed agg, dims broadcast
+    "tpcds_q48": 1,  # q13 sibling, same single-exchange shape
+    "tpcds_q59": 4,  # shared wss agg reused by both halves + ratio join
+    "tpcds_q62": 1,  # shipping-lag buckets: one keyed agg, 3 dims broadcast
+    "tpcds_q82": 3,  # inventory grid join + sold-semi + item-grain agg
+    "tpcds_q86": 2,  # ROLLUP agg + rank window (q36 shape, web channel)
+    "tpcds_q99": 1,  # catalog sibling of q62
 }
 
 BROADCAST_EXPECTED = [
@@ -139,6 +152,7 @@ BROADCAST_EXPECTED = [
     "similarity_ivfpq_residual_topk",
     "tpcds_q3",           # date_dim + item dimension legs broadcast
     "tpcds_q55",
+    "tpcds_q13", "tpcds_q43", "tpcds_q62", "tpcds_q82", "tpcds_q99",
 ]
 
 
