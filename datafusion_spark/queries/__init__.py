@@ -143,7 +143,7 @@ def _interleave_families() -> None:
         "agg_topk_min_max_groups",     # new r6 aggregates_topk.slt mirror
         "join_limit_pushdown",         # new r6 join_limit_pushdown.slt mirror
         "source_nested_schema_pruning",  # new r6 nested-projection-pruning pin
-        "source_parquet_cdc_feed",       # new r6 parquet CDC adjudication
+        "source_parquet_cdc_chunking",   # new r6 parquet CDC adjudication
     }
 
     def tier(name: str) -> int:

@@ -520,3 +520,143 @@ def source_dynamic_partition_prune(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "source_nested_schema_pruning",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CAST(n_nationkey * 100 AS BIGINT) AS s_x,
+           CAST(n_nationkey * 10 + v AS BIGINT) AS e_x,
+           CASE WHEN v = 1 THEN upper(n_name) ELSE lower(n_name) END AS e_y
+    FROM nation CROSS JOIN (VALUES (1), (2)) t(v)
+    ORDER BY id, e_x
+    """,
+    tags=("sources", "nested", "pruning"),
+)
+def source_nested_schema_pruning(spark, sf_dir):
+    """Nested STRUCT-field projection pruning, mirroring the reference's
+    parquet_nested_schema_pruning.slt (sqllogictest/test_files/
+    parquet_nested_schema_pruning.slt: a wide file with padded structs
+    read through a narrow projection must only decode the referenced
+    leaf columns).  A scratch parquet carries
+    events: array<struct<x,y,pad_a,pad_b>> and s: struct<x,y,pad>; the
+    query touches only s.x, events.x and events.y.  With Spark's
+    nestedSchemaPruning (default on) the scan's ReadSchema drops every
+    pad_* leaf — at 100 TB with multimodal/variant structs that is the
+    difference between reading a field and reading the whole column
+    (tests/test_plans.py pins the pruned ReadSchema).  Pruning caveat
+    baked into the plan shape: explode(events) with MULTI-field access
+    defeats NestedColumnAliasing (the scan reads the padded structs
+    whole; single-field explode prunes fine), so the entry extracts the
+    fields FIRST (events.x / events.y — GetArrayStructFields, which
+    prunes) and explodes their arrays_zip.  The oracle recomputes the
+    flattened result from the base nation table, so the values also
+    prove the nested write/read round-trip."""
+    n = load_table(spark, sf_dir, "nation")
+    wide = n.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.array(
+            F.struct(
+                (F.col("n_nationkey") * 10 + 1).cast("long").alias("x"),
+                F.upper("n_name").alias("y"),
+                F.lit("p").alias("pad_a"),
+                F.lit("q").alias("pad_b"),
+            ),
+            F.struct(
+                (F.col("n_nationkey") * 10 + 2).cast("long").alias("x"),
+                F.lower("n_name").alias("y"),
+                F.lit("p").alias("pad_a"),
+                F.lit("q").alias("pad_b"),
+            ),
+        ).alias("events"),
+        F.struct(
+            (F.col("n_nationkey") * 100).cast("long").alias("x"),
+            F.col("n_name").alias("y"),
+            F.lit("sp").alias("pad"),
+        ).alias("s"),
+    )
+    path = os.path.join(_SCRATCH, "nested_pruning")
+    copy_to(wide, path, fmt="parquet")
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            "id",
+            F.col("s.x").alias("s_x"),
+            F.explode(
+                F.arrays_zip(
+                    F.col("events.x").alias("x"), F.col("events.y").alias("y")
+                )
+            ).alias("e"),
+        )
+        .select("id", "s_x", F.col("e.x").alias("e_x"), F.col("e.y").alias("e_y"))
+        .orderBy("id", "e_x")
+    )
+
+
+@query(
+    "source_parquet_cdc_chunking",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS total,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+           TRUE AS layouts_agree
+    FROM lineitem
+    WHERE l_orderkey < 5000
+    """,
+    tags=("sources", "parquet", "chunking"),
+)
+def source_parquet_cdc_chunking(spark, sf_dir):
+    """Parquet content-defined-chunking invariance, adjudicating the
+    reference's parquet_cdc.slt / parquet_cdc_config.slt (a parquet-rs
+    WRITER option that aligns data-page boundaries on content for
+    storage-level dedup; the slt asserts reads are identical with the
+    option on, off, and custom-tuned).  parquet-java exposes no
+    content-defined chunking, so the option itself cannot be spelled —
+    but the CONTRACT the slt pins (physical page/row-group layout never
+    changes query results) is mirrored exactly: the same rows written
+    with default layout and with aggressively small row-groups/pages +
+    dictionary off must agree read-back; the entry returns the
+    aggregate from the small-chunk copy plus a Spark-computed
+    cross-layout equality flag, and the oracle recomputes from the
+    canonical table.  SURVEY §2.10 documents the writer-option gap."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    path_a = os.path.join(_SCRATCH, "cdc_default_layout")
+    path_b = os.path.join(_SCRATCH, "cdc_small_chunks")
+    copy_to(li, path_a, fmt="parquet")
+    copy_to(
+        li.repartition(4),
+        path_b,
+        fmt="parquet",
+        options={
+            "parquet.block.size": str(64 * 1024),
+            "parquet.page.size": str(8 * 1024),
+            "parquet.enable.dictionary": "false",
+        },
+    )
+
+    def agg(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double").alias("total"),
+            F.min("l_orderkey").cast("long").alias("min_key"),
+            F.max("l_orderkey").cast("long").alias("max_key"),
+        )
+
+    a = agg(spark.read.parquet(path_a))
+    b = agg(spark.read.parquet(path_b)).select(
+        F.col("n").alias("n2"), F.col("total").alias("total2"),
+        F.col("min_key").alias("min_key2"), F.col("max_key").alias("max_key2"),
+    )
+    return a.crossJoin(b).select(
+        "n", "total", "min_key", "max_key",
+        (
+            (F.col("n") == F.col("n2"))
+            & (F.col("total") == F.col("total2"))
+            & (F.col("min_key") == F.col("min_key2"))
+            & (F.col("max_key") == F.col("max_key2"))
+        ).alias("layouts_agree"),
+    )

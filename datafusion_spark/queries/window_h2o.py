@@ -393,3 +393,156 @@ def _register_topn_sweep() -> None:
 
 
 _register_topn_sweep()
+
+
+# --- aggregates_topk.slt + join_limit_pushdown.slt mirrors (r6) ------------
+
+
+@query(
+    "agg_topk_min_max_groups",
+    oracle="""
+    (SELECT 'max_desc' AS kase,
+           CAST(NULLIF(l_suppkey % 50, 0) AS VARCHAR) AS k1,
+           CAST(NULL AS VARCHAR) AS k2,
+           CAST(MAX(NULLIF(l_orderkey % 997, 3)) AS VARCHAR) AS v
+    FROM lineitem GROUP BY NULLIF(l_suppkey % 50, 0)
+    ORDER BY MAX(NULLIF(l_orderkey % 997, 3)) DESC NULLS LAST,
+             NULLIF(l_suppkey % 50, 0) ASC NULLS FIRST LIMIT 4)
+    UNION ALL
+    (SELECT 'min_asc',
+           CAST(NULLIF(l_suppkey % 50, 0) AS VARCHAR),
+           CAST(NULL AS VARCHAR),
+           CAST(MIN(NULLIF(l_orderkey % 997, 3)) AS VARCHAR)
+    FROM lineitem GROUP BY NULLIF(l_suppkey % 50, 0)
+    ORDER BY MIN(NULLIF(l_orderkey % 997, 3)) ASC NULLS FIRST,
+             NULLIF(l_suppkey % 50, 0) ASC NULLS FIRST LIMIT 4)
+    UNION ALL
+    (SELECT 'multi_key',
+           CAST(NULLIF(l_suppkey % 50, 0) AS VARCHAR),
+           CAST(l_linenumber AS VARCHAR),
+           CAST(MIN(l_orderkey) AS VARCHAR)
+    FROM lineitem GROUP BY NULLIF(l_suppkey % 50, 0), l_linenumber
+    ORDER BY MIN(l_orderkey) ASC NULLS FIRST,
+             NULLIF(l_suppkey % 50, 0) ASC NULLS FIRST,
+             l_linenumber ASC NULLS FIRST LIMIT 4)
+    UNION ALL
+    (SELECT 'string_max',
+           l_returnflag,
+           CAST(NULL AS VARCHAR),
+           CAST(MAX(l_shipdate) AS VARCHAR)
+    FROM lineitem GROUP BY l_returnflag
+    ORDER BY MAX(l_shipdate) DESC NULLS LAST, l_returnflag ASC LIMIT 2)
+    """,
+    tags=("agg", "topk", "slt"),
+)
+def agg_topk_min_max_groups(spark, sf_dir):
+    """min/max-per-group + ORDER BY aggregate LIMIT — the dashboard TopK
+    shape, mirroring the reference's aggregates_topk.slt
+    (sqllogictest/test_files/aggregates_topk.slt: max desc / min asc /
+    multi-key grouping / string max, incl. NULL group keys and NULL
+    aggregate inputs — here fabricated with NULLIF since the synthetic
+    tables are NULL-free).  The reference's TopK-aggregation rewrite
+    (lim=[k] pushed INTO the partial aggregate) has a Spark analogue in
+    plan shape: partial+final HashAggregate under TakeOrderedAndProject
+    — per-partition k-row heaps, never a global sort
+    (tests/test_plan_budgets.py pins all four branches).  NULLS
+    FIRST/LAST is spelled explicitly everywhere: Spark defaults ASC→
+    NULLS FIRST while DuckDB defaults NULLS LAST — a real cross-engine
+    divergence this entry would otherwise hash."""
+    l = load_table(spark, sf_dir, "lineitem")
+    k1 = F.expr("NULLIF(l_suppkey % 50, 0)")
+    v = F.expr("NULLIF(l_orderkey % 997, 3)")
+    nul = F.lit(None).cast("string")
+
+    b1 = (
+        l.groupBy(k1.alias("gk")).agg(F.max(v).alias("mv"))
+        .orderBy(F.col("mv").desc_nulls_last(), F.col("gk").asc_nulls_first())
+        .limit(4)
+        .select(F.lit("max_desc").alias("kase"),
+                F.col("gk").cast("string").alias("k1"),
+                nul.alias("k2"), F.col("mv").cast("string").alias("v"))
+    )
+    b2 = (
+        l.groupBy(k1.alias("gk")).agg(F.min(v).alias("mv"))
+        .orderBy(F.col("mv").asc_nulls_first(), F.col("gk").asc_nulls_first())
+        .limit(4)
+        .select(F.lit("min_asc").alias("kase"),
+                F.col("gk").cast("string").alias("k1"),
+                nul.alias("k2"), F.col("mv").cast("string").alias("v"))
+    )
+    b3 = (
+        l.groupBy(k1.alias("gk"), F.col("l_linenumber").alias("gk2"))
+        .agg(F.min("l_orderkey").alias("mv"))
+        .orderBy(F.col("mv").asc_nulls_first(), F.col("gk").asc_nulls_first(),
+                 F.col("gk2").asc_nulls_first())
+        .limit(4)
+        .select(F.lit("multi_key").alias("kase"),
+                F.col("gk").cast("string").alias("k1"),
+                F.col("gk2").cast("string").alias("k2"),
+                F.col("mv").cast("string").alias("v"))
+    )
+    b4 = (
+        l.groupBy("l_returnflag").agg(F.max("l_shipdate").alias("mv"))
+        .orderBy(F.col("mv").desc_nulls_last(), F.col("l_returnflag").asc())
+        .limit(2)
+        .select(F.lit("string_max").alias("kase"),
+                F.col("l_returnflag").alias("k1"),
+                nul.alias("k2"), F.col("mv").cast("string").alias("v"))
+    )
+    return b1.unionAll(b2).unionAll(b3).unionAll(b4)
+
+
+@query(
+    "join_limit_pushdown",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey LIMIT 1000) t) AS inner_cnt,
+      (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem
+        LEFT JOIN supplier ON l_suppkey = s_suppkey LIMIT 500) t) AS left_cnt,
+      (SELECT COUNT(*) FROM (SELECT l_orderkey FROM orders
+        RIGHT JOIN lineitem ON o_orderkey = l_orderkey LIMIT 700) t) AS right_cnt,
+      (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+        FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey LIMIT 900) t) AS full_cnt,
+      (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders o2
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o2.o_orderkey)
+        LIMIT 300) t) AS semi_cnt,
+      (SELECT MAX(k) FROM (SELECT l_orderkey AS k FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY l_orderkey, l_linenumber LIMIT 100) t) AS topk_max
+    """,
+    tags=("join", "limit", "slt"),
+)
+def join_limit_pushdown(spark, sf_dir):
+    """LIMIT over inner/left/right/full/semi joins, mirroring the
+    reference's join_limit_pushdown.slt (sqllogictest/test_files/
+    join_limit_pushdown.slt: fetch= pushed into HashJoinExec and the
+    preserved-side scan).  Unordered LIMIT picks nondeterministic rows,
+    so — like the slt's FULL-join case — each branch asserts COUNT(*)
+    of the limited join (deterministically = the limit when the join is
+    larger), plus one value-checked ordered TopK-over-join branch.
+    Spark's analogue of the reference's pushdown is LimitPushDown:
+    LocalLimit dips below the preserved side of outer joins, and the
+    ordered branch plans TakeOrderedAndProject over the join — pinned
+    in tests/test_plan_budgets.py."""
+    sql = f"""
+    WITH lineitem AS (SELECT * FROM parquet.`{sf_dir}/lineitem.parquet`),
+         orders   AS (SELECT * FROM parquet.`{sf_dir}/orders.parquet`),
+         supplier AS (SELECT * FROM parquet.`{sf_dir}/supplier.parquet`)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey LIMIT 1000) t) AS inner_cnt,
+      (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem
+        LEFT JOIN supplier ON l_suppkey = s_suppkey LIMIT 500) t) AS left_cnt,
+      (SELECT COUNT(*) FROM (SELECT l_orderkey FROM orders
+        RIGHT JOIN lineitem ON o_orderkey = l_orderkey LIMIT 700) t) AS right_cnt,
+      (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+        FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey LIMIT 900) t) AS full_cnt,
+      (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders o2
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o2.o_orderkey)
+        LIMIT 300) t) AS semi_cnt,
+      (SELECT MAX(k) FROM (SELECT l_orderkey AS k FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY l_orderkey, l_linenumber LIMIT 100) t) AS topk_max
+    """
+    return spark.sql(sql)

@@ -133,6 +133,9 @@ SHUFFLE_BUDGETS = {
     "tpcds_q82": 3,  # inventory grid join + sold-semi + item-grain agg
     "tpcds_q86": 2,  # ROLLUP agg + rank window (q36 shape, web channel)
     "tpcds_q99": 1,  # catalog sibling of q62
+    # slt mirrors (r6):
+    "agg_topk_min_max_groups": 4,  # one partial+final agg exchange per branch
+    "join_limit_pushdown": 7,      # 5 limited-join scalar legs + SMJ full join
 }
 
 BROADCAST_EXPECTED = [
@@ -188,6 +191,31 @@ def test_dimension_joins_broadcast(spark, name):
     assert has_broadcast_join(QUERIES[name](spark, SF_SMALL)), (
         f"{name}: expected at least one broadcast join (dimension side)"
     )
+
+
+def test_agg_topk_plans_bounded(spark):
+    """aggregates_topk.slt mirror: every ORDER BY aggregate LIMIT branch
+    must plan TakeOrderedAndProject over the partial+final aggregate —
+    per-partition k-row heaps, no global SortExec anywhere (the
+    reference pushes lim=[k] into the aggregate; the Spark analogue is
+    the TopK operator above it)."""
+    from datafusion_spark.plans import explain_str
+
+    txt = explain_str(QUERIES["agg_topk_min_max_groups"](spark, SF_SMALL))
+    assert txt.count("TakeOrderedAndProject") >= 4, "expected 4 TopK branches"
+    assert "Sort (" not in txt, "a global sort crept under an agg-TopK branch"
+
+
+def test_join_limit_pushes_local_limit(spark):
+    """join_limit_pushdown.slt mirror: Spark's LimitPushDown must place
+    LocalLimit below the preserved join sides (the analogue of the
+    reference's fetch= on HashJoinExec/scan), and the ordered
+    TopK-over-join branch must plan TakeOrderedAndProject."""
+    from datafusion_spark.plans import explain_str
+
+    txt = explain_str(QUERIES["join_limit_pushdown"](spark, SF_SMALL))
+    assert "LocalLimit" in txt, "limit not pushed below the joins"
+    assert "TakeOrderedAndProject" in txt, "ordered join branch lost TopK"
 
 
 @pytest.mark.parametrize(

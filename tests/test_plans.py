@@ -106,3 +106,22 @@ def test_range_partitioned_sort_invariant(spark):
     assert row["ranges_non_overlapping"] and row["partitions_bounded"]
     expected = load_table(spark, SF_SMALL, "orders").count()
     assert row["total_n"] == expected
+
+
+def test_nested_schema_pruning_drops_pad_fields(spark):
+    """parquet_nested_schema_pruning.slt mirror: a query touching only
+    s.x / events.x / events.y over a file whose structs also carry
+    pad_a/pad_b/pad must scan a ReadSchema WITHOUT any pad leaf — with
+    nestedSchemaPruning (default on) Spark reads the referenced struct
+    fields, not the whole column.  At 100 TB with wide multimodal
+    structs this is the difference between a field read and a full
+    column read."""
+    from datafusion_spark.plans import explain_str
+
+    df = QUERIES["source_nested_schema_pruning"](spark, SF_SMALL)
+    txt = explain_str(df)
+    read = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read, "no ReadSchema line in formatted explain"
+    joined = "\n".join(read)
+    assert "pad" not in joined, f"pad fields not pruned from scan: {joined}"
+    assert "x" in joined and "y" in joined
