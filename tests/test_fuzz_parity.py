@@ -621,3 +621,145 @@ def test_random_hof_array_parity(spark, duck, cols):
     got = [tuple(r) for r in spark.sql(s_sql).collect()]
     want = [tuple(r) for r in duck.execute(d_sql).fetchall()]
     assert got == want, f"{s_sql}\n{d_sql}"
+
+
+# --- axis 9 (r6): aggregate FILTER × grouping sets -------------------------
+#
+# The reference fuzzes aggregates over GROUPING SETS/ROLLUP/CUBE
+# (aggregate_fuzz.rs + aggregates_topk/grouping coverage); FILTER (WHERE)
+# composes with every aggregate and with grouping-id NULLs in subtle ways
+# (a filtered-out group still emits a row with NULL/0).  NULLS FIRST is
+# spelled explicitly in the ORDER BY: Spark ASC defaults NULLS FIRST,
+# DuckDB NULLS LAST — the sort-spec axis (r5) found that divergence.
+
+_GSET_SHAPES = [
+    "GROUPING SETS ((k0), (k1), (k0, k1))",
+    "GROUPING SETS ((k0, k1), ())",
+    "ROLLUP (k0, k1)",
+    "CUBE (k0, k1)",
+]
+
+_FILTERED_AGGS = [
+    "CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS BIGINT)",
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))"
+    " FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)",
+    "MIN(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0)",
+    "CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_custkey % 3 = 1) AS BIGINT)",
+    "MAX(o_orderpriority) FILTER (WHERE o_totalprice < 150000.0)",
+]
+
+
+@st.composite
+def gset_spec(draw):
+    shape = draw(st.sampled_from(_GSET_SHAPES))
+    aggs = draw(
+        st.lists(st.sampled_from(_FILTERED_AGGS), min_size=1, max_size=3,
+                 unique=True)
+    )
+    flt = draw(st.sampled_from([""] + _FILTERS[:6]))
+    return shape, aggs, flt
+
+
+@given(gset_spec())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_filter_grouping_sets_parity(spark, duck, spec):
+    shape, aggs, flt = spec
+    where = f"WHERE {flt}" if flt else ""
+    agg_cols = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    sql = (
+        "SELECT o_orderstatus AS k0, o_orderpriority AS k1, "
+        "CAST(GROUPING(o_orderstatus) AS INT) AS g0, "
+        "CAST(GROUPING(o_orderpriority) AS INT) AS g1, "
+        f"{agg_cols} FROM orders {where} "
+        f"GROUP BY {shape.replace('k0', 'o_orderstatus').replace('k1', 'o_orderpriority')} "
+        "ORDER BY g0 ASC NULLS FIRST, g1 ASC NULLS FIRST, "
+        "k0 ASC NULLS FIRST, k1 ASC NULLS FIRST"
+    )
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and wv is not None:
+                assert gv == pytest.approx(float(wv), abs=1e-9, rel=1e-12), sql
+            else:
+                assert (gv == wv) or (gv is None and wv is None), sql
+
+
+# --- axis 10 (r6): decimal precision/scale arithmetic ----------------------
+#
+# Random DECIMAL(p,s) casts composed with + - * (division excluded: the
+# two engines' result-scale rules legitimately differ, so quotients are
+# only comparable through DOUBLE — covered by the agg axis).  Operand
+# scales are >= 2 so casting the 2-decimal source columns never rounds
+# (the module header documents the HALF_UP-vs-truncate cast divergence),
+# and total product scale stays <= 8 so the final normalizing CAST to
+# DECIMAL(38,10) pads exactly.  Values compare as strings — exact to the
+# last digit, which is the point of the axis.
+
+# precision windows stay small (p <= 14) so even a product of two
+# operands fits DuckDB's int128 decimal comfortably — at (18,*)×(18,*)
+# DuckDB's multiply overflows where Spark widens, a storage-width
+# divergence this axis is NOT hunting (documented here instead).
+# (template, scale range, integer-digit need, max precision)
+_DEC_OPERANDS = [
+    ("CAST(o_totalprice AS DECIMAL({p},{s}))", (2, 4), 7, 14),
+    ("CAST(o_custkey AS DECIMAL({p},{s}))", (0, 2), 7, 12),
+    ("CAST(o_orderkey % 1000 AS DECIMAL({p},{s}))", (0, 2), 4, 10),
+    ("CAST(1.25 AS DECIMAL({p},{s}))", (2, 4), 2, 9),
+    ("CAST(-7.5 AS DECIMAL({p},{s}))", (2, 3), 2, 9),
+]
+
+
+@st.composite
+def decimal_expr(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        tmpl, (s_lo, s_hi), need, p_hi = draw(st.sampled_from(_DEC_OPERANDS))
+        s = draw(st.integers(s_lo, s_hi))
+        p = draw(st.integers(s + need, p_hi))
+        return tmpl.format(p=p, s=s), s
+    left, ls = draw(decimal_expr(depth=depth + 1))
+    right, rs = draw(decimal_expr(depth=depth + 1))
+    op = draw(st.sampled_from(["+", "-", "*"]))
+    scale = ls + rs if op == "*" else max(ls, rs)
+    if scale > 8:  # keep the normalizing cast exact (no rounding)
+        op = draw(st.sampled_from(["+", "-"]))
+        scale = max(ls, rs)
+    if op == "*":
+        # Divergence found by this axis, pinned here: DuckDB clamps a
+        # multiply's result width to the operands' STORAGE class —
+        # (12,4)×(13,3) → DECIMAL(18,7), overflowing at runtime where
+        # Spark widens to (26,7).  Pre-widening one operand to p=24
+        # forces DuckDB's int128 path; both engines are then exact.
+        left = f"CAST({left} AS DECIMAL(24,{ls}))"
+    return f"({left} {op} {right})", scale
+
+
+@st.composite
+def decimal_spec(draw):
+    return [draw(decimal_expr()) for _ in range(draw(st.integers(1, 3)))]
+
+
+@given(decimal_spec())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_decimal_precision_parity(spark, duck, exprs):
+    cols = ", ".join(
+        f"CAST(CAST({e} AS DECIMAL(38,10)) AS STRING) AS c{i}"
+        for i, (e, _) in enumerate(exprs)
+    )
+    sql = (
+        f"SELECT {cols} FROM orders WHERE o_orderkey % 17 = 4 "
+        "ORDER BY o_orderkey LIMIT 60"
+    )
+    duck_sql = sql.replace("AS STRING)", "AS VARCHAR)")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(duck_sql).fetchall()]
+    assert got == want, f"{sql}\nfirst spark={got[:2]} duck={want[:2]}"
