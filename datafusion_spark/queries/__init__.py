@@ -144,6 +144,27 @@ def _interleave_families() -> None:
         "join_limit_pushdown",         # new r6 join_limit_pushdown.slt mirror
         "source_nested_schema_pruning",  # new r6 nested-projection-pruning pin
         "source_parquet_cdc_chunking",   # new r6 parquet CDC adjudication
+        "tpcds_q2",                    # r6 second tranche: year-over-year
+        "tpcds_q74",                   #   customer CTEs + weekly pivots
+        "tpcds_q11",
+        "tpcds_q4",
+        "tpcds_q38",                   #   three-channel INTERSECT/EXCEPT
+        "tpcds_q87",
+        "tpcds_q53",                   #   monthly class reports + windows
+        "tpcds_q63",
+        "tpcds_q89",
+        "tpcds_q47",
+        "tpcds_q57",
+        "tpcds_q25",                   #   returns-family 3-fact chains
+        "tpcds_q29",
+        "tpcds_q17",
+        "tpcds_q50",
+        "tpcds_q93",
+        "tpcds_q32",                   #   correlated-discount + inventory
+        "tpcds_q92",
+        "tpcds_q37",
+        "tpcds_q61",
+        "tpcds_q58",
     }
 
     def tier(name: str) -> int:

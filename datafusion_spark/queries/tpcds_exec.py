@@ -59,6 +59,8 @@ WITH date_dim AS (
              AS d_dow,
          CAST((month(d) - 1) div 3 + 1 AS INT) AS d_qoy,
          date_format(CAST(d AS DATE), 'EEEE') AS d_day_name,
+         CAST(year(d) AS STRING) || 'Q' ||
+             CAST((month(d) - 1) div 3 + 1 AS STRING) AS d_quarter_name,
          CAST((datediff(CAST(d AS DATE), DATE '1992-01-01') + 3) div 7
               + 5270 AS INT) AS d_week_seq
   FROM (SELECT explode(sequence(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
@@ -111,6 +113,8 @@ store_sales AS (
          l_quantity AS ss_quantity,
          l_extendedprice AS ss_list_price,
          l_extendedprice * 0.6 AS ss_ext_wholesale_cost,
+         l_discount * l_quantity AS ss_ext_discount_amt,
+         l_extendedprice - l_discount AS ss_net_paid,
          l_discount AS ss_coupon_amt,
          l_tax AS ss_sales_price
   FROM parquet.`__SF__/lineitem.parquet`
@@ -136,6 +140,14 @@ household_demographics AS (
 store AS (
   SELECT id AS s_store_sk, 'store_' || CAST(id AS STRING) AS s_store_name,
          'S' || lpad(CAST(id AS STRING), 4, '0') AS s_store_id,
+         'Company_' || CAST(id % 3 AS STRING) AS s_company_name,
+         CAST(id % 3 AS INT) AS s_company_id,
+         CAST(id * 7 AS STRING) AS s_street_number,
+         CASE id % 4 WHEN 0 THEN 'Main' WHEN 1 THEN 'Oak'
+              WHEN 2 THEN 'Cedar' ELSE 'Elm' END AS s_street_name,
+         CASE id % 3 WHEN 0 THEN 'St' WHEN 1 THEN 'Ave'
+              ELSE 'Blvd' END AS s_street_type,
+         'Suite ' || CAST(id * 10 AS STRING) AS s_suite_number,
          CASE id % 5 WHEN 0 THEN 'SD' WHEN 1 THEN 'MO' WHEN 2 THEN 'GA'
               WHEN 3 THEN 'AL' ELSE 'TN' END AS s_state,
          CAST(CASE WHEN id % 2 = 0 THEN -6 ELSE -7 END AS INT)
@@ -163,6 +175,10 @@ customer AS (
               ELSE 'Sir' END AS c_salutation,
          CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
              AS c_preferred_cust_flag,
+         'COUNTRY_' || CAST(c_custkey % 20 AS STRING) AS c_birth_country,
+         'login_' || CAST(c_custkey % 53 AS STRING) AS c_login,
+         'e' || CAST(c_custkey AS STRING) || '@example.com'
+             AS c_email_address,
          c_custkey AS c_current_addr_sk
   FROM parquet.`__SF__/customer.parquet`
 ),
@@ -193,7 +209,9 @@ customer_demographics AS (
 promotion AS (
   SELECT id AS p_promo_sk,
          CASE WHEN id % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
-         CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
+         CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event,
+         CASE WHEN id % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+         CASE WHEN id % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
   FROM (SELECT explode(sequence(1, 300)) AS id)
 ),
 web_sales AS (
@@ -212,7 +230,10 @@ web_sales AS (
          CAST(l_suppkey % 5 + 1 AS INT) AS ws_warehouse_sk,
          CAST(l_partkey % 20 + 1 AS INT) AS ws_ship_mode_sk,
          CAST(l_orderkey % 30 + 1 AS INT) AS ws_web_site_sk,
-         l_extendedprice - l_discount AS ws_net_paid
+         l_extendedprice - l_discount AS ws_net_paid,
+         l_extendedprice + l_tax AS ws_ext_list_price,
+         l_extendedprice * 0.6 AS ws_ext_wholesale_cost,
+         l_discount * l_quantity AS ws_ext_discount_amt
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
@@ -237,7 +258,12 @@ catalog_sales AS (
              AS cs_ship_date_sk,
          CAST(l_suppkey % 5 + 1 AS INT) AS cs_warehouse_sk,
          CAST(l_partkey % 20 + 1 AS INT) AS cs_ship_mode_sk,
-         CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk
+         CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk,
+         l_extendedprice - l_discount AS cs_net_paid,
+         l_extendedprice - l_quantity AS cs_net_profit,
+         l_extendedprice + l_tax AS cs_ext_list_price,
+         l_extendedprice * 0.6 AS cs_ext_wholesale_cost,
+         l_discount * l_quantity AS cs_ext_discount_amt
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2
@@ -274,7 +300,9 @@ store_returns AS (
          l_orderkey AS sr_ticket_number,
          l_tax AS sr_fee,
          l_quantity AS sr_return_quantity,
-         l_extendedprice * 0.1 AS sr_return_amt
+         l_extendedprice * 0.1 AS sr_return_amt,
+         l_extendedprice * 0.05 + l_tax AS sr_net_loss,
+         CAST(l_partkey % 35 + 1 AS INT) AS sr_reason_sk
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
@@ -288,6 +316,14 @@ inventory AS (
   FROM parquet.`__SF__/part.parquet`
   CROSS JOIN (SELECT explode(sequence(DATE '1995-01-03', DATE '2001-12-31',
                                       INTERVAL 7 DAY)) AS wd)
+),
+reason AS (
+  SELECT id AS r_reason_sk,
+         CASE id WHEN 1 THEN 'Did not like the warranty'
+                 WHEN 2 THEN 'Wrong size'
+                 WHEN 3 THEN 'Found a better price'
+                 ELSE 'reason_' || CAST(id AS STRING) END AS r_reason_desc
+  FROM (SELECT explode(sequence(1, 35)) AS id)
 )
 """
 
@@ -302,6 +338,8 @@ WITH date_dim AS (
              AS d_dow,
          CAST((month(d) - 1) // 3 + 1 AS INT) AS d_qoy,
          dayname(CAST(d AS DATE)) AS d_day_name,
+         CAST(year(d) AS VARCHAR) || 'Q' ||
+             CAST((month(d) - 1) // 3 + 1 AS VARCHAR) AS d_quarter_name,
          CAST(((CAST(d AS DATE) - DATE '1992-01-01') + 3) // 7
               + 5270 AS INT) AS d_week_seq
   FROM (SELECT unnest(generate_series(DATE '{_DATE_LO}', DATE '{_DATE_HI}',
@@ -354,6 +392,8 @@ store_sales AS (
          l_quantity AS ss_quantity,
          l_extendedprice AS ss_list_price,
          l_extendedprice * 0.6 AS ss_ext_wholesale_cost,
+         l_discount * l_quantity AS ss_ext_discount_amt,
+         l_extendedprice - l_discount AS ss_net_paid,
          l_discount AS ss_coupon_amt,
          l_tax AS ss_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -378,6 +418,14 @@ household_demographics AS (
 store AS (
   SELECT id AS s_store_sk, 'store_' || CAST(id AS VARCHAR) AS s_store_name,
          'S' || lpad(CAST(id AS VARCHAR), 4, '0') AS s_store_id,
+         'Company_' || CAST(id % 3 AS VARCHAR) AS s_company_name,
+         CAST(id % 3 AS INT) AS s_company_id,
+         CAST(id * 7 AS VARCHAR) AS s_street_number,
+         CASE id % 4 WHEN 0 THEN 'Main' WHEN 1 THEN 'Oak'
+              WHEN 2 THEN 'Cedar' ELSE 'Elm' END AS s_street_name,
+         CASE id % 3 WHEN 0 THEN 'St' WHEN 1 THEN 'Ave'
+              ELSE 'Blvd' END AS s_street_type,
+         'Suite ' || CAST(id * 10 AS VARCHAR) AS s_suite_number,
          CASE id % 5 WHEN 0 THEN 'SD' WHEN 1 THEN 'MO' WHEN 2 THEN 'GA'
               WHEN 3 THEN 'AL' ELSE 'TN' END AS s_state,
          CAST(CASE WHEN id % 2 = 0 THEN -6 ELSE -7 END AS INT)
@@ -405,6 +453,10 @@ customer AS (
               ELSE 'Sir' END AS c_salutation,
          CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
              AS c_preferred_cust_flag,
+         'COUNTRY_' || CAST(c_custkey % 20 AS VARCHAR) AS c_birth_country,
+         'login_' || CAST(c_custkey % 53 AS VARCHAR) AS c_login,
+         'e' || CAST(c_custkey AS VARCHAR) || '@example.com'
+             AS c_email_address,
          c_custkey AS c_current_addr_sk
   FROM main.customer
 ),
@@ -435,7 +487,9 @@ customer_demographics AS (
 promotion AS (
   SELECT id AS p_promo_sk,
          CASE WHEN id % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
-         CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
+         CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event,
+         CASE WHEN id % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+         CASE WHEN id % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
   FROM range(1, 301) t(id)
 ),
 web_sales AS (
@@ -454,7 +508,10 @@ web_sales AS (
          CAST(l_suppkey % 5 + 1 AS INT) AS ws_warehouse_sk,
          CAST(l_partkey % 20 + 1 AS INT) AS ws_ship_mode_sk,
          CAST(l_orderkey % 30 + 1 AS INT) AS ws_web_site_sk,
-         l_extendedprice - l_discount AS ws_net_paid
+         l_extendedprice - l_discount AS ws_net_paid,
+         l_extendedprice + l_tax AS ws_ext_list_price,
+         l_extendedprice * 0.6 AS ws_ext_wholesale_cost,
+         l_discount * l_quantity AS ws_ext_discount_amt
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
 ),
@@ -478,7 +535,12 @@ catalog_sales AS (
              AS cs_ship_date_sk,
          CAST(l_suppkey % 5 + 1 AS INT) AS cs_warehouse_sk,
          CAST(l_partkey % 20 + 1 AS INT) AS cs_ship_mode_sk,
-         CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk
+         CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk,
+         l_extendedprice - l_discount AS cs_net_paid,
+         l_extendedprice - l_quantity AS cs_net_profit,
+         l_extendedprice + l_tax AS cs_ext_list_price,
+         l_extendedprice * 0.6 AS cs_ext_wholesale_cost,
+         l_discount * l_quantity AS cs_ext_discount_amt
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2
 ),
@@ -514,7 +576,9 @@ store_returns AS (
          l_orderkey AS sr_ticket_number,
          l_tax AS sr_fee,
          l_quantity AS sr_return_quantity,
-         l_extendedprice * 0.1 AS sr_return_amt
+         l_extendedprice * 0.1 AS sr_return_amt,
+         l_extendedprice * 0.05 + l_tax AS sr_net_loss,
+         CAST(l_partkey % 35 + 1 AS INT) AS sr_reason_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
 ),
@@ -527,6 +591,14 @@ inventory AS (
   CROSS JOIN (SELECT unnest(generate_series(DATE '1995-01-03',
                                             DATE '2001-12-31',
                                             INTERVAL '7 days')) AS wd) t
+),
+reason AS (
+  SELECT id AS r_reason_sk,
+         CASE id WHEN 1 THEN 'Did not like the warranty'
+                 WHEN 2 THEN 'Wrong size'
+                 WHEN 3 THEN 'Found a better price'
+                 ELSE 'reason_' || CAST(id AS VARCHAR) END AS r_reason_desc
+  FROM range(1, 36) t(id)
 )
 """
 
@@ -1886,4 +1958,984 @@ _register(
     call-center keys; call_center is a 6-row generated dimension.
     Same alias and width rules as q62; month-seq retarget 1212 ->
     1248.""",
+)
+
+
+_register(
+    "tpcds_q2",
+    """
+    , wscs AS (
+      SELECT sold_date_sk, sales_price
+      FROM (SELECT ws_sold_date_sk AS sold_date_sk,
+                   ws_ext_sales_price AS sales_price FROM web_sales
+            UNION ALL
+            SELECT cs_sold_date_sk, cs_ext_sales_price FROM catalog_sales) t
+    ),
+    wswscs AS (
+      SELECT d_week_seq,
+             SUM(CASE WHEN d_day_name = 'Sunday'
+                 THEN CAST(sales_price AS DECIMAL(38,6)) END) AS sun_sales,
+             SUM(CASE WHEN d_day_name = 'Monday'
+                 THEN CAST(sales_price AS DECIMAL(38,6)) END) AS mon_sales,
+             SUM(CASE WHEN d_day_name = 'Tuesday'
+                 THEN CAST(sales_price AS DECIMAL(38,6)) END) AS tue_sales,
+             SUM(CASE WHEN d_day_name = 'Wednesday'
+                 THEN CAST(sales_price AS DECIMAL(38,6)) END) AS wed_sales,
+             SUM(CASE WHEN d_day_name = 'Thursday'
+                 THEN CAST(sales_price AS DECIMAL(38,6)) END) AS thu_sales,
+             SUM(CASE WHEN d_day_name = 'Friday'
+                 THEN CAST(sales_price AS DECIMAL(38,6)) END) AS fri_sales,
+             SUM(CASE WHEN d_day_name = 'Saturday'
+                 THEN CAST(sales_price AS DECIMAL(38,6)) END) AS sat_sales
+      FROM wscs, date_dim
+      WHERE d_date_sk = sold_date_sk
+      GROUP BY d_week_seq
+    )
+    SELECT d_week_seq1,
+           ROUND(CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE), 2)
+               AS sun_r,
+           ROUND(CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE), 2)
+               AS mon_r,
+           ROUND(CAST(tue_sales1 AS DOUBLE) / CAST(tue_sales2 AS DOUBLE), 2)
+               AS tue_r,
+           ROUND(CAST(wed_sales1 AS DOUBLE) / CAST(wed_sales2 AS DOUBLE), 2)
+               AS wed_r,
+           ROUND(CAST(thu_sales1 AS DOUBLE) / CAST(thu_sales2 AS DOUBLE), 2)
+               AS thu_r,
+           ROUND(CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE), 2)
+               AS fri_r,
+           ROUND(CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE), 2)
+               AS sat_r
+    FROM
+      (SELECT wswscs.d_week_seq AS d_week_seq1,
+              sun_sales AS sun_sales1, mon_sales AS mon_sales1,
+              tue_sales AS tue_sales1, wed_sales AS wed_sales1,
+              thu_sales AS thu_sales1, fri_sales AS fri_sales1,
+              sat_sales AS sat_sales1
+       FROM wswscs, date_dim
+       WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2000) y,
+      (SELECT wswscs.d_week_seq AS d_week_seq2,
+              sun_sales AS sun_sales2, mon_sales AS mon_sales2,
+              tue_sales AS tue_sales2, wed_sales AS wed_sales2,
+              thu_sales AS thu_sales2, fri_sales AS fri_sales2,
+              sat_sales AS sat_sales2
+       FROM wswscs, date_dim
+       WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2000+1) z
+    WHERE d_week_seq1 = d_week_seq2 - 53
+    ORDER BY d_week_seq1
+    """,
+    doc="""TPC-DS q2 (reference tpcds_sql/2.sql) executed: web+catalog
+    combined day-of-week weekly sales, year-over-year at a 53-week
+    offset (vs q59's 52 — both self-join shapes now covered).  The
+    UNION ALL of channels feeds one shared weekly pivot CTE consumed by
+    both year slices; day fan-out through date_dim kept verbatim.
+    Years retarget 2001 -> 2000 (the calendar's last full pair);
+    post-August-2001 weeks produce NULL numerators -> NULL ratios,
+    identical on both engines.  Pivot sums accumulate in DECIMAL,
+    ratios divide as DOUBLE and ROUND(2) per the reference text.""",
+)
+
+_YEAR_TOTAL_SIMPLE = """
+    , year_total AS (
+      SELECT c_customer_id AS customer_id,
+             c_first_name AS customer_first_name,
+             c_last_name AS customer_last_name,
+             d_year AS dyear,
+             MAX(ss_net_paid) AS year_total,
+             's' AS sale_type
+      FROM customer, store_sales, date_dim
+      WHERE c_customer_sk = ss_customer_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_year IN (2000, 2000+1)
+      GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+      UNION ALL
+      SELECT c_customer_id, c_first_name, c_last_name, d_year,
+             MAX(ws_net_paid), 'w'
+      FROM customer, web_sales, date_dim
+      WHERE c_customer_sk = ws_bill_customer_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year IN (2000, 2000+1)
+      GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+    )
+"""
+
+_register(
+    "tpcds_q74",
+    _YEAR_TOTAL_SIMPLE + """
+    SELECT t_s_secyear.customer_id,
+           t_s_secyear.customer_first_name,
+           t_s_secyear.customer_last_name
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.sale_type = 's'
+      AND t_w_firstyear.sale_type = 'w'
+      AND t_s_secyear.sale_type = 's'
+      AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.dyear = 2000
+      AND t_s_secyear.dyear = 2000+1
+      AND t_w_firstyear.dyear = 2000
+      AND t_w_secyear.dyear = 2000+1
+      AND t_s_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND CASE WHEN t_w_firstyear.year_total > 0
+               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               ELSE NULL END
+        > CASE WHEN t_s_firstyear.year_total > 0
+               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               ELSE NULL END
+    ORDER BY 2, 1, 3
+    LIMIT 100
+    """,
+    doc="""TPC-DS q74 (reference tpcds_sql/74.sql) executed: customers
+    whose web sales grew faster than their store sales year-over-year —
+    one per-customer-per-year CTE consumed FOUR times (store/web ×
+    first/second year).  MAX(net_paid) is order-independent so no
+    decimal detour is needed; the growth-ratio comparison divides two
+    exact row values (bit-identical cross-engine).  Years retarget
+    2001 -> 2000 (last full calendar pair); 'year' alias spelled dyear
+    as in the reference's own q11 to stay reserved-word-safe.""",
+)
+
+_YEAR_TOTAL_FULL = """
+    , year_total AS (
+      SELECT c_customer_id AS customer_id,
+             c_first_name AS customer_first_name,
+             c_last_name AS customer_last_name,
+             c_preferred_cust_flag AS customer_preferred_cust_flag,
+             c_birth_country AS customer_birth_country,
+             c_login AS customer_login,
+             c_email_address AS customer_email_address,
+             d_year AS dyear,
+             CAST(SUM(CAST(ss_ext_list_price - ss_ext_discount_amt
+                           AS DECIMAL(38,6))) AS DOUBLE) AS year_total,
+             's' AS sale_type
+      FROM customer, store_sales, date_dim
+      WHERE c_customer_sk = ss_customer_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_year IN (2000, 2000+1)
+      GROUP BY c_customer_id, c_first_name, c_last_name,
+               c_preferred_cust_flag, c_birth_country, c_login,
+               c_email_address, d_year
+      UNION ALL
+      SELECT c_customer_id, c_first_name, c_last_name,
+             c_preferred_cust_flag, c_birth_country, c_login,
+             c_email_address, d_year,
+             CAST(SUM(CAST(ws_ext_list_price - ws_ext_discount_amt
+                           AS DECIMAL(38,6))) AS DOUBLE), 'w'
+      FROM customer, web_sales, date_dim
+      WHERE c_customer_sk = ws_bill_customer_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year IN (2000, 2000+1)
+      GROUP BY c_customer_id, c_first_name, c_last_name,
+               c_preferred_cust_flag, c_birth_country, c_login,
+               c_email_address, d_year
+    )
+"""
+
+_register(
+    "tpcds_q11",
+    _YEAR_TOTAL_FULL + """
+    SELECT t_s_secyear.customer_id,
+           t_s_secyear.customer_first_name,
+           t_s_secyear.customer_last_name,
+           t_s_secyear.customer_email_address
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.sale_type = 's'
+      AND t_w_firstyear.sale_type = 'w'
+      AND t_s_secyear.sale_type = 's'
+      AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.dyear = 2000
+      AND t_s_secyear.dyear = 2000+1
+      AND t_w_firstyear.dyear = 2000
+      AND t_w_secyear.dyear = 2000+1
+      AND t_s_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND CASE WHEN t_w_firstyear.year_total > 0
+               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               ELSE 0.0 END
+        > CASE WHEN t_s_firstyear.year_total > 0
+               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               ELSE 0.0 END
+    ORDER BY t_s_secyear.customer_id,
+             t_s_secyear.customer_first_name,
+             t_s_secyear.customer_last_name,
+             t_s_secyear.customer_email_address
+    LIMIT 100
+    """,
+    doc="""TPC-DS q11 (reference tpcds_sql/11.sql) executed: the q74
+    shape with the full 7-attribute customer grouping (preferred flag,
+    birth country, login, email all derived deterministically) and
+    SUM(ext_list_price − ext_discount_amt) totals — accumulated in
+    DECIMAL then compared as DOUBLE ratios (house rule).  Years
+    retarget 2001 -> 2000.""",
+)
+
+_register(
+    "tpcds_q4",
+    """
+    , year_total AS (
+      SELECT c_customer_id AS customer_id,
+             c_first_name AS customer_first_name,
+             c_last_name AS customer_last_name,
+             d_year AS dyear,
+             CAST(SUM(CAST(((ss_ext_list_price - ss_ext_wholesale_cost
+                             - ss_ext_discount_amt) + ss_ext_sales_price) / 2
+                           AS DECIMAL(38,6))) AS DOUBLE) AS year_total,
+             's' AS sale_type
+      FROM customer, store_sales, date_dim
+      WHERE c_customer_sk = ss_customer_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_year IN (2000, 2000+1)
+      GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+      UNION ALL
+      SELECT c_customer_id, c_first_name, c_last_name, d_year,
+             CAST(SUM(CAST(((cs_ext_list_price - cs_ext_wholesale_cost
+                             - cs_ext_discount_amt) + cs_ext_sales_price) / 2
+                           AS DECIMAL(38,6))) AS DOUBLE), 'c'
+      FROM customer, catalog_sales, date_dim
+      WHERE c_customer_sk = cs_bill_customer_sk
+        AND cs_sold_date_sk = d_date_sk
+        AND d_year IN (2000, 2000+1)
+      GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+      UNION ALL
+      SELECT c_customer_id, c_first_name, c_last_name, d_year,
+             CAST(SUM(CAST(((ws_ext_list_price - ws_ext_wholesale_cost
+                             - ws_ext_discount_amt) + ws_ext_sales_price) / 2
+                           AS DECIMAL(38,6))) AS DOUBLE), 'w'
+      FROM customer, web_sales, date_dim
+      WHERE c_customer_sk = ws_bill_customer_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year IN (2000, 2000+1)
+      GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+    )
+    SELECT t_s_secyear.customer_id,
+           t_s_secyear.customer_first_name,
+           t_s_secyear.customer_last_name
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_c_firstyear, year_total t_c_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.sale_type = 's'
+      AND t_c_firstyear.sale_type = 'c'
+      AND t_w_firstyear.sale_type = 'w'
+      AND t_s_secyear.sale_type = 's'
+      AND t_c_secyear.sale_type = 'c'
+      AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.dyear = 2000
+      AND t_s_secyear.dyear = 2000+1
+      AND t_c_firstyear.dyear = 2000
+      AND t_c_secyear.dyear = 2000+1
+      AND t_w_firstyear.dyear = 2000
+      AND t_w_secyear.dyear = 2000+1
+      AND t_s_firstyear.year_total > 0
+      AND t_c_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND CASE WHEN t_c_firstyear.year_total > 0
+               THEN t_c_secyear.year_total / t_c_firstyear.year_total
+               ELSE NULL END
+        > CASE WHEN t_s_firstyear.year_total > 0
+               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               ELSE NULL END
+      AND CASE WHEN t_c_firstyear.year_total > 0
+               THEN t_c_secyear.year_total / t_c_firstyear.year_total
+               ELSE NULL END
+        > CASE WHEN t_w_firstyear.year_total > 0
+               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               ELSE NULL END
+    ORDER BY t_s_secyear.customer_id,
+             t_s_secyear.customer_first_name,
+             t_s_secyear.customer_last_name
+    LIMIT 100
+    """,
+    doc="""TPC-DS q4 (reference tpcds_sql/4.sql) executed: the full
+    three-channel year-over-year growth query — one profit-formula CTE
+    ((list − wholesale − discount + sales)/2, all derived measures)
+    consumed SIX times.  Catalog growth must beat both store and web
+    growth.  Row-level halving stays in IEEE doubles (deterministic per
+    row); per-year totals accumulate in DECIMAL then compare as DOUBLE
+    ratios.  Years retarget 2001 -> 2000.""",
+)
+
+_register(
+    "tpcds_q38",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_cust FROM (
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM store_sales, date_dim, customer
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+      INTERSECT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM catalog_sales, date_dim, customer
+      WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+      INTERSECT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM web_sales, date_dim, customer
+      WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+    ) hot_cust
+    LIMIT 100
+    """,
+    doc="""TPC-DS q38 (reference tpcds_sql/38.sql) executed: customers
+    active on the same DAY in all three channels — DISTINCT
+    name×date sets INTERSECTed across store/catalog/web, counted.
+    Month-seq window retargets 1212 -> 1248 (in-calendar).""",
+)
+
+_register(
+    "tpcds_q87",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cool_cust FROM (
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM store_sales, date_dim, customer
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+      EXCEPT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM catalog_sales, date_dim, customer
+      WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+      EXCEPT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM web_sales, date_dim, customer
+      WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+    ) cool_cust
+    """,
+    doc="""TPC-DS q87 (reference tpcds_sql/87.sql) executed: q38's
+    EXCEPT twin — store-channel name×date visits with no same-day
+    catalog or web activity.  Left-associative EXCEPT chain exactly as
+    the reference parses it; month-seq retarget 1212 -> 1248.""",
+)
+
+
+_register(
+    "tpcds_q53",
+    """
+    SELECT * FROM (
+      SELECT i_manufact_id,
+             CAST(SUM(CAST(ss_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_sales,
+             CAST(SUM(SUM(CAST(ss_sales_price AS DECIMAL(38,6))))
+                      OVER (PARTITION BY i_manufact_id) AS DOUBLE)
+                 / COUNT(SUM(ss_sales_price))
+                      OVER (PARTITION BY i_manufact_id)
+                 AS avg_quarterly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq IN (1248,1248+1,1248+2,1248+3,1248+4,1248+5,
+                            1248+6,1248+7,1248+8,1248+9,1248+10,1248+11)
+        AND ((i_category IN ('ECONOMY','STANDARD','LARGE')
+              AND i_class IN ('CLASS#0','CLASS#1','CLASS#2','CLASS#3')
+              AND i_brand IN ('Brand#14','Brand#7','Brand#9','Brand#19'))
+          OR (i_category IN ('MEDIUM','SMALL','PROMO')
+              AND i_class IN ('CLASS#4','CLASS#5','CLASS#6')
+              AND i_brand IN ('Brand#1','Brand#21','Brand#3','Brand#11')))
+      GROUP BY i_manufact_id, d_qoy
+    ) tmp1
+    WHERE CASE WHEN avg_quarterly_sales > 0
+               THEN ABS(sum_sales - avg_quarterly_sales)
+                    / avg_quarterly_sales
+               ELSE NULL END > 0.1
+    ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q53 (reference tpcds_sql/53.sql) executed: quarterly
+    manufacturer sales vs their all-quarter average — the
+    avg(sum(x)) OVER (PARTITION BY ...) window-over-aggregate spelled
+    as exact-decimal SUM-of-SUMs / COUNT (a native double avg is
+    accumulation-order-dependent; house rule).  Category/class/brand
+    IN-lists retarget to the derived vocabularies (p_type / CLASS#k /
+    Brand#1..25); month-seq window 1212 -> 1248.""",
+)
+
+_register(
+    "tpcds_q63",
+    """
+    SELECT * FROM (
+      SELECT i_manager_id,
+             CAST(SUM(CAST(ss_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_sales,
+             CAST(SUM(SUM(CAST(ss_sales_price AS DECIMAL(38,6))))
+                      OVER (PARTITION BY i_manager_id) AS DOUBLE)
+                 / COUNT(SUM(ss_sales_price))
+                      OVER (PARTITION BY i_manager_id)
+                 AS avg_monthly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq IN (1248,1248+1,1248+2,1248+3,1248+4,1248+5,
+                            1248+6,1248+7,1248+8,1248+9,1248+10,1248+11)
+        AND ((i_category IN ('ECONOMY','STANDARD','LARGE')
+              AND i_class IN ('CLASS#0','CLASS#1','CLASS#2','CLASS#3')
+              AND i_brand IN ('Brand#14','Brand#7','Brand#9','Brand#19'))
+          OR (i_category IN ('MEDIUM','SMALL','PROMO')
+              AND i_class IN ('CLASS#4','CLASS#5','CLASS#6')
+              AND i_brand IN ('Brand#1','Brand#21','Brand#3','Brand#11')))
+      GROUP BY i_manager_id, d_moy
+    ) tmp1
+    WHERE CASE WHEN avg_monthly_sales > 0
+               THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+               ELSE NULL END > 0.1
+    ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+    LIMIT 100
+    """,
+    doc="""TPC-DS q63 (reference tpcds_sql/63.sql) executed: q53's
+    manager-keyed monthly sibling (GROUP BY i_manager_id, d_moy).
+    Same decimal-exact window-average spelling and vocabulary
+    retargets.""",
+)
+
+_register(
+    "tpcds_q89",
+    """
+    SELECT * FROM (
+      SELECT i_category, i_class, i_brand,
+             s_store_name, s_company_name, d_moy,
+             CAST(SUM(CAST(ss_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_sales,
+             CAST(SUM(SUM(CAST(ss_sales_price AS DECIMAL(38,6)))) OVER
+                      (PARTITION BY i_category, i_brand, s_store_name,
+                                    s_company_name) AS DOUBLE)
+                 / COUNT(SUM(ss_sales_price)) OVER
+                      (PARTITION BY i_category, i_brand, s_store_name,
+                                    s_company_name)
+                 AS avg_monthly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND d_year IN (2000)
+        AND ((i_category IN ('ECONOMY','STANDARD','LARGE')
+              AND i_class IN ('CLASS#0','CLASS#1','CLASS#2'))
+          OR (i_category IN ('MEDIUM','SMALL','PROMO')
+              AND i_class IN ('CLASS#4','CLASS#5','CLASS#6')))
+      GROUP BY i_category, i_class, i_brand,
+               s_store_name, s_company_name, d_moy
+    ) tmp1
+    WHERE CASE WHEN avg_monthly_sales <> 0
+               THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+               ELSE NULL END > 0.1
+    ORDER BY sum_sales - avg_monthly_sales, s_store_name,
+             i_category, i_class, i_brand, d_moy
+    LIMIT 100
+    """,
+    doc="""TPC-DS q89 (reference tpcds_sql/89.sql) executed: monthly
+    class sales vs the brand-store yearly average.  The bare
+    ORDER BY (diff, s_store_name) is tie-ambiguous under LIMIT across
+    brands within a store, so the full grouping key is appended as a
+    uniqueness tiebreak (same policy as q33/q60).  Window average
+    spelled decimal-exact; class/category lists retargeted.""",
+)
+
+def _v1_monthly_body(entity_cols: str, fact: str, p: str, entity_join: str,
+                     entity_tbl: str) -> str:
+    """q47/q57 shared shape: monthly {store|call-center} brand sales with
+    RANK-sequence lag/lead self-joins and a decimal-exact yearly window
+    average.  entity_cols is the comma-joined entity column list
+    (s_store_name, s_company_name for q47; cc_name for q57)."""
+    cols = [c.strip() for c in entity_cols.split(",")]
+    part = ", ".join(["i_category", "i_brand"] + cols)
+    corr = "\n        AND ".join(
+        f"v1.{c} = v1_lag.{c}\n        AND v1.{c} = v1_lead.{c}" for c in cols
+    )
+    return f"""
+    , v1 AS (
+      SELECT i_category, i_brand, {entity_cols},
+             d_year, d_moy,
+             SUM(CAST({p}_sales_price AS DECIMAL(38,6))) AS sum_sales,
+             SUM(SUM(CAST({p}_sales_price AS DECIMAL(38,6)))) OVER
+                 (PARTITION BY {part}, d_year) AS tot_sales,
+             COUNT(SUM({p}_sales_price)) OVER
+                 (PARTITION BY {part}, d_year) AS n_months,
+             RANK() OVER
+                 (PARTITION BY {part}
+                  ORDER BY d_year, d_moy) AS rn
+      FROM item, {fact}, date_dim, {entity_tbl}
+      WHERE {p}_item_sk = i_item_sk
+        AND {p}_sold_date_sk = d_date_sk
+        AND {entity_join}
+        AND (d_year = 2000 OR (d_year = 2000-1 AND d_moy = 12)
+             OR (d_year = 2000+1 AND d_moy = 1))
+      GROUP BY i_category, i_brand, {entity_cols}, d_year, d_moy
+    ),
+    v2 AS (
+      SELECT v1.i_category, v1.i_brand, v1.d_year, v1.d_moy,
+             CAST(v1.tot_sales AS DOUBLE) / v1.n_months
+                 AS avg_monthly_sales,
+             CAST(v1.sum_sales AS DOUBLE) AS sum_sales,
+             CAST(v1_lag.sum_sales AS DOUBLE) AS psum,
+             CAST(v1_lead.sum_sales AS DOUBLE) AS nsum
+      FROM v1, v1 v1_lag, v1 v1_lead
+      WHERE v1.i_category = v1_lag.i_category
+        AND v1.i_category = v1_lead.i_category
+        AND v1.i_brand = v1_lag.i_brand
+        AND v1.i_brand = v1_lead.i_brand
+        AND {corr}
+        AND v1.rn = v1_lag.rn + 1
+        AND v1.rn = v1_lead.rn - 1
+    )
+    SELECT * FROM v2
+    WHERE d_year = 2000
+      AND avg_monthly_sales > 0
+      AND CASE WHEN avg_monthly_sales > 0
+               THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+               ELSE NULL END > 0.1
+    ORDER BY sum_sales - avg_monthly_sales, nsum,
+             i_category, i_brand, d_moy, psum
+    LIMIT 100
+"""
+
+
+_register(
+    "tpcds_q47",
+    _v1_monthly_body("s_store_name, s_company_name", "store_sales", "ss",
+                     "ss_store_sk = s_store_sk", "store"),
+    doc="""TPC-DS q47 (reference tpcds_sql/47.sql) executed: monthly
+    brand-store sales with previous/next-month self-joins on a
+    RANK-numbered month sequence (13-month window: Dec of the prior
+    year through Jan of the next).  The avg(sum) OVER window is
+    decimal-exact SUM-of-SUMs / COUNT; v2's store columns are not
+    projected (as in the reference), so the ORDER BY appends every
+    projected column as a uniqueness tiebreak for the LIMIT.  Year
+    2000 unchanged from the reference (already in-calendar).""",
+)
+
+_register(
+    "tpcds_q57",
+    _v1_monthly_body("cc_name", "catalog_sales", "cs",
+                     "cs_call_center_sk = cc_call_center_sk", "call_center"),
+    doc="""TPC-DS q57 (reference tpcds_sql/57.sql) executed: q47's
+    catalog-channel twin — call_center replaces store (the reference
+    drops s_company_name likewise), cs_sales_price replaces
+    ss_sales_price, same RANK-sequence lag/lead self-joins and
+    decimal-exact window average.  Built from the shared q47 template
+    so the two stay in lockstep.""",
+)
+
+
+_register(
+    "tpcds_q25",
+    """
+    SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+           CAST(SUM(CAST(ss_net_profit AS DECIMAL(38,6))) AS DOUBLE)
+               AS store_sales_profit,
+           CAST(SUM(CAST(sr_net_loss AS DECIMAL(38,6))) AS DOUBLE)
+               AS store_returns_loss,
+           CAST(SUM(CAST(cs_net_profit AS DECIMAL(38,6))) AS DOUBLE)
+               AS catalog_sales_profit
+    FROM store_sales, store_returns, catalog_sales,
+         date_dim d1, date_dim d2, date_dim d3, store, item
+    WHERE d1.d_moy = 4
+      AND d1.d_year = 2000
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND d2.d_moy BETWEEN 4 AND 10
+      AND d2.d_year = 2000
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND d3.d_moy BETWEEN 4 AND 10
+      AND d3.d_year = 2000
+    GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+    ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+    LIMIT 100
+    """,
+    doc="""TPC-DS q25 (reference tpcds_sql/25.sql) executed: the classic
+    sold-then-returned-then-rebought-by-catalog 3-fact chain —
+    store_sales joined to store_returns on the
+    (customer,item,ticket) composite, then to catalog_sales on
+    (customer,item), each fact with its own date_dim role (d1/d2/d3).
+    The derived store_returns gains cs_net_profit's counterpart
+    sr_net_loss; ALL date constants verbatim (April 2000 sale,
+    Apr-Oct return and catalog windows are in-calendar).""",
+)
+
+_register(
+    "tpcds_q29",
+    """
+    SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+           CAST(SUM(CAST(ss_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS store_sales_quantity,
+           CAST(SUM(CAST(sr_return_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS store_returns_quantity,
+           CAST(SUM(CAST(cs_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS catalog_sales_quantity
+    FROM store_sales, store_returns, catalog_sales,
+         date_dim d1, date_dim d2, date_dim d3, store, item
+    WHERE d1.d_moy = 4
+      AND d1.d_year = 1999
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND d2.d_moy BETWEEN 4 AND 4 + 3
+      AND d2.d_year = 1999
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND d3.d_year IN (1999, 1999+1, 1999+2)
+    GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+    ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+    LIMIT 100
+    """,
+    doc="""TPC-DS q29 (reference tpcds_sql/29.sql) executed: q25's
+    quantity sibling with a THREE-YEAR catalog rebuy window
+    (1999-2001, entirely in-calendar — every constant verbatim).""",
+)
+
+_STDDEV = (
+    "SQRT((SUM(CAST({c} AS DECIMAL(38,6)) * CAST({c} AS DECIMAL(38,6)))"
+    " - SUM(CAST({c} AS DECIMAL(38,6))) * SUM(CAST({c} AS DECIMAL(38,6)))"
+    " / COUNT({c})) / NULLIF(COUNT({c}) - 1, 0))"
+)
+_AVGQ = "CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c})"
+
+_register(
+    "tpcds_q17",
+    f"""
+    SELECT i_item_id, i_item_desc, s_state,
+           CAST(COUNT(ss_quantity) AS BIGINT) AS store_sales_quantitycount,
+           {_AVGQ.format(c='ss_quantity')} AS store_sales_quantityave,
+           CAST({_STDDEV.format(c='ss_quantity')} AS DOUBLE)
+               AS store_sales_quantitystdev,
+           CAST({_STDDEV.format(c='ss_quantity')} AS DOUBLE)
+               / ({_AVGQ.format(c='ss_quantity')})
+               AS store_sales_quantitycov,
+           CAST(COUNT(sr_return_quantity) AS BIGINT)
+               AS store_returns_quantitycount,
+           {_AVGQ.format(c='sr_return_quantity')}
+               AS store_returns_quantityave,
+           CAST({_STDDEV.format(c='sr_return_quantity')} AS DOUBLE)
+               AS store_returns_quantitystdev,
+           CAST({_STDDEV.format(c='sr_return_quantity')} AS DOUBLE)
+               / ({_AVGQ.format(c='sr_return_quantity')})
+               AS store_returns_quantitycov,
+           CAST(COUNT(cs_quantity) AS BIGINT) AS catalog_sales_quantitycount,
+           {_AVGQ.format(c='cs_quantity')} AS catalog_sales_quantityave,
+           CAST({_STDDEV.format(c='cs_quantity')} AS DOUBLE)
+               AS catalog_sales_quantitystdev,
+           CAST({_STDDEV.format(c='cs_quantity')} AS DOUBLE)
+               / ({_AVGQ.format(c='cs_quantity')})
+               AS catalog_sales_quantitycov
+    FROM store_sales, store_returns, catalog_sales,
+         date_dim d1, date_dim d2, date_dim d3, store, item
+    WHERE d1.d_quarter_name = '1998Q1'
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND d2.d_quarter_name IN ('1998Q1','1998Q2','1998Q3')
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND d3.d_quarter_name IN ('1998Q1','1998Q2','1998Q3')
+    GROUP BY i_item_id, i_item_desc, s_state
+    ORDER BY i_item_id, i_item_desc, s_state
+    LIMIT 100
+    """,
+    doc="""TPC-DS q17 (reference tpcds_sql/17.sql) executed: the 3-fact
+    chain reporting per-item quantity statistics — count / mean /
+    stddev_samp / coefficient of variation for each leg.  A native
+    stddev_samp over doubles is accumulation-order-dependent, so it is
+    spelled from EXACT decimal moments: sqrt((Σx² − (Σx)²/n)/(n−1)) —
+    one deterministic double rounding at the sqrt.  d_quarter_name
+    derives as year||'Q'||quarter; all 1998Q* constants verbatim.""",
+)
+
+_register(
+    "tpcds_q50",
+    """
+    SELECT s_store_name, s_company_id, s_street_number, s_street_name,
+           s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+           CAST(SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk <= 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 30
+                     AND sr_returned_date_sk - ss_sold_date_sk <= 60
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+           CAST(SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 60
+                     AND sr_returned_date_sk - ss_sold_date_sk <= 90
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+           CAST(SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 90
+                     AND sr_returned_date_sk - ss_sold_date_sk <= 120
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+           CAST(SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 120
+                    THEN 1 ELSE 0 END) AS BIGINT) AS dgt120
+    FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+    WHERE d2.d_year = 2000
+      AND d2.d_moy = 9
+      AND ss_ticket_number = sr_ticket_number
+      AND ss_item_sk = sr_item_sk
+      AND ss_sold_date_sk = d1.d_date_sk
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_store_sk = s_store_sk
+    GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+             s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+    ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+             s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+    LIMIT 100
+    """,
+    doc="""TPC-DS q50 (reference tpcds_sql/50.sql) executed: return-lag
+    buckets (sale date -> return date) for September-2000 returns,
+    reported per full store address — the store dim gains its
+    company-id/street/suite attributes as key functions.  The quoted
+    '30 days' output names become d30..dgt120 (house column-name rule);
+    every date constant verbatim.""",
+)
+
+_register(
+    "tpcds_q93",
+    """
+    SELECT ss_customer_sk,
+           CAST(SUM(CAST(act_sales AS DECIMAL(38,6))) AS DOUBLE) AS sumsales
+    FROM (SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+                 CASE WHEN sr_return_quantity IS NOT NULL
+                      THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+                      ELSE ss_quantity * ss_sales_price END AS act_sales
+          FROM store_sales
+          LEFT OUTER JOIN store_returns
+            ON (sr_item_sk = ss_item_sk
+                AND sr_ticket_number = ss_ticket_number), reason
+          WHERE sr_reason_sk = r_reason_sk
+            AND r_reason_desc = 'Did not like the warranty') t
+    GROUP BY ss_customer_sk
+    ORDER BY sumsales, ss_customer_sk
+    LIMIT 100
+    """,
+    doc="""TPC-DS q93 (reference tpcds_sql/93.sql) executed: actual
+    sales net of warranty-reason returns — a LEFT OUTER fact-fact join
+    whose null-extension is then constrained by the reason filter
+    (the reference's own subtle shape: the WHERE re-inner-joins the
+    outer join).  reason is a 35-row generated dimension with the
+    verbatim 'Did not like the warranty' description at sk 1.""",
+)
+
+
+def _excess_discount(name: str, fact: str, p: str, sql_ref: str) -> None:
+    _register(
+        name,
+        f"""
+    SELECT CAST(SUM(CAST({p}_ext_discount_amt AS DECIMAL(38,6))) AS DOUBLE)
+               AS excess_discount_amt
+    FROM {fact}, item, date_dim
+    WHERE i_manufact_id = 269
+      AND i_item_sk = {p}_item_sk
+      AND d_date BETWEEN CAST('1998-03-18' AS DATE)
+                     AND CAST('1998-03-18' AS DATE) + INTERVAL 90 DAY
+      AND d_date_sk = {p}_sold_date_sk
+      AND {p}_ext_discount_amt >
+          (SELECT 1.3 * (CAST(SUM(CAST({p}_ext_discount_amt
+                                       AS DECIMAL(38,6))) AS DOUBLE)
+                         / COUNT({p}_ext_discount_amt))
+           FROM {fact}, date_dim
+           WHERE {p}_item_sk = i_item_sk
+             AND d_date BETWEEN CAST('1998-03-18' AS DATE)
+                            AND CAST('1998-03-18' AS DATE) + INTERVAL 90 DAY
+             AND d_date_sk = {p}_sold_date_sk)
+    LIMIT 100
+    """,
+        doc=f"""TPC-DS {name[6:]} (reference tpcds_sql/{sql_ref}) executed:
+    total discount on {fact} rows whose discount exceeds 1.3x the
+    per-item 90-day average — a correlated scalar-average subquery
+    against the same fact.  The quoted 'excess discount amount' output
+    name becomes excess_discount_amt (house column-name rule); the avg
+    is exact-decimal-sum / count; manufacturer and date constants
+    verbatim (both in the derived domains).""",
+    )
+
+
+_excess_discount("tpcds_q32", "catalog_sales", "cs", "32.sql")
+_excess_discount("tpcds_q92", "web_sales", "ws", "92.sql")
+
+_register(
+    "tpcds_q37",
+    """
+    SELECT i_item_id, i_item_desc, i_current_price
+    FROM item, inventory, date_dim, catalog_sales
+    WHERE i_current_price BETWEEN 920 AND 920 + 30
+      AND inv_item_sk = i_item_sk
+      AND d_date_sk = inv_date_sk
+      AND d_date BETWEEN CAST('2001-06-02' AS DATE)
+                     AND CAST('2001-06-02' AS DATE) + INTERVAL 60 DAY
+      AND i_manufact_id IN (178, 464, 418, 349)
+      AND inv_quantity_on_hand BETWEEN 100 AND 500
+      AND cs_item_sk = i_item_sk
+    GROUP BY i_item_id, i_item_desc, i_current_price
+    ORDER BY i_item_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q37 (reference tpcds_sql/37.sql) executed: q82's
+    catalog twin — priced in-band manufacturer items with mid-range
+    inventory in a 60-day window that sold by catalog.  Date
+    '2001-06-02' verbatim (in-calendar); price band 22..52 -> 920..950
+    and the manufact list folded into the mod-500 domain, as q82.""",
+)
+
+_register(
+    "tpcds_q61",
+    """
+    SELECT CAST(promotions AS DOUBLE) AS promotions,
+           CAST(total AS DOUBLE) AS total,
+           CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE) * 100
+               AS promo_pct
+    FROM
+      (SELECT SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS promotions
+       FROM store_sales, store, promotion, date_dim, customer,
+            customer_address, item
+       WHERE ss_sold_date_sk = d_date_sk
+         AND ss_store_sk = s_store_sk
+         AND ss_promo_sk = p_promo_sk
+         AND ss_customer_sk = c_customer_sk
+         AND ca_address_sk = c_current_addr_sk
+         AND ss_item_sk = i_item_sk
+         AND ca_gmt_offset = -7
+         AND i_category = 'ECONOMY'
+         AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y'
+              OR p_channel_tv = 'Y')
+         AND s_gmt_offset = -7
+         AND d_year = 1999
+         AND d_moy = 11) promotional_sales,
+      (SELECT SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS total
+       FROM store_sales, store, date_dim, customer, customer_address, item
+       WHERE ss_sold_date_sk = d_date_sk
+         AND ss_store_sk = s_store_sk
+         AND ss_customer_sk = c_customer_sk
+         AND ca_address_sk = c_current_addr_sk
+         AND ss_item_sk = i_item_sk
+         AND ca_gmt_offset = -7
+         AND i_category = 'ECONOMY'
+         AND s_gmt_offset = -7
+         AND d_year = 1999
+         AND d_moy = 11) all_sales
+    ORDER BY promotions, total
+    LIMIT 100
+    """,
+    doc="""TPC-DS q61 (reference tpcds_sql/61.sql) executed: share of
+    one geography's November category sales driven by dmail/email/tv
+    promotions — two scalar star aggregates cross-joined into one row.
+    promotion gains its dmail/tv channel flags; the reference's
+    DECIMAL(15,4) ratio cast becomes exact-decimal sums divided as
+    DOUBLE (the 15-digit width would overflow at large SF; house
+    scale rule).  ca_gmt_offset/s_gmt_offset = -7 verbatim (both
+    derived domains include -7); 'Books' -> 'ECONOMY'.""",
+)
+
+_register(
+    "tpcds_q58",
+    """
+    , ss_items AS (
+      SELECT i_item_id AS item_id,
+             SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS ss_item_rev
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk = i_item_sk
+        AND d_date IN (SELECT d_date FROM date_dim
+                       WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                           WHERE d_date =
+                                                 CAST('1998-02-19' AS DATE)))
+        AND ss_sold_date_sk = d_date_sk
+      GROUP BY i_item_id
+    ),
+    cs_items AS (
+      SELECT i_item_id AS item_id,
+             SUM(CAST(cs_ext_sales_price AS DECIMAL(38,6))) AS cs_item_rev
+      FROM catalog_sales, item, date_dim
+      WHERE cs_item_sk = i_item_sk
+        AND d_date IN (SELECT d_date FROM date_dim
+                       WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                           WHERE d_date =
+                                                 CAST('1998-02-19' AS DATE)))
+        AND cs_sold_date_sk = d_date_sk
+      GROUP BY i_item_id
+    ),
+    ws_items AS (
+      SELECT i_item_id AS item_id,
+             SUM(CAST(ws_ext_sales_price AS DECIMAL(38,6))) AS ws_item_rev
+      FROM web_sales, item, date_dim
+      WHERE ws_item_sk = i_item_sk
+        AND d_date IN (SELECT d_date FROM date_dim
+                       WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                           WHERE d_date =
+                                                 CAST('1998-02-19' AS DATE)))
+        AND ws_sold_date_sk = d_date_sk
+      GROUP BY i_item_id
+    )
+    SELECT ss_items.item_id,
+           CAST(ss_item_rev AS DOUBLE) AS ss_item_rev,
+           CAST(ss_item_rev AS DOUBLE)
+               / ((CAST(ss_item_rev AS DOUBLE) + CAST(cs_item_rev AS DOUBLE)
+                   + CAST(ws_item_rev AS DOUBLE)) / 3) * 100 AS ss_dev,
+           CAST(cs_item_rev AS DOUBLE) AS cs_item_rev,
+           CAST(cs_item_rev AS DOUBLE)
+               / ((CAST(ss_item_rev AS DOUBLE) + CAST(cs_item_rev AS DOUBLE)
+                   + CAST(ws_item_rev AS DOUBLE)) / 3) * 100 AS cs_dev,
+           CAST(ws_item_rev AS DOUBLE) AS ws_item_rev,
+           CAST(ws_item_rev AS DOUBLE)
+               / ((CAST(ss_item_rev AS DOUBLE) + CAST(cs_item_rev AS DOUBLE)
+                   + CAST(ws_item_rev AS DOUBLE)) / 3) * 100 AS ws_dev,
+           (CAST(ss_item_rev AS DOUBLE) + CAST(cs_item_rev AS DOUBLE)
+            + CAST(ws_item_rev AS DOUBLE)) / 3 AS average
+    FROM ss_items, cs_items, ws_items
+    WHERE ss_items.item_id = cs_items.item_id
+      AND ss_items.item_id = ws_items.item_id
+      AND CAST(ss_item_rev AS DOUBLE)
+          BETWEEN 0.2 * CAST(cs_item_rev AS DOUBLE)
+              AND 5.0 * CAST(cs_item_rev AS DOUBLE)
+      AND CAST(ss_item_rev AS DOUBLE)
+          BETWEEN 0.2 * CAST(ws_item_rev AS DOUBLE)
+              AND 5.0 * CAST(ws_item_rev AS DOUBLE)
+      AND CAST(cs_item_rev AS DOUBLE)
+          BETWEEN 0.2 * CAST(ss_item_rev AS DOUBLE)
+              AND 5.0 * CAST(ss_item_rev AS DOUBLE)
+      AND CAST(cs_item_rev AS DOUBLE)
+          BETWEEN 0.2 * CAST(ws_item_rev AS DOUBLE)
+              AND 5.0 * CAST(ws_item_rev AS DOUBLE)
+      AND CAST(ws_item_rev AS DOUBLE)
+          BETWEEN 0.2 * CAST(ss_item_rev AS DOUBLE)
+              AND 5.0 * CAST(ss_item_rev AS DOUBLE)
+      AND CAST(ws_item_rev AS DOUBLE)
+          BETWEEN 0.2 * CAST(cs_item_rev AS DOUBLE)
+              AND 5.0 * CAST(cs_item_rev AS DOUBLE)
+    ORDER BY ss_items.item_id, ss_item_rev
+    LIMIT 100
+    """,
+    doc="""TPC-DS q58 (reference tpcds_sql/58.sql) executed: items
+    whose one-week revenues are within 10% across all three channels —
+    per-channel CTEs each anchored to the week containing one date via
+    a nested scalar week-seq subquery, then a 6-way mutual band
+    filter.  '1998-02-19' verbatim (in-calendar); revenues accumulate
+    in DECIMAL and every band/ratio comparison runs in DOUBLE on the
+    exact sums.""",
 )

@@ -136,6 +136,28 @@ SHUFFLE_BUDGETS = {
     # slt mirrors (r6):
     "agg_topk_min_max_groups": 4,  # one partial+final agg exchange per branch
     "join_limit_pushdown": 7,      # 5 limited-join scalar legs + SMJ full join
+    # r6 second TPC-DS tranche (audited at pin time; dims broadcast):
+    "tpcds_q2": 4,   # 2-channel weekly pivot + two year-slice consumptions
+    "tpcds_q74": 8,  # 2-channel year_total CTE consumed 4x (2 aggs + joins)
+    "tpcds_q11": 8,  # q74 with the 7-attribute customer grouping
+    "tpcds_q4": 12,  # 3-channel year_total consumed 6x
+    "tpcds_q38": 7,  # 3 distinct-channel legs + 2 INTERSECT exchanges
+    "tpcds_q87": 7,  # EXCEPT twin
+    "tpcds_q53": 2,  # quarterly agg + manufact window
+    "tpcds_q63": 2,  # monthly agg + manager window
+    "tpcds_q89": 2,  # monthly agg + brand-store window
+    "tpcds_q47": 9,  # v1 agg+2 windows+rank, consumed 3x (lag/lead joins)
+    "tpcds_q57": 9,  # catalog twin of q47
+    "tpcds_q25": 5,  # 3-fact chain: 2 fact-fact joins + agg (dims broadcast)
+    "tpcds_q29": 5,
+    "tpcds_q17": 5,
+    "tpcds_q50": 3,  # sale->return lag buckets: 1 fact-fact join + agg
+    "tpcds_q93": 3,  # left-outer fact-fact + reason + customer agg
+    "tpcds_q32": 3,  # per-item avg-discount subquery + rejoin + scalar agg
+    "tpcds_q92": 3,
+    "tpcds_q37": 3,  # inventory-grid existence + item-grain agg
+    "tpcds_q61": 2,  # two scalar star legs, cross-joined single row
+    "tpcds_q58": 3,  # 3 one-week channel aggs, week subquery broadcast
 }
 
 BROADCAST_EXPECTED = [
@@ -156,6 +178,7 @@ BROADCAST_EXPECTED = [
     "tpcds_q3",           # date_dim + item dimension legs broadcast
     "tpcds_q55",
     "tpcds_q13", "tpcds_q43", "tpcds_q62", "tpcds_q82", "tpcds_q99",
+    "tpcds_q25", "tpcds_q53", "tpcds_q61", "tpcds_q37", "tpcds_q93",
 ]
 
 
