@@ -165,6 +165,15 @@ def _interleave_families() -> None:
         "tpcds_q37",
         "tpcds_q61",
         "tpcds_q58",
+        "tpcds_q30",                   #   state-return outliers + inventory
+        "tpcds_q81",
+        "tpcds_q83",
+        "tpcds_q31",
+        "tpcds_q27",
+        "tpcds_q28",
+        "tpcds_q22",
+        "tpcds_q21",
+        "tpcds_q39",
     }
 
     def tier(name: str) -> int:

@@ -113,6 +113,7 @@ store_sales AS (
          l_quantity AS ss_quantity,
          l_extendedprice AS ss_list_price,
          l_extendedprice * 0.6 AS ss_ext_wholesale_cost,
+         l_extendedprice * 0.006 AS ss_wholesale_cost,
          l_discount * l_quantity AS ss_ext_discount_amt,
          l_extendedprice - l_discount AS ss_net_paid,
          l_discount AS ss_coupon_amt,
@@ -179,6 +180,10 @@ customer AS (
          'login_' || CAST(c_custkey % 53 AS STRING) AS c_login,
          'e' || CAST(c_custkey AS STRING) || '@example.com'
              AS c_email_address,
+         CAST(c_custkey % 28 + 1 AS INT) AS c_birth_day,
+         CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
+         CAST(1924 + c_custkey % 70 AS INT) AS c_birth_year,
+         CAST(2450000 + c_custkey % 2500 AS INT) AS c_last_review_date_sk,
          c_custkey AS c_current_addr_sk
   FROM parquet.`__SF__/customer.parquet`
 ),
@@ -192,6 +197,14 @@ customer_address AS (
               WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state,
          'county_' || CAST(c_custkey % 11 AS STRING) AS ca_county,
          'United States' AS ca_country,
+         CAST(c_custkey % 999 + 1 AS STRING) AS ca_street_number,
+         CASE c_custkey % 4 WHEN 0 THEN 'Main' WHEN 1 THEN 'Oak'
+              WHEN 2 THEN 'Cedar' ELSE 'Elm' END AS ca_street_name,
+         CASE c_custkey % 3 WHEN 0 THEN 'St' WHEN 1 THEN 'Ave'
+              ELSE 'Blvd' END AS ca_street_type,
+         'Suite ' || CAST(c_custkey % 90 AS STRING) AS ca_suite_number,
+         CASE c_custkey % 3 WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo'
+              ELSE 'single family' END AS ca_location_type,
          CAST(-8 + c_custkey % 3 AS INT) AS ca_gmt_offset
   FROM parquet.`__SF__/customer.parquet`
 ),
@@ -311,6 +324,7 @@ inventory AS (
   SELECT p_partkey AS inv_item_sk,
          datediff(CAST(wd AS DATE), DATE '1992-01-01') + 2450000
              AS inv_date_sk,
+         CAST(p_partkey % 5 + 1 AS INT) AS inv_warehouse_sk,
          CAST((p_partkey * 7 + datediff(CAST(wd AS DATE), DATE '1992-01-01'))
               % 1000 AS INT) AS inv_quantity_on_hand
   FROM parquet.`__SF__/part.parquet`
@@ -324,6 +338,42 @@ reason AS (
                  WHEN 3 THEN 'Found a better price'
                  ELSE 'reason_' || CAST(id AS STRING) END AS r_reason_desc
   FROM (SELECT explode(sequence(1, 35)) AS id)
+),
+web_returns AS (
+  SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 19 + l_linenumber * 23) % 90 AS INT)
+             AS wr_returned_date_sk,
+         l_partkey AS wr_item_sk,
+         l_orderkey AS wr_order_number,
+         o_custkey AS wr_returning_customer_sk,
+         o_custkey + l_linenumber % 2 AS wr_returning_addr_sk,
+         l_quantity AS wr_return_quantity,
+         l_extendedprice * 0.1 AS wr_return_amt,
+         l_extendedprice * 0.05 + l_tax AS wr_net_loss,
+         CAST(l_orderkey % 12 + 1 AS INT) AS wr_web_page_sk,
+         CAST(l_partkey % 35 + 1 AS INT) AS wr_reason_sk
+  FROM parquet.`__SF__/lineitem.parquet`
+  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 4 = 1 AND l_returnflag = 'R'
+),
+catalog_returns AS (
+  SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 29 + l_linenumber * 37) % 90 AS INT)
+             AS cr_returned_date_sk,
+         l_partkey AS cr_item_sk,
+         l_orderkey AS cr_order_number,
+         o_custkey AS cr_returning_customer_sk,
+         o_custkey + l_linenumber % 2 AS cr_returning_addr_sk,
+         l_quantity AS cr_return_quantity,
+         l_extendedprice * 0.1 AS cr_return_amount,
+         l_extendedprice * 0.1 + l_tax AS cr_return_amt_inc_tax,
+         l_extendedprice * 0.05 + l_tax AS cr_net_loss,
+         CAST(o_custkey % 6 + 1 AS INT) AS cr_call_center_sk,
+         CAST(l_suppkey % 5 + 1 AS INT) AS cr_warehouse_sk,
+         CAST(l_partkey % 35 + 1 AS INT) AS cr_reason_sk
+  FROM parquet.`__SF__/lineitem.parquet`
+  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 4 = 2 AND l_returnflag = 'R'
 )
 """
 
@@ -392,6 +442,7 @@ store_sales AS (
          l_quantity AS ss_quantity,
          l_extendedprice AS ss_list_price,
          l_extendedprice * 0.6 AS ss_ext_wholesale_cost,
+         l_extendedprice * 0.006 AS ss_wholesale_cost,
          l_discount * l_quantity AS ss_ext_discount_amt,
          l_extendedprice - l_discount AS ss_net_paid,
          l_discount AS ss_coupon_amt,
@@ -457,6 +508,10 @@ customer AS (
          'login_' || CAST(c_custkey % 53 AS VARCHAR) AS c_login,
          'e' || CAST(c_custkey AS VARCHAR) || '@example.com'
              AS c_email_address,
+         CAST(c_custkey % 28 + 1 AS INT) AS c_birth_day,
+         CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
+         CAST(1924 + c_custkey % 70 AS INT) AS c_birth_year,
+         CAST(2450000 + c_custkey % 2500 AS INT) AS c_last_review_date_sk,
          c_custkey AS c_current_addr_sk
   FROM main.customer
 ),
@@ -470,6 +525,14 @@ customer_address AS (
               WHEN 5 THEN 'OH' ELSE 'FL' END AS ca_state,
          'county_' || CAST(c_custkey % 11 AS VARCHAR) AS ca_county,
          'United States' AS ca_country,
+         CAST(c_custkey % 999 + 1 AS VARCHAR) AS ca_street_number,
+         CASE c_custkey % 4 WHEN 0 THEN 'Main' WHEN 1 THEN 'Oak'
+              WHEN 2 THEN 'Cedar' ELSE 'Elm' END AS ca_street_name,
+         CASE c_custkey % 3 WHEN 0 THEN 'St' WHEN 1 THEN 'Ave'
+              ELSE 'Blvd' END AS ca_street_type,
+         'Suite ' || CAST(c_custkey % 90 AS VARCHAR) AS ca_suite_number,
+         CASE c_custkey % 3 WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo'
+              ELSE 'single family' END AS ca_location_type,
          CAST(-8 + c_custkey % 3 AS INT) AS ca_gmt_offset
   FROM main.customer
 ),
@@ -585,6 +648,7 @@ store_returns AS (
 inventory AS (
   SELECT p_partkey AS inv_item_sk,
          (CAST(wd AS DATE) - DATE '1992-01-01') + 2450000 AS inv_date_sk,
+         CAST(p_partkey % 5 + 1 AS INT) AS inv_warehouse_sk,
          CAST((p_partkey * 7 + (CAST(wd AS DATE) - DATE '1992-01-01'))
               % 1000 AS INT) AS inv_quantity_on_hand
   FROM part
@@ -599,6 +663,40 @@ reason AS (
                  WHEN 3 THEN 'Found a better price'
                  ELSE 'reason_' || CAST(id AS VARCHAR) END AS r_reason_desc
   FROM range(1, 36) t(id)
+),
+web_returns AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 19 + l_linenumber * 23) % 90 AS INT)
+             AS wr_returned_date_sk,
+         l_partkey AS wr_item_sk,
+         l_orderkey AS wr_order_number,
+         o_custkey AS wr_returning_customer_sk,
+         o_custkey + l_linenumber % 2 AS wr_returning_addr_sk,
+         l_quantity AS wr_return_quantity,
+         l_extendedprice * 0.1 AS wr_return_amt,
+         l_extendedprice * 0.05 + l_tax AS wr_net_loss,
+         CAST(l_orderkey % 12 + 1 AS INT) AS wr_web_page_sk,
+         CAST(l_partkey % 35 + 1 AS INT) AS wr_reason_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 4 = 1 AND l_returnflag = 'R'
+),
+catalog_returns AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
+             + CAST((l_orderkey * 29 + l_linenumber * 37) % 90 AS INT)
+             AS cr_returned_date_sk,
+         l_partkey AS cr_item_sk,
+         l_orderkey AS cr_order_number,
+         o_custkey AS cr_returning_customer_sk,
+         o_custkey + l_linenumber % 2 AS cr_returning_addr_sk,
+         l_quantity AS cr_return_quantity,
+         l_extendedprice * 0.1 AS cr_return_amount,
+         l_extendedprice * 0.1 + l_tax AS cr_return_amt_inc_tax,
+         l_extendedprice * 0.05 + l_tax AS cr_net_loss,
+         CAST(o_custkey % 6 + 1 AS INT) AS cr_call_center_sk,
+         CAST(l_suppkey % 5 + 1 AS INT) AS cr_warehouse_sk,
+         CAST(l_partkey % 35 + 1 AS INT) AS cr_reason_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 4 = 2 AND l_returnflag = 'R'
 )
 """
 
@@ -2613,9 +2711,15 @@ _register(
     (1999-2001, entirely in-calendar — every constant verbatim).""",
 )
 
+# Exact decimal sums, but ALL arithmetic between them in IEEE DOUBLE:
+# decimal division scale rules differ between Spark and DuckDB, so a
+# decimal intermediate rounds differently (observed: q39 cov off by
+# 1e-9); double ops on exact inputs are bit-identical cross-engine.
 _STDDEV = (
-    "SQRT((SUM(CAST({c} AS DECIMAL(38,6)) * CAST({c} AS DECIMAL(38,6)))"
-    " - SUM(CAST({c} AS DECIMAL(38,6))) * SUM(CAST({c} AS DECIMAL(38,6)))"
+    "SQRT((CAST(SUM(CAST({c} AS DECIMAL(38,6)) * CAST({c} AS DECIMAL(38,6)))"
+    " AS DOUBLE)"
+    " - CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
+    " * CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
     " / COUNT({c})) / NULLIF(COUNT({c}) - 1, 0))"
 )
 _AVGQ = "CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c})"
@@ -2938,4 +3042,428 @@ _register(
     filter.  '1998-02-19' verbatim (in-calendar); revenues accumulate
     in DECIMAL and every band/ratio comparison runs in DOUBLE on the
     exact sums.""",
+)
+
+
+def _state_return_outliers(name: str, sql_ref: str, returns_tbl: str, p: str,
+                           amt: str, year: int, out_cols: str,
+                           order_cols: str, doc_extra: str) -> None:
+    _register(
+        name,
+        f"""
+    , customer_total_return AS (
+      SELECT {p}_returning_customer_sk AS ctr_customer_sk,
+             ca_state AS ctr_state,
+             CAST(SUM(CAST({amt} AS DECIMAL(38,6))) AS DOUBLE)
+                 AS ctr_total_return
+      FROM {returns_tbl}, date_dim, customer_address
+      WHERE {p}_returned_date_sk = d_date_sk
+        AND d_year = {year}
+        AND {p}_returning_addr_sk = ca_address_sk
+      GROUP BY {p}_returning_customer_sk, ca_state
+    )
+    SELECT {out_cols}
+    FROM customer_total_return ctr1, customer_address, customer
+    WHERE ctr1.ctr_total_return >
+          (SELECT AVG(ctr_total_return) * 1.2
+           FROM customer_total_return ctr2
+           WHERE ctr1.ctr_state = ctr2.ctr_state)
+      AND ca_address_sk = c_current_addr_sk
+      AND ca_state = 'GA'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+    ORDER BY {order_cols}
+    LIMIT 100
+    """,
+        doc=f"""TPC-DS {name[6:]} (reference tpcds_sql/{sql_ref}) executed:
+    customers whose {returns_tbl} totals exceed 1.2x their state's
+    average — the q1 correlated-CTE shape on the {returns_tbl} table
+    keyed by customer ADDRESS state rather than store.  {doc_extra}
+    ca_state 'IL' -> 'GA' (derived 7-state domain); totals accumulate
+    in DECIMAL and compare as DOUBLE.""",
+    )
+
+
+_state_return_outliers(
+    "tpcds_q30", "30.sql", "web_returns", "wr", "wr_return_amt", 2000,
+    "c_customer_id, c_salutation, c_first_name, c_last_name,"
+    " c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,"
+    " c_birth_country, c_login, c_email_address, c_last_review_date_sk,"
+    " ctr_total_return",
+    "c_customer_id, c_salutation, c_first_name, c_last_name,"
+    " c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,"
+    " c_birth_country, c_login, c_email_address, c_last_review_date_sk,"
+    " ctr_total_return",
+    "The customer dim gains its birth-date/review attributes as key"
+    " functions; d_year 2002 -> 2000 (in-calendar).",
+)
+
+_state_return_outliers(
+    "tpcds_q81", "81.sql", "catalog_returns", "cr",
+    "cr_return_amt_inc_tax", 1998,
+    "c_customer_id, c_salutation, c_first_name, c_last_name,"
+    " ca_street_number, ca_street_name, ca_street_type, ca_suite_number,"
+    " ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,"
+    " ca_location_type, ctr_total_return",
+    "c_customer_id, c_salutation, c_first_name, c_last_name,"
+    " ca_street_number, ca_street_name, ca_street_type, ca_suite_number,"
+    " ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,"
+    " ca_location_type, ctr_total_return",
+    "Reports the full derived customer address (street/suite/location"
+    " attributes added as key functions); d_year 1998 verbatim.",
+)
+
+_register(
+    "tpcds_q83",
+    """
+    , sr_items AS (
+      SELECT i_item_id AS item_id,
+             CAST(SUM(CAST(sr_return_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sr_item_qty
+      FROM store_returns, item, date_dim
+      WHERE sr_item_sk = i_item_sk
+        AND d_date IN (SELECT d_date FROM date_dim
+                       WHERE d_week_seq IN
+                             (SELECT d_week_seq FROM date_dim
+                              WHERE d_date IN (CAST('1998-01-02' AS DATE),
+                                               CAST('1998-02-12' AS DATE),
+                                               CAST('1998-03-05' AS DATE),
+                                               CAST('1998-05-20' AS DATE),
+                                               CAST('1998-07-07' AS DATE),
+                                               CAST('1998-08-14' AS DATE),
+                                               CAST('1998-09-22' AS DATE),
+                                               CAST('1998-10-15' AS DATE),
+                                               CAST('1998-11-10' AS DATE))))
+        AND sr_returned_date_sk = d_date_sk
+      GROUP BY i_item_id
+    ),
+    cr_items AS (
+      SELECT i_item_id AS item_id,
+             CAST(SUM(CAST(cr_return_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 AS cr_item_qty
+      FROM catalog_returns, item, date_dim
+      WHERE cr_item_sk = i_item_sk
+        AND d_date IN (SELECT d_date FROM date_dim
+                       WHERE d_week_seq IN
+                             (SELECT d_week_seq FROM date_dim
+                              WHERE d_date IN (CAST('1998-01-02' AS DATE),
+                                               CAST('1998-02-12' AS DATE),
+                                               CAST('1998-03-05' AS DATE),
+                                               CAST('1998-05-20' AS DATE),
+                                               CAST('1998-07-07' AS DATE),
+                                               CAST('1998-08-14' AS DATE),
+                                               CAST('1998-09-22' AS DATE),
+                                               CAST('1998-10-15' AS DATE),
+                                               CAST('1998-11-10' AS DATE))))
+        AND cr_returned_date_sk = d_date_sk
+      GROUP BY i_item_id
+    ),
+    wr_items AS (
+      SELECT i_item_id AS item_id,
+             CAST(SUM(CAST(wr_return_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 AS wr_item_qty
+      FROM web_returns, item, date_dim
+      WHERE wr_item_sk = i_item_sk
+        AND d_date IN (SELECT d_date FROM date_dim
+                       WHERE d_week_seq IN
+                             (SELECT d_week_seq FROM date_dim
+                              WHERE d_date IN (CAST('1998-01-02' AS DATE),
+                                               CAST('1998-02-12' AS DATE),
+                                               CAST('1998-03-05' AS DATE),
+                                               CAST('1998-05-20' AS DATE),
+                                               CAST('1998-07-07' AS DATE),
+                                               CAST('1998-08-14' AS DATE),
+                                               CAST('1998-09-22' AS DATE),
+                                               CAST('1998-10-15' AS DATE),
+                                               CAST('1998-11-10' AS DATE))))
+        AND wr_returned_date_sk = d_date_sk
+      GROUP BY i_item_id
+    )
+    SELECT sr_items.item_id,
+           sr_item_qty,
+           sr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0
+               * 100 AS sr_dev,
+           cr_item_qty,
+           cr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0
+               * 100 AS cr_dev,
+           wr_item_qty,
+           wr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0
+               * 100 AS wr_dev,
+           (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 AS average
+    FROM sr_items, cr_items, wr_items
+    WHERE sr_items.item_id = cr_items.item_id
+      AND sr_items.item_id = wr_items.item_id
+    ORDER BY sr_items.item_id, sr_item_qty
+    LIMIT 100
+    """,
+    doc="""TPC-DS q83 (reference tpcds_sql/83.sql) executed: items
+    returned in the weeks containing three anchor dates, compared
+    across all three return channels (q58's shape on the RETURNS
+    tables, including the reference's own quirky /3.0-of-share dev
+    formula, kept verbatim).  The reference's three anchor dates grow
+    to nine spread over 1998 (the derived catalog/web channels are
+    quarter slices, so a three-week three-channel item intersection is
+    empty at small SF by construction); all dates in-calendar;
+    quantity sums decimal-exact then DOUBLE.""",
+)
+
+_register(
+    "tpcds_q31",
+    """
+    , ss AS (
+      SELECT ca_county, d_qoy, d_year,
+             SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS store_sales
+      FROM store_sales, date_dim, customer_address
+      WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+      GROUP BY ca_county, d_qoy, d_year
+    ),
+    ws AS (
+      SELECT ca_county, d_qoy, d_year,
+             SUM(CAST(ws_ext_sales_price AS DECIMAL(38,6))) AS web_sales
+      FROM web_sales, date_dim, customer_address
+      WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+      GROUP BY ca_county, d_qoy, d_year
+    )
+    SELECT ss1.ca_county, ss1.d_year,
+           CAST(ws2.web_sales AS DOUBLE) / CAST(ws1.web_sales AS DOUBLE)
+               AS web_q1_q2_increase,
+           CAST(ss2.store_sales AS DOUBLE) / CAST(ss1.store_sales AS DOUBLE)
+               AS store_q1_q2_increase,
+           CAST(ws3.web_sales AS DOUBLE) / CAST(ws2.web_sales AS DOUBLE)
+               AS web_q2_q3_increase,
+           CAST(ss3.store_sales AS DOUBLE) / CAST(ss2.store_sales AS DOUBLE)
+               AS store_q2_q3_increase
+    FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+    WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
+      AND ss1.ca_county = ss2.ca_county
+      AND ss2.d_qoy = 2 AND ss2.d_year = 2000
+      AND ss2.ca_county = ss3.ca_county
+      AND ss3.d_qoy = 3 AND ss3.d_year = 2000
+      AND ss1.ca_county = ws1.ca_county
+      AND ws1.d_qoy = 1 AND ws1.d_year = 2000
+      AND ws1.ca_county = ws2.ca_county
+      AND ws2.d_qoy = 2 AND ws2.d_year = 2000
+      AND ws1.ca_county = ws3.ca_county
+      AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+      AND CASE WHEN ws1.web_sales > 0
+               THEN CAST(ws2.web_sales AS DOUBLE)
+                    / CAST(ws1.web_sales AS DOUBLE) ELSE NULL END
+        > CASE WHEN ss1.store_sales > 0
+               THEN CAST(ss2.store_sales AS DOUBLE)
+                    / CAST(ss1.store_sales AS DOUBLE) ELSE NULL END
+      AND CASE WHEN ws2.web_sales > 0
+               THEN CAST(ws3.web_sales AS DOUBLE)
+                    / CAST(ws2.web_sales AS DOUBLE) ELSE NULL END
+        > CASE WHEN ss2.store_sales > 0
+               THEN CAST(ss3.store_sales AS DOUBLE)
+                    / CAST(ss2.store_sales AS DOUBLE) ELSE NULL END
+    ORDER BY ss1.d_year
+    """,
+    doc="""TPC-DS q31 (reference tpcds_sql/31.sql) executed: counties
+    where web sales grew faster than store sales in consecutive
+    quarters — two per-county quarterly CTEs each consumed three
+    times (6-way self-join).  Every constant verbatim (year 2000,
+    quarters 1-3 in-calendar); sums decimal-exact, growth ratios
+    compared in DOUBLE.  No LIMIT, so the bare ORDER BY is safe under
+    the order-insensitive hash.""",
+)
+
+_register(
+    "tpcds_q27",
+    f"""
+    SELECT i_item_id, s_state,
+           CAST(grouping(s_state) AS INT) AS g_state,
+           {_AVG.format(c='ss_quantity')}    AS agg1,
+           {_AVG.format(c='ss_list_price')}  AS agg2,
+           {_AVG.format(c='ss_coupon_amt')}  AS agg3,
+           {_AVG.format(c='ss_sales_price')} AS agg4
+    FROM store_sales, customer_demographics, date_dim, store, item
+    WHERE ss_sold_date_sk = d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk
+      AND ss_cdemo_sk = cd_demo_sk
+      AND cd_gender = 'M'
+      AND cd_marital_status = 'W'
+      AND cd_education_status = 'College'
+      AND d_year = 2000
+      AND s_state IN ('MO','LA','GA','MI','SC','OH')
+    GROUP BY ROLLUP (i_item_id, s_state)
+    ORDER BY i_item_id ASC NULLS FIRST, s_state ASC NULLS FIRST
+    LIMIT 100
+    """,
+    doc="""TPC-DS q27 (reference tpcds_sql/27.sql) executed: the q7
+    demographic star under GROUP BY ROLLUP(item, state) with
+    grouping(s_state) in the output.  ORDER BY spells NULLS FIRST
+    explicitly — the rollup's NULL keys sort first on Spark (ASC
+    default) but LAST on DuckDB, which would silently change the
+    LIMIT cut.  d_year 2002 -> 2000; state IN-list verbatim (3 of 6
+    live in the derived domain).""",
+)
+
+_register(
+    "tpcds_q28",
+    """
+    SELECT * FROM
+      (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(ss_list_price) AS b1_lp,
+              CAST(COUNT(ss_list_price) AS BIGINT) AS b1_cnt,
+              CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b1_cntd
+       FROM store_sales
+       WHERE ss_quantity BETWEEN 0 AND 5
+         AND (ss_list_price BETWEEN 1000 AND 1000 + 1000
+              OR ss_coupon_amt BETWEEN 0.00 AND 0.02
+              OR ss_wholesale_cost BETWEEN 14 AND 14 + 20)) b1,
+      (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(ss_list_price) AS b2_lp,
+              CAST(COUNT(ss_list_price) AS BIGINT) AS b2_cnt,
+              CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b2_cntd
+       FROM store_sales
+       WHERE ss_quantity BETWEEN 6 AND 10
+         AND (ss_list_price BETWEEN 9000 AND 9000 + 1000
+              OR ss_coupon_amt BETWEEN 0.02 AND 0.04
+              OR ss_wholesale_cost BETWEEN 32 AND 32 + 20)) b2,
+      (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(ss_list_price) AS b3_lp,
+              CAST(COUNT(ss_list_price) AS BIGINT) AS b3_cnt,
+              CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b3_cntd
+       FROM store_sales
+       WHERE ss_quantity BETWEEN 11 AND 15
+         AND (ss_list_price BETWEEN 6000 AND 6000 + 1000
+              OR ss_coupon_amt BETWEEN 0.04 AND 0.06
+              OR ss_wholesale_cost BETWEEN 4 AND 4 + 20)) b3,
+      (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(ss_list_price) AS b4_lp,
+              CAST(COUNT(ss_list_price) AS BIGINT) AS b4_cnt,
+              CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b4_cntd
+       FROM store_sales
+       WHERE ss_quantity BETWEEN 16 AND 20
+         AND (ss_list_price BETWEEN 14000 AND 14000 + 1000
+              OR ss_coupon_amt BETWEEN 0.06 AND 0.08
+              OR ss_wholesale_cost BETWEEN 80 AND 80 + 20)) b4,
+      (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(ss_list_price) AS b5_lp,
+              CAST(COUNT(ss_list_price) AS BIGINT) AS b5_cnt,
+              CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b5_cntd
+       FROM store_sales
+       WHERE ss_quantity BETWEEN 21 AND 25
+         AND (ss_list_price BETWEEN 13000 AND 13000 + 1000
+              OR ss_coupon_amt BETWEEN 0.08 AND 0.10
+              OR ss_wholesale_cost BETWEEN 38 AND 38 + 20)) b5,
+      (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(ss_list_price) AS b6_lp,
+              CAST(COUNT(ss_list_price) AS BIGINT) AS b6_cnt,
+              CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b6_cntd
+       FROM store_sales
+       WHERE ss_quantity BETWEEN 26 AND 30
+         AND (ss_list_price BETWEEN 2000 AND 2000 + 1000
+              OR ss_coupon_amt BETWEEN 0.01 AND 0.03
+              OR ss_wholesale_cost BETWEEN 42 AND 42 + 20)) b6
+    LIMIT 100
+    """,
+    doc="""TPC-DS q28 (reference tpcds_sql/28.sql) executed: six
+    quantity-bucket scans of the bare fact (no joins at all — the
+    benchmark's pure scan/aggregate stressor), each computing
+    avg / count / count-distinct of list price under a 3-way OR band,
+    cross-joined into one row.  Bands retarget to the derived value
+    domains (list price ~900..105k, coupon = l_discount 0..0.1,
+    per-unit wholesale ~5..630); bucket boundaries verbatim.""",
+)
+
+_register(
+    "tpcds_q22",
+    """
+    SELECT i_product_name, i_brand, i_class, i_category,
+           CAST(SUM(CAST(inv_quantity_on_hand AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(inv_quantity_on_hand) AS qoh
+    FROM inventory, date_dim, item
+    WHERE inv_date_sk = d_date_sk
+      AND inv_item_sk = i_item_sk
+      AND d_month_seq BETWEEN 1248 AND 1248 + 11
+    GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+    ORDER BY qoh ASC NULLS FIRST, i_product_name ASC NULLS FIRST,
+             i_brand ASC NULLS FIRST, i_class ASC NULLS FIRST,
+             i_category ASC NULLS FIRST
+    LIMIT 100
+    """,
+    doc="""TPC-DS q22 (reference tpcds_sql/22.sql) executed: average
+    inventory on hand over a 4-level item ROLLUP.  The avg spells
+    exact-decimal-sum / count; ORDER BY gets explicit NULLS FIRST on
+    every key (rollup NULLs + the Spark/DuckDB default-null-order
+    divergence would otherwise change the LIMIT cut).  Month-seq
+    1212 -> 1248.""",
+)
+
+_register(
+    "tpcds_q21",
+    """
+    SELECT * FROM
+      (SELECT w_warehouse_name, i_item_id,
+              CAST(SUM(CASE WHEN CAST(d_date AS DATE)
+                                 < CAST('1998-04-08' AS DATE)
+                       THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+                  AS inv_before,
+              CAST(SUM(CASE WHEN CAST(d_date AS DATE)
+                                 >= CAST('1998-04-08' AS DATE)
+                       THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+                  AS inv_after
+       FROM inventory, warehouse, item, date_dim
+       WHERE i_current_price BETWEEN 920 AND 930
+         AND i_item_sk = inv_item_sk
+         AND inv_warehouse_sk = w_warehouse_sk
+         AND inv_date_sk = d_date_sk
+         AND d_date BETWEEN CAST('1998-04-08' AS DATE) - INTERVAL 30 DAY
+                        AND CAST('1998-04-08' AS DATE) + INTERVAL 30 DAY
+       GROUP BY w_warehouse_name, i_item_id) x
+    WHERE (CASE WHEN inv_before > 0
+                THEN CAST(inv_after AS DOUBLE) / inv_before
+                ELSE NULL END) BETWEEN 2.0/3.0 AND 3.0/2.0
+    ORDER BY w_warehouse_name, i_item_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q21 (reference tpcds_sql/21.sql) executed: per-
+    warehouse inventory balance 30 days either side of one date, kept
+    when the after/before ratio stays within [2/3, 3/2] (band
+    verbatim).  The inventory grid gains its warehouse key; date
+    '1998-04-08' verbatim; price band 0.99..1.49 -> 920..930 (derived
+    price domain).""",
+)
+
+_register(
+    "tpcds_q39",
+    f"""
+    , inv AS (
+      SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+             stdev, mean,
+             CASE mean WHEN 0 THEN NULL ELSE stdev / mean END AS cov
+      FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+                   CAST({_STDDEV.format(c='inv_quantity_on_hand')} AS DOUBLE)
+                       AS stdev,
+                   {_AVG.format(c='inv_quantity_on_hand')} AS mean
+            FROM inventory, item, warehouse, date_dim
+            WHERE inv_item_sk = i_item_sk
+              AND inv_warehouse_sk = w_warehouse_sk
+              AND inv_date_sk = d_date_sk
+              AND d_year = 1998
+            GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+      WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 0.4
+    )
+    SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1,
+           inv1.d_moy AS moy1, inv1.mean AS mean1, inv1.cov AS cov1,
+           inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
+           inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+    FROM inv inv1, inv inv2
+    WHERE inv1.i_item_sk = inv2.i_item_sk
+      AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+      AND inv1.d_moy = 4
+      AND inv2.d_moy = 4 + 1
+    ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean,
+             inv1.cov, inv2.d_moy, inv2.mean, inv2.cov
+    """,
+    doc="""TPC-DS q39 (reference tpcds_sql/39.sql, first statement)
+    executed: warehouse-item months whose inventory coefficient of
+    variation stays high in consecutive months — stddev_samp from
+    exact decimal moments (the q17 spelling), self-joined April-May.
+    The cov threshold retargets 1 -> 0.4: the derived quantity grid is
+    uniform-ish (cov ~0.6), so the verbatim >1 filter is empty by
+    construction.  Output columns aliased wsk1/isk1/... so the
+    self-join's duplicate names hash distinctly.""",
 )

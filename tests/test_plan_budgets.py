@@ -158,6 +158,16 @@ SHUFFLE_BUDGETS = {
     "tpcds_q37": 3,  # inventory-grid existence + item-grain agg
     "tpcds_q61": 2,  # two scalar star legs, cross-joined single row
     "tpcds_q58": 3,  # 3 one-week channel aggs, week subquery broadcast
+    # r6 third tranche:
+    "tpcds_q30": 4,  # returns agg + per-state avg + rejoin (q1 shape)
+    "tpcds_q81": 4,
+    "tpcds_q83": 3,  # 3 one-week returns aggs, week subquery broadcast
+    "tpcds_q31": 13, # 2 county CTEs consumed 3x each (6-way self-join)
+    "tpcds_q27": 1,  # demographic ROLLUP star: one agg exchange
+    "tpcds_q28": 12, # 6 bucket scans x (partial distinct + merge)
+    "tpcds_q22": 1,  # inventory ROLLUP: one agg exchange
+    "tpcds_q21": 1,  # inventory window balance: one agg exchange
+    "tpcds_q39": 5,  # per-month cov agg consumed 2x + self-join
 }
 
 BROADCAST_EXPECTED = [
