@@ -174,6 +174,16 @@ def _interleave_families() -> None:
         "tpcds_q22",
         "tpcds_q21",
         "tpcds_q39",
+        "tpcds_q97",                   #   channel overlap + ship/demographics
+        "tpcds_q9",
+        "tpcds_q90",
+        "tpcds_q16",
+        "tpcds_q94",
+        "tpcds_q95",
+        "tpcds_q69",
+        "tpcds_q10",
+        "tpcds_q35",
+        "tpcds_q18",
     }
 
     def tier(name: str) -> int:

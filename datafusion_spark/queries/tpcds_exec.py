@@ -184,6 +184,8 @@ customer AS (
          CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
          CAST(1924 + c_custkey % 70 AS INT) AS c_birth_year,
          CAST(2450000 + c_custkey % 2500 AS INT) AS c_last_review_date_sk,
+         CAST(c_custkey % 1000 + 1 AS INT) AS c_current_cdemo_sk,
+         CAST(c_custkey % 7200 + 1 AS INT) AS c_current_hdemo_sk,
          c_custkey AS c_current_addr_sk
   FROM parquet.`__SF__/customer.parquet`
 ),
@@ -216,7 +218,13 @@ customer_demographics AS (
          CASE id % 7 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
                      WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree'
                      WHEN 4 THEN '4 yr Degree' WHEN 5 THEN 'Advanced Degree'
-                     ELSE 'Unknown' END AS cd_education_status
+                     ELSE 'Unknown' END AS cd_education_status,
+         CAST(id % 20 * 500 + 500 AS INT) AS cd_purchase_estimate,
+         CASE id % 4 WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good'
+              WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating,
+         CAST(id % 7 AS INT) AS cd_dep_count,
+         CAST(id % 5 AS INT) AS cd_dep_employed_count,
+         CAST(id % 3 AS INT) AS cd_dep_college_count
   FROM (SELECT explode(sequence(1, 1000)) AS id)
 ),
 promotion AS (
@@ -246,7 +254,13 @@ web_sales AS (
          l_extendedprice - l_discount AS ws_net_paid,
          l_extendedprice + l_tax AS ws_ext_list_price,
          l_extendedprice * 0.6 AS ws_ext_wholesale_cost,
-         l_discount * l_quantity AS ws_ext_discount_amt
+         l_discount * l_quantity AS ws_ext_discount_amt,
+         l_orderkey AS ws_order_number,
+         l_extendedprice * 0.02 AS ws_ext_ship_cost,
+         o_custkey + l_linenumber % 2 AS ws_ship_addr_sk,
+         CAST(o_custkey % 7200 + 1 AS INT) AS ws_ship_hdemo_sk,
+         CAST(l_orderkey % 12 + 1 AS INT) AS ws_web_page_sk,
+         l_extendedprice - l_quantity AS ws_net_profit
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
@@ -274,6 +288,10 @@ catalog_sales AS (
          CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk,
          l_extendedprice - l_discount AS cs_net_paid,
          l_extendedprice - l_quantity AS cs_net_profit,
+         l_orderkey AS cs_order_number,
+         l_extendedprice * 0.02 AS cs_ext_ship_cost,
+         o_custkey + l_linenumber % 2 AS cs_ship_addr_sk,
+         o_custkey AS cs_ship_customer_sk,
          l_extendedprice + l_tax AS cs_ext_list_price,
          l_extendedprice * 0.6 AS cs_ext_wholesale_cost,
          l_discount * l_quantity AS cs_ext_discount_amt
@@ -295,13 +313,24 @@ ship_mode AS (
 ),
 web_site AS (
   SELECT id AS web_site_sk,
-         'site_' || CAST(id % 6 AS STRING) AS web_name
+         'site_' || CAST(id % 6 AS STRING) AS web_name,
+         CASE WHEN id % 2 = 0 THEN 'pri' ELSE 'able' END
+             AS web_company_name
   FROM (SELECT explode(sequence(1, 30)) AS id)
 ),
 call_center AS (
   SELECT id AS cc_call_center_sk,
-         'call_center_' || CAST(id AS STRING) AS cc_name
+         'call_center_' || CAST(id AS STRING) AS cc_name,
+         CASE id % 5 WHEN 0 THEN 'Daviess County'
+              WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
+              WHEN 3 THEN 'Luce County'
+              ELSE 'Fairfield County' END AS cc_county
   FROM (SELECT explode(sequence(1, 6)) AS id)
+),
+web_page AS (
+  SELECT id AS wp_web_page_sk,
+         CAST(4800 + id * 40 AS INT) AS wp_char_count
+  FROM (SELECT explode(sequence(1, 12)) AS id)
 ),
 store_returns AS (
   SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
@@ -512,6 +541,8 @@ customer AS (
          CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
          CAST(1924 + c_custkey % 70 AS INT) AS c_birth_year,
          CAST(2450000 + c_custkey % 2500 AS INT) AS c_last_review_date_sk,
+         CAST(c_custkey % 1000 + 1 AS INT) AS c_current_cdemo_sk,
+         CAST(c_custkey % 7200 + 1 AS INT) AS c_current_hdemo_sk,
          c_custkey AS c_current_addr_sk
   FROM main.customer
 ),
@@ -544,7 +575,13 @@ customer_demographics AS (
          CASE id % 7 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
                      WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree'
                      WHEN 4 THEN '4 yr Degree' WHEN 5 THEN 'Advanced Degree'
-                     ELSE 'Unknown' END AS cd_education_status
+                     ELSE 'Unknown' END AS cd_education_status,
+         CAST(id % 20 * 500 + 500 AS INT) AS cd_purchase_estimate,
+         CASE id % 4 WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good'
+              WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating,
+         CAST(id % 7 AS INT) AS cd_dep_count,
+         CAST(id % 5 AS INT) AS cd_dep_employed_count,
+         CAST(id % 3 AS INT) AS cd_dep_college_count
   FROM range(1, 1001) t(id)
 ),
 promotion AS (
@@ -574,7 +611,13 @@ web_sales AS (
          l_extendedprice - l_discount AS ws_net_paid,
          l_extendedprice + l_tax AS ws_ext_list_price,
          l_extendedprice * 0.6 AS ws_ext_wholesale_cost,
-         l_discount * l_quantity AS ws_ext_discount_amt
+         l_discount * l_quantity AS ws_ext_discount_amt,
+         l_orderkey AS ws_order_number,
+         l_extendedprice * 0.02 AS ws_ext_ship_cost,
+         o_custkey + l_linenumber % 2 AS ws_ship_addr_sk,
+         CAST(o_custkey % 7200 + 1 AS INT) AS ws_ship_hdemo_sk,
+         CAST(l_orderkey % 12 + 1 AS INT) AS ws_web_page_sk,
+         l_extendedprice - l_quantity AS ws_net_profit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
 ),
@@ -601,6 +644,10 @@ catalog_sales AS (
          CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk,
          l_extendedprice - l_discount AS cs_net_paid,
          l_extendedprice - l_quantity AS cs_net_profit,
+         l_orderkey AS cs_order_number,
+         l_extendedprice * 0.02 AS cs_ext_ship_cost,
+         o_custkey + l_linenumber % 2 AS cs_ship_addr_sk,
+         o_custkey AS cs_ship_customer_sk,
          l_extendedprice + l_tax AS cs_ext_list_price,
          l_extendedprice * 0.6 AS cs_ext_wholesale_cost,
          l_discount * l_quantity AS cs_ext_discount_amt
@@ -621,13 +668,24 @@ ship_mode AS (
 ),
 web_site AS (
   SELECT id AS web_site_sk,
-         'site_' || CAST(id % 6 AS VARCHAR) AS web_name
+         'site_' || CAST(id % 6 AS VARCHAR) AS web_name,
+         CASE WHEN id % 2 = 0 THEN 'pri' ELSE 'able' END
+             AS web_company_name
   FROM range(1, 31) t(id)
 ),
 call_center AS (
   SELECT id AS cc_call_center_sk,
-         'call_center_' || CAST(id AS VARCHAR) AS cc_name
+         'call_center_' || CAST(id AS VARCHAR) AS cc_name,
+         CASE id % 5 WHEN 0 THEN 'Daviess County'
+              WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
+              WHEN 3 THEN 'Luce County'
+              ELSE 'Fairfield County' END AS cc_county
   FROM range(1, 7) t(id)
+),
+web_page AS (
+  SELECT id AS wp_web_page_sk,
+         CAST(4800 + id * 40 AS INT) AS wp_char_count
+  FROM range(1, 13) t(id)
 ),
 store_returns AS (
   SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
@@ -3466,4 +3524,364 @@ _register(
     uniform-ish (cov ~0.6), so the verbatim >1 filter is empty by
     construction.  Output columns aliased wsk1/isk1/... so the
     self-join's duplicate names hash distinctly.""",
+)
+
+
+_register(
+    "tpcds_q97",
+    """
+    , ssci AS (
+      SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+      GROUP BY ss_customer_sk, ss_item_sk
+    ),
+    csci AS (
+      SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+      FROM catalog_sales, date_dim
+      WHERE cs_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+      GROUP BY cs_bill_customer_sk, cs_item_sk
+    )
+    SELECT CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+           CAST(SUM(CASE WHEN ssci.customer_sk IS NULL
+                          AND csci.customer_sk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+           CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+    FROM ssci FULL OUTER JOIN csci
+      ON (ssci.customer_sk = csci.customer_sk
+          AND ssci.item_sk = csci.item_sk)
+    LIMIT 100
+    """,
+    doc="""TPC-DS q97 (reference tpcds_sql/97.sql) executed: distinct
+    customer-item purchase pairs FULL OUTER joined across the store and
+    catalog channels, counted by exclusive/shared membership via the
+    NULL-extension pattern.  Month-seq 1212 -> 1248.""",
+)
+
+_register(
+    "tpcds_q9",
+    f"""
+    SELECT CASE WHEN (SELECT COUNT(*) FROM store_sales
+                      WHERE ss_quantity BETWEEN 1 AND 20) > 409437
+                THEN (SELECT {_AVG.format(c='ss_ext_tax')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 1 AND 20)
+                ELSE (SELECT {_AVG.format(c='ss_net_paid')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 1 AND 20) END AS bucket1,
+           CASE WHEN (SELECT COUNT(*) FROM store_sales
+                      WHERE ss_quantity BETWEEN 21 AND 40) > 4595804
+                THEN (SELECT {_AVG.format(c='ss_ext_tax')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 21 AND 40)
+                ELSE (SELECT {_AVG.format(c='ss_net_paid')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 21 AND 40) END AS bucket2,
+           CASE WHEN (SELECT COUNT(*) FROM store_sales
+                      WHERE ss_quantity BETWEEN 41 AND 60) > 1333710
+                THEN (SELECT {_AVG.format(c='ss_ext_tax')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 41 AND 60)
+                ELSE (SELECT {_AVG.format(c='ss_net_paid')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 41 AND 60) END AS bucket3,
+           CASE WHEN (SELECT COUNT(*) FROM store_sales
+                      WHERE ss_quantity BETWEEN 61 AND 80) > 2361102
+                THEN (SELECT {_AVG.format(c='ss_ext_tax')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 61 AND 80)
+                ELSE (SELECT {_AVG.format(c='ss_net_paid')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 61 AND 80) END AS bucket4,
+           CASE WHEN (SELECT COUNT(*) FROM store_sales
+                      WHERE ss_quantity BETWEEN 81 AND 100) > 1517817
+                THEN (SELECT {_AVG.format(c='ss_ext_tax')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 81 AND 100)
+                ELSE (SELECT {_AVG.format(c='ss_net_paid')} FROM store_sales
+                      WHERE ss_quantity BETWEEN 81 AND 100) END AS bucket5
+    FROM reason
+    WHERE r_reason_sk = 1
+    """,
+    doc="""TPC-DS q9 (reference tpcds_sql/9.sql) executed: five
+    quantity-bucket CASE branches each choosing between two scalar
+    aggregates by a count threshold (thresholds verbatim — at the test
+    SFs every branch resolves to the ELSE side identically on both
+    engines; the derived quantity domain 1..50 leaves buckets 4-5
+    legitimately NULL-empty).  Averages spelled exact-decimal-sum /
+    count; the single reason row anchors the one-row output exactly as
+    the reference intends.""",
+)
+
+_register(
+    "tpcds_q90",
+    """
+    SELECT CAST(amc AS DOUBLE) / NULLIF(CAST(pmc AS DOUBLE), 0)
+               AS am_pm_ratio
+    FROM (SELECT COUNT(*) AS amc
+          FROM web_sales, household_demographics, time_dim, web_page
+          WHERE ws_sold_time_sk = time_dim.t_time_sk
+            AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+            AND ws_web_page_sk = web_page.wp_web_page_sk
+            AND time_dim.t_hour BETWEEN 6 AND 6 + 1
+            AND household_demographics.hd_dep_count = 8
+            AND web_page.wp_char_count BETWEEN 5000 AND 5200) at_t,
+         (SELECT COUNT(*) AS pmc
+          FROM web_sales, household_demographics, time_dim, web_page
+          WHERE ws_sold_time_sk = time_dim.t_time_sk
+            AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+            AND ws_web_page_sk = web_page.wp_web_page_sk
+            AND time_dim.t_hour BETWEEN 14 AND 14 + 1
+            AND household_demographics.hd_dep_count = 8
+            AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt
+    ORDER BY am_pm_ratio
+    LIMIT 100
+    """,
+    doc="""TPC-DS q90 (reference tpcds_sql/90.sql) executed: the web
+    morning/afternoon order-count ratio for big households on long
+    pages.  web_page is a generated 12-row dimension whose char-count
+    grid intersects the verbatim 5000..5200 band; the web fact gains
+    ship-household and page keys.  The DECIMAL(15,4) ratio cast becomes
+    DOUBLE-over-exact-counts through NULLIF (zero afternoon count would
+    raise under ANSI, yield inf in DuckDB — same divergence class as
+    q59).  'at' is aliased at_t: it parses as a keyword on one engine
+    and not the other.""",
+)
+
+
+_register(
+    "tpcds_q16",
+    """
+    SELECT CAST(COUNT(DISTINCT cs_order_number) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(cs_ext_ship_cost AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_ship_cost,
+           CAST(SUM(CAST(cs_net_profit AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_net_profit
+    FROM catalog_sales cs1, date_dim, customer_address, call_center
+    WHERE d_date BETWEEN CAST('1999-04-01' AS DATE)
+                     AND CAST('1999-04-01' AS DATE) + INTERVAL 60 DAY
+      AND cs1.cs_ship_date_sk = d_date_sk
+      AND cs1.cs_ship_addr_sk = ca_address_sk
+      AND ca_state = 'GA'
+      AND cs1.cs_call_center_sk = cc_call_center_sk
+      AND cc_county IN ('Daviess County','Franklin Parish','Barrow County',
+                        'Luce County','Fairfield County')
+      AND EXISTS (SELECT * FROM catalog_sales cs2
+                  WHERE cs1.cs_order_number = cs2.cs_order_number
+                    AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+      AND NOT EXISTS (SELECT * FROM catalog_returns cr1
+                      WHERE cs1.cs_order_number = cr1.cr_order_number)
+    LIMIT 100
+    """,
+    doc="""TPC-DS q16 (reference tpcds_sql/16.sql) executed: catalog
+    orders shipped from MULTIPLE warehouses with NO return — a
+    same-fact EXISTS on order-number with warehouse inequality plus a
+    NOT EXISTS anti-join against catalog_returns.  cc_county list
+    verbatim (the generated call-center county domain IS that list);
+    ca_state 'GA' and the 60-day 1999 window verbatim.  The quoted
+    'order count' names become order_cnt/... (house rule); the bare
+    ORDER BY on the single-row aggregate is dropped (no-op).""",
+)
+
+_register(
+    "tpcds_q94",
+    """
+    SELECT CAST(COUNT(DISTINCT ws_order_number) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(ws_ext_ship_cost AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_ship_cost,
+           CAST(SUM(CAST(ws_net_profit AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_net_profit
+    FROM web_sales ws1, date_dim, customer_address, web_site
+    WHERE d_date BETWEEN CAST('1999-05-01' AS DATE)
+                     AND CAST('1999-05-01' AS DATE) + INTERVAL 60 DAY
+      AND ws1.ws_ship_date_sk = d_date_sk
+      AND ws1.ws_ship_addr_sk = ca_address_sk
+      AND ca_state = 'TX'
+      AND ws1.ws_web_site_sk = web_site_sk
+      AND web_company_name = 'pri'
+      AND EXISTS (SELECT * FROM web_sales ws2
+                  WHERE ws1.ws_order_number = ws2.ws_order_number
+                    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      AND NOT EXISTS (SELECT * FROM web_returns wr1
+                      WHERE ws1.ws_order_number = wr1.wr_order_number)
+    LIMIT 100
+    """,
+    doc="""TPC-DS q94 (reference tpcds_sql/94.sql) executed: q16's web
+    twin — multi-warehouse unreturned web orders for one site company
+    ('pri' verbatim; the generated web_site alternates pri/able).
+    ca_state 'TX' and the 60-day 1999 window verbatim.""",
+)
+
+_register(
+    "tpcds_q95",
+    """
+    , ws_wh AS (
+      SELECT ws1.ws_order_number, ws1.ws_warehouse_sk AS wh1,
+             ws2.ws_warehouse_sk AS wh2
+      FROM web_sales ws1, web_sales ws2
+      WHERE ws1.ws_order_number = ws2.ws_order_number
+        AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk
+    )
+    SELECT CAST(COUNT(DISTINCT ws_order_number) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(ws_ext_ship_cost AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_ship_cost,
+           CAST(SUM(CAST(ws_net_profit AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_net_profit
+    FROM web_sales ws1, date_dim, customer_address, web_site
+    WHERE d_date BETWEEN CAST('1999-05-01' AS DATE)
+                     AND CAST('1999-05-01' AS DATE) + INTERVAL 60 DAY
+      AND ws1.ws_ship_date_sk = d_date_sk
+      AND ws1.ws_ship_addr_sk = ca_address_sk
+      AND ca_state = 'GA'
+      AND ws1.ws_web_site_sk = web_site_sk
+      AND web_company_name = 'pri'
+      AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+      AND ws1.ws_order_number IN (SELECT wr_order_number
+                                  FROM web_returns, ws_wh
+                                  WHERE wr_order_number = ws_wh.ws_order_number)
+    LIMIT 100
+    """,
+    doc="""TPC-DS q95 (reference tpcds_sql/95.sql) executed: q94's
+    RETURNED complement — multi-warehouse web orders that WERE
+    returned, with the warehouse-pair CTE consumed by two IN
+    subqueries (the second joining returns to the pair set).
+    ca_state 'IL' -> 'GA' (derived domain); everything else
+    verbatim.""",
+)
+
+_DEMOGRAPHIC_EXISTS = """
+    SELECT {out}
+    FROM customer c, customer_address ca, customer_demographics
+    WHERE c.c_current_addr_sk = ca.ca_address_sk
+      AND {geo}
+      AND cd_demo_sk = c.c_current_cdemo_sk
+      AND EXISTS (SELECT * FROM store_sales, date_dim
+                  WHERE c.c_customer_sk = ss_customer_sk
+                    AND ss_sold_date_sk = d_date_sk AND {win})
+      AND ({neg} EXISTS (SELECT * FROM web_sales, date_dim
+                   WHERE c.c_customer_sk = ws_bill_customer_sk
+                     AND ws_sold_date_sk = d_date_sk AND {win})
+           {op} {neg} EXISTS (SELECT * FROM catalog_sales, date_dim
+                   WHERE c.c_customer_sk = cs_ship_customer_sk
+                     AND cs_sold_date_sk = d_date_sk AND {win}))
+    GROUP BY {keys}
+    ORDER BY {keys}
+    LIMIT 100
+"""
+
+_register(
+    "tpcds_q69",
+    _DEMOGRAPHIC_EXISTS.format(
+        out="cd_gender, cd_marital_status, cd_education_status,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt1, cd_purchase_estimate,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt2, cd_credit_rating,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt3",
+        geo="ca_state IN ('CA','GA','TX')",
+        win="d_year = 1999 AND d_moy BETWEEN 1 AND 1+2",
+        neg="NOT", op="AND",
+        keys="cd_gender, cd_marital_status, cd_education_status,"
+             " cd_purchase_estimate, cd_credit_rating",
+    ),
+    doc="""TPC-DS q69 (reference tpcds_sql/69.sql) executed: the
+    demographic profile of customers who bought in stores but NOT on
+    the web or by catalog in one quarter — EXISTS + two NOT EXISTS
+    decorrelated to semi/anti joins.  customer gains its
+    current-cdemo key and customer_demographics its purchase-estimate
+    and credit-rating attributes; states ('CO','IL','MN') -> derived
+    ('CA','GA','TX').""",
+)
+
+_register(
+    "tpcds_q10",
+    _DEMOGRAPHIC_EXISTS.format(
+        out="cd_gender, cd_marital_status, cd_education_status,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt1, cd_purchase_estimate,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt2, cd_credit_rating,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt3, cd_dep_count,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt4, cd_dep_employed_count,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt5, cd_dep_college_count,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt6",
+        geo="ca_county IN ('county_1','county_3','county_5',"
+            "'county_7','county_9')",
+        win="d_year = 2000 AND d_moy BETWEEN 4 AND 4+3",
+        neg="", op="OR",
+        keys="cd_gender, cd_marital_status, cd_education_status,"
+             " cd_purchase_estimate, cd_credit_rating, cd_dep_count,"
+             " cd_dep_employed_count, cd_dep_college_count",
+    ),
+    doc="""TPC-DS q10 (reference tpcds_sql/10.sql) executed: q69's OR
+    twin — store buyers who ALSO bought on web OR catalog, with the
+    full dependent-count demographic grouping.  County list retargets
+    to the derived county_k domain; d_year 2002 -> 2000.""",
+)
+
+_register(
+    "tpcds_q35",
+    _DEMOGRAPHIC_EXISTS.format(
+        out="ca_state, cd_gender, cd_marital_status, cd_dep_count,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt1,"
+            " CAST(SUM(CAST(cd_dep_count AS DECIMAL(38,6))) AS DOUBLE)"
+            "   / COUNT(cd_dep_count) AS avg_dep,"
+            " CAST(MAX(cd_dep_count) AS INT) AS max_dep,"
+            " CAST(SUM(cd_dep_count) AS BIGINT) AS sum_dep,"
+            " cd_dep_employed_count,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt2,"
+            " CAST(SUM(CAST(cd_dep_employed_count AS DECIMAL(38,6)))"
+            "   AS DOUBLE) / COUNT(cd_dep_employed_count) AS avg_emp,"
+            " CAST(MAX(cd_dep_employed_count) AS INT) AS max_emp,"
+            " CAST(SUM(cd_dep_employed_count) AS BIGINT) AS sum_emp,"
+            " cd_dep_college_count,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt3,"
+            " CAST(SUM(CAST(cd_dep_college_count AS DECIMAL(38,6)))"
+            "   AS DOUBLE) / COUNT(cd_dep_college_count) AS avg_col,"
+            " CAST(MAX(cd_dep_college_count) AS INT) AS max_col,"
+            " CAST(SUM(cd_dep_college_count) AS BIGINT) AS sum_col",
+        geo="1 = 1",
+        win="d_year = 1999 AND d_qoy < 4",
+        neg="", op="OR",
+        keys="ca_state, cd_gender, cd_marital_status, cd_dep_count,"
+             " cd_dep_employed_count, cd_dep_college_count",
+    ),
+    doc="""TPC-DS q35 (reference tpcds_sql/35.sql) executed: q10's
+    statistical sibling — count/avg/max/sum of the dependent counts per
+    state and demographic cell, same EXISTS/OR-EXISTS channel logic
+    (no geographic filter in the reference; 1=1 stands in for its
+    absent predicate).  All date constants verbatim; avgs
+    exact-decimal, integer sums CAST BIGINT.""",
+)
+
+_register(
+    "tpcds_q18",
+    f"""
+    SELECT i_item_id, ca_country, ca_state, ca_county,
+           {_AVG.format(c='cs_quantity')}    AS agg1,
+           {_AVG.format(c='cs_list_price')}  AS agg2,
+           {_AVG.format(c='cs_coupon_amt')}  AS agg3,
+           {_AVG.format(c='cs_sales_price')} AS agg4,
+           {_AVG.format(c='cs_net_profit')}  AS agg5,
+           {_AVG.format(c='c_birth_year')}   AS agg6,
+           {_AVG.format(c='cd1.cd_dep_count')} AS agg7
+    FROM catalog_sales, customer_demographics cd1,
+         customer_demographics cd2, customer, customer_address,
+         date_dim, item
+    WHERE cs_sold_date_sk = d_date_sk
+      AND cs_item_sk = i_item_sk
+      AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+      AND cs_bill_customer_sk = c_customer_sk
+      AND cd1.cd_gender = 'M'
+      AND cd1.cd_education_status = 'College'
+      AND c_current_cdemo_sk = cd2.cd_demo_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND c_birth_month IN (9,5,12,4,1,10)
+      AND d_year = 2001
+      AND ca_state IN ('NY','WA','AL','NC','OK','FL','TN')
+    GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+    ORDER BY ca_country ASC NULLS FIRST, ca_state ASC NULLS FIRST,
+             ca_county ASC NULLS FIRST, i_item_id ASC NULLS FIRST
+    LIMIT 100
+    """,
+    doc="""TPC-DS q18 (reference tpcds_sql/18.sql) executed: catalog
+    demographic averages over a 4-level geography ROLLUP with TWO
+    customer_demographics roles (bill demo filtered, current demo as a
+    pure fan join — kept verbatim).  Birth months and d_year 2001
+    verbatim; state list folded into the derived domain keeping three
+    live values; every avg exact-decimal; explicit NULLS FIRST
+    ordering (rollup-NULL cut rule).""",
 )

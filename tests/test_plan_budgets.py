@@ -168,6 +168,17 @@ SHUFFLE_BUDGETS = {
     "tpcds_q22": 1,  # inventory ROLLUP: one agg exchange
     "tpcds_q21": 1,  # inventory window balance: one agg exchange
     "tpcds_q39": 5,  # per-month cov agg consumed 2x + self-join
+    # r6 fourth tranche:
+    "tpcds_q97": 3,  # 2 distinct-pair aggs + full-outer SMJ
+    "tpcds_q9": 15,  # 10 scalar-agg bucket legs + broadcasts back
+    "tpcds_q90": 2,  # two scalar star legs (am/pm)
+    "tpcds_q16": 4,  # semi(warehouse<>)+anti(returns)+distinct agg
+    "tpcds_q94": 4,
+    "tpcds_q95": 13, # warehouse-pair CTE consumed by 2 IN-subqueries
+    "tpcds_q69": 5,  # 1 semi + 2 anti channel joins + agg
+    "tpcds_q10": 5,
+    "tpcds_q35": 5,
+    "tpcds_q18": 1,  # demographic rollup star: one agg exchange
 }
 
 BROADCAST_EXPECTED = [
