@@ -184,6 +184,12 @@ def _interleave_families() -> None:
         "tpcds_q10",
         "tpcds_q35",
         "tpcds_q18",
+        "tpcds_q46",                   #   city baskets / profile chains
+        "tpcds_q84",
+        "tpcds_q91",
+        "tpcds_q40",
+        "tpcds_q76",
+        "tpcds_q85",
     }
 
     def tier(name: str) -> int:

@@ -104,7 +104,8 @@ store_sales AS (
          CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
          l_orderkey AS ss_ticket_number,
          o_custkey AS ss_customer_sk,
-         o_custkey + l_linenumber % 2 AS ss_addr_sk,
+         CASE WHEN (l_orderkey * 31 + l_linenumber) % 37 = 0 THEN NULL
+              ELSE o_custkey + l_linenumber % 2 END AS ss_addr_sk,
          l_extendedprice + l_tax AS ss_ext_list_price,
          l_tax AS ss_ext_tax,
          l_extendedprice - l_quantity AS ss_net_profit,
@@ -132,6 +133,7 @@ time_dim AS (
 ),
 household_demographics AS (
   SELECT id AS hd_demo_sk, CAST(id % 10 AS INT) AS hd_dep_count,
+         CAST(id % 20 + 1 AS INT) AS hd_income_band_sk,
          CASE id % 5 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000'
                      WHEN 2 THEN '1001-5000' WHEN 3 THEN '501-1000'
                      ELSE '0-500' END AS hd_buy_potential,
@@ -185,7 +187,7 @@ customer AS (
          CAST(1924 + c_custkey % 70 AS INT) AS c_birth_year,
          CAST(2450000 + c_custkey % 2500 AS INT) AS c_last_review_date_sk,
          CAST(c_custkey % 1000 + 1 AS INT) AS c_current_cdemo_sk,
-         CAST(c_custkey % 7200 + 1 AS INT) AS c_current_hdemo_sk,
+         CAST((c_custkey * 7 + 3) % 7200 + 1 AS INT) AS c_current_hdemo_sk,
          c_custkey AS c_current_addr_sk
   FROM parquet.`__SF__/customer.parquet`
 ),
@@ -245,6 +247,7 @@ web_sales AS (
          CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
              AS ws_sold_time_sk,
          l_tax AS ws_sales_price,
+         l_quantity AS ws_quantity,
          datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
              + CAST((l_orderkey * 11 + l_linenumber * 31) % 150 AS INT)
              AS ws_ship_date_sk,
@@ -259,7 +262,9 @@ web_sales AS (
          l_extendedprice * 0.02 AS ws_ext_ship_cost,
          o_custkey + l_linenumber % 2 AS ws_ship_addr_sk,
          CAST(o_custkey % 7200 + 1 AS INT) AS ws_ship_hdemo_sk,
-         CAST(l_orderkey % 12 + 1 AS INT) AS ws_web_page_sk,
+         CASE WHEN (l_orderkey * 7 + l_linenumber) % 41 = 0 THEN NULL
+              ELSE CAST(l_orderkey % 12 + 1 AS INT) END
+             AS ws_web_page_sk,
          l_extendedprice - l_quantity AS ws_net_profit
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
@@ -283,7 +288,9 @@ catalog_sales AS (
          datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
              + CAST((l_orderkey * 17 + l_linenumber * 43) % 150 AS INT)
              AS cs_ship_date_sk,
-         CAST(l_suppkey % 5 + 1 AS INT) AS cs_warehouse_sk,
+         CASE WHEN (l_orderkey * 11 + l_linenumber) % 43 = 0 THEN NULL
+              ELSE CAST(l_suppkey % 5 + 1 AS INT) END
+             AS cs_warehouse_sk,
          CAST(l_partkey % 20 + 1 AS INT) AS cs_ship_mode_sk,
          CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk,
          l_extendedprice - l_discount AS cs_net_paid,
@@ -301,7 +308,9 @@ catalog_sales AS (
 ),
 warehouse AS (
   SELECT id AS w_warehouse_sk,
-         'Warehouse number ' || CAST(id AS STRING) AS w_warehouse_name
+         'Warehouse number ' || CAST(id AS STRING) AS w_warehouse_name,
+         CASE id % 5 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA' WHEN 2 THEN 'TX'
+              WHEN 3 THEN 'NY' ELSE 'GA' END AS w_state
   FROM (SELECT explode(sequence(1, 5)) AS id)
 ),
 ship_mode AS (
@@ -320,6 +329,8 @@ web_site AS (
 ),
 call_center AS (
   SELECT id AS cc_call_center_sk,
+         'CC' || lpad(CAST(id AS STRING), 3, '0') AS cc_call_center_id,
+         'Manager_' || CAST(id % 4 AS STRING) AS cc_manager,
          'call_center_' || CAST(id AS STRING) AS cc_name,
          CASE id % 5 WHEN 0 THEN 'Daviess County'
               WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
@@ -331,6 +342,12 @@ web_page AS (
   SELECT id AS wp_web_page_sk,
          CAST(4800 + id * 40 AS INT) AS wp_char_count
   FROM (SELECT explode(sequence(1, 12)) AS id)
+),
+income_band AS (
+  SELECT id AS ib_income_band_sk,
+         CAST((id - 1) * 10000 AS INT) AS ib_lower_bound,
+         CAST(id * 10000 AS INT) AS ib_upper_bound
+  FROM (SELECT explode(sequence(1, 20)) AS id)
 ),
 store_returns AS (
   SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
@@ -344,6 +361,7 @@ store_returns AS (
          l_quantity AS sr_return_quantity,
          l_extendedprice * 0.1 AS sr_return_amt,
          l_extendedprice * 0.05 + l_tax AS sr_net_loss,
+         CAST(o_custkey % 1000 + 1 AS INT) AS sr_cdemo_sk,
          CAST(l_partkey % 35 + 1 AS INT) AS sr_reason_sk
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
@@ -380,7 +398,12 @@ web_returns AS (
          l_extendedprice * 0.1 AS wr_return_amt,
          l_extendedprice * 0.05 + l_tax AS wr_net_loss,
          CAST(l_orderkey % 12 + 1 AS INT) AS wr_web_page_sk,
-         CAST(l_partkey % 35 + 1 AS INT) AS wr_reason_sk
+         CAST(l_partkey % 35 + 1 AS INT) AS wr_reason_sk,
+         l_extendedprice * 0.12 AS wr_refunded_cash,
+         l_tax AS wr_fee,
+         CAST(o_custkey % 1000 + 1 AS INT) AS wr_refunded_cdemo_sk,
+         CAST((o_custkey + 1) % 1000 + 1 AS INT) AS wr_returning_cdemo_sk,
+         o_custkey + l_linenumber % 2 AS wr_refunded_addr_sk
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1 AND l_returnflag = 'R'
@@ -399,7 +422,8 @@ catalog_returns AS (
          l_extendedprice * 0.05 + l_tax AS cr_net_loss,
          CAST(o_custkey % 6 + 1 AS INT) AS cr_call_center_sk,
          CAST(l_suppkey % 5 + 1 AS INT) AS cr_warehouse_sk,
-         CAST(l_partkey % 35 + 1 AS INT) AS cr_reason_sk
+         CAST(l_partkey % 35 + 1 AS INT) AS cr_reason_sk,
+         l_extendedprice * 0.08 AS cr_refunded_cash
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2 AND l_returnflag = 'R'
@@ -462,7 +486,8 @@ store_sales AS (
          CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
          l_orderkey AS ss_ticket_number,
          o_custkey AS ss_customer_sk,
-         o_custkey + l_linenumber % 2 AS ss_addr_sk,
+         CASE WHEN (l_orderkey * 31 + l_linenumber) % 37 = 0 THEN NULL
+              ELSE o_custkey + l_linenumber % 2 END AS ss_addr_sk,
          l_extendedprice + l_tax AS ss_ext_list_price,
          l_tax AS ss_ext_tax,
          l_extendedprice - l_quantity AS ss_net_profit,
@@ -489,6 +514,7 @@ time_dim AS (
 ),
 household_demographics AS (
   SELECT id AS hd_demo_sk, CAST(id % 10 AS INT) AS hd_dep_count,
+         CAST(id % 20 + 1 AS INT) AS hd_income_band_sk,
          CASE id % 5 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000'
                      WHEN 2 THEN '1001-5000' WHEN 3 THEN '501-1000'
                      ELSE '0-500' END AS hd_buy_potential,
@@ -542,7 +568,7 @@ customer AS (
          CAST(1924 + c_custkey % 70 AS INT) AS c_birth_year,
          CAST(2450000 + c_custkey % 2500 AS INT) AS c_last_review_date_sk,
          CAST(c_custkey % 1000 + 1 AS INT) AS c_current_cdemo_sk,
-         CAST(c_custkey % 7200 + 1 AS INT) AS c_current_hdemo_sk,
+         CAST((c_custkey * 7 + 3) % 7200 + 1 AS INT) AS c_current_hdemo_sk,
          c_custkey AS c_current_addr_sk
   FROM main.customer
 ),
@@ -602,6 +628,7 @@ web_sales AS (
          CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
              AS ws_sold_time_sk,
          l_tax AS ws_sales_price,
+         l_quantity AS ws_quantity,
          (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
              + CAST((l_orderkey * 11 + l_linenumber * 31) % 150 AS INT)
              AS ws_ship_date_sk,
@@ -616,7 +643,9 @@ web_sales AS (
          l_extendedprice * 0.02 AS ws_ext_ship_cost,
          o_custkey + l_linenumber % 2 AS ws_ship_addr_sk,
          CAST(o_custkey % 7200 + 1 AS INT) AS ws_ship_hdemo_sk,
-         CAST(l_orderkey % 12 + 1 AS INT) AS ws_web_page_sk,
+         CASE WHEN (l_orderkey * 7 + l_linenumber) % 41 = 0 THEN NULL
+              ELSE CAST(l_orderkey % 12 + 1 AS INT) END
+             AS ws_web_page_sk,
          l_extendedprice - l_quantity AS ws_net_profit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
@@ -639,7 +668,9 @@ catalog_sales AS (
          (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
              + CAST((l_orderkey * 17 + l_linenumber * 43) % 150 AS INT)
              AS cs_ship_date_sk,
-         CAST(l_suppkey % 5 + 1 AS INT) AS cs_warehouse_sk,
+         CASE WHEN (l_orderkey * 11 + l_linenumber) % 43 = 0 THEN NULL
+              ELSE CAST(l_suppkey % 5 + 1 AS INT) END
+             AS cs_warehouse_sk,
          CAST(l_partkey % 20 + 1 AS INT) AS cs_ship_mode_sk,
          CAST(o_custkey % 6 + 1 AS INT) AS cs_call_center_sk,
          l_extendedprice - l_discount AS cs_net_paid,
@@ -656,7 +687,9 @@ catalog_sales AS (
 ),
 warehouse AS (
   SELECT id AS w_warehouse_sk,
-         'Warehouse number ' || CAST(id AS VARCHAR) AS w_warehouse_name
+         'Warehouse number ' || CAST(id AS VARCHAR) AS w_warehouse_name,
+         CASE id % 5 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA' WHEN 2 THEN 'TX'
+              WHEN 3 THEN 'NY' ELSE 'GA' END AS w_state
   FROM range(1, 6) t(id)
 ),
 ship_mode AS (
@@ -675,6 +708,8 @@ web_site AS (
 ),
 call_center AS (
   SELECT id AS cc_call_center_sk,
+         'CC' || lpad(CAST(id AS VARCHAR), 3, '0') AS cc_call_center_id,
+         'Manager_' || CAST(id % 4 AS VARCHAR) AS cc_manager,
          'call_center_' || CAST(id AS VARCHAR) AS cc_name,
          CASE id % 5 WHEN 0 THEN 'Daviess County'
               WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
@@ -686,6 +721,12 @@ web_page AS (
   SELECT id AS wp_web_page_sk,
          CAST(4800 + id * 40 AS INT) AS wp_char_count
   FROM range(1, 13) t(id)
+),
+income_band AS (
+  SELECT id AS ib_income_band_sk,
+         CAST((id - 1) * 10000 AS INT) AS ib_lower_bound,
+         CAST(id * 10000 AS INT) AS ib_upper_bound
+  FROM range(1, 21) t(id)
 ),
 store_returns AS (
   SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
@@ -699,6 +740,7 @@ store_returns AS (
          l_quantity AS sr_return_quantity,
          l_extendedprice * 0.1 AS sr_return_amt,
          l_extendedprice * 0.05 + l_tax AS sr_net_loss,
+         CAST(o_custkey % 1000 + 1 AS INT) AS sr_cdemo_sk,
          CAST(l_partkey % 35 + 1 AS INT) AS sr_reason_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
@@ -734,7 +776,12 @@ web_returns AS (
          l_extendedprice * 0.1 AS wr_return_amt,
          l_extendedprice * 0.05 + l_tax AS wr_net_loss,
          CAST(l_orderkey % 12 + 1 AS INT) AS wr_web_page_sk,
-         CAST(l_partkey % 35 + 1 AS INT) AS wr_reason_sk
+         CAST(l_partkey % 35 + 1 AS INT) AS wr_reason_sk,
+         l_extendedprice * 0.12 AS wr_refunded_cash,
+         l_tax AS wr_fee,
+         CAST(o_custkey % 1000 + 1 AS INT) AS wr_refunded_cdemo_sk,
+         CAST((o_custkey + 1) % 1000 + 1 AS INT) AS wr_returning_cdemo_sk,
+         o_custkey + l_linenumber % 2 AS wr_refunded_addr_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1 AND l_returnflag = 'R'
 ),
@@ -752,7 +799,8 @@ catalog_returns AS (
          l_extendedprice * 0.05 + l_tax AS cr_net_loss,
          CAST(o_custkey % 6 + 1 AS INT) AS cr_call_center_sk,
          CAST(l_suppkey % 5 + 1 AS INT) AS cr_warehouse_sk,
-         CAST(l_partkey % 35 + 1 AS INT) AS cr_reason_sk
+         CAST(l_partkey % 35 + 1 AS INT) AS cr_reason_sk,
+         l_extendedprice * 0.08 AS cr_refunded_cash
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2 AND l_returnflag = 'R'
 )
@@ -3884,4 +3932,246 @@ _register(
     verbatim; state list folded into the derived domain keeping three
     live values; every avg exact-decimal; explicit NULLS FIRST
     ordering (rollup-NULL cut rule).""",
+)
+
+
+_register(
+    "tpcds_q46",
+    """
+    SELECT c_last_name, c_first_name, ca_city, bought_city,
+           ss_ticket_number, amt, profit
+    FROM
+      (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+              CAST(SUM(CAST(ss_coupon_amt AS DECIMAL(38,6))) AS DOUBLE)
+                  AS amt,
+              CAST(SUM(CAST(ss_net_profit AS DECIMAL(38,6))) AS DOUBLE)
+                  AS profit
+       FROM store_sales, date_dim, store, household_demographics,
+            customer_address
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_store_sk = store.s_store_sk
+         AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+         AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+         AND (household_demographics.hd_dep_count = 6
+              OR household_demographics.hd_vehicle_count = 3)
+         AND date_dim.d_dow IN (6, 0)
+         AND date_dim.d_year IN (1999, 1999+1, 1999+2)
+         AND store.s_city IN ('Oakland','Riverside','Union','Salem',
+                              'Greenwood')
+       GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+      customer, customer_address current_addr
+    WHERE ss_customer_sk = c_customer_sk
+      AND customer.c_current_addr_sk = current_addr.ca_address_sk
+      AND current_addr.ca_city <> bought_city
+    ORDER BY c_last_name, c_first_name, ca_city, bought_city,
+             ss_ticket_number
+    LIMIT 100
+    """,
+    doc="""TPC-DS q46 (reference tpcds_sql/46.sql) executed: weekend
+    ticket baskets in selected cities for big/motorized households,
+    re-joined to each customer's CURRENT address and kept when they
+    shopped outside their home city (customer_address in two roles).
+    Every constant verbatim — the city list's first two values live in
+    the derived domain, d_dow in (6,0) matches the derived
+    days-since-epoch dow encoding, years 1999-2001 in-calendar.""",
+)
+
+_register(
+    "tpcds_q84",
+    """
+    SELECT c_customer_id AS customer_id,
+           coalesce(c_last_name, '') || ', ' || coalesce(c_first_name, '')
+               AS customername
+    FROM customer, customer_address, customer_demographics,
+         household_demographics, income_band, store_returns
+    WHERE ca_city = 'city_7'
+      AND c_current_addr_sk = ca_address_sk
+      AND ib_lower_bound >= 32287
+      AND ib_upper_bound <= 32287 + 50000
+      AND ib_income_band_sk = hd_income_band_sk
+      AND cd_demo_sk = c_current_cdemo_sk
+      AND hd_demo_sk = c_current_hdemo_sk
+      AND sr_cdemo_sk = cd_demo_sk
+    ORDER BY c_customer_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q84 (reference tpcds_sql/84.sql) executed: customers
+    in one city within an income band who returned something — the
+    5-dimension customer-profile chain (address -> current demo ->
+    household -> income_band) semi-joined through store_returns'
+    cdemo key.  income_band is a generated 20-band dimension whose
+    10k-wide bands intersect the verbatim [32287, 82287] window;
+    'Hopewell' -> 'city_7' (derived city domain).""",
+)
+
+_register(
+    "tpcds_q91",
+    """
+    SELECT cc_call_center_id AS call_center, cc_name AS call_center_name,
+           cc_manager AS manager,
+           CAST(SUM(CAST(cr_net_loss AS DECIMAL(38,6))) AS DOUBLE)
+               AS returns_loss
+    FROM call_center, catalog_returns, date_dim, customer,
+         customer_address, customer_demographics, household_demographics
+    WHERE cr_call_center_sk = cc_call_center_sk
+      AND cr_returned_date_sk = d_date_sk
+      AND cr_returning_customer_sk = c_customer_sk
+      AND cd_demo_sk = c_current_cdemo_sk
+      AND hd_demo_sk = c_current_hdemo_sk
+      AND ca_address_sk = c_current_addr_sk
+      AND d_year = 1999
+      AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+        OR (cd_marital_status = 'W'
+            AND cd_education_status = 'Advanced Degree'))
+      AND hd_buy_potential LIKE '0-500%'
+      AND ca_gmt_offset = -7
+    GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+             cd_education_status
+    ORDER BY returns_loss DESC
+    """,
+    doc="""TPC-DS q91 (reference tpcds_sql/91.sql) executed: call-center
+    return losses for low-budget demographic slices — the
+    catalog_returns fact joined through the customer's CURRENT
+    demographics (not the transaction's).  call_center gains id and
+    manager attributes; demographic pairs, the LIKE band and GMT -7
+    verbatim.  One retarget: the reference's November-1999 month filter
+    widens to all of 1999 — the triple current-demographic filter
+    leaves a sub-row expectation in a single month at the test scale
+    factors, and a structurally-empty result would make the oracle a
+    schema-only check.""",
+)
+
+_register(
+    "tpcds_q40",
+    """
+    SELECT w_state, i_item_id,
+           CAST(SUM(CASE WHEN CAST(d_date AS DATE)
+                              < CAST('1998-04-08' AS DATE)
+                    THEN CAST(cs_sales_price - coalesce(cr_refunded_cash, 0)
+                              AS DECIMAL(38,6))
+                    ELSE 0 END) AS DOUBLE) AS sales_before,
+           CAST(SUM(CASE WHEN CAST(d_date AS DATE)
+                              >= CAST('1998-04-08' AS DATE)
+                    THEN CAST(cs_sales_price - coalesce(cr_refunded_cash, 0)
+                              AS DECIMAL(38,6))
+                    ELSE 0 END) AS DOUBLE) AS sales_after
+    FROM catalog_sales
+    LEFT OUTER JOIN catalog_returns
+      ON (cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk),
+         warehouse, item, date_dim
+    WHERE i_current_price BETWEEN 920 AND 935
+      AND i_item_sk = cs_item_sk
+      AND cs_warehouse_sk = w_warehouse_sk
+      AND cs_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1998-04-08' AS DATE) - INTERVAL 30 DAY
+                     AND CAST('1998-04-08' AS DATE) + INTERVAL 30 DAY
+    GROUP BY w_state, i_item_id
+    ORDER BY w_state, i_item_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q40 (reference tpcds_sql/40.sql) executed: catalog
+    net sales (minus refunds via a LEFT OUTER returns join) per
+    warehouse state, 30 days either side of one date.  warehouse gains
+    w_state; catalog_returns gains refunded cash; date verbatim, price
+    band 0.99..1.49 -> 920..935 (derived domain).""",
+)
+
+_register(
+    "tpcds_q76",
+    """
+    SELECT channel, col_name, d_year, d_qoy, i_category,
+           CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+           CAST(SUM(CAST(ext_sales_price AS DECIMAL(38,6))) AS DOUBLE)
+               AS sales_amt
+    FROM (
+      SELECT 'store' AS channel, 'ss_addr_sk' AS col_name, d_year, d_qoy,
+             i_category, ss_ext_sales_price AS ext_sales_price
+      FROM store_sales, item, date_dim
+      WHERE ss_addr_sk IS NULL
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'web', 'ws_web_page_sk', d_year, d_qoy, i_category,
+             ws_ext_sales_price
+      FROM web_sales, item, date_dim
+      WHERE ws_web_page_sk IS NULL
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'catalog', 'cs_warehouse_sk', d_year, d_qoy, i_category,
+             cs_ext_sales_price
+      FROM catalog_sales, item, date_dim
+      WHERE cs_warehouse_sk IS NULL
+        AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk = i_item_sk) foo
+    GROUP BY channel, col_name, d_year, d_qoy, i_category
+    ORDER BY channel, col_name, d_year, d_qoy, i_category
+    LIMIT 100
+    """,
+    doc="""TPC-DS q76 (reference tpcds_sql/76.sql) executed VERBATIM:
+    sales rows with MISSING dimension keys per channel (address for
+    store, page for web, warehouse for catalog), UNION ALLed and
+    profiled by quarter/category.  The derivation now leaves a small
+    deterministic fraction of exactly these three keys NULL (mod-37/
+    41/43 row hashes) so the missing-key population is real — the
+    NULL-extension semantics every inner join in the suite must then
+    honor (those rows silently drop from the q13/q48 geography slices
+    etc., identically on both engines).""",
+)
+
+_register(
+    "tpcds_q85",
+    """
+    SELECT substr(r_reason_desc, 1, 20) AS reason_prefix,
+           CAST(SUM(CAST(ws_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(ws_quantity) AS avg_qty,
+           CAST(SUM(CAST(wr_refunded_cash AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(wr_refunded_cash) AS avg_refunded,
+           CAST(SUM(CAST(wr_fee AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(wr_fee) AS avg_fee
+    FROM web_sales, web_returns, web_page, customer_demographics cd1,
+         customer_demographics cd2, customer_address, date_dim, reason
+    WHERE ws_web_page_sk = wp_web_page_sk
+      AND ws_item_sk = wr_item_sk
+      AND ws_order_number = wr_order_number
+      AND ws_sold_date_sk = d_date_sk AND d_year = 1998
+      AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+      AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+      AND ca_address_sk = wr_refunded_addr_sk
+      AND r_reason_sk = wr_reason_sk
+      AND ((cd1.cd_marital_status = 'M'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = '4 yr Degree'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 0.05 AND 0.08)
+        OR (cd1.cd_marital_status = 'D'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = 'Primary'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 0.01 AND 0.04)
+        OR (cd1.cd_marital_status = 'U'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = 'Advanced Degree'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 0.03 AND 0.06))
+      AND ((ca_country = 'United States'
+            AND ca_state IN ('CA', 'GA', 'NY')
+            AND ws_net_profit BETWEEN 1000 AND 2000)
+        OR (ca_country = 'United States'
+            AND ca_state IN ('TX', 'OH', 'WA')
+            AND ws_net_profit BETWEEN 1500 AND 3000)
+        OR (ca_country = 'United States'
+            AND ca_state IN ('FL', 'NY', 'CA')
+            AND ws_net_profit BETWEEN 1200 AND 2500))
+    GROUP BY r_reason_desc
+    ORDER BY reason_prefix, avg_qty, avg_refunded, avg_fee
+    LIMIT 100
+    """,
+    doc="""TPC-DS q85 (reference tpcds_sql/85.sql) executed: web return
+    reasons for demographic/geographic OR-slices where the REFUNDED and
+    RETURNING parties share demographics — customer_demographics in two
+    correlated roles (cd1 = cd2 equality inside each OR branch, kept
+    verbatim).  web_returns gains refunded-cash/fee/cdemo/addr keys;
+    sales-price and net-profit bands scaled into the derived domains
+    (the q13 rule); marital/education pairs verbatim.""",
 )

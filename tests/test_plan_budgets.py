@@ -179,6 +179,13 @@ SHUFFLE_BUDGETS = {
     "tpcds_q10": 5,
     "tpcds_q35": 5,
     "tpcds_q18": 1,  # demographic rollup star: one agg exchange
+    # r6 fifth tranche:
+    "tpcds_q46": 1,  # ticket-basket agg; both address roles broadcast
+    "tpcds_q84": 2,  # profile-chain semi through returns cdemo
+    "tpcds_q91": 2,  # returns x current-demo star + agg
+    "tpcds_q40": 3,  # fact-returns SMJ left join + agg
+    "tpcds_q76": 1,  # 3 NULL-key scans UNION ALL + one agg
+    "tpcds_q85": 3,  # ws-wr SMJ join + dual-role demo + agg
 }
 
 BROADCAST_EXPECTED = [
