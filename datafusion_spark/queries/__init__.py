@@ -190,6 +190,11 @@ def _interleave_families() -> None:
         "tpcds_q40",
         "tpcds_q76",
         "tpcds_q85",
+        "tpcds_q44",                   #   rank zips / cumulative crossovers
+        "tpcds_q51",
+        "tpcds_q70",
+        "tpcds_q67",
+        "tpcds_q49",
     }
 
     def tier(name: str) -> int:

@@ -100,7 +100,8 @@ store_sales AS (
          l_extendedprice AS ss_ext_sales_price,
          CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
              AS ss_sold_time_sk,
-         CAST(o_custkey % 7200 + 1 AS INT) AS ss_hdemo_sk,
+         CASE WHEN (l_orderkey * 13 + l_linenumber) % 47 = 0 THEN NULL
+              ELSE CAST(o_custkey % 7200 + 1 AS INT) END AS ss_hdemo_sk,
          CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
          l_orderkey AS ss_ticket_number,
          o_custkey AS ss_customer_sk,
@@ -482,7 +483,8 @@ store_sales AS (
          l_extendedprice AS ss_ext_sales_price,
          CAST((l_orderkey * 7 + l_linenumber * 4973) % 86400 AS INT)
              AS ss_sold_time_sk,
-         CAST(o_custkey % 7200 + 1 AS INT) AS ss_hdemo_sk,
+         CASE WHEN (l_orderkey * 13 + l_linenumber) % 47 = 0 THEN NULL
+              ELSE CAST(o_custkey % 7200 + 1 AS INT) END AS ss_hdemo_sk,
          CAST(l_suppkey % 10 + 1 AS INT) AS ss_store_sk,
          l_orderkey AS ss_ticket_number,
          o_custkey AS ss_customer_sk,
@@ -4174,4 +4176,275 @@ _register(
     verbatim).  web_returns gains refunded-cash/fee/cdemo/addr keys;
     sales-price and net-profit bands scaled into the derived domains
     (the q13 rule); marital/education pairs verbatim.""",
+)
+
+
+_register(
+    "tpcds_q44",
+    f"""
+    SELECT asceding.rnk,
+           i1.i_product_name AS best_performing,
+           i2.i_product_name AS worst_performing
+    FROM
+      (SELECT * FROM
+        (SELECT item_sk, CAST(rank() OVER (ORDER BY rank_col ASC) AS BIGINT)
+                    AS rnk
+         FROM (SELECT ss_item_sk AS item_sk,
+                      {_AVG.format(c='ss_net_profit')} AS rank_col
+               FROM store_sales ss1
+               WHERE ss_store_sk = 4
+               GROUP BY ss_item_sk
+               HAVING {_AVG.format(c='ss_net_profit')} > 0.9 *
+                      (SELECT {_AVG.format(c='ss_net_profit')} AS rank_col
+                       FROM store_sales
+                       WHERE ss_store_sk = 4 AND ss_hdemo_sk IS NULL
+                       GROUP BY ss_store_sk)) v1) v11
+       WHERE rnk < 11) asceding,
+      (SELECT * FROM
+        (SELECT item_sk, CAST(rank() OVER (ORDER BY rank_col DESC) AS BIGINT)
+                    AS rnk
+         FROM (SELECT ss_item_sk AS item_sk,
+                      {_AVG.format(c='ss_net_profit')} AS rank_col
+               FROM store_sales ss1
+               WHERE ss_store_sk = 4
+               GROUP BY ss_item_sk
+               HAVING {_AVG.format(c='ss_net_profit')} > 0.9 *
+                      (SELECT {_AVG.format(c='ss_net_profit')} AS rank_col
+                       FROM store_sales
+                       WHERE ss_store_sk = 4 AND ss_hdemo_sk IS NULL
+                       GROUP BY ss_store_sk)) v2) v21
+       WHERE rnk < 11) descending,
+      item i1, item i2
+    WHERE asceding.rnk = descending.rnk
+      AND i1.i_item_sk = asceding.item_sk
+      AND i2.i_item_sk = descending.item_sk
+    ORDER BY asceding.rnk
+    LIMIT 100
+    """,
+    doc="""TPC-DS q44 (reference tpcds_sql/44.sql) executed: best and
+    worst items by average profit in one store, ranked ascending and
+    descending and zipped by rank.  The HAVING threshold is the
+    reference's own odd baseline — the store's average over rows with
+    a MISSING household key, real since the derivation carries NULL
+    hdemo fractions.  ss_store_sk 50 -> 4 (derived 10-store domain);
+    averages exact-decimal; rank CAST BIGINT both engines.""",
+)
+
+_register(
+    "tpcds_q51",
+    """
+    , web_v1 AS (
+      SELECT ws_item_sk AS item_sk, d_date,
+             SUM(SUM(CAST(ws_sales_price AS DECIMAL(38,6)))) OVER
+                 (PARTITION BY ws_item_sk ORDER BY d_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cume_sales
+      FROM web_sales, date_dim
+      WHERE ws_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+        AND ws_item_sk IS NOT NULL
+      GROUP BY ws_item_sk, d_date
+    ),
+    store_v1 AS (
+      SELECT ss_item_sk AS item_sk, d_date,
+             SUM(SUM(CAST(ss_sales_price AS DECIMAL(38,6)))) OVER
+                 (PARTITION BY ss_item_sk ORDER BY d_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cume_sales
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1248 AND 1248 + 11
+        AND ss_item_sk IS NOT NULL
+      GROUP BY ss_item_sk, d_date
+    )
+    SELECT item_sk, d_date,
+           CAST(web_sales AS DOUBLE) AS web_sales,
+           CAST(store_sales AS DOUBLE) AS store_sales,
+           CAST(web_cumulative AS DOUBLE) AS web_cumulative,
+           CAST(store_cumulative AS DOUBLE) AS store_cumulative
+    FROM (SELECT item_sk, d_date, web_sales, store_sales,
+                 MAX(web_sales) OVER
+                     (PARTITION BY item_sk ORDER BY d_date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS web_cumulative,
+                 MAX(store_sales) OVER
+                     (PARTITION BY item_sk ORDER BY d_date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS store_cumulative
+          FROM (SELECT CASE WHEN web.item_sk IS NOT NULL
+                            THEN web.item_sk ELSE store.item_sk END
+                           AS item_sk,
+                       CASE WHEN web.d_date IS NOT NULL
+                            THEN web.d_date ELSE store.d_date END
+                           AS d_date,
+                       web.cume_sales AS web_sales,
+                       store.cume_sales AS store_sales
+                FROM web_v1 web FULL OUTER JOIN store_v1 store
+                  ON (web.item_sk = store.item_sk
+                      AND web.d_date = store.d_date)) x) y
+    WHERE web_cumulative * 5 > store_cumulative
+    ORDER BY item_sk, d_date
+    LIMIT 100
+    """,
+    doc="""TPC-DS q51 (reference tpcds_sql/51.sql) executed: items whose
+    cumulative web revenue overtakes their cumulative store revenue —
+    per-channel running sums FULL OUTER joined by day, then running
+    MAX to carry each channel's last seen cumulative across the other
+    channel's missing days.  All windows partition by item (no
+    single-partition hazard); sums stay DECIMAL through both window
+    layers and render DOUBLE only at the output.  Month-seq 1212 ->
+    1248; the crossover filter retargets to 5x web > store — the
+    derived web channel is a strict quarter-slice of the store fact,
+    so web_cumulative > store_cumulative is empty by construction.""",
+)
+
+_register(
+    "tpcds_q70",
+    """
+    SELECT CAST(SUM(CAST(ss_net_profit AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_sum,
+           s_state, s_county,
+           CAST(grouping(s_state) + grouping(s_county) AS INT)
+               AS lochierarchy,
+           CAST(rank() OVER (
+               PARTITION BY grouping(s_state) + grouping(s_county),
+                   CASE WHEN grouping(s_county) = 0 THEN s_state END
+               ORDER BY SUM(CAST(ss_net_profit AS DECIMAL(38,6))) DESC)
+               AS BIGINT) AS rank_within_parent
+    FROM store_sales, date_dim d1, store
+    WHERE d1.d_month_seq BETWEEN 1248 AND 1248 + 11
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND s_store_sk = ss_store_sk
+      AND s_state IN
+          (SELECT s_state
+           FROM (SELECT s_state,
+                        rank() OVER (PARTITION BY s_state
+                                     ORDER BY SUM(CAST(ss_net_profit
+                                                  AS DECIMAL(38,6))) DESC)
+                            AS ranking
+                 FROM store_sales, store, date_dim
+                 WHERE d_month_seq BETWEEN 1248 AND 1248 + 11
+                   AND d_date_sk = ss_sold_date_sk
+                   AND s_store_sk = ss_store_sk
+                 GROUP BY s_state) tmp1
+           WHERE ranking <= 5)
+    GROUP BY ROLLUP(s_state, s_county)
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN s_state END ASC NULLS FIRST,
+             rank_within_parent
+    LIMIT 100
+    """,
+    doc="""TPC-DS q70 (reference tpcds_sql/70.sql) executed: the q36
+    grouping-rank shape over store geography, gated by a top-5-states
+    IN-subquery that itself ranks with a window over an aggregate.
+    Month-seq 1212 -> 1248; rank over the exact DECIMAL sum (ordering
+    on the exact value, not its double rendering); explicit NULLS
+    FIRST on the rollup-NULL order key.""",
+)
+
+_register(
+    "tpcds_q67",
+    """
+    SELECT * FROM
+      (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+              d_moy, s_store_id,
+              CAST(sumsales AS DOUBLE) AS sumsales,
+              CAST(rank() OVER (PARTITION BY i_category
+                                ORDER BY sumsales DESC) AS BIGINT) AS rk
+       FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+                    d_qoy, d_moy, s_store_id,
+                    SUM(CAST(coalesce(ss_sales_price * ss_quantity, 0)
+                             AS DECIMAL(38,6))) AS sumsales
+             FROM store_sales, date_dim, store, item
+             WHERE ss_sold_date_sk = d_date_sk
+               AND ss_item_sk = i_item_sk
+               AND ss_store_sk = s_store_sk
+               AND d_month_seq BETWEEN 1248 AND 1248 + 11
+             GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
+                             d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+    WHERE rk <= 100
+    ORDER BY i_category ASC NULLS FIRST, i_class ASC NULLS FIRST,
+             i_brand ASC NULLS FIRST, i_product_name ASC NULLS FIRST,
+             d_year ASC NULLS FIRST, d_qoy ASC NULLS FIRST,
+             d_moy ASC NULLS FIRST, s_store_id ASC NULLS FIRST,
+             sumsales, rk
+    LIMIT 100
+    """,
+    doc="""TPC-DS q67 (reference tpcds_sql/67.sql) executed: top-100
+    revenue rows per category over an EIGHT-level rollup — the rank
+    window runs over the rollup output itself (partition boundaries
+    include the all-NULL super-aggregate rows).  Rank orders by the
+    exact DECIMAL sum; the LIMIT's ORDER BY spells NULLS FIRST on
+    every rollup key (cut rule); month-seq 1212 -> 1248.""",
+)
+
+
+def _q49_channel(alias: str, fact: str, rtbl: str, p: str, rp: str,
+                 amt: str = "return_amt") -> str:
+    return f"""
+    SELECT '{alias}' AS channel, {alias}x.item, {alias}x.return_ratio,
+           {alias}x.return_rank, {alias}x.currency_rank
+    FROM (
+      SELECT item, return_ratio, currency_ratio,
+             CAST(rank() OVER (ORDER BY return_ratio) AS BIGINT)
+                 AS return_rank,
+             CAST(rank() OVER (ORDER BY currency_ratio) AS BIGINT)
+                 AS currency_rank
+      FROM (SELECT f.{p}_item_sk AS item,
+                   CAST(SUM(CAST(coalesce(r.{rp}_return_quantity, 0)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(SUM(CAST(coalesce(f.{p}_quantity, 0)
+                                       AS DECIMAL(38,6))) AS DOUBLE)
+                       AS return_ratio,
+                   CAST(SUM(CAST(coalesce(r.{rp}_{amt}, 0)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(SUM(CAST(coalesce(f.{p}_net_paid, 0)
+                                       AS DECIMAL(38,6))) AS DOUBLE)
+                       AS currency_ratio
+            FROM {fact} f LEFT OUTER JOIN {rtbl} r
+              ON (f.{p}_order_number = r.{rp}_order_number
+                  AND f.{p}_item_sk = r.{rp}_item_sk), date_dim
+            WHERE r.{rp}_{amt} > 1000
+              AND f.{p}_net_profit > 1
+              AND f.{p}_net_paid > 0
+              AND f.{p}_quantity > 0
+              AND {p}_sold_date_sk = d_date_sk
+              AND d_year = 2000
+              AND d_moy = 12
+            GROUP BY f.{p}_item_sk) in_{alias}
+    ) {alias}x
+    WHERE ({alias}x.return_rank <= 10 OR {alias}x.currency_rank <= 10)
+    """
+
+
+_register(
+    "tpcds_q49",
+    _q49_channel("web", "web_sales", "web_returns", "ws", "wr")
+    + " UNION "
+    + _q49_channel("ctlg", "catalog_sales", "catalog_returns", "cs", "cr",
+                   amt="return_amount")
+    .replace("'ctlg' AS channel", "'catalog' AS channel")
+    + " UNION "
+    + _q49_channel("store", "store_sales_k", "store_returns", "ssk", "sr")
+    .replace("FROM store_sales_k f", "FROM (SELECT ss_item_sk AS ssk_item_sk,"
+             " ss_ticket_number AS ssk_order_number,"
+             " ss_quantity AS ssk_quantity, ss_net_paid AS ssk_net_paid,"
+             " ss_net_profit AS ssk_net_profit,"
+             " ss_sold_date_sk AS ssk_sold_date_sk FROM store_sales) f")
+    .replace("sr_order_number", "sr_ticket_number")
+    + """
+    ORDER BY 1, 4, 5, 2
+    LIMIT 100
+    """,
+    doc="""TPC-DS q49 (reference tpcds_sql/49.sql) executed: worst
+    return ratios (by quantity and by currency) per channel, ranked
+    twice and UNION-deduplicated across web/catalog/store.  The
+    reference's left-join-then-filter (the return predicate
+    re-inner-joins) is kept verbatim; the store leg aliases its
+    ticket-number as the order key through a projected sub-select so
+    the three channels share one text template.  DECIMAL(15,4) ratio
+    casts become exact-decimal-sum ratios in DOUBLE; the
+    wr_return_amt > 10000 threshold retargets to > 1000 (the derived
+    0.1x-extendedprice refunds cap near 10k, selecting nothing);
+    ordinal ORDER BY 1,4,5,2 verbatim.""",
 )

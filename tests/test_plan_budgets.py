@@ -186,6 +186,12 @@ SHUFFLE_BUDGETS = {
     "tpcds_q40": 3,  # fact-returns SMJ left join + agg
     "tpcds_q76": 1,  # 3 NULL-key scans UNION ALL + one agg
     "tpcds_q85": 3,  # ws-wr SMJ join + dual-role demo + agg
+    # r6 sixth tranche:
+    "tpcds_q44": 8,  # asc+desc rank legs x (agg + baseline + window)
+    "tpcds_q51": 7,  # 2 channel agg+window legs + full-outer + outer window
+    "tpcds_q70": 6,  # top-5-state gate (agg+window) + rollup + rank
+    "tpcds_q67": 2,  # 8-level rollup agg + per-category rank window
+    "tpcds_q49": 12, # 3 channel legs x (SMJ returns join + agg + 2 ranks)
 }
 
 BROADCAST_EXPECTED = [
