@@ -56,3 +56,26 @@ def test_query_runs(spark, name):
     # stable schema: re-planning yields identical columns
     df2 = QUERIES[name](spark, SF_SMALL)
     assert df.columns == df2.columns
+
+
+def test_failed_entries_pinned_first():
+    """Registry-ordering invariant (r6 verdict): any entry whose LATEST
+    driver CORRECTNESS record is a FAIL must sort before every non-FAIL
+    entry, so the driver's 50-entry prefix always re-verifies fixes.
+
+    In r6 the two r5-FAIL re-entries were prefix-placed by hand and later
+    insertions pushed them to positions 50/78 — red for a whole round
+    despite verified fixes.  The ordering now derives the pin set from
+    CORRECTNESS_r*.json itself; this test locks that in.
+    """
+    from datafusion_spark.queries import _driver_verified, _failed_of
+
+    failed = _failed_of(_driver_verified()) & set(QUERIES)
+    if not failed:
+        pytest.skip("no latest-FAIL entries on the scoreboard")
+    names = list(QUERIES)
+    worst_failed = max(names.index(n) for n in failed)
+    assert worst_failed < len(failed), (
+        f"latest-FAIL entries {sorted(failed)} must occupy the first "
+        f"{len(failed)} registry positions; found one at {worst_failed}"
+    )
