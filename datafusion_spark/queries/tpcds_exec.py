@@ -77,6 +77,7 @@ item AS (
          'I' || lpad(CAST(p_partkey AS STRING), 9, '0') AS i_item_id,
          p_name AS i_item_desc,
          'CLASS#' || CAST(p_partkey % 7 AS STRING) AS i_class,
+         CAST(p_partkey % 7 + 1 AS INT) AS i_class_id,
          'MFG#' || CAST(p_partkey % 500 AS STRING) AS i_manufact,
          CASE p_partkey % 8 WHEN 0 THEN 'orchid' WHEN 1 THEN 'chiffon'
               WHEN 2 THEN 'lace' WHEN 3 THEN 'navy' WHEN 4 THEN 'salmon'
@@ -110,7 +111,7 @@ store_sales AS (
          l_extendedprice + l_tax AS ss_ext_list_price,
          l_tax AS ss_ext_tax,
          l_extendedprice - l_quantity AS ss_net_profit,
-         CAST(o_custkey % 1000 + 1 AS INT) AS ss_cdemo_sk,
+         CAST((o_custkey + l_linenumber * 7) % 1000 + 1 AS INT) AS ss_cdemo_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
          l_quantity AS ss_quantity,
          l_extendedprice AS ss_list_price,
@@ -124,7 +125,7 @@ store_sales AS (
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
 ),
 time_dim AS (
-  SELECT id AS t_time_sk, CAST(id div 3600 AS INT) AS t_hour,
+  SELECT id AS t_time_sk, id AS t_time, CAST(id div 3600 AS INT) AS t_hour,
          CAST((id % 3600) div 60 AS INT) AS t_minute,
          CAST(id % 60 AS INT) AS t_second,
          CASE WHEN id >= 6*3600 AND id < 9*3600 THEN 'breakfast'
@@ -156,7 +157,9 @@ store AS (
               WHEN 3 THEN 'AL' ELSE 'TN' END AS s_state,
          CAST(CASE WHEN id % 2 = 0 THEN -6 ELSE -7 END AS INT)
              AS s_gmt_offset,
-         lpad(CAST(id * 977 % 3001 AS STRING), 5, '0') || '-0' AS s_zip,
+         lpad(CAST(id % 97 * 131 AS STRING), 5, '0') || '-' ||
+             CAST(id % 13 AS STRING) AS s_zip,
+         CAST(id % 3 + 6 AS INT) AS s_market_id,
          CAST(150 + id * 15 AS INT) AS s_number_employees,
          CASE id % 5 WHEN 0 THEN 'Oakland' WHEN 1 THEN 'Riverside'
              WHEN 2 THEN 'Georgetown' WHEN 3 THEN 'Springfield'
@@ -187,6 +190,9 @@ customer AS (
          CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
          CAST(1924 + c_custkey % 70 AS INT) AS c_birth_year,
          CAST(2450000 + c_custkey % 2500 AS INT) AS c_last_review_date_sk,
+         CAST(2451096 + c_custkey % 2400 AS INT) AS c_first_sales_date_sk,
+         CAST(2451096 + c_custkey % 2400 + 30 AS INT)
+             AS c_first_shipto_date_sk,
          CAST(c_custkey % 1000 + 1 AS INT) AS c_current_cdemo_sk,
          CAST((c_custkey * 7 + 3) % 7200 + 1 AS INT) AS c_current_hdemo_sk,
          c_custkey AS c_current_addr_sk
@@ -238,6 +244,11 @@ promotion AS (
          CASE WHEN id % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
   FROM (SELECT explode(sequence(1, 300)) AS id)
 ),
+catalog_page AS (
+  SELECT id AS cp_catalog_page_sk,
+         'CP' || lpad(CAST(id AS STRING), 5, '0') AS cp_catalog_page_id
+  FROM (SELECT explode(sequence(1, 200)) AS id)
+),
 web_sales AS (
   SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
              AS ws_sold_date_sk,
@@ -261,6 +272,9 @@ web_sales AS (
          l_discount * l_quantity AS ws_ext_discount_amt,
          l_orderkey AS ws_order_number,
          l_extendedprice * 0.02 AS ws_ext_ship_cost,
+         CAST(l_partkey % 300 + 1 AS INT) AS ws_promo_sk,
+         l_extendedprice * 0.006 AS ws_wholesale_cost,
+         l_extendedprice - l_discount + l_tax AS ws_net_paid_inc_tax,
          o_custkey + l_linenumber % 2 AS ws_ship_addr_sk,
          CAST(o_custkey % 7200 + 1 AS INT) AS ws_ship_hdemo_sk,
          CASE WHEN (l_orderkey * 7 + l_linenumber) % 41 = 0 THEN NULL
@@ -302,7 +316,13 @@ catalog_sales AS (
          o_custkey AS cs_ship_customer_sk,
          l_extendedprice + l_tax AS cs_ext_list_price,
          l_extendedprice * 0.6 AS cs_ext_wholesale_cost,
-         l_discount * l_quantity AS cs_ext_discount_amt
+         l_discount * l_quantity AS cs_ext_discount_amt,
+         CAST((l_orderkey * 3 + l_partkey) % 200 + 1 AS INT)
+             AS cs_catalog_page_sk,
+         l_extendedprice * 0.006 AS cs_wholesale_cost,
+         l_extendedprice - l_discount + l_tax AS cs_net_paid_inc_tax,
+         CAST((o_custkey * 31 + l_linenumber * 11) % 7200 + 1 AS INT)
+             AS cs_bill_hdemo_sk
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2
@@ -310,12 +330,24 @@ catalog_sales AS (
 warehouse AS (
   SELECT id AS w_warehouse_sk,
          'Warehouse number ' || CAST(id AS STRING) AS w_warehouse_name,
+         CAST(10000 + id * 5000 AS INT) AS w_warehouse_sq_ft,
+         CASE id % 5 WHEN 0 THEN 'Oakland' WHEN 1 THEN 'Riverside'
+              WHEN 2 THEN 'Georgetown' WHEN 3 THEN 'Springfield'
+              ELSE 'Fairview' END AS w_city,
+         CASE id % 5 WHEN 0 THEN 'Daviess County'
+              WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
+              WHEN 3 THEN 'Luce County'
+              ELSE 'Fairfield County' END AS w_county,
+         'United States' AS w_country,
          CASE id % 5 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA' WHEN 2 THEN 'TX'
               WHEN 3 THEN 'NY' ELSE 'GA' END AS w_state
   FROM (SELECT explode(sequence(1, 5)) AS id)
 ),
 ship_mode AS (
   SELECT id AS sm_ship_mode_sk,
+         CASE id % 5 WHEN 0 THEN 'DIAMOND' WHEN 1 THEN 'AIRBORNE'
+              WHEN 2 THEN 'UPS' WHEN 3 THEN 'FEDEX'
+              ELSE 'ZOUROS' END AS sm_carrier,
          CASE id % 5 WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'OVERNIGHT'
               WHEN 2 THEN 'REGULAR' WHEN 3 THEN 'TWO DAY'
               ELSE 'LIBRARY' END AS sm_type
@@ -323,6 +355,7 @@ ship_mode AS (
 ),
 web_site AS (
   SELECT id AS web_site_sk,
+         'WS' || lpad(CAST(id AS STRING), 4, '0') AS web_site_id,
          'site_' || CAST(id % 6 AS STRING) AS web_name,
          CASE WHEN id % 2 = 0 THEN 'pri' ELSE 'able' END
              AS web_company_name
@@ -424,7 +457,11 @@ catalog_returns AS (
          CAST(o_custkey % 6 + 1 AS INT) AS cr_call_center_sk,
          CAST(l_suppkey % 5 + 1 AS INT) AS cr_warehouse_sk,
          CAST(l_partkey % 35 + 1 AS INT) AS cr_reason_sk,
-         l_extendedprice * 0.08 AS cr_refunded_cash
+         l_extendedprice * 0.08 AS cr_refunded_cash,
+         CAST((l_orderkey * 3 + l_partkey) % 200 + 1 AS INT)
+             AS cr_catalog_page_sk,
+         l_extendedprice * 0.015 AS cr_reversed_charge,
+         l_extendedprice * 0.01 AS cr_store_credit
   FROM parquet.`__SF__/lineitem.parquet`
   JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2 AND l_returnflag = 'R'
@@ -460,6 +497,7 @@ item AS (
          'I' || lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS i_item_id,
          p_name AS i_item_desc,
          'CLASS#' || CAST(p_partkey % 7 AS VARCHAR) AS i_class,
+         CAST(p_partkey % 7 + 1 AS INT) AS i_class_id,
          'MFG#' || CAST(p_partkey % 500 AS VARCHAR) AS i_manufact,
          CASE p_partkey % 8 WHEN 0 THEN 'orchid' WHEN 1 THEN 'chiffon'
               WHEN 2 THEN 'lace' WHEN 3 THEN 'navy' WHEN 4 THEN 'salmon'
@@ -493,7 +531,7 @@ store_sales AS (
          l_extendedprice + l_tax AS ss_ext_list_price,
          l_tax AS ss_ext_tax,
          l_extendedprice - l_quantity AS ss_net_profit,
-         CAST(o_custkey % 1000 + 1 AS INT) AS ss_cdemo_sk,
+         CAST((o_custkey + l_linenumber * 7) % 1000 + 1 AS INT) AS ss_cdemo_sk,
          CAST(l_partkey % 300 + 1 AS INT) AS ss_promo_sk,
          l_quantity AS ss_quantity,
          l_extendedprice AS ss_list_price,
@@ -506,7 +544,7 @@ store_sales AS (
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 time_dim AS (
-  SELECT id AS t_time_sk, CAST(id // 3600 AS INT) AS t_hour,
+  SELECT id AS t_time_sk, id AS t_time, CAST(id // 3600 AS INT) AS t_hour,
          CAST((id % 3600) // 60 AS INT) AS t_minute,
          CAST(id % 60 AS INT) AS t_second,
          CASE WHEN id >= 6*3600 AND id < 9*3600 THEN 'breakfast'
@@ -538,7 +576,9 @@ store AS (
               WHEN 3 THEN 'AL' ELSE 'TN' END AS s_state,
          CAST(CASE WHEN id % 2 = 0 THEN -6 ELSE -7 END AS INT)
              AS s_gmt_offset,
-         lpad(CAST(id * 977 % 3001 AS VARCHAR), 5, '0') || '-0' AS s_zip,
+         lpad(CAST(id % 97 * 131 AS VARCHAR), 5, '0') || '-' ||
+             CAST(id % 13 AS VARCHAR) AS s_zip,
+         CAST(id % 3 + 6 AS INT) AS s_market_id,
          CAST(150 + id * 15 AS INT) AS s_number_employees,
          CASE id % 5 WHEN 0 THEN 'Oakland' WHEN 1 THEN 'Riverside'
              WHEN 2 THEN 'Georgetown' WHEN 3 THEN 'Springfield'
@@ -569,6 +609,9 @@ customer AS (
          CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
          CAST(1924 + c_custkey % 70 AS INT) AS c_birth_year,
          CAST(2450000 + c_custkey % 2500 AS INT) AS c_last_review_date_sk,
+         CAST(2451096 + c_custkey % 2400 AS INT) AS c_first_sales_date_sk,
+         CAST(2451096 + c_custkey % 2400 + 30 AS INT)
+             AS c_first_shipto_date_sk,
          CAST(c_custkey % 1000 + 1 AS INT) AS c_current_cdemo_sk,
          CAST((c_custkey * 7 + 3) % 7200 + 1 AS INT) AS c_current_hdemo_sk,
          c_custkey AS c_current_addr_sk
@@ -620,6 +663,11 @@ promotion AS (
          CASE WHEN id % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
   FROM range(1, 301) t(id)
 ),
+catalog_page AS (
+  SELECT id AS cp_catalog_page_sk,
+         'CP' || lpad(CAST(id AS VARCHAR), 5, '0') AS cp_catalog_page_id
+  FROM range(1, 201) t(id)
+),
 web_sales AS (
   SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') + 2450000
              AS ws_sold_date_sk,
@@ -643,6 +691,9 @@ web_sales AS (
          l_discount * l_quantity AS ws_ext_discount_amt,
          l_orderkey AS ws_order_number,
          l_extendedprice * 0.02 AS ws_ext_ship_cost,
+         CAST(l_partkey % 300 + 1 AS INT) AS ws_promo_sk,
+         l_extendedprice * 0.006 AS ws_wholesale_cost,
+         l_extendedprice - l_discount + l_tax AS ws_net_paid_inc_tax,
          o_custkey + l_linenumber % 2 AS ws_ship_addr_sk,
          CAST(o_custkey % 7200 + 1 AS INT) AS ws_ship_hdemo_sk,
          CASE WHEN (l_orderkey * 7 + l_linenumber) % 41 = 0 THEN NULL
@@ -683,19 +734,37 @@ catalog_sales AS (
          o_custkey AS cs_ship_customer_sk,
          l_extendedprice + l_tax AS cs_ext_list_price,
          l_extendedprice * 0.6 AS cs_ext_wholesale_cost,
-         l_discount * l_quantity AS cs_ext_discount_amt
+         l_discount * l_quantity AS cs_ext_discount_amt,
+         CAST((l_orderkey * 3 + l_partkey) % 200 + 1 AS INT)
+             AS cs_catalog_page_sk,
+         l_extendedprice * 0.006 AS cs_wholesale_cost,
+         l_extendedprice - l_discount + l_tax AS cs_net_paid_inc_tax,
+         CAST((o_custkey * 31 + l_linenumber * 11) % 7200 + 1 AS INT)
+             AS cs_bill_hdemo_sk
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2
 ),
 warehouse AS (
   SELECT id AS w_warehouse_sk,
          'Warehouse number ' || CAST(id AS VARCHAR) AS w_warehouse_name,
+         CAST(10000 + id * 5000 AS INT) AS w_warehouse_sq_ft,
+         CASE id % 5 WHEN 0 THEN 'Oakland' WHEN 1 THEN 'Riverside'
+              WHEN 2 THEN 'Georgetown' WHEN 3 THEN 'Springfield'
+              ELSE 'Fairview' END AS w_city,
+         CASE id % 5 WHEN 0 THEN 'Daviess County'
+              WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Barrow County'
+              WHEN 3 THEN 'Luce County'
+              ELSE 'Fairfield County' END AS w_county,
+         'United States' AS w_country,
          CASE id % 5 WHEN 0 THEN 'CA' WHEN 1 THEN 'WA' WHEN 2 THEN 'TX'
               WHEN 3 THEN 'NY' ELSE 'GA' END AS w_state
   FROM range(1, 6) t(id)
 ),
 ship_mode AS (
   SELECT id AS sm_ship_mode_sk,
+         CASE id % 5 WHEN 0 THEN 'DIAMOND' WHEN 1 THEN 'AIRBORNE'
+              WHEN 2 THEN 'UPS' WHEN 3 THEN 'FEDEX'
+              ELSE 'ZOUROS' END AS sm_carrier,
          CASE id % 5 WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'OVERNIGHT'
               WHEN 2 THEN 'REGULAR' WHEN 3 THEN 'TWO DAY'
               ELSE 'LIBRARY' END AS sm_type
@@ -703,6 +772,7 @@ ship_mode AS (
 ),
 web_site AS (
   SELECT id AS web_site_sk,
+         'WS' || lpad(CAST(id AS VARCHAR), 4, '0') AS web_site_id,
          'site_' || CAST(id % 6 AS VARCHAR) AS web_name,
          CASE WHEN id % 2 = 0 THEN 'pri' ELSE 'able' END
              AS web_company_name
@@ -802,7 +872,11 @@ catalog_returns AS (
          CAST(o_custkey % 6 + 1 AS INT) AS cr_call_center_sk,
          CAST(l_suppkey % 5 + 1 AS INT) AS cr_warehouse_sk,
          CAST(l_partkey % 35 + 1 AS INT) AS cr_reason_sk,
-         l_extendedprice * 0.08 AS cr_refunded_cash
+         l_extendedprice * 0.08 AS cr_refunded_cash,
+         CAST((l_orderkey * 3 + l_partkey) % 200 + 1 AS INT)
+             AS cr_catalog_page_sk,
+         l_extendedprice * 0.015 AS cr_reversed_charge,
+         l_extendedprice * 0.01 AS cr_store_credit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2 AND l_returnflag = 'R'
 )
@@ -4447,4 +4521,619 @@ _register(
     wr_return_amt > 10000 threshold retargets to > 1000 (the derived
     0.1x-extendedprice refunds cap near 10k, selecting nothing);
     ordinal ORDER BY 1,4,5,2 verbatim.""",
+)
+
+
+def _q5_channel(cte: str, page_id: str, sales_part: str, returns_part: str,
+                page_dim: str, page_key: str) -> str:
+    """One q5 per-channel sales+returns UNION ALL leg (reference
+    tpcds_sql/5.sql): sales rows carry zero returns, return rows carry
+    zero sales, both aggregated per page/store/site over a 14-day
+    window."""
+    return f"""
+    {cte} AS (
+      SELECT {page_id},
+             SUM(sales_price) AS sales,
+             SUM(profit) AS profit,
+             SUM(return_amt) AS returns_,
+             SUM(net_loss) AS profit_loss
+      FROM ({sales_part}
+            UNION ALL
+            {returns_part}) salesreturns, date_dim, {page_dim}
+      WHERE date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 14 DAY
+        AND page_sk = {page_key}
+      GROUP BY {page_id}
+    )"""
+
+
+_register(
+    "tpcds_q5",
+    _q5_channel(
+        "ssr", "s_store_id",
+        """SELECT ss_store_sk AS page_sk, ss_sold_date_sk AS date_sk,
+                  CAST(ss_ext_sales_price AS DECIMAL(38,6)) AS sales_price,
+                  CAST(ss_net_profit AS DECIMAL(38,6)) AS profit,
+                  CAST(0 AS DECIMAL(38,6)) AS return_amt,
+                  CAST(0 AS DECIMAL(38,6)) AS net_loss
+           FROM store_sales""",
+        """SELECT sr_store_sk AS page_sk, sr_returned_date_sk AS date_sk,
+                  CAST(0 AS DECIMAL(38,6)) AS sales_price,
+                  CAST(0 AS DECIMAL(38,6)) AS profit,
+                  CAST(sr_return_amt AS DECIMAL(38,6)) AS return_amt,
+                  CAST(sr_net_loss AS DECIMAL(38,6)) AS net_loss
+           FROM store_returns""",
+        "store", "s_store_sk").replace("\n    ssr", ", ssr", 1)
+    + ","
+    + _q5_channel(
+        "csr", "cp_catalog_page_id",
+        """SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+                  CAST(cs_ext_sales_price AS DECIMAL(38,6)) AS sales_price,
+                  CAST(cs_net_profit AS DECIMAL(38,6)) AS profit,
+                  CAST(0 AS DECIMAL(38,6)) AS return_amt,
+                  CAST(0 AS DECIMAL(38,6)) AS net_loss
+           FROM catalog_sales""",
+        """SELECT cr_catalog_page_sk AS page_sk,
+                  cr_returned_date_sk AS date_sk,
+                  CAST(0 AS DECIMAL(38,6)) AS sales_price,
+                  CAST(0 AS DECIMAL(38,6)) AS profit,
+                  CAST(cr_return_amount AS DECIMAL(38,6)) AS return_amt,
+                  CAST(cr_net_loss AS DECIMAL(38,6)) AS net_loss
+           FROM catalog_returns""",
+        "catalog_page", "cp_catalog_page_sk")
+    + ","
+    + _q5_channel(
+        "wsr", "web_site_id",
+        """SELECT ws_web_site_sk AS page_sk, ws_sold_date_sk AS date_sk,
+                  CAST(ws_ext_sales_price AS DECIMAL(38,6)) AS sales_price,
+                  CAST(ws_net_profit AS DECIMAL(38,6)) AS profit,
+                  CAST(0 AS DECIMAL(38,6)) AS return_amt,
+                  CAST(0 AS DECIMAL(38,6)) AS net_loss
+           FROM web_sales""",
+        """SELECT ws_web_site_sk AS page_sk,
+                  wr_returned_date_sk AS date_sk,
+                  CAST(0 AS DECIMAL(38,6)) AS sales_price,
+                  CAST(0 AS DECIMAL(38,6)) AS profit,
+                  CAST(wr_return_amt AS DECIMAL(38,6)) AS return_amt,
+                  CAST(wr_net_loss AS DECIMAL(38,6)) AS net_loss
+           FROM web_returns LEFT OUTER JOIN web_sales
+             ON (wr_item_sk = ws_item_sk
+                 AND wr_order_number = ws_order_number)""",
+        "web_site", "web_site_sk")
+    + """
+    SELECT channel, id,
+           CAST(SUM(sales) AS DOUBLE) AS sales,
+           CAST(SUM(returns_) AS DOUBLE) AS returns_,
+           CAST(SUM(profit) AS DOUBLE) AS profit
+    FROM
+      (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+              sales, returns_, profit - profit_loss AS profit
+       FROM ssr
+       UNION ALL
+       SELECT 'catalog channel' AS channel,
+              'catalog_page' || cp_catalog_page_id AS id,
+              sales, returns_, profit - profit_loss AS profit
+       FROM csr
+       UNION ALL
+       SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+              sales, returns_, profit - profit_loss AS profit
+       FROM wsr) x
+    GROUP BY ROLLUP(channel, id)
+    ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST
+    LIMIT 100
+    """,
+    doc="""TPC-DS q5 (reference tpcds_sql/5.sql) executed: 14-day
+    three-channel P&L — per-channel sales/returns UNION ALL legs
+    aggregated per store / catalog page / web site, stitched under
+    ROLLUP(channel, id).  catalog_sales/returns gain their
+    catalog-page key and the catalog_page dim derives (200 pages);
+    the web-returns leg keeps the reference's LEFT OUTER re-join to
+    web_sales for its site key.  All money stays DECIMAL(38,6) until
+    the final CAST DOUBLE; `returns` is aliased returns_ (DuckDB
+    reserves it bare).  Date '1998-08-04'+14d verbatim; explicit
+    NULLS FIRST pins the rollup rows under LIMIT 100.""",
+)
+
+_register(
+    "tpcds_q77",
+    """
+    , ss AS (
+      SELECT s_store_sk, SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6)))
+                 AS sales,
+             SUM(CAST(ss_net_profit AS DECIMAL(38,6))) AS profit
+      FROM store_sales, date_dim, store
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 30 DAY
+        AND ss_store_sk = s_store_sk
+      GROUP BY s_store_sk
+    ),
+    sr AS (
+      SELECT s_store_sk, SUM(CAST(sr_return_amt AS DECIMAL(38,6)))
+                 AS returns_,
+             SUM(CAST(sr_net_loss AS DECIMAL(38,6))) AS profit_loss
+      FROM store_returns, date_dim, store
+      WHERE sr_returned_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 30 DAY
+        AND sr_store_sk = s_store_sk
+      GROUP BY s_store_sk
+    ),
+    cs AS (
+      SELECT cs_call_center_sk,
+             SUM(CAST(cs_ext_sales_price AS DECIMAL(38,6))) AS sales,
+             SUM(CAST(cs_net_profit AS DECIMAL(38,6))) AS profit
+      FROM catalog_sales, date_dim
+      WHERE cs_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 30 DAY
+      GROUP BY cs_call_center_sk
+    ),
+    cr AS (
+      SELECT cr_call_center_sk,
+             SUM(CAST(cr_return_amount AS DECIMAL(38,6))) AS returns_,
+             SUM(CAST(cr_net_loss AS DECIMAL(38,6))) AS profit_loss
+      FROM catalog_returns, date_dim
+      WHERE cr_returned_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 30 DAY
+      GROUP BY cr_call_center_sk
+    ),
+    ws AS (
+      SELECT wp_web_page_sk,
+             SUM(CAST(ws_ext_sales_price AS DECIMAL(38,6))) AS sales,
+             SUM(CAST(ws_net_profit AS DECIMAL(38,6))) AS profit
+      FROM web_sales, date_dim, web_page
+      WHERE ws_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 30 DAY
+        AND ws_web_page_sk = wp_web_page_sk
+      GROUP BY wp_web_page_sk
+    ),
+    wr AS (
+      SELECT wp_web_page_sk,
+             SUM(CAST(wr_return_amt AS DECIMAL(38,6))) AS returns_,
+             SUM(CAST(wr_net_loss AS DECIMAL(38,6))) AS profit_loss
+      FROM web_returns, date_dim, web_page
+      WHERE wr_returned_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 30 DAY
+        AND wr_web_page_sk = wp_web_page_sk
+      GROUP BY wp_web_page_sk
+    )
+    SELECT channel, id,
+           CAST(SUM(sales) AS DOUBLE) AS sales,
+           CAST(SUM(returns_) AS DOUBLE) AS returns_,
+           CAST(SUM(profit) AS DOUBLE) AS profit
+    FROM
+      (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+              COALESCE(returns_, CAST(0 AS DECIMAL(38,6))) AS returns_,
+              profit - COALESCE(profit_loss, CAST(0 AS DECIMAL(38,6)))
+                  AS profit
+       FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+       UNION ALL
+       SELECT 'catalog channel' AS channel, cs_call_center_sk AS id,
+              sales, returns_, profit - profit_loss AS profit
+       FROM cs, cr
+       UNION ALL
+       SELECT 'web channel' AS channel, ws.wp_web_page_sk AS id, sales,
+              COALESCE(returns_, CAST(0 AS DECIMAL(38,6))) AS returns_,
+              profit - COALESCE(profit_loss, CAST(0 AS DECIMAL(38,6)))
+                  AS profit
+       FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+    GROUP BY ROLLUP(channel, id)
+    ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST
+    LIMIT 100
+    """,
+    doc="""TPC-DS q77 (reference tpcds_sql/77.sql) executed: 30-day
+    per-channel profit & loss — store keyed by store, catalog by call
+    center (the reference's verbatim CROSS JOIN of the cs and cr
+    aggregates is kept), web by web page — under ROLLUP(channel, id).
+    Money stays DECIMAL(38,6) through the outer SUM (COALESCE zeros are
+    typed decimals so Spark doesn't widen to double early); `returns`
+    aliased returns_ for DuckDB.  Date '1998-08-04'+30d verbatim.""",
+)
+
+_register(
+    "tpcds_q80",
+    """
+    , ssr AS (
+      SELECT s_store_id AS store_id,
+             SUM(CAST(ss_ext_sales_price AS DECIMAL(38,6))) AS sales,
+             SUM(CAST(COALESCE(sr_return_amt, 0) AS DECIMAL(38,6)))
+                 AS returns_,
+             SUM(CAST(ss_net_profit AS DECIMAL(38,6))
+                 - CAST(COALESCE(sr_net_loss, 0) AS DECIMAL(38,6)))
+                 AS profit
+      FROM store_sales LEFT OUTER JOIN store_returns
+             ON (ss_item_sk = sr_item_sk
+                 AND ss_ticket_number = sr_ticket_number),
+           date_dim, store, item, promotion
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 30 DAY
+        AND ss_store_sk = s_store_sk
+        AND ss_item_sk = i_item_sk
+        AND i_current_price > 950
+        AND ss_promo_sk = p_promo_sk
+        AND p_channel_tv = 'N'
+      GROUP BY s_store_id
+    ),
+    csr AS (
+      SELECT cp_catalog_page_id AS catalog_page_id,
+             SUM(CAST(cs_ext_sales_price AS DECIMAL(38,6))) AS sales,
+             SUM(CAST(COALESCE(cr_return_amount, 0) AS DECIMAL(38,6)))
+                 AS returns_,
+             SUM(CAST(cs_net_profit AS DECIMAL(38,6))
+                 - CAST(COALESCE(cr_net_loss, 0) AS DECIMAL(38,6)))
+                 AS profit
+      FROM catalog_sales LEFT OUTER JOIN catalog_returns
+             ON (cs_item_sk = cr_item_sk
+                 AND cs_order_number = cr_order_number),
+           date_dim, catalog_page, item, promotion
+      WHERE cs_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 30 DAY
+        AND cs_catalog_page_sk = cp_catalog_page_sk
+        AND cs_item_sk = i_item_sk
+        AND i_current_price > 950
+        AND cs_promo_sk = p_promo_sk
+        AND p_channel_tv = 'N'
+      GROUP BY cp_catalog_page_id
+    ),
+    wsr AS (
+      SELECT web_site_id,
+             SUM(CAST(ws_ext_sales_price AS DECIMAL(38,6))) AS sales,
+             SUM(CAST(COALESCE(wr_return_amt, 0) AS DECIMAL(38,6)))
+                 AS returns_,
+             SUM(CAST(ws_net_profit AS DECIMAL(38,6))
+                 - CAST(COALESCE(wr_net_loss, 0) AS DECIMAL(38,6)))
+                 AS profit
+      FROM web_sales LEFT OUTER JOIN web_returns
+             ON (ws_item_sk = wr_item_sk
+                 AND ws_order_number = wr_order_number),
+           date_dim, web_site, item, promotion
+      WHERE ws_sold_date_sk = d_date_sk
+        AND d_date BETWEEN CAST('1998-08-04' AS DATE)
+                       AND CAST('1998-08-04' AS DATE) + INTERVAL 30 DAY
+        AND ws_web_site_sk = web_site_sk
+        AND ws_item_sk = i_item_sk
+        AND i_current_price > 950
+        AND ws_promo_sk = p_promo_sk
+        AND p_channel_tv = 'N'
+      GROUP BY web_site_id
+    )
+    SELECT channel, id,
+           CAST(SUM(sales) AS DOUBLE) AS sales,
+           CAST(SUM(returns_) AS DOUBLE) AS returns_,
+           CAST(SUM(profit) AS DOUBLE) AS profit
+    FROM
+      (SELECT 'store channel' AS channel, 'store' || store_id AS id,
+              sales, returns_, profit
+       FROM ssr
+       UNION ALL
+       SELECT 'catalog channel' AS channel,
+              'catalog_page' || catalog_page_id AS id,
+              sales, returns_, profit
+       FROM csr
+       UNION ALL
+       SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+              sales, returns_, profit
+       FROM wsr) x
+    GROUP BY ROLLUP(channel, id)
+    ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST
+    LIMIT 100
+    """,
+    doc="""TPC-DS q80 (reference tpcds_sql/80.sql) executed: 30-day
+    three-channel P&L with returns netted per sale row (LEFT OUTER to
+    the returns fact on item+ticket/order) restricted to
+    non-TV-promoted expensive items.  web_sales gains ws_promo_sk;
+    catalog gains its page key.  i_current_price > 50 retargets to
+    > 950 (derived retail prices run 900-1000, so 50 selects
+    everything and 950 keeps the reference's expensive-half
+    selectivity intent).  Money decimal-exact to the final CAST DOUBLE; NULLS
+    FIRST pins the rollup under LIMIT 100.""",
+)
+
+
+def _q66_leg(p: str, ship_mode_pair: str, carrier_a: str, carrier_b: str,
+             date_col: str, time_col: str, wh_col: str, sm_col: str,
+             price: str, net: str, qty: str, fact: str) -> str:
+    """One q66 warehouse-month pivot leg (reference tpcds_sql/66.sql):
+    12 monthly sales + 12 monthly net columns for one channel fact."""
+    months_sales = "\n".join(
+        f"             SUM(CASE WHEN d_moy = {m} THEN amt"
+        f" ELSE CAST(0 AS DECIMAL(38,6)) END) AS m{m:02d}_sales,"
+        for m in range(1, 13))
+    months_net = ",\n".join(
+        f"             SUM(CASE WHEN d_moy = {m} THEN net_amt"
+        f" ELSE CAST(0 AS DECIMAL(38,6)) END) AS m{m:02d}_net"
+        for m in range(1, 13))
+    return f"""
+      SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+             w_state, w_country,
+             '{carrier_a}' || ',' || '{carrier_b}' AS ship_carriers,
+             d_year AS year_,
+{months_sales}
+{months_net}
+      FROM (SELECT {date_col} AS date_sk, {time_col} AS time_sk,
+                   {wh_col} AS wh_sk, {sm_col} AS sm_sk,
+                   CAST(CAST({price} AS DECIMAL(38,6))
+                        * CAST({qty} AS DECIMAL(38,6)) AS DECIMAL(38,6))
+                       AS amt,
+                   CAST(CAST({net} AS DECIMAL(38,6))
+                        * CAST({qty} AS DECIMAL(38,6)) AS DECIMAL(38,6))
+                       AS net_amt
+            FROM {fact}) f, warehouse, date_dim, time_dim, ship_mode
+      WHERE wh_sk = w_warehouse_sk
+        AND date_sk = d_date_sk
+        AND time_sk = t_time_sk
+        AND sm_sk = sm_ship_mode_sk
+        AND d_year = 2000
+        AND t_time BETWEEN 49530 AND 49530 + 28800
+        AND sm_carrier IN ({ship_mode_pair})
+      GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+               w_state, w_country, d_year"""
+
+
+_register(
+    "tpcds_q66",
+    """
+    SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+           w_country, ship_carriers, year_,
+"""
+    + ",\n".join(
+        f"           CAST(SUM(m{m:02d}_sales) AS DOUBLE) AS m{m:02d}_sales"
+        for m in range(1, 13)) + ","
+    + ",\n".join(
+        f"           CAST(SUM(CAST(m{m:02d}_sales AS DOUBLE)"
+        f" / w_warehouse_sq_ft) AS DOUBLE) AS m{m:02d}_sales_per_sq_foot"
+        for m in range(1, 13)) + ","
+    + ",\n".join(
+        f"           CAST(SUM(m{m:02d}_net) AS DOUBLE) AS m{m:02d}_net"
+        for m in range(1, 13))
+    + """
+    FROM ("""
+    + _q66_leg("", "'DIAMOND','AIRBORNE'", "DIAMOND", "AIRBORNE",
+               "ws_sold_date_sk", "ws_sold_time_sk", "ws_warehouse_sk",
+               "ws_ship_mode_sk", "ws_sales_price", "ws_net_paid_inc_tax",
+               "ws_quantity", "web_sales")
+    + """
+      UNION ALL"""
+    + _q66_leg("", "'UPS','FEDEX'", "UPS", "FEDEX",
+               "cs_sold_date_sk", "cs_sold_time_sk", "cs_warehouse_sk",
+               "cs_ship_mode_sk", "cs_sales_price", "cs_net_paid_inc_tax",
+               "cs_quantity", "catalog_sales")
+    + """
+    ) x
+    GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+             w_state, w_country, ship_carriers, year_
+    ORDER BY w_warehouse_name
+    LIMIT 100
+    """,
+    doc="""TPC-DS q66 (reference tpcds_sql/66.sql) executed: the
+    warehouse monthly-pivot report — 12 sales + 12 per-sq-ft + 12 net
+    columns per warehouse/carrier/year, web and catalog legs UNION
+    ALLed.  price*quantity products are decimal-exact (the q17 macro
+    shape) and month buckets stay DECIMAL(38,6) until the final CAST
+    DOUBLE; warehouse gains sq_ft/city/county/country; time_dim gains
+    t_time.  d_year 2002 -> 2000 (full-year coverage of the derived
+    calendar); carriers DHL,BARIAN -> UPS,FEDEX (derived sm_carrier
+    domain); the jan..dec column names become m01..m12 so the wide
+    schema stays ordered.  Month columns named mNN_* on both sides;
+    `year` aliased year_ (DuckDB keyword).""",
+)
+
+_register(
+    "tpcds_q72",
+    """
+    SELECT i_item_desc, w_warehouse_name, d1.d_week_seq AS d_week_seq,
+           CAST(SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS no_promo,
+           CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS promo,
+           CAST(COUNT(*) AS BIGINT) AS total_cnt
+    FROM catalog_sales
+    JOIN inventory ON (cs_item_sk = inv_item_sk)
+    JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+    JOIN item ON (i_item_sk = cs_item_sk)
+    JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+    JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+    JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+    JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+    JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+    LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
+    LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
+                                        AND cr_order_number
+                                            = cs_order_number)
+    WHERE d1.d_week_seq = d2.d_week_seq
+      AND inv_quantity_on_hand < cs_quantity
+      AND d3.d_date > d1.d_date + INTERVAL 5 DAY
+      AND hd_buy_potential = '1001-5000'
+      AND d1.d_year = 2001
+      AND cd_marital_status = 'M'
+    GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+    ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d_week_seq
+    LIMIT 100
+    """,
+    doc="""TPC-DS q72 (reference tpcds_sql/72.sql) executed VERBATIM
+    (constants included): catalog orders that outstrip same-week
+    inventory, shipped more than 5 days late, for married
+    mid-potential households — the 3-date-role join (sold/inventory/
+    ship) plus demographic dims and LEFT JOINs to promotion and
+    returns.  catalog_sales gains cs_bill_hdemo_sk; counts BIGINT.
+    At scale the inventory⋈sales item join is the bottleneck: Spark
+    hashes on cs_item_sk/inv_item_sk and the week-seq equality prunes
+    inside the join, dims broadcast.""",
+)
+
+_register(
+    "tpcds_q75",
+    """
+    , all_sales AS (
+      SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+             SUM(sales_cnt) AS sales_cnt, SUM(sales_amt) AS sales_amt
+      FROM (SELECT d_year, i_brand_id, i_class_id, i_category_id,
+                   i_manufact_id,
+                   CAST(cs_quantity AS DECIMAL(38,6))
+                       - CAST(COALESCE(cr_return_quantity, 0)
+                              AS DECIMAL(38,6)) AS sales_cnt,
+                   CAST(cs_ext_sales_price AS DECIMAL(38,6))
+                       - CAST(COALESCE(cr_return_amount, 0.0)
+                              AS DECIMAL(38,6)) AS sales_amt
+            FROM catalog_sales
+            JOIN item ON i_item_sk = cs_item_sk
+            JOIN date_dim ON d_date_sk = cs_sold_date_sk
+            LEFT JOIN catalog_returns ON (cs_order_number = cr_order_number
+                                          AND cs_item_sk = cr_item_sk)
+            WHERE i_category = 'STANDARD'
+            UNION
+            SELECT d_year, i_brand_id, i_class_id, i_category_id,
+                   i_manufact_id,
+                   CAST(ss_quantity AS DECIMAL(38,6))
+                       - CAST(COALESCE(sr_return_quantity, 0)
+                              AS DECIMAL(38,6)) AS sales_cnt,
+                   CAST(ss_ext_sales_price AS DECIMAL(38,6))
+                       - CAST(COALESCE(sr_return_amt, 0.0)
+                              AS DECIMAL(38,6)) AS sales_amt
+            FROM store_sales
+            JOIN item ON i_item_sk = ss_item_sk
+            JOIN date_dim ON d_date_sk = ss_sold_date_sk
+            LEFT JOIN store_returns ON (ss_ticket_number = sr_ticket_number
+                                        AND ss_item_sk = sr_item_sk)
+            WHERE i_category = 'STANDARD'
+            UNION
+            SELECT d_year, i_brand_id, i_class_id, i_category_id,
+                   i_manufact_id,
+                   CAST(ws_quantity AS DECIMAL(38,6))
+                       - CAST(COALESCE(wr_return_quantity, 0)
+                              AS DECIMAL(38,6)) AS sales_cnt,
+                   CAST(ws_ext_sales_price AS DECIMAL(38,6))
+                       - CAST(COALESCE(wr_return_amt, 0.0)
+                              AS DECIMAL(38,6)) AS sales_amt
+            FROM web_sales
+            JOIN item ON i_item_sk = ws_item_sk
+            JOIN date_dim ON d_date_sk = ws_sold_date_sk
+            LEFT JOIN web_returns ON (ws_order_number = wr_order_number
+                                      AND ws_item_sk = wr_item_sk)
+            WHERE i_category = 'STANDARD') sales_detail
+      GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id
+    )
+    SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
+           curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+           curr_yr.i_manufact_id,
+           CAST(prev_yr.sales_cnt AS DOUBLE) AS prev_yr_cnt,
+           CAST(curr_yr.sales_cnt AS DOUBLE) AS curr_yr_cnt,
+           CAST(curr_yr.sales_cnt - prev_yr.sales_cnt AS DOUBLE)
+               AS sales_cnt_diff,
+           CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE)
+               AS sales_amt_diff
+    FROM all_sales curr_yr, all_sales prev_yr
+    WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+      AND curr_yr.i_class_id = prev_yr.i_class_id
+      AND curr_yr.i_category_id = prev_yr.i_category_id
+      AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+      AND curr_yr.d_year = 2000
+      AND prev_yr.d_year = 2000 - 1
+      AND CAST(curr_yr.sales_cnt AS DOUBLE)
+          / CAST(NULLIF(prev_yr.sales_cnt, 0) AS DOUBLE) < 0.9
+    ORDER BY sales_cnt_diff, sales_amt_diff,
+             curr_yr.i_brand_id, curr_yr.i_class_id,
+             curr_yr.i_category_id, curr_yr.i_manufact_id
+    LIMIT 100
+    """,
+    doc="""TPC-DS q75 (reference tpcds_sql/75.sql) executed: net
+    quantity/amount sold per item identity across all three channels
+    (UNION-deduplicated, returns netted via LEFT JOIN), year-over-year
+    self-join keeping identities whose net unit sales shrank >10%.
+    item gains i_class_id.  Adaptations: i_category Sports ->
+    STANDARD (derived p_type domain); 2002/2001 -> 2000/1999 (the
+    derived calendar's last full year pair); the DECIMAL(17,2) ratio
+    division becomes IEEE double division over NULLIF(prev,0) (exact
+    decimal operands; ANSI Spark raises on /0 where DuckDB yields inf
+    — NULLIF excludes zero-denominator rows identically on both);
+    ORDER BY gains the four item-identity keys after the reference's
+    diff keys so the LIMIT cut is deterministic under ties.""",
+)
+
+_register(
+    "tpcds_q78",
+    """
+    , ws AS (
+      SELECT d_year AS ws_sold_year, ws_item_sk,
+             ws_bill_customer_sk AS ws_customer_sk,
+             SUM(CAST(ws_quantity AS DECIMAL(38,6))) AS ws_qty,
+             SUM(CAST(ws_wholesale_cost AS DECIMAL(38,6))) AS ws_wc,
+             SUM(CAST(ws_sales_price AS DECIMAL(38,6))) AS ws_sp
+      FROM web_sales
+      LEFT JOIN web_returns ON wr_order_number = ws_order_number
+                            AND ws_item_sk = wr_item_sk
+      JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      WHERE wr_order_number IS NULL
+      GROUP BY d_year, ws_item_sk, ws_bill_customer_sk
+    ),
+    cs AS (
+      SELECT d_year AS cs_sold_year, cs_item_sk,
+             cs_bill_customer_sk AS cs_customer_sk,
+             SUM(CAST(cs_quantity AS DECIMAL(38,6))) AS cs_qty,
+             SUM(CAST(cs_wholesale_cost AS DECIMAL(38,6))) AS cs_wc,
+             SUM(CAST(cs_sales_price AS DECIMAL(38,6))) AS cs_sp
+      FROM catalog_sales
+      LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+                                AND cs_item_sk = cr_item_sk
+      JOIN date_dim ON cs_sold_date_sk = d_date_sk
+      WHERE cr_order_number IS NULL
+      GROUP BY d_year, cs_item_sk, cs_bill_customer_sk
+    ),
+    ss AS (
+      SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
+             SUM(CAST(ss_quantity AS DECIMAL(38,6))) AS ss_qty,
+             SUM(CAST(ss_wholesale_cost AS DECIMAL(38,6))) AS ss_wc,
+             SUM(CAST(ss_sales_price AS DECIMAL(38,6))) AS ss_sp
+      FROM store_sales
+      LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+                              AND ss_item_sk = sr_item_sk
+      JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      WHERE sr_ticket_number IS NULL
+      GROUP BY d_year, ss_item_sk, ss_customer_sk
+    )
+    SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+           CAST(ROUND(CAST(ss_qty AS DOUBLE)
+                      / (COALESCE(CAST(ws_qty AS DOUBLE), 0)
+                         + COALESCE(CAST(cs_qty AS DOUBLE), 0)), 2)
+                AS DOUBLE) AS ratio,
+           CAST(ss_qty AS DOUBLE) AS store_qty,
+           CAST(ss_wc AS DOUBLE) AS store_wholesale_cost,
+           CAST(ss_sp AS DOUBLE) AS store_sales_price,
+           CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE)
+               AS other_chan_qty,
+           CAST(COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0) AS DOUBLE)
+               AS other_chan_wholesale_cost,
+           CAST(COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) AS DOUBLE)
+               AS other_chan_sales_price
+    FROM ss
+    LEFT JOIN ws ON (ws_sold_year = ss_sold_year
+                     AND ws_item_sk = ss_item_sk
+                     AND ws_customer_sk = ss_customer_sk)
+    LEFT JOIN cs ON (cs_sold_year = ss_sold_year
+                     AND cs_item_sk = ss_item_sk
+                     AND cs_customer_sk = ss_customer_sk)
+    WHERE (COALESCE(ws_qty, 0) > 0 OR COALESCE(cs_qty, 0) > 0)
+      AND ss_sold_year = 2000
+    ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk, ss_qty DESC,
+             ss_wc DESC, ss_sp DESC, other_chan_qty,
+             other_chan_wholesale_cost, other_chan_sales_price, ratio
+    LIMIT 100
+    """,
+    doc="""TPC-DS q78 (reference tpcds_sql/78.sql) executed VERBATIM
+    (constants included): per item-customer-year, store-channel volume
+    kept only for never-returned sales (anti-join spelled as the
+    reference's LEFT JOIN .. IS NULL), compared against the summed
+    web+catalog volume.  web/catalog facts gain per-unit
+    wholesale-cost columns; quantity/cost sums are decimal-exact and
+    the round(ratio,2) rounds an IEEE double identically on both
+    engines.  The three channel aggregations shuffle once each on
+    (year, item, customer) and the two LEFT JOINs reuse that
+    partitioning.""",
 )
