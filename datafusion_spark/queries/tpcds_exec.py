@@ -4303,7 +4303,12 @@ _register(
     reference's own odd baseline — the store's average over rows with
     a MISSING household key, real since the derivation carries NULL
     hdemo fractions.  ss_store_sk 50 -> 4 (derived 10-store domain);
-    averages exact-decimal; rank CAST BIGINT both engines.""",
+    averages exact-decimal; rank CAST BIGINT both engines.  Scale: the
+    rnk < 11 filter triggers Spark's WindowGroupLimit inference — each
+    partition forwards only its local top-10 into the SinglePartition
+    rank exchange (pinned by
+    test_no_unguarded_single_partition_window), so the global window
+    sees <= 10 x partitions rows, never the item-grain aggregate.""",
 )
 
 _register(
@@ -4455,59 +4460,97 @@ _register(
 )
 
 
-def _q49_channel(alias: str, fact: str, rtbl: str, p: str, rp: str,
-                 amt: str = "return_amt") -> str:
+def _q49_in(alias: str, fact: str, rtbl: str, p: str, rp: str,
+            amt: str = "return_amt") -> str:
+    """Per-item return ratios for one q49 channel (reference
+    tpcds_sql/49.sql inner aggregate)."""
     return f"""
-    SELECT '{alias}' AS channel, {alias}x.item, {alias}x.return_ratio,
-           {alias}x.return_rank, {alias}x.currency_rank
+    in_{alias} AS (
+      SELECT f.{p}_item_sk AS item,
+             CAST(SUM(CAST(coalesce(r.{rp}_return_quantity, 0)
+                           AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(coalesce(f.{p}_quantity, 0)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                 AS return_ratio,
+             CAST(SUM(CAST(coalesce(r.{rp}_{amt}, 0)
+                           AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(coalesce(f.{p}_net_paid, 0)
+                                 AS DECIMAL(38,6))) AS DOUBLE)
+                 AS currency_ratio
+      FROM {fact} f LEFT OUTER JOIN {rtbl} r
+        ON (f.{p}_order_number = r.{rp}_order_number
+            AND f.{p}_item_sk = r.{rp}_item_sk), date_dim
+      WHERE r.{rp}_{amt} > 1000
+        AND f.{p}_net_profit > 1
+        AND f.{p}_net_paid > 0
+        AND f.{p}_quantity > 0
+        AND {p}_sold_date_sk = d_date_sk
+        AND d_year = 2000
+        AND d_moy = 12
+      GROUP BY f.{p}_item_sk
+    )"""
+
+
+def _q49_channel(alias: str) -> str:
+    """One q49 channel leg, scale-safe: the reference ranks every
+    per-item row twice in ONE partition (rank() OVER (ORDER BY ...)
+    with no PARTITION BY) and keeps rank<=10 on either metric.  The OR
+    of two rank filters defeats Spark's WindowGroupLimit inference, so
+    the verbatim text would move the whole per-item aggregate (grows
+    with item count) into a single task at scale.  Equivalent two-phase
+    construction: (1) each metric's top-10 via its own rank branch —
+    the single-metric rank<=10 filter DOES trigger WindowGroupLimit, so
+    every partition forwards at most 10 rows; (2) the <=20 UNIONed
+    candidates broadcast against the channel aggregate and each exact
+    rank is recovered as 1 + count(strictly smaller), the definition of
+    rank() — ties and all.  Output rows and values are identical to the
+    reference text."""
+    return f"""
+    SELECT '{alias}' AS channel, cand.item, cand.return_ratio,
+           CAST(1 + SUM(CASE WHEN x.return_ratio < cand.return_ratio
+                        THEN 1 ELSE 0 END) AS BIGINT) AS return_rank,
+           CAST(1 + SUM(CASE WHEN x.currency_ratio < cand.currency_ratio
+                        THEN 1 ELSE 0 END) AS BIGINT) AS currency_rank
     FROM (
-      SELECT item, return_ratio, currency_ratio,
-             CAST(rank() OVER (ORDER BY return_ratio) AS BIGINT)
-                 AS return_rank,
-             CAST(rank() OVER (ORDER BY currency_ratio) AS BIGINT)
-                 AS currency_rank
-      FROM (SELECT f.{p}_item_sk AS item,
-                   CAST(SUM(CAST(coalesce(r.{rp}_return_quantity, 0)
-                                 AS DECIMAL(38,6))) AS DOUBLE)
-                       / CAST(SUM(CAST(coalesce(f.{p}_quantity, 0)
-                                       AS DECIMAL(38,6))) AS DOUBLE)
-                       AS return_ratio,
-                   CAST(SUM(CAST(coalesce(r.{rp}_{amt}, 0)
-                                 AS DECIMAL(38,6))) AS DOUBLE)
-                       / CAST(SUM(CAST(coalesce(f.{p}_net_paid, 0)
-                                       AS DECIMAL(38,6))) AS DOUBLE)
-                       AS currency_ratio
-            FROM {fact} f LEFT OUTER JOIN {rtbl} r
-              ON (f.{p}_order_number = r.{rp}_order_number
-                  AND f.{p}_item_sk = r.{rp}_item_sk), date_dim
-            WHERE r.{rp}_{amt} > 1000
-              AND f.{p}_net_profit > 1
-              AND f.{p}_net_paid > 0
-              AND f.{p}_quantity > 0
-              AND {p}_sold_date_sk = d_date_sk
-              AND d_year = 2000
-              AND d_moy = 12
-            GROUP BY f.{p}_item_sk) in_{alias}
-    ) {alias}x
-    WHERE ({alias}x.return_rank <= 10 OR {alias}x.currency_rank <= 10)
+      SELECT item, return_ratio, currency_ratio FROM (
+        SELECT item, return_ratio, currency_ratio,
+               rank() OVER (ORDER BY return_ratio) AS rk
+        FROM in_{alias}) t1 WHERE rk <= 10
+      UNION
+      SELECT item, return_ratio, currency_ratio FROM (
+        SELECT item, return_ratio, currency_ratio,
+               rank() OVER (ORDER BY currency_ratio) AS rk
+        FROM in_{alias}) t2 WHERE rk <= 10
+    ) cand, in_{alias} x
+    GROUP BY cand.item, cand.return_ratio, cand.currency_ratio
+    HAVING 1 + SUM(CASE WHEN x.return_ratio < cand.return_ratio
+                   THEN 1 ELSE 0 END) <= 10
+        OR 1 + SUM(CASE WHEN x.currency_ratio < cand.currency_ratio
+                   THEN 1 ELSE 0 END) <= 10
     """
 
 
 _register(
     "tpcds_q49",
-    _q49_channel("web", "web_sales", "web_returns", "ws", "wr")
-    + " UNION "
-    + _q49_channel("ctlg", "catalog_sales", "catalog_returns", "cs", "cr",
-                   amt="return_amount")
-    .replace("'ctlg' AS channel", "'catalog' AS channel")
-    + " UNION "
-    + _q49_channel("store", "store_sales_k", "store_returns", "ssk", "sr")
+    ", "
+    + _q49_in("web", "web_sales", "web_returns", "ws", "wr").lstrip()
+    + ","
+    + _q49_in("ctlg", "catalog_sales", "catalog_returns", "cs", "cr",
+              amt="return_amount")
+    + ","
+    + _q49_in("store", "store_sales_k", "store_returns", "ssk", "sr")
     .replace("FROM store_sales_k f", "FROM (SELECT ss_item_sk AS ssk_item_sk,"
              " ss_ticket_number AS ssk_order_number,"
              " ss_quantity AS ssk_quantity, ss_net_paid AS ssk_net_paid,"
              " ss_net_profit AS ssk_net_profit,"
              " ss_sold_date_sk AS ssk_sold_date_sk FROM store_sales) f")
     .replace("sr_order_number", "sr_ticket_number")
+    + _q49_channel("web")
+    + " UNION "
+    + _q49_channel("ctlg").replace("'ctlg' AS channel",
+                                   "'catalog' AS channel")
+    + " UNION "
+    + _q49_channel("store")
     + """
     ORDER BY 1, 4, 5, 2
     LIMIT 100
@@ -4518,11 +4561,16 @@ _register(
     reference's left-join-then-filter (the return predicate
     re-inner-joins) is kept verbatim; the store leg aliases its
     ticket-number as the order key through a projected sub-select so
-    the three channels share one text template.  DECIMAL(15,4) ratio
-    casts become exact-decimal-sum ratios in DOUBLE; the
-    wr_return_amt > 10000 threshold retargets to > 1000 (the derived
-    0.1x-extendedprice refunds cap near 10k, selecting nothing);
-    ordinal ORDER BY 1,4,5,2 verbatim.""",
+    the three channels share one text template.  The unpartitioned
+    double-rank is restructured into the two-phase top-k + count-rank
+    construction (see _q49_channel: WindowGroupLimit-eligible rank
+    branches, then rank = 1 + count(smaller) over broadcast
+    candidates) — row-identical to the reference, no fact-sized
+    SinglePartition window.  DECIMAL(15,4) ratio casts become
+    exact-decimal-sum ratios in DOUBLE; the wr_return_amt > 10000
+    threshold retargets to > 1000 (the derived 0.1x-extendedprice
+    refunds cap near 10k, selecting nothing); ordinal ORDER BY
+    1,4,5,2 verbatim.""",
 )
 
 

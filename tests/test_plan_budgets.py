@@ -191,7 +191,29 @@ SHUFFLE_BUDGETS = {
     "tpcds_q51": 7,  # 2 channel agg+window legs + full-outer + outer window
     "tpcds_q70": 6,  # top-5-state gate (agg+window) + rollup + rank
     "tpcds_q67": 2,  # 8-level rollup agg + per-category rank window
-    "tpcds_q49": 12, # 3 channel legs x (SMJ returns join + agg + 2 ranks)
+    "tpcds_q49": 37, # 3 channels x 3 consumptions of the per-item CTE
+                     # (2 WindowGroupLimit rank branches + count-rank
+                     # join); statically inlined, AQE emits ~12
+                     # ReusedExchange at runtime.  The price of removing
+                     # the fact-sized SinglePartition double-rank.
+    # r7 final tranche (99/99 executed):
+    "tpcds_q5": 6,   # 3 channel P&L aggs + returns re-join + rollup
+    "tpcds_q8": 5,   # 2 INTERSECT-leg exchanges + prefix-set
+                     # distinct + store agg (measured at pin time)
+    "tpcds_q14": 49, # 3-way INTERSECT (3 fact scans) + avg_sales (3) +
+                     # 3 channel legs + rollup: the reference text itself
+                     # is a 9-fact-pass query
+    "tpcds_q23": 13, # frequent-items agg + max/best spender aggs + 2
+                     # channel legs with 2 IN-subqueries each
+    "tpcds_q24": 9,  # ss-sr SMJ + zip-equality star + 2-level agg + avg
+    "tpcds_q54": 6,  # union-channel buyer set + 3-month revenue window
+    "tpcds_q64": 15, # cs_ui agg + 17-relation chain + year self-join
+    "tpcds_q66": 3,  # 2 pivot legs + final re-agg
+    "tpcds_q72": 3,  # inventory-item join + demographic star + agg
+    "tpcds_q75": 18, # 3 channel UNION (distinct) legs + year self-join
+    "tpcds_q77": 7,  # 6 per-channel aggs + rollup union
+    "tpcds_q78": 9,  # 3 anti-join channel aggs + 2 left joins
+    "tpcds_q80": 10, # 3 channel returns-netting legs + rollup
 }
 
 BROADCAST_EXPECTED = [
@@ -349,3 +371,23 @@ def test_dynamic_partition_pruning_fires(spark):
     assert "dynamicpruningexpression" in buf.getvalue().lower(), (
         "dynamic partition pruning did not fire on the partitioned fact scan"
     )
+
+
+@pytest.mark.parametrize("name", ["tpcds_q44", "tpcds_q49"])
+def test_no_unguarded_single_partition_window(spark, name):
+    """q44/q49 rank the whole per-item aggregate in ONE partition in the
+    reference text.  Spark must never feed a fact-derived row set into a
+    SinglePartition exchange without a Partial WindowGroupLimit below it
+    (q44: inferred from the rank<11 filter; q49: restructured into
+    top-k + count-rank).  Guards the 100 TB hazard the r6 verdict
+    flagged."""
+    df = QUERIES[name](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "".join(lines[i + 1:i + 4])
+            assert "WindowGroupLimit" in below, (
+                f"{name}: SinglePartition exchange at plan line {i} has no "
+                "Partial WindowGroupLimit feeding it:\n" + line
+            )
