@@ -637,3 +637,86 @@ def agg_regr_moments(spark, sf_dir):
         F.round(F.regr_syy(y, x), -2).alias("syy"),
         F.round(F.regr_sxy(y, x), -2).alias("sxy"),
     )
+
+
+@query(
+    "agg_skip_partial_highcard",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(MIN(l_discount) AS DOUBLE) AS min_disc,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_discounted
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    GROUP BY l_orderkey, l_linenumber
+    """,
+    tags=("aggregate", "skip-partial"),
+)
+def agg_skip_partial_highcard(spark, sf_dir):
+    """Mirror of sqllogictest aggregate_skip_partial.slt: aggregate
+    correctness when every group is (nearly) unique — grouping by the
+    fact table's unique key, so the partial-aggregation hash map holds
+    one entry per input row.  The reference handles this regime by
+    SKIPPING partial aggregation (accumulators' convert_to_state emits
+    input rows as state directly); Spark instead keeps the two-phase
+    plan and SPILLS the partial hash map when it fills
+    (TungstenAggregationIterator sort-fallback) — same 100 TB memory
+    guarantee, different mechanism, values identical (pinned here
+    against the oracle: count/sum/min/max/conditional over the
+    high-cardinality grouping; all-numeric buffers keep the plan a
+    two-phase HashAggregate — a string extremum would silently demote
+    it to Sort+SortAggregate, a full sort of the fact table).  test_plan_budgets pins the two-phase
+    shape so a regression to a single-phase shuffle-all plan (which
+    would move |rows| ungrouped) is visible."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double").alias("sum_qty"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.min("l_discount").cast("double").alias("min_disc"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+            .cast("bigint").alias("n_discounted"),
+    )
+
+
+@query(
+    "agg_func_substitute_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           (list(l_extendedprice ORDER BY l_extendedprice))[1]
+               AS first_price,
+           (list(l_extendedprice ORDER BY l_extendedprice DESC))[1]
+               AS last_price,
+           (list(l_linenumber ORDER BY l_extendedprice, l_linenumber))[1]
+               AS cheapest_line
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+    tags=("aggregate", "substitution"),
+)
+def agg_func_substitute_sorted(spark, sf_dir):
+    """Mirror of sqllogictest agg_func_substitute.slt: ARRAY_AGG(x ORDER
+    BY x)[1] must be planned as a cheap extremum, never by materialising
+    the sorted array.  The reference substitutes nth_value(x, 1) with
+    Sorted ordering_mode; Spark has no automatic rewrite, so the
+    substitution is applied at authoring time — min / max / min_by
+    replace the array construction (the oracle spells the reference's
+    array form, so value equality proves the substitution exact,
+    with the line number as explicit tie-break on both sides —
+    ordered-list-head ties are engine-unspecified otherwise).  test_plan_budgets pins that no collect_list/sort_array
+    appears in the plan: at 100 TB an O(group-size) array per group is
+    an accumulator blow-up, an O(1) extremum is free."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_extendedprice").alias("first_price"),
+        F.max("l_extendedprice").alias("last_price"),
+        F.expr("min_by(l_linenumber, struct(l_extendedprice, l_linenumber))")
+            .alias("cheapest_line"),
+    )

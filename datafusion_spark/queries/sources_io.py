@@ -660,3 +660,93 @@ def source_parquet_cdc_chunking(spark, sf_dir):
             & (F.col("max_key") == F.col("max_key2"))
         ).alias("layouts_agree"),
     )
+
+
+@query(
+    "source_parquet_stats_pruning",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 2000
+    """,
+    tags=("sources", "parquet", "statistics"),
+)
+def source_parquet_stats_pruning(spark, sf_dir):
+    """Mirror of sqllogictest parquet_statistics.slt: a point/range
+    predicate on parquet must be answered from footer min/max
+    statistics, reading only the row groups whose [min,max] intersects
+    the predicate.  The reference pins pruning_predicate =
+    key_min <= hi AND lo <= key_max in its DataSourceExec; Spark's
+    parquet reader applies the same row-group test when the filter is
+    pushed (PushedFilters in the scan).  The entry writes orders
+    key-sorted with deliberately small row groups (so the file carries
+    many prunable groups), then range-filters and aggregates; the
+    oracle reads the ORIGINAL parquet, proving the rewritten layout
+    changed nothing.  test_plan_budgets pins the scan-level evidence:
+    pushed filter present and scan output rows << table rows (row
+    groups outside the band were never decoded)."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_stats_sorted")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (orders.repartition(1).sortWithinPartitions("o_orderkey")
+               .write.mode("overwrite")
+               .option("parquet.block.size", 16 * 1024)
+               .parquet(path))
+    back = spark.read.parquet(path)
+    f = back.filter(F.col("o_orderkey").between(1000, 2000))
+    return f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "source_parquet_sorted_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-02-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("sources", "parquet", "statistics"),
+)
+def source_parquet_sorted_stats(spark, sf_dir):
+    """Mirror of sqllogictest parquet_sorted_statistics.slt: when the
+    file layout is SORTED on the filter key, footer min/max ranges are
+    disjoint and tight, so a range predicate prunes all but the
+    matching run of row groups — the reference declares WITH ORDER and
+    leans on it for exact statistics; Spark gets the same effect from
+    the physical sort order at write time.  The entry writes lineitem
+    shipdate-sorted with small row groups and range-filters one month;
+    the test proves layout-driven pruning by comparing scan output
+    rows under the sorted layout against the same predicate on a
+    key-shuffled copy (sorted prunes to ~1/84 of rows, shuffled
+    layout's overlapping [min,max] ranges prune nothing) — statistics
+    quality IS a layout property, which is the slt's point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(_SCRATCH, "lineitem_shipdate_sorted")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (li.repartition(1).sortWithinPartitions("l_shipdate")
+           .write.mode("overwrite")
+           .option("parquet.block.size", 64 * 1024)
+           .parquet(path))
+    back = spark.read.parquet(path)
+    f = back.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-02-01")
+    )
+    return f.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )

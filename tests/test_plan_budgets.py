@@ -391,3 +391,115 @@ def test_no_unguarded_single_partition_window(spark, name):
                 f"{name}: SinglePartition exchange at plan line {i} has no "
                 "Partial WindowGroupLimit feeding it:\n" + line
             )
+
+
+def _rowgroup_prune_fraction(path, col, lo, hi):
+    """Fraction of row groups whose [min,max] stats intersect [lo, hi] —
+    what a stats-driven reader must decode given the pushed predicate."""
+    import glob
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{path}/*.parquet")
+    assert files, path
+    total = kept = 0
+    for fpath in files:
+        md = pq.ParquetFile(fpath).metadata
+        idx = md.schema.names.index(col)
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            total += 1
+            if st.min <= hi and lo <= st.max:
+                kept += 1
+    return kept / total, total
+
+
+def test_parquet_stats_pruning_layout(spark):
+    """parquet_statistics.slt mirror pin: the range predicate is pushed
+    into the scan AND the written layout's row-group min/max stats prune
+    most groups — the two facts that together make the reader skip
+    row groups (the reference pins the same via pruning_predicate on
+    its DataSourceExec)."""
+    import os
+    import tempfile
+
+    from datafusion_spark.plans import explain_str
+
+    df = QUERIES["source_parquet_stats_pruning"](spark, SF_SMALL)
+    txt = explain_str(df)
+    assert "PushedFilters" in txt and "GreaterThanOrEqual(o_orderkey,1000)" in txt, (
+        "range predicate not pushed to the parquet scan")
+    path = os.path.join(tempfile.gettempdir(), "datafusion_spark_io",
+                        "orders_stats_sorted")
+    frac, total = _rowgroup_prune_fraction(path, "o_orderkey", 1000, 2000)
+    assert total >= 5, f"expected many row groups, layout has {total}"
+    assert frac <= 0.5, (
+        f"sorted layout should prune >=50% of {total} row groups for the "
+        f"1000-2000 band; only {1-frac:.0%} pruned")
+
+
+def test_parquet_sorted_stats_tighter_than_shuffled(spark):
+    """parquet_sorted_statistics.slt mirror pin: sortedness is what makes
+    footer statistics selective.  The same one-month predicate prunes
+    most row groups on the shipdate-sorted layout but (almost) none on a
+    key-shuffled copy of the same rows — statistics quality is a layout
+    property, which is the slt's WITH ORDER point."""
+    import os
+    import tempfile
+
+    from datafusion_spark.catalog import load_table
+    from datafusion_spark.plans import explain_str
+
+    df = QUERIES["source_parquet_sorted_stats"](spark, SF_SMALL)
+    df.collect()  # ensure the sorted layout exists
+    txt = explain_str(df)
+    assert "PushedFilters" in txt and "l_shipdate" in txt
+
+    scratch = os.path.join(tempfile.gettempdir(), "datafusion_spark_io")
+    sorted_path = os.path.join(scratch, "lineitem_shipdate_sorted")
+    shuffled_path = os.path.join(scratch, "lineitem_shipdate_shuffled")
+    if not os.path.exists(os.path.join(shuffled_path, "_SUCCESS")):
+        (load_table(spark, SF_SMALL, "lineitem")
+         .repartition(1).sortWithinPartitions("l_orderkey")
+         .write.mode("overwrite")
+         .option("parquet.block.size", 64 * 1024)
+         .parquet(shuffled_path))
+    from datetime import datetime
+
+    lo, hi = datetime(1997, 1, 1), datetime(1997, 1, 31)
+    frac_sorted, n1 = _rowgroup_prune_fraction(
+        sorted_path, "l_shipdate", lo, hi)
+    frac_shuffled, n2 = _rowgroup_prune_fraction(
+        shuffled_path, "l_shipdate", lo, hi)
+    assert n1 >= 5 and n2 >= 5
+    assert frac_sorted <= 0.25, (
+        f"sorted layout must confine one month to <=25% of row groups, "
+        f"got {frac_sorted:.0%} of {n1}")
+    assert frac_shuffled >= 0.9, (
+        f"shuffled layout's overlapping stats should keep ~all groups, "
+        f"got {frac_shuffled:.0%} of {n2} — the contrast is the pin")
+
+
+def test_agg_substitution_no_array_state(spark):
+    """agg_func_substitute.slt mirror pin: ARRAY_AGG(x ORDER BY x)[1]
+    must plan as min/max/min_by — never a per-group sorted array
+    accumulator (O(group size) state at 100 TB)."""
+    from datafusion_spark.plans import explain_str
+
+    txt = explain_str(QUERIES["agg_func_substitute_sorted"](spark, SF_SMALL))
+    assert "collect_list" not in txt and "sort_array" not in txt
+    assert "min_by" in txt or "minBy" in txt
+
+
+def test_skip_partial_highcard_two_phase(spark):
+    """aggregate_skip_partial.slt mirror pin: the high-cardinality
+    grouping stays a two-phase hash aggregate (partial map spills
+    rather than the plan degrading to a raw shuffle of ungrouped
+    rows); Spark's equivalent of the reference's convert_to_state
+    memory guarantee."""
+    from datafusion_spark.plans import explain_str
+
+    txt = explain_str(QUERIES["agg_skip_partial_highcard"](spark, SF_SMALL))
+    assert txt.count("HashAggregate") >= 2, (
+        "two-phase HashAggregate expected (a SortAggregate here means an "
+        "immutable-buffer aggregate snuck in and the fact table is being "
+        "fully sorted)")
