@@ -885,6 +885,18 @@ catalog_returns AS (
 """
 
 
+# Representative TPC-DS bench subset (one per heavy plan family): the
+# year_total CTE chain (q4), the 9-fact-pass cross-channel INTERSECT
+# (q14), the top-k+count-rank triple-channel ranks (q49), the cumulative
+# FULL OUTER window (q51), the 17-relation resale chain (q64), the
+# 8-level rollup + per-category rank (q67), the no-return anti-join
+# channels (q78), and the order-level EXISTS chain (q95) — tagged into
+# bench.py so round-over-round regressions on the executed-TPC-DS
+# surface are visible.
+_BENCH_TPCDS = {"tpcds_q4", "tpcds_q14", "tpcds_q49", "tpcds_q51",
+                "tpcds_q64", "tpcds_q67", "tpcds_q78", "tpcds_q95"}
+
+
 def _register(name: str, body: str, doc: str) -> None:
     def fn(spark, sf_dir, _body=body):
         return spark.sql(
@@ -893,7 +905,8 @@ def _register(name: str, body: str, doc: str) -> None:
 
     fn.__name__ = name
     fn.__doc__ = doc
-    query(name, oracle=_DUCK_DERIVE + body, tags=("tpcds", "exec"))(fn)
+    tags = ("tpcds", "exec", "bench") if name in _BENCH_TPCDS else ("tpcds", "exec")
+    query(name, oracle=_DUCK_DERIVE + body, tags=tags)(fn)
 
 
 _register(
