@@ -154,6 +154,10 @@ def _interleave_families() -> None:
         "source_parquet_sorted_stats",
         "agg_skip_partial_highcard",
         "agg_func_substitute_sorted",
+        "join_outer_filter_pushdown",
+        "nested_unnest_filter_pushdown",
+        "compat_ident_normalization",
+        "source_schema_evolution_nested",
     }
 
     def tier(name: str) -> int:

@@ -488,3 +488,43 @@ def pg_compat_dialect(spark, sf_dir):
     (decimal-accumulated avg for a bit-stable double), and every ``::``
     cast round-trip."""
     return _run_plain(spark, sf_dir, _PG_COMPAT_SQL)
+
+
+@query(
+    "compat_ident_normalization",
+    oracle="""
+    SELECT n_regionkey AS Region_Key,
+           CAST(COUNT(*) AS BIGINT) AS N_Nations,
+           MIN(n_name) AS First_Nation
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY Region_Key
+    """,
+    tags=("compat", "identifiers"),
+)
+def compat_ident_normalization(spark, sf_dir):
+    """Mirror of sqllogictest ident_normalization.slt: unquoted
+    identifiers resolve case-insensitively while defined names keep
+    their case.  The reference lowercases unquoted idents at parse time
+    (FIELD1 -> field1) unless enable_ident_normalization=false; Spark
+    is case-preserving + case-insensitive-resolving
+    (spark.sql.caseSensitive=false default), DuckDB likewise — so
+    N_NATIONKEY / n_nationkey / N_NationKey all bind the same column
+    on both engines, which this entry exercises by referencing every
+    column in a different case than the parquet schema spells it.  The
+    driver compare also pins that ALIAS case round-trips: the output
+    columns are Region_Key/N_Nations/First_Nation with defined case on
+    both sides (DataFusion would need quoting for that; Spark/DuckDB
+    preserve it natively — divergence documented)."""
+    view = "IDENT_NORM_NATION"
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        view
+    )
+    return spark.sql("""
+        SELECT N_REGIONKEY AS Region_Key,
+               CAST(COUNT(*) AS BIGINT) AS N_Nations,
+               MIN(N_name) AS First_Nation
+        FROM ident_norm_nation
+        GROUP BY n_regionkey
+        ORDER BY region_key
+    """)

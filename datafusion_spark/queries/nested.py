@@ -542,3 +542,37 @@ def join_array_keys(spark, sf_dir):
         .select("p_partkey", "n")
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "nested_unnest_filter_pushdown",
+    oracle="""
+    SELECT token, p_size
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS token, p_size
+          FROM part) t
+    WHERE p_size = 5 AND token >= 'p'
+    ORDER BY token, p_size
+    LIMIT 500
+    """,
+    tags=("nested", "pushdown"),
+)
+def nested_unnest_filter_pushdown(spark, sf_dir):
+    """Mirror of sqllogictest push_down_filter_unnest.slt: a predicate
+    on a NON-unnested column must evaluate BELOW the unnest (the
+    reference plans FilterExec under UnnestExec for column1 = 2), while
+    a predicate on the unnested output stays above it.  Spark's
+    Generate behaves the same: the p_size filter reaches the parquet
+    scan (PushedFilters pin in test_plan_budgets) so only matching rows
+    are exploded — at corpus scale the difference is exploding 1/50th
+    of the table vs all of it — and the token filter runs post-Generate
+    because it can't exist earlier."""
+    p = _t(spark, sf_dir, "part")
+    exploded = (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"),
+                 "p_size")
+    )
+    return (
+        exploded.filter((F.col("p_size") == 5) & (F.col("token") >= "p"))
+        .orderBy("token", "p_size")
+        .limit(500)
+    )

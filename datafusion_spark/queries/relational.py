@@ -1012,3 +1012,43 @@ def sql_pipe_syntax(spark, sf_dir):
         |> SELECT l_returnflag, l_linestatus, sum_qty, n
         """
     )
+
+
+@query(
+    "join_outer_filter_pushdown",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched,
+           CAST(SUM(CAST(COALESCE(l_quantity, 0) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_qty
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey > 1000
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "pushdown"),
+)
+def join_outer_filter_pushdown(spark, sf_dir):
+    """Mirror of sqllogictest push_down_filter_outer_joins.slt: a WHERE
+    predicate on the LEFT side's JOIN KEY must be pushed below a LEFT
+    JOIN into BOTH scans — the key equality lets the optimizer infer
+    l_orderkey > K for the right side even though the join is
+    null-extending (the reference plans Filter under TableScan on both
+    t1 and t2).  Spark does the same via predicate pushdown +
+    InferFiltersFromConstraints; test_plan_budgets pins the inferred
+    GreaterThan on the lineitem scan.  The NULL-extension rows
+    (orders with no lineitem) are counted so the outer-join semantics
+    stay visible in the value check."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").filter(
+        F.col("o_orderkey") > 1000
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_unmatched"),
+        F.sum(F.coalesce(F.col("l_quantity"), F.lit(0)).cast(DEC))
+            .cast("double").alias("sum_qty"),
+    )

@@ -750,3 +750,66 @@ def source_parquet_sorted_stats(spark, sf_dir):
         F.min("l_extendedprice").cast("double").alias("min_price"),
         F.max("l_extendedprice").cast("double").alias("max_price"),
     )
+
+
+@query(
+    "source_schema_evolution_nested",
+    oracle="""
+    SELECT batch,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CASE WHEN vol IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_vol,
+           CAST(SUM(CAST(COALESCE(vol, 0) AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_vol
+    FROM (SELECT 'a' AS batch, p_retailprice AS price,
+                 CAST(NULL AS DOUBLE) AS vol
+          FROM part WHERE p_partkey % 2 = 0
+          UNION ALL
+          SELECT 'b' AS batch, p_retailprice AS price,
+                 CAST(p_size AS DOUBLE) AS vol
+          FROM part WHERE p_partkey % 2 = 1) t
+    GROUP BY batch
+    ORDER BY batch
+    """,
+    tags=("sources", "parquet", "schema-evolution"),
+)
+def source_schema_evolution_nested(spark, sf_dir):
+    """Mirror of sqllogictest schema_evolution_nested.slt: parquet files
+    written at different schema versions — a nested struct gaining a
+    field — must read as one table, with the missing field NULL-filled
+    for old files.  Batch 'a' writes info:{batch, price}; batch 'b'
+    writes info:{batch, price, vol}.  spark.read.option("mergeSchema",
+    "true") unions the struct fields exactly as the reference's schema
+    adapter maps each file's physical schema onto the merged table
+    schema.  The oracle derives the same rows from the base table (old
+    rows' vol IS NULL), so the value hash proves NULL-filling and field
+    alignment, not just rowcounts."""
+    part = load_table(spark, sf_dir, "part")
+    base = os.path.join(_SCRATCH, "nested_evolution")
+    pa_, pb = os.path.join(base, "va"), os.path.join(base, "vb")
+    if not os.path.exists(os.path.join(pa_, "_SUCCESS")):
+        (part.filter(F.col("p_partkey") % 2 == 0)
+             .select(F.struct(
+                 F.lit("a").alias("batch"),
+                 F.col("p_retailprice").alias("price")).alias("info"))
+             .write.mode("overwrite").parquet(pa_))
+    if not os.path.exists(os.path.join(pb, "_SUCCESS")):
+        (part.filter(F.col("p_partkey") % 2 == 1)
+             .select(F.struct(
+                 F.lit("b").alias("batch"),
+                 F.col("p_retailprice").alias("price"),
+                 F.col("p_size").cast("double").alias("vol")).alias("info"))
+             .write.mode("overwrite").parquet(pb))
+    merged = spark.read.option("mergeSchema", "true").parquet(pa_, pb)
+    return (
+        merged.groupBy(F.col("info.batch").alias("batch")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("info.price").cast("decimal(38,6)"))
+                .cast("double").alias("sum_price"),
+            F.sum(F.when(F.col("info.vol").isNull(), 1).otherwise(0))
+                .cast("bigint").alias("n_missing_vol"),
+            F.sum(F.coalesce(F.col("info.vol"), F.lit(0.0))
+                  .cast("decimal(38,6)")).cast("double").alias("sum_vol"),
+        ).orderBy("batch")
+    )

@@ -503,3 +503,26 @@ def test_skip_partial_highcard_two_phase(spark):
         "two-phase HashAggregate expected (a SortAggregate here means an "
         "immutable-buffer aggregate snuck in and the fact table is being "
         "fully sorted)")
+
+
+def test_outer_join_filter_pushed_both_sides(spark):
+    """push_down_filter_outer_joins.slt mirror pin: the left-key
+    predicate must reach BOTH parquet scans — the orders scan directly
+    and the lineitem scan via key-equality inference through the LEFT
+    join (the reference plans Filter under both TableScans)."""
+    from datafusion_spark.plans import explain_str
+
+    txt = explain_str(QUERIES["join_outer_filter_pushdown"](spark, SF_SMALL))
+    assert "GreaterThan(o_orderkey,1000)" in txt
+    assert "GreaterThan(l_orderkey,1000)" in txt, (
+        "filter not inferred onto the right side of the LEFT join")
+
+
+def test_unnest_filter_pushed_below_generate(spark):
+    """push_down_filter_unnest.slt mirror pin: the non-unnested column's
+    predicate evaluates below the explode — pushed into the parquet scan
+    — so only matching rows are ever exploded."""
+    from datafusion_spark.plans import explain_str
+
+    txt = explain_str(QUERIES["nested_unnest_filter_pushdown"](spark, SF_SMALL))
+    assert "EqualTo(p_size,5)" in txt, "p_size filter not pushed to scan"
