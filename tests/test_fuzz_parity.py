@@ -763,3 +763,72 @@ def test_random_decimal_precision_parity(spark, duck, exprs):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(duck_sql).fetchall()]
     assert got == want, f"{sql}\nfirst spark={got[:2]} duck={want[:2]}"
+
+
+# --- axis 11 (r7): join type x predicate placement (ON vs WHERE) -----------
+#
+# The null-extension semantics of outer joins make filter PLACEMENT
+# semantically load-bearing: a predicate in ON preserves the outer side's
+# unmatched rows, the same predicate in WHERE eliminates them (and lets
+# the optimizer convert the join to inner / push the filter down —
+# push_down_filter_outer_joins.slt is the fixed-case mirror, this is the
+# generator).  Both engines run the identical text; results are compared
+# through a row-collapsing aggregate so every query checks join
+# cardinality, null-extension counts and a value checksum at once.
+
+_JOIN_TYPES = ["INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+
+_JOIN_PREDS = [
+    # (predicate, side) — side tells the generator which relation it
+    # constrains so it can be placed in ON or WHERE meaningfully
+    ("o.o_totalprice > 100000.0", "left"),
+    ("o.o_orderstatus = 'F'", "left"),
+    ("o.o_orderkey % 5 = 0", "left"),
+    ("c.c_acctbal > 0.0", "right"),
+    ("c.c_mktsegment = 'BUILDING'", "right"),
+    ("c.c_custkey % 3 = 1", "right"),
+]
+
+
+@st.composite
+def join_placement_spec(draw):
+    jt = draw(st.sampled_from(_JOIN_TYPES))
+    pred, _side = draw(st.sampled_from(_JOIN_PREDS))
+    placement = draw(st.sampled_from(["on", "where"]))
+    return jt, pred, placement
+
+
+@given(join_placement_spec())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_predicate_placement_parity(spark, duck_join, spec):
+    jt, pred, placement = spec
+    on = "o.o_custkey = c.c_custkey"
+    where = ""
+    if placement == "on":
+        on = f"{on} AND {pred}"
+    else:
+        where = f"WHERE {pred}"
+    sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS left_only, "
+        "CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS right_only, "
+        "CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(38,6))) "
+        "AS DOUBLE) AS checksum_price, "
+        "CAST(SUM(CAST(COALESCE(c.c_custkey, 0) AS BIGINT)) AS BIGINT) "
+        "AS checksum_cust "
+        f"FROM orders o {jt} customer c ON {on} {where}"
+    )
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck_join.execute(sql).fetchall()]
+    assert len(got) == len(want) == 1, sql
+    for gv, wv in zip(got[0], want[0]):
+        if isinstance(gv, float) and wv is not None:
+            assert gv == pytest.approx(float(wv), abs=1e-6), sql
+        else:
+            assert (gv == wv) or (gv is None and wv is None), sql
