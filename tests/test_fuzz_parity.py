@@ -776,7 +776,7 @@ def test_random_decimal_precision_parity(spark, duck, exprs):
 # through a row-collapsing aggregate so every query checks join
 # cardinality, null-extension counts and a value checksum at once.
 
-_JOIN_TYPES = ["INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+_PLACEMENT_JOIN_TYPES = ["INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
 
 _JOIN_PREDS = [
     # (predicate, side) — side tells the generator which relation it
@@ -792,7 +792,7 @@ _JOIN_PREDS = [
 
 @st.composite
 def join_placement_spec(draw):
-    jt = draw(st.sampled_from(_JOIN_TYPES))
+    jt = draw(st.sampled_from(_PLACEMENT_JOIN_TYPES))
     pred, _side = draw(st.sampled_from(_JOIN_PREDS))
     placement = draw(st.sampled_from(["on", "where"]))
     return jt, pred, placement
