@@ -281,3 +281,87 @@ def catalog_parquet_metadata(spark, sf_dir):
     return spark.createDataFrame(
         rows, schema="row_group_id bigint, num_rows bigint, n_cols bigint"
     )
+
+
+# --- statistics-driven planning: listing_table_statistics.slt /
+# --- statistics_registry.slt mirror (r7) ------------------------------------
+
+
+_CBO_JOIN_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+    FROM cbo_lineitem JOIN cbo_orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey <= 150
+    GROUP BY o_orderpriority
+"""
+
+
+def _cbo_tables(spark: SparkSession, sf_dir: str) -> None:
+    """External tables + ANALYZE, idempotent.  ANALYZE is re-run on every
+    call — it's a metadata-only footer/column scan on the dimension-scale
+    inputs here, and re-running keeps the stats honest if sf_dir changes
+    between calls in one session."""
+    for name, table in (("cbo_orders", "orders"), ("cbo_lineitem", "lineitem")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} USING parquet "
+            f"LOCATION '{sf_dir}/{table}.parquet'"
+        )
+    spark.sql(
+        "ANALYZE TABLE cbo_orders COMPUTE STATISTICS "
+        "FOR COLUMNS o_orderkey, o_orderpriority, o_totalprice"
+    )
+    spark.sql(
+        "ANALYZE TABLE cbo_lineitem COMPUTE STATISTICS "
+        "FOR COLUMNS l_orderkey, l_extendedprice"
+    )
+
+
+@query(
+    "catalog_analyze_cbo",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey <= 150
+    GROUP BY o_orderpriority
+    """,
+    tags=("catalog", "statistics", "cbo", "slt"),
+)
+def catalog_analyze_cbo(spark, sf_dir):
+    """Statistics-driven planning, mirroring the reference's
+    listing_table_statistics.slt / statistics_registry.slt: the listing
+    table exposes exact row-count/size/min/max statistics and the
+    optimizer consumes them for estimation.  Spark's analogue is ANALYZE
+    TABLE ... COMPUTE STATISTICS FOR COLUMNS + spark.sql.cbo.enabled:
+    with column stats, FilterEstimation turns `o_orderkey <= 150` into a
+    ~1% selectivity from the [min,max] range, the filtered side's
+    estimated size drops below the broadcast threshold, and the join
+    plans as BroadcastHashJoin — withOUT stats the size-only estimator
+    keeps the full file size and the same query plans a shuffle join.
+    That stats-flip is THE 100 TB lever (a mis-estimated build side at
+    scale is an OOM or a needless TB-scale shuffle) and is pinned both
+    ways in tests/test_plan_budgets.py.  The entry runs the join under
+    CBO with stats; plan choice never changes values, which is what the
+    oracle (same query over the raw parquet) checks."""
+    _cbo_tables(spark, sf_dir)
+    saved = {
+        "spark.sql.cbo.enabled": spark.conf.get("spark.sql.cbo.enabled"),
+        "spark.sql.cbo.joinReorder.enabled":
+            spark.conf.get("spark.sql.cbo.joinReorder.enabled"),
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        df = spark.sql(_CBO_JOIN_SQL)
+        # Force analysis/optimization/physical planning NOW, while CBO is
+        # on — the DataFrame's QueryExecution caches the plan it gets here.
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return df

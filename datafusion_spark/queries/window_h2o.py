@@ -546,3 +546,105 @@ def join_limit_pushdown(spark, sf_dir):
         ORDER BY l_orderkey, l_linenumber LIMIT 100) t) AS topk_max
     """
     return spark.sql(sql)
+
+
+# --- push_down_topk_through_join.slt mirror (r7) ----------------------------
+
+
+def _topk_through_left(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """The pushable LEFT-join case with the pushdown APPLIED: a left outer
+    join preserves every left row (>= 1 output row each), so the top-k
+    OUTPUT rows under a left-side sort key can only come from the top-k
+    LEFT rows — pre-limiting the left input to its own top-k is
+    semantics-preserving and turns a sort over |left x right| rows into a
+    sort over k x match rows.  The left key is unique (c_custkey), so the
+    k-th/k+1-th boundary is tie-free and the rewrite is exact."""
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey").limit(k))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .orderBy("c_custkey", "o_orderkey").limit(k))
+
+
+@query(
+    "join_topk_through",
+    oracle="""
+    (SELECT 'left_pushed' AS kase, CAST(c.c_custkey AS BIGINT) AS k1,
+            CAST(o.o_orderkey AS BIGINT) AS k2
+     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+     ORDER BY c.c_custkey, o.o_orderkey LIMIT 8)
+    UNION ALL
+    (SELECT 'right_pushed', CAST(c.c_custkey AS BIGINT),
+            CAST(o.o_orderkey AS BIGINT)
+     FROM orders o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+     ORDER BY c.c_custkey, o.o_orderkey LIMIT 6)
+    UNION ALL
+    (SELECT 'inner_unpushed', CAST(c.c_custkey AS BIGINT),
+            CAST(o.o_orderkey AS BIGINT)
+     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+     ORDER BY c.c_custkey, o.o_orderkey LIMIT 5)
+    UNION ALL
+    (SELECT 'on_filter_pushed', CAST(c.c_custkey AS BIGINT),
+            CAST(o.o_orderkey AS BIGINT)
+     FROM customer c LEFT JOIN orders o
+       ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000.0
+     ORDER BY c.c_custkey, o.o_orderkey LIMIT 8)
+    """,
+    tags=("join", "topk", "slt"),
+)
+def join_topk_through(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopK through outer joins, mirroring the reference's
+    push_down_topk_through_join.slt (sqllogictest/test_files/
+    push_down_topk_through_join.slt): a Sort-with-fetch above a join
+    whose sort keys come entirely from the PRESERVED side may be pushed
+    to that side; inner/full joins and non-preserved sort keys may not.
+    Spark has no such optimizer rule, so the pushable branches apply the
+    rewrite EXPLICITLY (pre-topk the preserved input — legal because a
+    preserved row yields >= 1 output row and the left key is unique,
+    tie-free at the k boundary) and the non-pushable inner branch keeps
+    the full TakeOrderedAndProject over the join.  The ON-filter branch
+    mirrors the slt's `ON ... AND t2.y > 100` case: a non-preserved-side
+    ON predicate only suppresses MATCHES (rows stay, NULL-extended), so
+    the pushdown stays legal.  At 100 TB the rewrite is the difference
+    between sorting k rows per partition on one dimension table and
+    sorting the joined fact output.  tests/test_plan_budgets.py pins the
+    pushed shape: TakeOrderedAndProject BELOW the join on the preserved
+    side plus the final one above."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice")
+
+    def shape(df, kase):
+        return df.select(
+            F.lit(kase).alias("kase"),
+            F.col("c_custkey").cast("bigint").alias("k1"),
+            F.col("o_orderkey").cast("bigint").alias("k2"),
+        )
+
+    left_pushed = shape(_topk_through_left(spark, sf_dir, 8), "left_pushed")
+
+    top_c6 = cust.orderBy("c_custkey").limit(6)
+    right_pushed = shape(
+        orders.join(top_c6, top_c6.c_custkey == orders.o_custkey, "right")
+              .orderBy("c_custkey", "o_orderkey").limit(6),
+        "right_pushed")
+
+    inner_unpushed = shape(
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+            .orderBy("c_custkey", "o_orderkey").limit(5),
+        "inner_unpushed")
+
+    top_c8 = cust.orderBy("c_custkey").limit(8)
+    on_filter_pushed = shape(
+        top_c8.join(
+            orders,
+            (top_c8.c_custkey == orders.o_custkey)
+            & (orders.o_totalprice > 150000.0),
+            "left")
+        .orderBy("c_custkey", "o_orderkey").limit(8),
+        "on_filter_pushed")
+
+    return (left_pushed.unionAll(right_pushed)
+                       .unionAll(inner_unpushed)
+                       .unionAll(on_filter_pushed))

@@ -297,6 +297,82 @@ def test_join_limit_pushes_local_limit(spark):
     assert "TakeOrderedAndProject" in txt, "ordered join branch lost TopK"
 
 
+def test_topk_through_join_pushed_shape(spark):
+    """push_down_topk_through_join.slt mirror: the pushable LEFT-join
+    branch must carry the TopK on BOTH levels — one
+    TakeOrderedAndProject on the preserved input (the explicit rewrite
+    of the reference's Sort-with-fetch pushdown) and the final one above
+    the join — with no shuffle exchange anywhere (pre-topk'd build side
+    broadcasts)."""
+    from datafusion_spark.plans import explain_str, shuffle_count
+    from datafusion_spark.queries.window_h2o import _topk_through_left
+
+    import re
+
+    df = _topk_through_left(spark, SF_SMALL)
+    txt = explain_str(df)
+    join_at = txt.find("HashJoin")
+    assert join_at != -1, "expected a hash join in the pushed branch"
+    # formatted explain lists each node once in the tree and once as a
+    # "(N) Name" detail header — count the headers for the node count
+    nodes = re.findall(r"\(\d+\) TakeOrderedAndProject", txt)
+    assert len(nodes) == 2, f"TopK not on both levels: {nodes}"
+    tree = txt[: txt.find("(1)")]
+    assert "TakeOrderedAndProject" in tree[tree.find("HashJoin"):], (
+        "preserved-side TopK missing below the join"
+    )
+    assert shuffle_count(df) == 0, "pushed TopK branch should not shuffle"
+
+
+def test_cbo_stats_flip_join_strategy(spark):
+    """listing_table_statistics.slt / statistics_registry.slt mirror:
+    column statistics must be load-bearing in planning.  The same
+    filtered join plans a shuffle join under size-only estimation (the
+    filter does not shrink the estimate, full file size > threshold)
+    and a BroadcastHashJoin once ANALYZE column stats + CBO turn the
+    o_orderkey range predicate into a ~1% row-count estimate below the
+    threshold.  AQE is disabled so the STATIC stats-driven decision is
+    what's observed (AQE would later fix the plan from runtime sizes —
+    at 100 TB you want the right plan before the first shuffle, not
+    after it)."""
+    from datafusion_spark.plans import explain_str
+    from datafusion_spark.queries.catalog_meta import _CBO_JOIN_SQL, _cbo_tables
+    from tests.conftest import SF_ORACLE
+
+    # sf0.01, not sf0.001: the flip needs a file big enough that the
+    # size-only estimate stays ABOVE the 64 KiB threshold (orders.parquet
+    # is ~280 KiB at sf0.01, ~36 KiB at sf0.001 where both modes broadcast)
+    _cbo_tables(spark, SF_ORACLE)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        no_stats = explain_str(spark.sql(_CBO_JOIN_SQL))
+        assert "BroadcastHashJoin" not in no_stats, (
+            "size-only estimation should NOT broadcast the filtered side "
+            "(file size above threshold)"
+        )
+
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        with_stats = explain_str(spark.sql(_CBO_JOIN_SQL))
+        assert "BroadcastHashJoin" in with_stats, (
+            "ANALYZE column stats + CBO should shrink the filtered side "
+            "below the broadcast threshold"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize(
     "name",
     ["sort_pushdown_topk_asc", "sort_pushdown_topk_desc", "sort_pushdown_topk_wide"],
