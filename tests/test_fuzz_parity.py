@@ -832,3 +832,63 @@ def test_random_join_predicate_placement_parity(spark, duck_join, spec):
             assert gv == pytest.approx(float(wv), abs=1e-6), sql
         else:
             assert (gv == wv) or (gv is None and wv is None), sql
+
+
+# --- axis 12 (r7): subquery membership x NULL-bearing inner keys -----------
+#
+# NOT IN over a subquery whose key set contains NULL is the classic
+# three-valued-logic trap: `x NOT IN (S)` is UNKNOWN (not TRUE) for every
+# x once S contains a NULL, so the whole predicate filters to empty —
+# engines implement this as a null-aware anti join (the reference's
+# null_aware_anti_join.slt is the fixed-case mirror; this is the
+# generator).  EXISTS/NOT EXISTS by contrast never null-trap (they test
+# row existence, not value membership).  The axis crosses the four
+# predicates with inner key expressions that are never-null, sometimes-
+# null and mostly-null, and an optional inner filter.
+
+_SUBQ_PREDICATES = ["IN", "NOT IN", "EXISTS", "NOT EXISTS"]
+_SUBQ_INNER_KEYS = [
+    # (expr over orders, has_nulls) — NULLIF injects NULLs deterministically
+    "o_custkey",
+    "NULLIF(o_custkey, 7)",
+    "CASE WHEN o_totalprice > 150000.0 THEN o_custkey END",
+]
+_SUBQ_INNER_FILTERS = [
+    "",
+    "WHERE o_orderstatus = 'O'",
+    "WHERE o_totalprice < 50000.0",
+]
+
+
+@st.composite
+def subq_spec(draw):
+    pred = draw(st.sampled_from(_SUBQ_PREDICATES))
+    key = draw(st.sampled_from(_SUBQ_INNER_KEYS))
+    flt = draw(st.sampled_from(_SUBQ_INNER_FILTERS))
+    return pred, key, flt
+
+
+@given(subq_spec())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_subquery_membership_parity(spark, duck_join, spec):
+    pred, key, flt = spec
+    if pred in ("IN", "NOT IN"):
+        where = f"c_custkey {pred} (SELECT {key} FROM orders {flt})"
+    else:
+        corr = f"{key} = c_custkey"
+        inner_flt = f"{flt} AND" if flt else "WHERE"
+        where = (
+            f"{pred} (SELECT 1 FROM orders {inner_flt} {corr})"
+        )
+    sql = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS checksum
+    FROM customer WHERE {where}
+    """
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck_join.execute(sql).fetchall()]
+    assert got == want, sql
