@@ -846,3 +846,76 @@ def fn_zorder_cluster_key(spark, sf_dir):
         )
         .orderBy("z_bucket")
     )
+
+
+# --- runtime (dynamic) filter pushdown: the reference's
+# --- dynamic_filter_pushdown_config.slt / dynamic join filtering (r7) -------
+
+
+_BLOOM_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+        "1KB",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the shuffle join under runtime-bloom-filter configs, forcing
+    planning while they're set and restoring them after (the DataFrame's
+    QueryExecution caches the injected plan)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "rtbf_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rtbf_orders")
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.sql("""
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS revenue
+            FROM rtbf_lineitem JOIN rtbf_orders ON l_orderkey = o_orderkey
+            WHERE o_totalprice > 400000.0
+            GROUP BY o_orderpriority
+        """)
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return df
+
+
+@query(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "runtime-filter", "slt"),
+)
+def join_runtime_bloom_filter(spark, sf_dir):
+    """Runtime (dynamic) join filtering, mirroring the reference's dynamic
+    filter pushdown (sqllogictest dynamic_filter_pushdown_config.slt /
+    push_down_filter_parquet.slt dynamic cases: the selective side of a
+    join produces a filter the probe-side SCAN applies at runtime).
+    Spark's analogue is InjectRuntimeFilter: a bloom_filter_agg subquery
+    is built from the filtered orders side and a might_contain() predicate
+    is injected on lineitem's join key BELOW the shuffle — at 100 TB this
+    is the difference between shuffling the whole fact table and shuffling
+    only rows whose keys can possibly match (~the selectivity of the dim
+    filter, here o_totalprice > 400k).  The broadcast threshold is
+    disabled while planning so the join is a genuine shuffle join (bloom
+    injection targets exactly the case where broadcast pruning is
+    unavailable).  Plan pinned in tests/test_plan_budgets.py:
+    might_contain on the probe side, bloom_filter_agg on the build side.
+    Values never depend on the filter (it's conservative), which is what
+    the oracle checks."""
+    return _bloom_join(spark, sf_dir)

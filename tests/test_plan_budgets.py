@@ -324,6 +324,30 @@ def test_topk_through_join_pushed_shape(spark):
     assert shuffle_count(df) == 0, "pushed TopK branch should not shuffle"
 
 
+def test_runtime_bloom_filter_injected(spark):
+    """dynamic_filter_pushdown mirror: the shuffle join must carry an
+    injected runtime bloom filter — bloom_filter_agg built from the
+    selective orders side, might_contain() applied to lineitem's join
+    key BEFORE the exchange (probe-side rows that cannot match never
+    shuffle)."""
+    from datafusion_spark.plans import explain_str
+    from datafusion_spark.queries.advanced_ops import _bloom_join
+
+    df = _bloom_join(spark, SF_SMALL)
+    txt = explain_str(df)
+    assert "might_contain" in txt, "runtime bloom filter not injected"
+    # the probe-side predicate must test the fact-table join key (i.e. it
+    # sits on lineitem below the join, not on some post-join projection)
+    opt = df._jdf.queryExecution().optimizedPlan().treeString()
+    assert "might_contain" in opt and "bloom_filter_agg" in opt, (
+        "bloom build/probe pair missing from the optimized plan"
+    )
+    probe_line = next(l for l in opt.splitlines() if "might_contain" in l)
+    assert "l_orderkey" in probe_line, (
+        "bloom filter must probe the fact-side join key"
+    )
+
+
 def test_cbo_stats_flip_join_strategy(spark):
     """listing_table_statistics.slt / statistics_registry.slt mirror:
     column statistics must be load-bearing in planning.  The same
