@@ -125,3 +125,30 @@ def test_nested_schema_pruning_drops_pad_fields(spark):
     joined = "\n".join(read)
     assert "pad" not in joined, f"pad fields not pruned from scan: {joined}"
     assert "x" in joined and "y" in joined
+
+
+def test_scan_split_scales_with_max_partition_bytes(spark):
+    """repartition_scan.slt / preserve_file_partitioning.slt mirror: the
+    reference repartitions a parquet scan across target_partitions by
+    byte ranges; Spark's knob is spark.sql.files.maxPartitionBytes.  The
+    contract that matters at 100 TB: scan parallelism is a CONFIG
+    decision, not a file-layout accident — halving the split size must
+    (roughly) double the scan tasks over the same single file, and the
+    split count must never round down to fewer tasks than files."""
+    from tests.conftest import SF_ORACLE
+
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        counts = {}
+        for mpb in ("128MB", "256KB", "64KB"):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            d = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+                "l_orderkey"
+            )
+            counts[mpb] = d.rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    assert counts["128MB"] == 1, counts  # 1 MiB file: one split
+    assert counts["256KB"] >= 3, counts  # ~1 MiB / 256 KiB
+    # halving again must keep scaling up, ~proportionally
+    assert counts["64KB"] >= 2 * counts["256KB"], counts
