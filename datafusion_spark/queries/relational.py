@@ -1052,3 +1052,83 @@ def join_outer_filter_pushdown(spark, sf_dir):
         F.sum(F.coalesce(F.col("l_quantity"), F.lit(0)).cast(DEC))
             .cast("double").alias("sum_qty"),
     )
+
+
+# --- same_column_name_cross_join.slt mirror (r7) ----------------------------
+
+
+@query(
+    "join_cross_same_names",
+    oracle="""
+    WITH t1 AS (SELECT 1 AS a, 2 AS b),
+         t2 AS (SELECT 3 AS a, 4 AS b),
+         t3 AS (SELECT 5 AS a, 6 AS b)
+    SELECT 'q1' AS kase,
+           CAST(t1.a AS BIGINT) AS c01, CAST(t1.b AS BIGINT) AS c02,
+           CAST(t2.a AS BIGINT) AS c03, CAST(t2.b AS BIGINT) AS c04,
+           CAST(t3.a AS BIGINT) AS c05, CAST(t3.b AS BIGINT) AS c06,
+           CAST(NULL AS BIGINT) AS c07, CAST(NULL AS BIGINT) AS c08,
+           CAST(NULL AS BIGINT) AS c09, CAST(NULL AS BIGINT) AS c10,
+           CAST(NULL AS BIGINT) AS c11, CAST(NULL AS BIGINT) AS c12
+    FROM t1 CROSS JOIN t2 CROSS JOIN t3
+    UNION ALL
+    SELECT 'q2',
+           CAST(t1.a AS BIGINT), CAST(t1.b AS BIGINT),
+           CAST(t2a.a AS BIGINT), CAST(t2a.b AS BIGINT),
+           CAST(t2b.a AS BIGINT), CAST(t2b.b AS BIGINT),
+           CAST(t3.a AS BIGINT), CAST(t3.b AS BIGINT),
+           NULL, NULL, NULL, NULL
+    FROM t1 CROSS JOIN t2 t2a CROSS JOIN t2 t2b CROSS JOIN t3
+    UNION ALL
+    SELECT 'q3',
+           CAST(t1a.a AS BIGINT), CAST(t1a.b AS BIGINT),
+           CAST(t2a.a AS BIGINT), CAST(t2a.b AS BIGINT),
+           CAST(t2b.a AS BIGINT), CAST(t2b.b AS BIGINT),
+           CAST(t3a.a AS BIGINT), CAST(t3a.b AS BIGINT),
+           CAST(t1b.a AS BIGINT), CAST(t1b.b AS BIGINT),
+           CAST(t3b.a AS BIGINT), CAST(t3b.b AS BIGINT)
+    FROM t1 t1a CROSS JOIN t2 t2a CROSS JOIN t2 t2b CROSS JOIN t3 t3a
+         CROSS JOIN t1 t1b CROSS JOIN t3 t3b
+    """,
+    tags=("join", "cross", "frontend", "slt"),
+)
+def join_cross_same_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested cross joins of SAME-SCHEMA relations, mirroring the
+    reference's same_column_name_cross_join.slt: `(t1 CROSS JOIN t2) AS t
+    CROSS JOIN (t2 CROSS JOIN t3)` produces an output whose intermediate
+    and final schemas carry DUPLICATE column names (a, b, a, b, ...) and
+    SELECT * must expand them positionally without a disambiguation
+    error.  Spark resolves this identically (duplicate names are legal in
+    a DataFrame schema; only by-NAME access is ambiguous) — the entry
+    runs the slt's nested shapes through SELECT * and then renames
+    POSITIONALLY (toDF), which would throw if Spark had collapsed or
+    reordered duplicate-named columns.  The oracle rebuilds the same rows
+    with qualified aliases.  Single-row inputs keep the cross products
+    deterministic (and at scale a same-schema cross join is a broadcast
+    NL join of tiny inputs — never a fact-side operation)."""
+    spark.sql("SELECT 1 AS a, 2 AS b").createOrReplaceTempView("scn_t1")
+    spark.sql("SELECT 3 AS a, 4 AS b").createOrReplaceTempView("scn_t2")
+    spark.sql("SELECT 5 AS a, 6 AS b").createOrReplaceTempView("scn_t3")
+
+    def shaped(sql, kase, width=12):
+        df = spark.sql(sql)
+        n = len(df.columns)
+        df = df.toDF(*[f"c{i+1:02d}" for i in range(n)])
+        out = [F.lit(kase).alias("kase")]
+        out += [F.col(f"c{i+1:02d}").cast("bigint").alias(f"c{i+1:02d}")
+                for i in range(n)]
+        out += [F.lit(None).cast("bigint").alias(f"c{i+1:02d}")
+                for i in range(n, width)]
+        return df.select(*out)
+
+    q1 = shaped(
+        "SELECT * FROM (SELECT * FROM scn_t1 CROSS JOIN scn_t2) AS t "
+        "CROSS JOIN scn_t3", "q1")
+    q2 = shaped(
+        "SELECT * FROM (SELECT * FROM scn_t1 CROSS JOIN scn_t2) AS t "
+        "CROSS JOIN (SELECT * FROM scn_t2 CROSS JOIN scn_t3)", "q2")
+    q3 = shaped(
+        "SELECT * FROM (SELECT * FROM scn_t1 CROSS JOIN scn_t2) AS t "
+        "CROSS JOIN (SELECT * FROM scn_t2 CROSS JOIN scn_t3) "
+        "CROSS JOIN (SELECT * FROM scn_t1 CROSS JOIN scn_t3) AS tt", "q3")
+    return q1.unionAll(q2).unionAll(q3)
