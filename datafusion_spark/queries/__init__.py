@@ -158,9 +158,16 @@ def _interleave_families() -> None:
         "nested_unnest_filter_pushdown",
         "compat_ident_normalization",
         "source_schema_evolution_nested",
-        # NOT pinned: tpcds_q14b/q23b/q24b/q39b (second statements) — the
-        # 50-slot window is exactly full with the 99-query surface + 8
-        # mirrors; the b-variants drain with the tier-1 backlog.
+        # r7 late-round mirrors (topk-through-join, CBO statistics
+        # planning, runtime bloom filter, duplicate-name cross join) —
+        # new this round, front-loaded like the other changed entries:
+        "join_topk_through",
+        "catalog_analyze_cbo",
+        "join_runtime_bloom_filter",
+        # NOT pinned: tpcds_q14b/q23b/q24b/q39b (second statements) and
+        # join_cross_same_names — the 50-slot window is exactly full with
+        # the 99-query surface + the scale-lever mirrors; these drain
+        # with the tier-1 backlog.
     }
 
     def tier(name: str) -> int:
