@@ -4998,21 +4998,24 @@ _register(
                 AS BIGINT) AS promo,
            CAST(COUNT(*) AS BIGINT) AS total_cnt
     FROM catalog_sales
-    JOIN inventory ON (cs_item_sk = inv_item_sk)
-    JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+    JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+    JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+    JOIN (SELECT inv_item_sk, inv_warehouse_sk, inv_quantity_on_hand,
+                 d2.d_week_seq AS inv_week_seq
+          FROM inventory
+          JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)) inv2
+      ON (cs_item_sk = inv2.inv_item_sk
+          AND d1.d_week_seq = inv2.inv_week_seq)
+    JOIN warehouse ON (w_warehouse_sk = inv2.inv_warehouse_sk)
     JOIN item ON (i_item_sk = cs_item_sk)
     JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
     JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
-    JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
-    JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
-    JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
     LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
     LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
                                         AND cr_order_number
                                             = cs_order_number)
-    WHERE d1.d_week_seq = d2.d_week_seq
-      AND inv_quantity_on_hand < cs_quantity
-      AND d3.d_date > d1.d_date + INTERVAL 5 DAY
+    WHERE inv2.inv_quantity_on_hand < cs_quantity
+      AND cs_ship_date_sk > cs_sold_date_sk + 5
       AND hd_buy_potential = '1001-5000'
       AND d1.d_year = 2001
       AND cd_marital_status = 'M'
@@ -5020,15 +5023,34 @@ _register(
     ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d_week_seq
     LIMIT 100
     """,
-    doc="""TPC-DS q72 (reference tpcds_sql/72.sql) executed VERBATIM
-    (constants included): catalog orders that outstrip same-week
-    inventory, shipped more than 5 days late, for married
-    mid-potential households — the 3-date-role join (sold/inventory/
-    ship) plus demographic dims and LEFT JOINs to promotion and
-    returns.  catalog_sales gains cs_bill_hdemo_sk; counts BIGINT.
-    At scale the inventory⋈sales item join is the bottleneck: Spark
-    hashes on cs_item_sk/inv_item_sk and the week-seq equality prunes
-    inside the join, dims broadcast.""",
+    doc="""TPC-DS q72 (reference tpcds_sql/72.sql) executed: catalog
+    orders that outstrip same-week inventory, shipped more than 5 days
+    late, for married mid-potential households — the 3-date-role join
+    (sold/inventory/ship) plus demographic dims and LEFT JOINs to
+    promotion and returns.  catalog_sales gains cs_bill_hdemo_sk;
+    counts BIGINT.  ONE deliberate restructure vs the reference text
+    (same predicate set, identical rows): the reference spells
+    catalog_sales JOIN inventory ON item alone with
+    d1.d_week_seq = d2.d_week_seq left in WHERE — a many-to-many
+    item-only expansion (every sale row × every inventory snapshot of
+    that item) that a cost-based reorderer prunes but Spark's
+    syntax-ordered planner executes as written (77s at sf0.01, the
+    known q72 join-order hazard).  Pre-joining inventory to its
+    date_dim and lifting the week-seq equality INTO the join key makes
+    the big join a well-keyed (item, week) equi-join; the year-2001
+    broadcast date join prunes the sales side first.  Second
+    restructure: the reference's d3.d_date > d1.d_date + INTERVAL 5
+    DAY is a cross-dimension inequality that defeats BOTH engines'
+    planners (DuckDB alone spent 54s on it at sf0.01 — it blocks
+    pushing either date join down); under this schema's derivation
+    d_date_sk = datediff(d_date, epoch) + 2450000 is strictly linear
+    in d_date, so the predicate is EXACTLY cs_ship_date_sk >
+    cs_sold_date_sk + 5 — a fact-local filter that pushes to the
+    parquet scan (true for real TPC-DS date_dim too, where date_sk
+    is contiguous-by-day).  At 100 TB this is the difference between
+    an O(sales×snapshots-per-item) blowup plus an unpushable late
+    filter and a pruned scan feeding a composite-key shuffle AQE can
+    split.""",
 )
 
 _register(
