@@ -2119,3 +2119,420 @@ _sql_query(
     with array_join/array_to_string (house rule: the driver harness
     hashes via pandas factorize, which cannot hash list cells).""",
 )
+
+
+_sql_query(
+    "fn_vector_distance_corners",
+    spark_sql="""
+    WITH t AS (
+      SELECT * FROM VALUES
+        (1,  array(1.0D, 0.0D),               array(0.0D, 1.0D)),
+        (2,  array(1.0D, 2.0D, 3.0D),         array(1.0D, 2.0D, 3.0D)),
+        (3,  array(1.0D, 0.0D),               array(-1.0D, 0.0D)),
+        (4,  array(1.0D, 0.0D),               array(1.0D, 1.0D)),
+        (5,  array(0.0D, 0.0D),               array(1.0D, 2.0D)),
+        (6,  CAST(NULL AS ARRAY<DOUBLE>),     array(1.0D, 2.0D)),
+        (7,  array(1.0D, 2.0D),               CAST(NULL AS ARRAY<DOUBLE>)),
+        (8,  array(1.0D, 2.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D, 3.0D)),
+        (9,  CAST(array() AS ARRAY<DOUBLE>),  CAST(array() AS ARRAY<DOUBLE>)),
+        (10, array(3.0D, 4.0D),               array(4.0D, 3.0D))
+        AS t(id, a, b)
+    ),
+    m AS (
+      SELECT id, a, b,
+             (a IS NULL OR b IS NULL
+              OR exists(a, x -> x IS NULL)
+              OR exists(b, x -> x IS NULL)) AS tainted,
+             aggregate(zip_with(a, b, (x, y) -> x * y),
+                       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS dot,
+             sqrt(aggregate(transform(a, x -> x * x),
+                            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS na,
+             sqrt(aggregate(transform(b, x -> x * x),
+                            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS nb
+      FROM t
+    )
+    SELECT id,
+           CASE WHEN tainted THEN CAST(NULL AS DOUBLE)
+                ELSE round(1.0D - dot / nullif(na * nb, 0.0D), 3) + 0.0D
+                END AS cos_dist,
+           CASE WHEN tainted THEN CAST(NULL AS DOUBLE)
+                ELSE round(dot, 6) + 0.0D END AS inner_prod,
+           CASE WHEN a IS NULL OR exists(a, x -> x IS NULL)
+                     OR na = 0.0D THEN CAST(NULL AS STRING)
+                ELSE array_join(transform(a,
+                     x -> CAST(round(x / na, 4) + 0.0D AS STRING)), ',')
+                END AS norm_a
+    FROM m ORDER BY id
+    """,
+    duck_sql="""
+    WITH t AS (
+      SELECT * FROM (VALUES
+        (1,  [1.0, 0.0]::DOUBLE[],        [0.0, 1.0]::DOUBLE[]),
+        (2,  [1.0, 2.0, 3.0]::DOUBLE[],   [1.0, 2.0, 3.0]::DOUBLE[]),
+        (3,  [1.0, 0.0]::DOUBLE[],        [-1.0, 0.0]::DOUBLE[]),
+        (4,  [1.0, 0.0]::DOUBLE[],        [1.0, 1.0]::DOUBLE[]),
+        (5,  [0.0, 0.0]::DOUBLE[],        [1.0, 2.0]::DOUBLE[]),
+        (6,  NULL::DOUBLE[],              [1.0, 2.0]::DOUBLE[]),
+        (7,  [1.0, 2.0]::DOUBLE[],        NULL::DOUBLE[]),
+        (8,  [1.0, 2.0, NULL]::DOUBLE[],  [1.0, 2.0, 3.0]::DOUBLE[]),
+        (9,  []::DOUBLE[],                []::DOUBLE[]),
+        (10, [3.0, 4.0]::DOUBLE[],        [4.0, 3.0]::DOUBLE[])
+      ) AS t(id, a, b)
+    ),
+    m AS (
+      SELECT id, a, b,
+             (a IS NULL OR b IS NULL
+              OR len(list_filter(a, x -> x IS NULL)) > 0
+              OR len(list_filter(b, x -> x IS NULL)) > 0) AS tainted,
+             COALESCE(list_sum(list_transform(list_zip(a, b),
+                                              p -> p[1] * p[2])), 0.0) AS dot,
+             sqrt(COALESCE(list_sum(list_transform(a, x -> x * x)), 0.0)) AS na,
+             sqrt(COALESCE(list_sum(list_transform(b, x -> x * x)), 0.0)) AS nb
+      FROM t
+    )
+    SELECT id,
+           CASE WHEN tainted THEN NULL::DOUBLE
+                ELSE round(1.0 - dot / nullif(na * nb, 0.0), 3) + 0.0
+                END AS cos_dist,
+           CASE WHEN tainted THEN NULL::DOUBLE
+                ELSE round(dot, 6) + 0.0 END AS inner_prod,
+           CASE WHEN a IS NULL OR len(list_filter(a, x -> x IS NULL)) > 0
+                     OR na = 0.0 THEN NULL::VARCHAR
+                ELSE array_to_string(list_transform(a,
+                     x -> CAST(round(x / na, 4) + 0.0 AS VARCHAR)), ',')
+                END AS norm_a
+    FROM m ORDER BY id
+    """,
+    tags=("nested", "edge", "vector"),
+    doc="""Vector distance corner semantics (reference cosine_distance
+    .slt / inner_product.slt / array_normalize.slt — functions-nested/
+    src/{cosine_distance,inner_product,array_normalize}.rs): cosine
+    distance of a zero vector or an empty vector is NULL (undefined
+    magnitude), inner product of zero/empty vectors is 0 (well-defined
+    fold seed), a bare NULL list or a NULL ELEMENT anywhere NULLs the
+    whole result for all three, and normalize divides by the L2 norm
+    with zero-norm -> NULL.  Both sides spell the semantics from first
+    principles (fold/zip_with on Spark, list_sum/list_zip on DuckDB)
+    because neither engine ships these functions natively; the empty-
+    array fold seed (Spark aggregate seed 0.0 vs DuckDB list_sum([])
+    -> NULL, coalesced) is the one engine gap the mirror pins.
+    Normalized vectors render via array_join (house no-array-cell
+    rule).  Reference mismatched-length/zero-arg cases are plan-time
+    errors -> covered by the error-parity suite pattern, not here.""",
+)
+
+
+_sql_query(
+    "fn_array_reduce_corners",
+    spark_sql="""
+    WITH t AS (
+      SELECT * FROM VALUES
+        (1, array(1.0D, 2.0D, 3.0D),   CAST(2.0 AS DOUBLE), array(10.0D, 20.0D, 30.0D)),
+        (2, array(5.0D),               CAST(3.0 AS DOUBLE), array(7.0D)),
+        (3, array(-1.0D, -2.0D, -3.0D), CAST(-1.0 AS DOUBLE), array(-1.0D, 2.0D, -3.0D)),
+        (4, array(1.0D, -1.0D, 2.0D, -2.0D), CAST(0.5 AS DOUBLE), array(4.0D, 3.0D, 2.0D, 1.0D)),
+        (5, CAST(array() AS ARRAY<DOUBLE>), CAST(2.0 AS DOUBLE), CAST(array() AS ARRAY<DOUBLE>)),
+        (6, CAST(NULL AS ARRAY<DOUBLE>), CAST(2.0 AS DOUBLE), CAST(NULL AS ARRAY<DOUBLE>)),
+        (7, array(1.0D, CAST(NULL AS DOUBLE), 3.0D), CAST(NULL AS DOUBLE), array(10.0D, 20.0D, 30.0D)),
+        (8, array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), CAST(1.0 AS DOUBLE), array(CAST(NULL AS DOUBLE), 20.0D)),
+        (9, array(2.0D, CAST(NULL AS DOUBLE), 3.0D), CAST(2.0 AS DOUBLE), array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 30.0D))
+        AS t(id, v, s, b)
+    ),
+    m AS (
+      SELECT id, v, s, b,
+             filter(v, x -> x IS NOT NULL) AS nn
+      FROM t
+    )
+    SELECT id,
+           CASE WHEN v IS NULL OR size(nn) = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(aggregate(nn, 0.0D, (a, x) -> a + x), 6) + 0.0D
+                END AS arr_sum,
+           CASE WHEN v IS NULL OR size(nn) = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(aggregate(nn, 0.0D, (a, x) -> a + x)
+                           / size(nn), 6) + 0.0D END AS arr_avg,
+           CASE WHEN v IS NULL OR size(nn) = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(aggregate(nn, 1.0D, (a, x) -> a * x), 6) + 0.0D
+                END AS arr_prod,
+           CASE WHEN v IS NULL OR s IS NULL THEN CAST(NULL AS STRING)
+                ELSE array_join(transform(v, x -> coalesce(
+                         CAST(round(x * s, 4) + 0.0D AS STRING), 'NULL')),
+                     ',') END AS scale_str,
+           CASE WHEN v IS NULL OR b IS NULL THEN CAST(NULL AS STRING)
+                ELSE array_join(zip_with(v, b, (x, y) -> coalesce(
+                         CAST(round(x + y, 4) + 0.0D AS STRING), 'NULL')),
+                     ',') END AS add_str,
+           CASE WHEN v IS NULL OR b IS NULL THEN CAST(NULL AS STRING)
+                ELSE array_join(zip_with(v, b, (x, y) -> coalesce(
+                         CAST(round(x - y, 4) + 0.0D AS STRING), 'NULL')),
+                     ',') END AS sub_str
+    FROM m ORDER BY id
+    """,
+    duck_sql="""
+    WITH t AS (
+      SELECT * FROM (VALUES
+        (1, [1.0, 2.0, 3.0]::DOUBLE[],        2.0::DOUBLE, [10.0, 20.0, 30.0]::DOUBLE[]),
+        (2, [5.0]::DOUBLE[],                  3.0::DOUBLE, [7.0]::DOUBLE[]),
+        (3, [-1.0, -2.0, -3.0]::DOUBLE[],     -1.0::DOUBLE, [-1.0, 2.0, -3.0]::DOUBLE[]),
+        (4, [1.0, -1.0, 2.0, -2.0]::DOUBLE[], 0.5::DOUBLE, [4.0, 3.0, 2.0, 1.0]::DOUBLE[]),
+        (5, []::DOUBLE[],                     2.0::DOUBLE, []::DOUBLE[]),
+        (6, NULL::DOUBLE[],                   2.0::DOUBLE, NULL::DOUBLE[]),
+        (7, [1.0, NULL, 3.0]::DOUBLE[],       NULL::DOUBLE, [10.0, 20.0, 30.0]::DOUBLE[]),
+        (8, [NULL, NULL]::DOUBLE[],           1.0::DOUBLE, [NULL, 20.0]::DOUBLE[]),
+        (9, [2.0, NULL, 3.0]::DOUBLE[],       2.0::DOUBLE, [NULL, NULL, 30.0]::DOUBLE[])
+      ) AS t(id, v, s, b)
+    ),
+    m AS (
+      SELECT id, v, s, b,
+             list_filter(v, x -> x IS NOT NULL) AS nn
+      FROM t
+    )
+    SELECT id,
+           CASE WHEN v IS NULL OR len(nn) = 0 THEN NULL::DOUBLE
+                ELSE round(list_sum(nn), 6) + 0.0 END AS arr_sum,
+           CASE WHEN v IS NULL OR len(nn) = 0 THEN NULL::DOUBLE
+                ELSE round(list_avg(nn), 6) + 0.0 END AS arr_avg,
+           CASE WHEN v IS NULL OR len(nn) = 0 THEN NULL::DOUBLE
+                ELSE round(list_aggregate(nn, 'product'), 6) + 0.0
+                END AS arr_prod,
+           CASE WHEN v IS NULL OR s IS NULL THEN NULL::VARCHAR
+                ELSE COALESCE(array_to_string(list_transform(v, x -> COALESCE(
+                         CAST(round(x * s, 4) + 0.0 AS VARCHAR), 'NULL')),
+                     ','), '') END AS scale_str,
+           CASE WHEN v IS NULL OR b IS NULL THEN NULL::VARCHAR
+                ELSE COALESCE(array_to_string(list_transform(list_zip(v, b),
+                         p -> COALESCE(CAST(round(p[1] + p[2], 4) + 0.0
+                                            AS VARCHAR), 'NULL')),
+                     ','), '') END AS add_str,
+           CASE WHEN v IS NULL OR b IS NULL THEN NULL::VARCHAR
+                ELSE COALESCE(array_to_string(list_transform(list_zip(v, b),
+                         p -> COALESCE(CAST(round(p[1] - p[2], 4) + 0.0
+                                            AS VARCHAR), 'NULL')),
+                     ','), '') END AS sub_str
+    FROM m ORDER BY id
+    """,
+    tags=("nested", "edge", "array"),
+    doc="""Array reduction + element-wise arithmetic corner semantics
+    (reference array_sum.slt / array_avg.slt / array_product.slt /
+    array_scale.slt / array_add.slt / array_subtract.slt): reductions
+    SKIP NULL elements (sum [1,NULL,3] -> 4, product [2,NULL,3] -> 6),
+    and return NULL for empty, all-NULL and bare-NULL inputs (SQL
+    SUM-of-empty-set convention); scale multiplies element-wise with a
+    bare-NULL scalar or list nulling the whole row but an empty list
+    scaling to an empty list; add/subtract propagate NULL PER POSITION
+    (zip_with semantics — [1,NULL,3]+[10,20,30] -> [11,NULL,33]), with
+    NULLs at different positions both surviving.  Spark spells the
+    skip-reductions as fold-over-filter(NOT NULL) with explicit empty
+    guards (aggregate's seed would otherwise turn empty into 0/1);
+    element-wise outputs render via array_join with per-element NULL
+    coalescing since array_join/array_to_string DROP null elements in
+    both engines (and DuckDB's array_to_string of an EMPTY list is
+    NULL where Spark's array_join is '' — coalesced oracle-side).  round()+0.0 normalizes -0.0 products (house
+    bit-exact hash rule).""",
+)
+
+
+_sql_query(
+    "fn_edge_where_three_valued",
+    spark_sql="""
+    SELECT * FROM (
+      SELECT 1 AS q, 'where_null'     AS lab WHERE CAST(NULL AS BOOLEAN)
+      UNION ALL SELECT 2, 'null_and_true'  WHERE NULL AND 1 = 1
+      UNION ALL SELECT 3, 'null_or_true'   WHERE NULL OR 1 = 1
+      UNION ALL SELECT 4, 'null_or_false'  WHERE NULL OR 1 = 2
+      UNION ALL SELECT 5, 'not_null'       WHERE NOT NULL
+      UNION ALL SELECT 6, 'true_and_not_null_is_null' WHERE (1 = 1) AND (NULL IS NULL)
+    ) u ORDER BY q
+    """,
+    duck_sql="""
+    SELECT * FROM (
+      SELECT 1 AS q, 'where_null'     AS lab WHERE NULL
+      UNION ALL SELECT 2, 'null_and_true'  WHERE NULL AND 1 = 1
+      UNION ALL SELECT 3, 'null_or_true'   WHERE NULL OR 1 = 1
+      UNION ALL SELECT 4, 'null_or_false'  WHERE NULL OR 1 = 2
+      UNION ALL SELECT 5, 'not_null'       WHERE NOT NULL
+      UNION ALL SELECT 6, 'true_and_not_null_is_null' WHERE (1 = 1) AND (NULL IS NULL)
+    ) u ORDER BY q
+    """,
+    tags=("functions", "edge", "filter"),
+    doc="""WHERE-clause three-valued logic with literal NULL (reference
+    misc.slt): WHERE NULL filters everything (NULL is not TRUE),
+    NULL AND TRUE stays NULL (row dropped), NULL OR TRUE is TRUE (row
+    kept), NULL OR FALSE is NULL (dropped), NOT NULL is NULL
+    (dropped), and IS NULL predicates are two-valued.  ONE pinned
+    divergence: the reference and DuckDB coerce a BARE untyped NULL
+    to BOOLEAN in filter position, but Spark rejects it
+    (DATATYPE_MISMATCH.FILTER_NOT_BOOLEAN — VOID is only coerced
+    inside a boolean operator) so the Spark text spells
+    CAST(NULL AS BOOLEAN); inside AND/OR/NOT both coerce alike.  The reference's non-boolean-filter error ('foo' in
+    WHERE) is a plan error in BOTH engines -> error-parity territory,
+    not value territory.""",
+)
+
+
+_sql_query(
+    "join_inequality_only_pwmj",
+    spark_sql="""
+    WITH t1 AS (
+      SELECT * FROM VALUES (11), (22), (33), (44),
+                           (CAST(NULL AS INT)) AS t(t1_id)
+    ),
+    t2 AS (
+      SELECT * FROM VALUES (11, 'z', 3), (22, 'y', 1), (44, 'x', 3),
+                           (55, 'w', 3), (CAST(NULL AS INT), 'v', 9)
+        AS t(t2_id, t2_name, t2_int)
+    )
+    SELECT t1.t1_id, t2.t2_id, t2.t2_name
+    FROM t1 JOIN t2 ON t1.t1_id > t2.t2_id
+    WHERE t1.t1_id > 10 AND t2.t2_int > 1
+    ORDER BY t1_id, t2_id
+    """,
+    duck_sql="""
+    WITH t1(t1_id) AS (VALUES (11), (22), (33), (44), (NULL)),
+    t2(t2_id, t2_name, t2_int) AS (
+      VALUES (11, 'z', 3), (22, 'y', 1), (44, 'x', 3),
+             (55, 'w', 3), (NULL, 'v', 9)
+    )
+    SELECT t1.t1_id, t2.t2_id, t2.t2_name
+    FROM t1 JOIN t2 ON t1.t1_id > t2.t2_id
+    WHERE t1.t1_id > 10 AND t2.t2_int > 1
+    ORDER BY t1_id, t2_id
+    """,
+    tags=("join", "edge", "range"),
+    doc="""Pure-inequality join (reference pwmj.slt — the piecewise
+    merge join optimizer rule for single-inequality ON conditions):
+    ON t1_id > t2_id with no equi-conjunct, residual filters on both
+    sides, NULL keys matching nothing.  The reference sorts both
+    sides and merges piecewise; Spark plans a
+    BroadcastNestedLoopJoin with the smaller side broadcast, which is
+    the right call when one side is dimension-sized — and when BOTH
+    sides are fact-sized the in-repo scale path is the binned range
+    join (relational.py join_range_binned: bucket both sides by
+    value range, equi-join on bucket, filter inside) which restores
+    an equi-shuffle shape.  Filters still push below the join on
+    both engines.""",
+)
+
+
+@query(
+    "filter_simplify_range_conjuncts",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey > 100 AND l_orderkey > 200) AS BIGINT)
+               AS n_gt_gt,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey > 100 AND l_orderkey >= 200) AS BIGINT)
+               AS n_gt_ge,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey < 1000 AND l_orderkey <= 800) AS BIGINT)
+               AS n_lt_le,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey = 7 AND l_orderkey = 7) AS BIGINT)
+               AS n_eq_dup,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey = 7 AND l_orderkey = 6) AS BIGINT)
+               AS n_eq_contra,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey = 7 AND l_orderkey < 2) AS BIGINT)
+               AS n_eq_range_contra,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey > 200 AND l_quantity < 10
+                   AND l_orderkey > 100 AND l_quantity < 8) AS BIGINT)
+               AS n_two_col
+    """,
+    tags=("filter", "edge", "plan"),
+)
+def filter_simplify_range_conjuncts(spark, sf_dir):
+    """Redundant/contradictory range-conjunct filters (reference
+    simplify_predicates.slt): x>5 AND x>6, x>5 AND x>=6, duplicate
+    equalities, contradictory equalities (-> 0 rows), equality-vs-range
+    contradictions, and multi-column mixes -- the reference's
+    SimplifyPredicates rewrites these to the tightest single predicate
+    (or EmptyRelation).  Catalyst folds duplicate conjuncts via
+    BooleanSimplification but keeps non-identical range pairs; the
+    VALUE result is identical, and at the SCAN both conjuncts reach
+    parquet as PushedFilters where row-group min/max stats prune the
+    same row groups the simplified predicate would -- the scan-level
+    outcome the simplification exists for.  Pinned against real
+    lineitem counts so the filters actually prune."""
+    li = f"parquet.`{sf_dir}/lineitem.parquet`"
+    return spark.sql(f"""
+    SELECT CAST((SELECT COUNT(*) FROM {li}
+                 WHERE l_orderkey > 100 AND l_orderkey > 200) AS BIGINT)
+               AS n_gt_gt,
+           CAST((SELECT COUNT(*) FROM {li}
+                 WHERE l_orderkey > 100 AND l_orderkey >= 200) AS BIGINT)
+               AS n_gt_ge,
+           CAST((SELECT COUNT(*) FROM {li}
+                 WHERE l_orderkey < 1000 AND l_orderkey <= 800) AS BIGINT)
+               AS n_lt_le,
+           CAST((SELECT COUNT(*) FROM {li}
+                 WHERE l_orderkey = 7 AND l_orderkey = 7) AS BIGINT)
+               AS n_eq_dup,
+           CAST((SELECT COUNT(*) FROM {li}
+                 WHERE l_orderkey = 7 AND l_orderkey = 6) AS BIGINT)
+               AS n_eq_contra,
+           CAST((SELECT COUNT(*) FROM {li}
+                 WHERE l_orderkey = 7 AND l_orderkey < 2) AS BIGINT)
+               AS n_eq_range_contra,
+           CAST((SELECT COUNT(*) FROM {li}
+                 WHERE l_orderkey > 200 AND l_quantity < 10
+                   AND l_orderkey > 100 AND l_quantity < 8) AS BIGINT)
+               AS n_two_col
+    """)
+
+
+_sql_query(
+    "fn_name_resolution_corners",
+    spark_sql="""
+    WITH src AS (
+      SELECT * FROM VALUES (1, 10, 'x'), (2, 20, 'y'), (3, 30, 'x'),
+                           (4, 40, 'y') AS s(a, `f.c1`, grp)
+    )
+    SELECT g AS grp_alias,
+           CAST(SUM(x) AS BIGINT)     AS sum_x,
+           CAST(SUM(y) AS BIGINT)     AS sum_y,
+           CAST(SUM(x + 1) AS BIGINT) AS sum_x1,
+           (SELECT x2 FROM (SELECT 1 AS x0, x0 + 1 AS x1_,
+                                   x1_ * 10 AS x2)) AS lateral_chain,
+           (SELECT COUNT(*) FROM (SELECT t.* FROM
+                (SELECT 1 AS a, 2 AS b) t)) AS qualified_star_cnt,
+           (SELECT COUNT(*) FROM (SELECT * EXCEPT (b) FROM
+                (SELECT 1 AS a, 2 AS b) t)) AS star_except_cnt
+    FROM (SELECT a, `f.c1`, grp FROM src) AS f(x, y, g)
+    GROUP BY grp_alias
+    ORDER BY grp_alias
+    """,
+    duck_sql="""
+    WITH src AS (
+      SELECT * FROM (VALUES (1, 10, 'x'), (2, 20, 'y'), (3, 30, 'x'),
+                            (4, 40, 'y')) AS s(a, "f.c1", grp)
+    )
+    SELECT g AS grp_alias,
+           CAST(SUM(x) AS BIGINT)     AS sum_x,
+           CAST(SUM(y) AS BIGINT)     AS sum_y,
+           CAST(SUM(x + 1) AS BIGINT) AS sum_x1,
+           (SELECT x2 FROM (SELECT 1 AS x0, x0 + 1 AS x1_,
+                                   x1_ * 10 AS x2)) AS lateral_chain,
+           (SELECT COUNT(*) FROM (SELECT t.* FROM
+                (SELECT 1 AS a, 2 AS b) t)) AS qualified_star_cnt,
+           (SELECT COUNT(*) FROM (SELECT * EXCLUDE (b) FROM
+                (SELECT 1 AS a, 2 AS b) t)) AS star_except_cnt
+    FROM (SELECT a, "f.c1", grp FROM src) AS f(x, y, g)
+    GROUP BY grp_alias
+    ORDER BY grp_alias
+    """,
+    tags=("functions", "edge", "identifiers"),
+    doc="""Name-resolution corners (reference alias.slt /
+    references.slt / wildcard.slt): derived-table COLUMN-ALIAS LISTS
+    `(select ...) AS f(x, y, g)` positionally rename — including a
+    source column whose NAME CONTAINS A DOT (`f.c1`, quoted with
+    backticks on Spark, double-quotes on DuckDB/DataFusion, and
+    never resolved as table.column); output aliases are legal in
+    GROUP BY and ORDER BY; LATERAL column aliases chain within one
+    SELECT (x0 -> x1 -> x2); qualified wildcards t.* expand only
+    that relation; and star-EXCEPT (Spark) / EXCLUDE
+    (DuckDB/DataFusion dialect, translated by the in-repo compat
+    layer) prunes columns at projection time so the scan never reads
+    them.  All pure name-binding semantics — identical values, three
+    spellings pinned.""",
+)

@@ -892,3 +892,88 @@ def test_random_subquery_membership_parity(spark, duck_join, spec):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in duck_join.execute(sql).fetchall()]
     assert got == want, sql
+
+
+# --- axis 13 (r7): boolean three-valued logic trees ------------------------
+# Reference misc.slt WHERE-NULL cases + the Kleene-logic corners scattered
+# through predicates.slt / case.slt: random boolean expression trees over
+# {TRUE, FALSE, NULL, null-bearing comparisons} with AND / OR / NOT /
+# IS NULL / IS NOT DISTINCT FROM / COALESCE / CASE nodes, evaluated BOTH
+# in projection position (tri-state value parity) and in WHERE position
+# (NULL-is-not-TRUE row filtering).  The same SQL text runs on both
+# engines; o_orderkey rides along so row identity is positional.
+
+_BOOL_LEAVES = [
+    "TRUE",
+    "FALSE",
+    "CAST(NULL AS BOOLEAN)",
+    "(o_custkey % 7 = 3)",
+    "(o_custkey % 11 > 6)",
+    "(nullif(o_custkey % 5, 2) = 1)",
+    "(nullif(o_orderkey % 3, 0) > 1)",
+    "(CASE WHEN o_orderkey % 4 = 0 THEN CAST(NULL AS BOOLEAN) "
+    "ELSE o_orderkey % 2 = 0 END)",
+]
+
+_BOOL_NODE_KINDS = [
+    "and", "or", "not", "is_null", "is_not_distinct", "coalesce", "case",
+]
+
+
+def _grow_bool(draw, st_, depth):
+    if depth >= 3:
+        return draw(st_.sampled_from(_BOOL_LEAVES))
+    if depth > 0 and draw(st_.booleans()):
+        return draw(st_.sampled_from(_BOOL_LEAVES))
+    kind = draw(st_.sampled_from(_BOOL_NODE_KINDS))
+    a = _grow_bool(draw, st_, depth + 1)
+    if kind == "not":
+        return f"(NOT {a})"
+    if kind == "is_null":
+        return f"({a} IS NULL)"
+    b = _grow_bool(draw, st_, depth + 1)
+    if kind == "and":
+        return f"({a} AND {b})"
+    if kind == "or":
+        return f"({a} OR {b})"
+    if kind == "is_not_distinct":
+        return f"({a} IS NOT DISTINCT FROM {b})"
+    if kind == "coalesce":
+        return f"coalesce({a}, {b})"
+    return f"(CASE WHEN {a} THEN {b} ELSE {a} END)"
+
+
+@st.composite
+def bool_tree_spec(draw):
+    n_cols = draw(st.integers(1, 3))
+    sel = [_grow_bool(draw, st, 0) for _ in range(n_cols)]
+    where = _grow_bool(draw, st, 1)
+    return (sel, where)
+
+
+@given(bool_tree_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_bool_three_valued_parity(spark, duck, spec):
+    """Random Kleene-logic trees in SELECT and WHERE position: tri-state
+    values must match per row, and WHERE must drop NULL rows identically
+    (NULL is not TRUE) on both engines."""
+    sel, where = spec
+    cols = ", ".join(f"{e} AS c{i}" for i, e in enumerate(sel))
+    sql = (
+        f"SELECT o_orderkey, {cols} FROM orders "
+        f"WHERE o_orderkey % 13 = 5 AND ({where} OR o_custkey % 9 = 1) "
+        "ORDER BY o_orderkey LIMIT 150"
+    )
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if gv is None or wv is None:
+                assert gv is None and wv is None, sql
+            else:
+                assert bool(gv) == bool(wv), sql
