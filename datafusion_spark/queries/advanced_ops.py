@@ -919,3 +919,101 @@ def join_runtime_bloom_filter(spark, sf_dir):
     Values never depend on the filter (it's conservative), which is what
     the oracle checks."""
     return _bloom_join(spark, sf_dir)
+
+
+@query(
+    "agg_partition_subset_reuse",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_custkey < 500
+    GROUP BY o_custkey, o_orderstatus
+    """,
+    tags=("agg", "partitioning", "scale", "slt"),
+)
+def agg_partition_subset_reuse(spark, sf_dir):
+    """Subset-partitioning satisfaction, mirroring the reference's
+    repartition_subset_satisfaction.slt (sqllogictest: Hash([a]) satisfies
+    a Hash([a, b]) requirement because every (a, b) group is a refinement
+    of an a-partition — no re-shuffle between the two).  Spark encodes the
+    identical rule in HashPartitioning.satisfies(ClusteredDistribution):
+    the GROUP BY (o_custkey, o_orderstatus) reuses the existing
+    repartition("o_custkey") exchange instead of inserting a second one
+    keyed on the pair.  At 100 TB this is one full-fact-table shuffle
+    saved every time a pipeline pre-partitions on a coarse key and then
+    aggregates on refinements of it (per-customer → per-customer-status
+    rollups).  tests/test_plan_budgets.py pins the plan: exactly one
+    exchange, and no hashpartitioning on the two-column pair anywhere."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    return (
+        o.repartition("o_custkey")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def _strategy_join(spark, sf_dir, hint):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"])
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@query(
+    "join_strategy_invariance",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           true AS strategies_agree
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "strategy", "slt"),
+)
+def join_strategy_invariance(spark, sf_dir):
+    """Join-strategy invariance, mirroring the reference's
+    join_disable_repartition_joins.slt (sqllogictest: the whole
+    join.slt.part suite re-runs with repartition_joins=false and must
+    produce byte-identical answers — physical strategy is a performance
+    decision, never a semantic one).  Spark's strategy axis is
+    broadcast-hash vs shuffled sort-merge; the entry computes the same
+    customer⋈orders rollup under BROADCAST and MERGE hints and returns
+    the shuffle-path values plus a distributed equality flag over the
+    broadcast-path values (full outer join on the group key — any row
+    present on one side only, or any value mismatch, flips the flag).
+    tests/test_plans.py pins that the two hints really do plan different
+    operators (BroadcastHashJoin vs SortMergeJoin)."""
+    merge = _strategy_join(spark, sf_dir, "merge")
+    bcast = _strategy_join(spark, sf_dir, "broadcast").select(
+        F.col("segment").alias("segment_b"),
+        F.col("n").alias("n_b"),
+        F.col("total").alias("total_b"),
+    )
+    j = merge.join(
+        bcast, merge["segment"] == bcast["segment_b"], "full_outer"
+    )
+    agree = (
+        F.col("segment").isNotNull()
+        & F.col("segment_b").isNotNull()
+        & (F.col("n") == F.col("n_b"))
+        & (F.col("total") == F.col("total_b"))
+    )
+    flag = j.agg(F.bool_and(agree).alias("strategies_agree"))
+    return merge.crossJoin(flag)

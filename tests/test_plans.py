@@ -152,3 +152,33 @@ def test_scan_split_scales_with_max_partition_bytes(spark):
     assert counts["256KB"] >= 3, counts  # ~1 MiB / 256 KiB
     # halving again must keep scaling up, ~proportionally
     assert counts["64KB"] >= 2 * counts["256KB"], counts
+
+
+def test_subset_partitioning_reuses_exchange(spark):
+    """repartition_subset_satisfaction.slt mirror pin: GROUP BY
+    (o_custkey, o_orderstatus) over an input already hash-partitioned on
+    o_custkey must NOT insert a second exchange — HashPartitioning(a)
+    satisfies ClusteredDistribution([a, b]) because (a, b) groups refine
+    a-partitions.  One exchange total, and none keyed on the pair."""
+    from datafusion_spark.plans import explain_str, shuffle_count
+
+    df = QUERIES["agg_partition_subset_reuse"](spark, SF_SMALL)
+    assert shuffle_count(df) == 1, explain_str(df)
+    txt = explain_str(df).lower()
+    assert "hashpartitioning(o_custkey" in txt
+    assert "hashpartitioning(custkey, status" not in txt
+    assert "hashpartitioning(o_custkey, o_orderstatus" not in txt
+
+
+def test_join_strategy_invariance_plans_both_operators(spark):
+    """join_disable_repartition_joins.slt mirror pin: the strategy toggle
+    really does produce two different physical joins — the merge-hinted
+    leg plans SortMergeJoin, the broadcast-hinted leg plans
+    BroadcastHashJoin — and the entry's value-equality flag compares
+    them (oracle pins strategies_agree = true)."""
+    from datafusion_spark.plans import explain_str
+
+    df = QUERIES["join_strategy_invariance"](spark, SF_SMALL)
+    txt = explain_str(df)
+    assert "SortMergeJoin" in txt, txt
+    assert "BroadcastHashJoin" in txt, txt
