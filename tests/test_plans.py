@@ -182,3 +182,70 @@ def test_join_strategy_invariance_plans_both_operators(spark):
     txt = explain_str(df)
     assert "SortMergeJoin" in txt, txt
     assert "BroadcastHashJoin" in txt, txt
+
+
+def test_ordering_propagates_through_filter_no_sort(spark):
+    """filter_without_sort_exec.slt mirror: a source with a known output
+    ordering (the reference declares WITH ORDER on the table; Spark's
+    analogs are operator-produced orderings — range, a prior sort,
+    bucketed sortBy) keeps that ordering through projections and filters,
+    so ORDER BY on the same key plans NO Sort node.  A different key must
+    still sort — exactly one."""
+    import re
+
+    from datafusion_spark.plans import explain_str
+
+    def sorts(q):
+        return len(re.findall(r"^\(\d+\) Sort", explain_str(q), re.MULTILINE))
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("t"), F.col("id").alias("d")
+    )
+    same_key = df.filter(F.col("t") == 3).orderBy("d")
+    assert sorts(same_key) == 0, explain_str(same_key)
+    other_key = df.filter(F.col("t") == 3).orderBy("t")
+    assert sorts(other_key) == 1, explain_str(other_key)
+    # redundant explicit re-sort on the same key is also eliminated
+    double = df.orderBy("d").filter(F.col("t") == 3).orderBy("d")
+    assert sorts(double) == 0, explain_str(double)
+
+
+def test_monotonic_projection_resort_divergence(spark):
+    """monotonic_projection_test.slt divergence pin: the reference infers
+    that CAST(bigint AS double) is monotonic and reuses the input order;
+    Spark does not infer monotonicity through casts, so ORDER BY the cast
+    output plans one Sort.  Cost-only divergence — values identical
+    either way — pinned so a future Spark that learns the inference shows
+    up as a plan improvement, not silent drift."""
+    import re
+
+    from datafusion_spark.plans import explain_str
+
+    df = spark.range(1000).select(F.col("id").alias("d"))
+    q = df.orderBy("d").select(F.col("d").cast("double").alias("dd")).orderBy("dd")
+    n = len(re.findall(r"^\(\d+\) Sort", explain_str(q), re.MULTILINE))
+    assert n == 1, explain_str(q)
+    rows = [r.dd for r in q.collect()]
+    assert rows == sorted(rows) and len(rows) == 1000
+
+
+def test_cse_volatility_semantics(spark):
+    """cse.slt mirror at the semantics level: the reference extracts
+    duplicated DETERMINISTIC subexpressions into __common_expr and
+    refuses to extract volatile ones (random()).  Spark's CSE lives in
+    whole-stage codegen (subexpressionElimination), so there is no plan
+    surface to pin — what must hold is the same observable contract:
+    a duplicated deterministic expression yields identical values, and a
+    duplicated rand()-bearing expression is evaluated independently per
+    column (collapsing it would be a correctness bug)."""
+    df = spark.range(2000).select(F.col("id").alias("d"))
+    rows = df.select(
+        (F.col("d") + F.lit(1)).alias("c1"),
+        (F.col("d") + F.lit(1)).alias("c2"),
+        (F.col("d") + F.rand()).alias("v1"),
+        (F.col("d") + F.rand()).alias("v2"),
+    ).collect()
+    assert all(r.c1 == r.c2 for r in rows)
+    # 2000 independent uniform pairs: P(all equal) is ~0; any inequality
+    # proves the two rand() calls were not collapsed into one.
+    assert any(r.v1 != r.v2 for r in rows)
