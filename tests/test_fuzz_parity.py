@@ -1090,3 +1090,76 @@ def test_random_string_tree_parity(spark, duck_part, spec):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in duck_part.execute(sql).fetchall()]
     assert got == want, sql
+
+
+# --- axis 15 (r7): date/timestamp arithmetic trees --------------------------
+# Reference timestamps.slt / expr.slt calendar corners: random chains of
+# date_trunc, EXTRACT, calendar-interval +/- (with intervals bigger than
+# their unit: 26 hours, 90 days), last_day and ordering comparisons over
+# the orders timestamp column.  Shared SQL text on both engines.
+#
+# Representation/known divergences handled structurally:
+#   * DuckDB date_trunc('day'|'week'|'month'|...) returns DATE where
+#     Spark keeps TIMESTAMP — every trunc is wrapped in
+#     CAST(... AS TIMESTAMP) so the VALUE is what's compared.
+#   * EXTRACT(dow): Spark counts Sunday=1..7, DuckDB (PostgreSQL)
+#     Sunday=0..6 — excluded from the field pool, divergence pinned
+#     here (same class as the NULLS-default sort divergence axis 8
+#     found).
+#   * months_between / date_diff spell differently per engine — out of
+#     the shared-text surface, exercised by fn_datetime_* entries
+#     instead.
+
+_DT_UNITS = ["year", "quarter", "month", "week", "day", "hour"]
+_DT_FIELDS = ["year", "month", "day", "doy", "hour", "minute"]
+_DT_IVS = [
+    "INTERVAL '1' DAY",
+    "INTERVAL '3' MONTH",
+    "INTERVAL '1' YEAR",
+    "INTERVAL '90' DAY",
+    "INTERVAL '26' HOUR",
+]
+
+
+def _grow_dt(draw, depth):
+    """Grow a timestamp-valued expression."""
+    if depth >= 3 or (depth > 0 and draw(st.booleans())):
+        return "o_orderdate"
+    a = _grow_dt(draw, depth + 1)
+    kind = draw(st.sampled_from(["trunc", "plus", "minus"]))
+    if kind == "trunc":
+        u = draw(st.sampled_from(_DT_UNITS))
+        return f"cast(date_trunc('{u}', {a}) as timestamp)"
+    iv = draw(st.sampled_from(_DT_IVS))
+    return f"({a} {'+' if kind == 'plus' else '-'} {iv})"
+
+
+@st.composite
+def datetime_tree_spec(draw):
+    ts = _grow_dt(draw, 0)
+    field = draw(st.sampled_from(_DT_FIELDS))
+    cmp_iv = draw(st.sampled_from(_DT_IVS))
+    return (ts, field, cmp_iv)
+
+
+@given(datetime_tree_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_datetime_tree_parity(spark, duck, spec):
+    """Random calendar-arithmetic trees: the timestamp value, an EXTRACT
+    field, last_day of it, and an interval-shifted ordering predicate
+    must agree per row on both engines."""
+    ts, field, cmp_iv = spec
+    sql = (
+        f"SELECT o_orderkey, {ts} AS t, "
+        f"cast(extract({field} FROM {ts}) as bigint) AS f, "
+        f"last_day(cast({ts} as date)) AS ld, "
+        f"({ts} + {cmp_iv} > TIMESTAMP '2024-06-01 00:00:00') AS c "
+        "FROM orders WHERE o_orderkey % 23 = 3 ORDER BY o_orderkey LIMIT 40"
+    )
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
