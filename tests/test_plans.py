@@ -249,3 +249,20 @@ def test_cse_volatility_semantics(spark):
     # 2000 independent uniform pairs: P(all equal) is ~0; any inequality
     # proves the two rand() calls were not collapsed into one.
     assert any(r.v1 != r.v2 for r in rows)
+
+
+def test_grouping_sets_single_expand_shuffle(spark):
+    """grouping_set_repartition.slt mirror: grouping sets materialize via
+    ONE Expand (each row fanned to its grouping-set variants) followed by
+    ONE exchange keyed on the grouping-id-extended key — never one
+    aggregation+shuffle per set.  At 100 TB an N-set rollup that shuffles
+    N times instead of once is the difference between one pass and N."""
+    from datafusion_spark.plans import explain_str, shuffle_count
+
+    import re
+
+    df = QUERIES["agg_grouping_sets"](spark, SF_SMALL)
+    txt = explain_str(df)
+    assert shuffle_count(df) == 1, txt
+    assert len(re.findall(r"^\(\d+\) Expand", txt, re.MULTILINE)) == 1, txt
+    assert "spark_grouping_id" in txt, txt
