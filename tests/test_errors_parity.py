@@ -61,6 +61,34 @@ AGREEING_ERRORS = [
         "SELECT to_timestamp('31-02-2024', 'dd-MM-yyyy')",
         "SELECT strptime('31-02-2024', '%d-%m-%Y')",
     ),
+    # r7 additions (probed: both engines raise)
+    ("tinyint_overflow", "SELECT CAST(999999 AS TINYINT)", None),
+    (
+        "extract_bad_field",
+        "SELECT EXTRACT(nosuch FROM TIMESTAMP '2020-01-01')",
+        None,
+    ),
+    ("bad_month_cast", "SELECT CAST('2024-99-01' AS DATE)", None),
+    ("str_plus_int", "SELECT 'a' + 1", None),
+    (
+        "dup_cte_name",
+        "WITH t AS (SELECT 1 AS a), t AS (SELECT 2 AS a) SELECT * FROM t",
+        None,
+    ),
+    (
+        "groupby_ordinal_oob",
+        "SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY 99",
+        None,
+    ),
+    ("sum_of_string", "SELECT SUM(o_orderstatus) FROM orders", None),
+    ("values_arity", "SELECT * FROM (VALUES (1), (1, 2)) t(a)", None),
+    (
+        "window_in_where",
+        "SELECT o_orderkey FROM orders"
+        " WHERE row_number() OVER (ORDER BY o_orderkey) = 1",
+        None,
+    ),
+    ("decimal_overflow_cast", "SELECT CAST(1e30 AS DECIMAL(5,2))", None),
 ]
 
 # Spark (ANSI) raises; DuckDB returns the stated permissive value.
@@ -73,10 +101,29 @@ KNOWN_DIVERGENCES = [
         "picks a row instead of raising",
     ),
     ("array_index_out_of_bounds", "SELECT array(1,2,3)[99]", "NULL"),
+    (
+        "negative_array_index",
+        "SELECT array(1,2,3)[-1]",
+        "indexes from the end (returns 3)",
+    ),
 ]
 _DIVERGENCE_DUCK = {
     "array_index_out_of_bounds": "SELECT ([1,2,3])[99]",
+    "negative_array_index": "SELECT ([1,2,3])[-1]",
 }
+
+# Both engines are PERMISSIVE but return DIFFERENT values — the most
+# dangerous class (no error on either side, silently different answers).
+# Pinned so oracle SQL never leans on this surface; generators exclude it
+# (axis 14 draws substr lengths >= 0).
+VALUE_DIVERGENCES = [
+    (
+        "negative_substring_length",
+        "SELECT substring('abcdef', 2, -1) AS v",
+        "",            # Spark: negative length -> empty string
+        "a",           # DuckDB (PostgreSQL): start+len window clipped -> 'a'
+    ),
+]
 
 
 @pytest.fixture(scope="module")
@@ -117,3 +164,20 @@ def test_known_divergences_stay_diverged(spark, duck, case, sql, duck_behavior):
     with pytest.raises(Exception):
         spark.sql(sql).collect()
     duck.execute(_DIVERGENCE_DUCK.get(case, sql)).fetchall()  # must NOT raise
+
+
+@pytest.mark.parametrize(
+    "case,sql,spark_val,duck_val",
+    VALUE_DIVERGENCES,
+    ids=[c[0] for c in VALUE_DIVERGENCES],
+)
+def test_value_divergences_stay_pinned(spark, duck, case, sql, spark_val, duck_val):
+    """Permissive-but-different: both engines accept the query and return
+    DIFFERENT values.  Pinned on both sides so any convergence (or a new
+    third behavior) is caught; the silent-wrong-answer class the
+    comparison harness must never sample from."""
+    got = spark.sql(sql).collect()[0][0]
+    want = duck.execute(sql).fetchall()[0][0]
+    assert got == spark_val, (case, got)
+    assert want == duck_val, (case, want)
+    assert got != want
