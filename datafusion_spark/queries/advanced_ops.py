@@ -40,12 +40,24 @@ def build_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
     join key at write time, per-bucket sorted).  Idempotent per (sf_dir);
     re-registers the catalog entries if the session changed."""
     li_tbl, ord_tbl = "li_bucketed", "ord_bucketed"
-    marker = os.path.join(_SCRATCH, f"done_{os.path.basename(sf_dir.rstrip('/'))}")
+    # marker v2: layouts before r7 had multiple files per bucket (no
+    # pre-write repartition), which defeats sorted-scan elision — rebuild.
+    marker = os.path.join(
+        _SCRATCH, f"done2_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     if not os.path.exists(marker) or not spark.catalog.tableExists(li_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {ord_tbl}")
+        # repartition on the bucket key BEFORE the bucketed write: the
+        # writer then emits exactly ONE file per bucket (task partitioning
+        # == bucket hashing), which is the gate for Spark trusting the
+        # per-bucket sortBy order on read — with it, SortMergeJoin inputs
+        # skip both their Sort and their Exchange (plan-pinned in
+        # tests/test_plan_budgets.py).  Without it each task writes a file
+        # per bucket it touches and the read-side sort comes back.
         (
             load_table(spark, sf_dir, "lineitem")
+            .repartition(n_buckets, F.col("l_orderkey"))
             .write.mode("overwrite")
             .bucketBy(n_buckets, "l_orderkey")
             .sortBy("l_orderkey")
@@ -54,6 +66,7 @@ def build_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
         )
         (
             load_table(spark, sf_dir, "orders")
+            .repartition(n_buckets, F.col("o_orderkey"))
             .write.mode("overwrite")
             .bucketBy(n_buckets, "o_orderkey")
             .sortBy("o_orderkey")

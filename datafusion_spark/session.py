@@ -41,6 +41,13 @@ def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None):
         # strategy) keeps small-dim broadcasts and flips the fact legs at
         # the right size: measured -15% at sf1, -11% at sf0.1, job_7a 3x.
         .config("spark.sql.sources.fileCompressionFactor", "6.0")
+        # Exploit per-bucket sort metadata on read (DataFusion reads WITH
+        # ORDER declarations the same way): with one file per bucket the
+        # scan reports its sort order and SortMergeJoin inputs skip their
+        # Sort entirely.  Safe by construction — Spark only trusts the
+        # order when each bucket has <= 1 file, else it sorts as before
+        # (the multi-file hazard that made this default-off in 3.0).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _DEF_CPUS))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -254,11 +254,22 @@ def test_bucketed_join_no_input_shuffle(spark):
     re-aggregation on o_orderpriority — neither join input shuffles."""
     from datafusion_spark.plans import shuffle_count as sc
 
+    import re
+
+    from datafusion_spark.plans import explain_str
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = QUERIES["join_bucketed_colocated"](spark, SF_SMALL)
         n = sc(df)
         assert n <= 1, f"bucketed join shuffled an input ({n} exchanges)"
+        # r7: with one file per bucket + sorted-bucket scan enabled
+        # (session.py), the SMJ inputs must also skip their Sort — the
+        # bucketed join is a pure local merge (zero sort, zero shuffle
+        # on both fact inputs).
+        txt = explain_str(df)
+        sorts = len(re.findall(r"^\(\d+\) Sort(?!MergeJoin)", txt, re.MULTILINE))
+        assert sorts == 0, f"bucketed SMJ inputs re-sorted:\n{txt}"
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)

@@ -266,3 +266,49 @@ def test_grouping_sets_single_expand_shuffle(spark):
     assert shuffle_count(df) == 1, txt
     assert len(re.findall(r"^\(\d+\) Expand", txt, re.MULTILINE)) == 1, txt
     assert "spark_grouping_id" in txt, txt
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join pin: a 90%-hot key on the probe side of a shuffled
+    sort-merge join must be SPLIT at runtime (skew=true on the SMJ node)
+    instead of serializing one giant task — Spark's runtime analog of the
+    reference's repartitioning decisions, and the default defense the
+    100 TB design leans on wherever keys are Zipfian (session.py enables
+    spark.sql.adaptive.skewJoin).  Thresholds are lowered only to make
+    the toy dataset register as skewed; values are checked against the
+    exact expected aggregate."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(400000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+            F.lpad(F.col("id").cast("string"), 64, "p").alias("pay"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        j = (
+            left.join(right.hint("merge"), "k")
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        )
+        rows = j.collect()
+        assert [tuple(r) for r in rows] == [(400000, 79999800000)]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
