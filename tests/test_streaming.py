@@ -434,3 +434,68 @@ def test_streaming_ohlc_matches_batch(spark):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics, the half of the watermark contract the
+    stream==batch twins can't see: once the watermark has passed a
+    window's close, a late row for that window must be DROPPED — the
+    finalized (append-mode) result never changes.  Two sequential
+    availableNow runs over one checkpoint: run 1 processes on-time rows
+    and advances the watermark far past the first window; run 2 feeds a
+    late row into that closed window.  The file sink's output must hold
+    exactly one finalized row for the window, counting only on-time
+    rows."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "event_type string, value double, ts timestamp"
+
+    def write_batch(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("w.start", "event_type", "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    # run 1: two on-time rows in the 00:00 window, then a row at 05:00
+    # that advances the watermark to 04:00 — window 00:00 closes.
+    write_batch(
+        [("click", 1.0, t(0, 10)), ("click", 2.0, t(0, 40)),
+         ("click", 9.0, t(5, 0))],
+        "b1",
+    )
+    run_once()
+    # run 2: a LATE row for the closed 00:00 window (watermark 04:00).
+    write_batch([("click", 7.0, t(0, 50))], "b2")
+    run_once()
+
+    got = {
+        (r["start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    key = (t(0, 0), "click")
+    assert got.get(key) == 2, got  # late row NOT counted, row NOT re-emitted
