@@ -813,3 +813,62 @@ def source_schema_evolution_nested(spark, sf_dir):
                   .cast("decimal(38,6)")).cast("double").alias("sum_vol"),
         ).orderBy("batch")
     )
+
+
+@query(
+    "source_csv_mixed_multifile",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("sources", "csv", "multifile"),
+)
+def source_csv_mixed_multifile(spark, sf_dir):
+    """Heterogeneous multi-file CSV listing, mirroring the reference's
+    csv_files.slt multi-file cases (sqllogictest csv_files.slt: one
+    external table over several CSV files, compressed and plain mixed in
+    the same listing, schema declared once).  The entry splits customer
+    into three CSV files in ONE directory — two plain, one gzip — and
+    reads the directory back as a single table with an explicit schema
+    (no inference double-read).  Spark's listing treats per-file codecs
+    independently, decompressing by extension, exactly like the
+    reference's per-file FileCompressionType; at 100 TB mixed-codec
+    listings are the norm for append-over-years datasets.  The oracle
+    recomputes from the canonical parquet, proving no row was lost or
+    double-read across the file boundaries."""
+    c = load_table(spark, sf_dir, "customer")
+    base = os.path.join(_SCRATCH, "customer_mixed_csv")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        plain = c.filter(F.col("c_custkey") % 3 != 0)
+        gz = c.filter(F.col("c_custkey") % 3 == 0)
+        copy_to(plain.repartition(2), base, fmt="csv")
+        # remove the marker files so only data files remain, then add a
+        # gzip member to the same listing
+        for f in os.listdir(base):
+            if not f.endswith(".csv"):
+                os.remove(os.path.join(base, f))
+        gz_dir = base + "_gz_tmp"
+        copy_to(gz.repartition(1), gz_dir, fmt="csv",
+                options={"compression": "gzip"})
+        import shutil
+
+        for f in os.listdir(gz_dir):
+            if f.endswith(".csv.gz"):
+                shutil.move(os.path.join(gz_dir, f), os.path.join(base, f))
+        shutil.rmtree(gz_dir)
+        open(os.path.join(base, "_DONE"), "w").close()
+    back = read_csv(
+        spark,
+        base,
+        schema="c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("bal"),
+    )
