@@ -1030,3 +1030,63 @@ def join_strategy_invariance(spark, sf_dir):
     )
     flag = j.agg(F.bool_and(agree).alias("strategies_agree"))
     return merge.crossJoin(flag)
+
+
+@query(
+    "dml_dynamic_partition_overwrite",
+    oracle="""
+    WITH status_totals AS (
+      SELECT o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O'
+                           THEN o_totalprice * 0.5
+                           ELSE o_totalprice END AS DECIMAL(38,6)))
+                  AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status, n, total FROM status_totals
+    """,
+    tags=("dml", "partitioned-write", "scale"),
+)
+def dml_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite, mirroring the reference's
+    insert_to_external.slt / insert.slt partitioned-write cases at the
+    surface Spark exposes: INSERT OVERWRITE with
+    partitionOverwriteMode=dynamic replaces ONLY the partitions present
+    in the incoming data, leaving sibling partitions byte-identical —
+    the incremental-backfill shape every 100 TB pipeline runs nightly
+    (rewrite yesterday's partition without touching years of history;
+    static mode would truncate the whole table).  The entry writes
+    orders partitioned by o_orderstatus, dynamically overwrites ONLY
+    the 'O' partition with a transformed copy (totalprice halved), and
+    aggregates the directory read-back: the 'O' group shows the new
+    values while every other status group proves untouched — the
+    oracle recomputes the same split from the canonical table."""
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_dyn_overwrite")
+    # base load: all partitions (rebuilt per process; cheap at test SF)
+    (o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path))
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched = (
+            o.filter(F.col("o_orderstatus") == "O")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 0.5)
+        )
+        (
+            patched.write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total"),
+    )
