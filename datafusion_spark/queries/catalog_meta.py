@@ -365,3 +365,94 @@ def catalog_analyze_cbo(spark, sf_dir):
         for k, v in saved.items():
             spark.conf.set(k, v)
     return df
+
+
+@query(
+    "dml_insert_values_params",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      UNION ALL
+      SELECT 900, 'PARAMLAND', 2
+      UNION ALL
+      SELECT 901, 'BINDVILLE', 4
+    )
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(n_name) AS last_name
+    FROM base GROUP BY n_regionkey
+    """,
+    tags=("dml", "params", "slt"),
+)
+def dml_insert_values_params(spark, sf_dir):
+    """Parameterized INSERT ... VALUES, mirroring the reference's
+    insert_values_placeholders.slt (prepared-statement placeholders in
+    DML position, not just SELECT — `sql_prepared_params` covers the
+    query side).  Spark 4's named-parameter sql() binds :name markers
+    server-side — the values never pass through string formatting, the
+    same injection-safe contract as the reference's $1 placeholders.
+    The table is dropped and rebuilt per call for determinism."""
+    import os as _os
+    import tempfile as _tempfile
+
+    scratch = _os.path.join(
+        _tempfile.gettempdir(), "datafusion_spark_dml", "nation_params"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    spark.sql("DROP TABLE IF EXISTS nation_params")
+    nation.write.mode("overwrite").option("path", scratch).saveAsTable(
+        "nation_params"
+    )
+    spark.sql(
+        "INSERT INTO nation_params VALUES (:k1, :n1, :r1), (:k2, :n2, :r2)",
+        args={"k1": 900, "n1": "PARAMLAND", "r1": 2,
+              "k2": 901, "n2": "BINDVILLE", "r2": 4},
+    )
+    return (
+        spark.table("nation_params")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("n_name").alias("last_name"))
+    )
+
+
+@query(
+    "catalog_table_types",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ctt_view', 'TEMPORARY', true),
+      ('nation_ctt', 'EXTERNAL', false)
+    ) t(tbl, table_type, is_temporary)
+    ORDER BY tbl
+    """,
+    tags=("catalog", "metadata", "slt"),
+)
+def catalog_table_types(spark, sf_dir):
+    """Table-type metadata, mirroring the reference's
+    information_schema_table_types.slt (BASE TABLE vs VIEW rows in
+    information_schema.tables).  Spark's catalog exposes the same facts
+    via listTables(): a registered temp view reports TEMPORARY, a
+    path-backed saved table reports EXTERNAL.  The entry creates one of
+    each and returns their catalog rows — metadata-only, zero data
+    read."""
+    import os as _os
+    import tempfile as _tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    nation.limit(5).createOrReplaceTempView("ctt_view")
+    scratch = _os.path.join(
+        _tempfile.gettempdir(), "datafusion_spark_dml", "nation_ctt"
+    )
+    spark.sql("DROP TABLE IF EXISTS nation_ctt")
+    nation.limit(5).write.mode("overwrite").option("path", scratch).saveAsTable(
+        "nation_ctt"
+    )
+    rows = [
+        (t.name, t.tableType, bool(t.isTemporary))
+        for t in spark.catalog.listTables()
+        if t.name in ("ctt_view", "nation_ctt")
+    ]
+    return (
+        spark.createDataFrame(rows, "tbl string, table_type string, is_temporary boolean")
+        .orderBy("tbl")
+    )

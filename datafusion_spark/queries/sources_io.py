@@ -872,3 +872,35 @@ def source_csv_mixed_multifile(spark, sf_dir):
         .cast("double")
         .alias("bal"),
     )
+
+
+@query(
+    "source_dynamic_file_query",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("sources", "catalog", "slt"),
+)
+def source_dynamic_file_query(spark, sf_dir):
+    """Query a file path directly with no registered table, mirroring the
+    reference's dynamic_file.slt (sqllogictest: ``SELECT * FROM
+    'data.parquet'`` resolves the string to a listing table on the fly).
+    Spark spells it ``FROM parquet.`/path/file.parquet``` — same
+    semantics: schema from the footer, full pushdown/pruning, zero
+    catalog state.  The ad-hoc-exploration surface every pipeline debug
+    session uses; the oracle reads the registered view of the same file,
+    proving path-resolution changes nothing."""
+    path = os.path.join(sf_dir, "nation.parquet")
+    return spark.sql(
+        f"""
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(n_name) AS first_name
+        FROM parquet.`{path}`
+        GROUP BY n_regionkey
+        """
+    )
