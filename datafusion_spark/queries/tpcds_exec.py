@@ -4991,7 +4991,8 @@ _register(
 _register(
     "tpcds_q72",
     """
-    SELECT i_item_desc, w_warehouse_name, d1.d_week_seq AS d_week_seq,
+    SELECT /*+ MERGE(inv2) */
+           i_item_desc, w_warehouse_name, d1.d_week_seq AS d_week_seq,
            CAST(SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS no_promo,
            CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END)
@@ -5050,7 +5051,12 @@ _register(
     is contiguous-by-day).  At 100 TB this is the difference between
     an O(sales×snapshots-per-item) blowup plus an unpushable late
     filter and a pruned scan feeding a composite-key shuffle AQE can
-    split.""",
+    split.  The MERGE(inv2) hint pins the inventory leg to a shuffle
+    join: inventory is fact-sized at every real SF, but the static
+    estimate of the pre-joined subquery can fall under the broadcast
+    threshold — at sf1 that misestimated broadcast OOMed an 8 GB
+    driver (found by tools/scale_check.py, r7); a fact side must never
+    be broadcast regardless of what the estimator says.""",
 )
 
 _register(
