@@ -268,16 +268,29 @@ def catalog_parquet_metadata(spark, sf_dir):
     reads are driver-side by design (the same listing-phase metadata pass
     every engine performs before planning); at 100 TB this would walk the
     file listing distributed via spark.read.format('binaryFile') over
-    footers, but the per-file logic is identical."""
+    footers, but the per-file logic is identical.  Handles both layouts a
+    table can have at scale: a single .parquet file (the testdata shape)
+    or a DIRECTORY of part files (every real written table) — files are
+    walked in sorted order so row_group_id stays deterministic."""
+    import glob as _glob
+    import os as _os
+
     import pyarrow.parquet as pq
 
     from datafusion_spark.catalog import table_path
 
-    md = pq.ParquetFile(table_path(sf_dir, "lineitem")).metadata
-    rows = [
-        (i, md.row_group(i).num_rows, md.row_group(i).num_columns)
-        for i in range(md.num_row_groups)
-    ]
+    path = table_path(sf_dir, "lineitem")
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    rows, gid = [], 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for i in range(md.num_row_groups):
+            rows.append((gid, md.row_group(i).num_rows, md.row_group(i).num_columns))
+            gid += 1
     return spark.createDataFrame(
         rows, schema="row_group_id bigint, num_rows bigint, n_cols bigint"
     )
