@@ -57,6 +57,18 @@ def scale_table(spark, name: str, replicas: int):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # The source files carry no-tz micros; a plain Spark read infers
+        # TIMESTAMP_NTZ and the rewrite would BAKE that into the output's
+        # footer spark-schema — which then overrides the reader-side
+        # inferTimestampNTZ=false that catalog.load_table relies on, so
+        # every events entry sees a different ts type at this SF than at
+        # the real testdata SFs (found by the r7 sf1 audit).  Reinterpret
+        # to TIMESTAMP here, at GENERATION time, where a projection over
+        # the scan costs nothing.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.to_timestamp(F.col("ts")))
     if name in ("region", "nation"):
         return df
 
