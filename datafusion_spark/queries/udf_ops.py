@@ -140,3 +140,119 @@ def udf_table_function(spark, sf_dir):
         WHERE d.doc_id < 200
         """
     )
+
+
+def _wavg_udaf():
+    # GROUPED_AGG pandas UDF: the true UDAF extension point (one Arrow
+    # batch stream in, one scalar out per group).  Inputs are kept
+    # integer-exact (price scaled to cents, integer quantities) so the
+    # float64 accumulation is order-independent — the same determinism
+    # rule the built-in decimal aggregates follow (SURVEY §4).
+    @pandas_udf("double")
+    def _wavg(cents: pd.Series, qty: pd.Series) -> float:
+        num = float((cents * qty).sum())
+        den = float(qty.sum())
+        return num / den if den else float("nan")
+
+    @pandas_udf("long")
+    def _nrows(qty: pd.Series) -> int:
+        # GROUPED_AGG UDFs cannot mix with built-in aggregates in one
+        # aggregation (INVALID_PANDAS_UDF_PLACEMENT), so the row count
+        # rides along as a second pandas reducer.
+        return int(len(qty))
+
+    return _wavg, _nrows
+
+
+@query(
+    "udf_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(ROUND(l_extendedprice * 100) * l_quantity) AS DOUBLE)
+               / CAST(SUM(l_quantity) AS DOUBLE) AS wavg_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf"),
+)
+def udf_grouped_agg_udaf(spark, sf_dir):
+    """User-defined AGGREGATE function (reference: AggregateUDF,
+    datafusion/expr/src/udaf.rs; core/tests/user_defined/
+    user_defined_aggregates.rs).  Spark's extension point is the
+    GROUPED_AGG pandas UDF: Arrow batches stream into a Python reducer
+    that emits one scalar per group — here a quantity-weighted mean of
+    price-in-cents.  Plans as an ObjectHashAggregate-style two-phase
+    aggregate over the group-key shuffle (partial aggregation does not
+    apply to opaque Python reducers, so ALL rows of a group reach one
+    task — the documented UDAF scale contract: group count must exceed
+    task count, which holds for any real GROUP BY)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wavg, nrows = _wavg_udaf()
+    cents = F.round(F.col("l_extendedprice") * 100).alias("cents")
+    return (
+        li.select("l_returnflag", cents, F.col("l_quantity").alias("qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            wavg(F.col("cents"), F.col("qty")).alias("wavg_cents"),
+            nrows(F.col("qty")).alias("n"),
+        )
+    )
+
+
+@query(
+    "udf_window_pandas_udaf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag AS rf,
+           CAST(SUM(ROUND(l_extendedprice * 100) * l_quantity)
+                OVER w AS DOUBLE)
+               / CAST(SUM(l_quantity) OVER w AS DOUBLE) AS rolling_wavg,
+           CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+    FROM lineitem
+    WHERE l_orderkey < 200
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_orderkey, l_linenumber,
+                          ROUND(l_extendedprice * 100), l_quantity
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY rf, l_orderkey, l_linenumber, rolling_wavg
+    """,
+    tags=("udf", "udaf", "window"),
+)
+def udf_window_pandas_udaf(spark, sf_dir):
+    """User-defined WINDOW function (reference: WindowUDF,
+    datafusion/expr/src/udwf.rs; core/tests/user_defined/
+    user_defined_window_functions.rs).  Spark reuses the GROUPED_AGG
+    pandas UDF over a bounded window frame — the same Python reducer
+    evaluates per sliding frame (rolling 3-row weighted mean here).
+    Frames must be BOUNDED for pandas UDFs (Spark evaluates each frame
+    as one Arrow slice); the built-in SUM-over-window spelling in the
+    oracle proves value parity.  Scale: one shuffle on the partition
+    key, frames evaluated locally — same plan shape as a built-in
+    window aggregate, with Python batch cost on top."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    wavg, _ = _wavg_udaf()
+    # (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+    # 58 duplicate keys below orderkey 200 — so the frame order extends
+    # to the value columns; remaining ties are value-identical rows,
+    # which cannot change any frame sum.
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "cents", "qty")
+        .rowsBetween(-2, 0)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).alias("cents")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            "l_returnflag", cents, F.col("l_quantity").alias("qty"),
+        )
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_returnflag").alias("rf"),
+            wavg(F.col("cents"), F.col("qty")).over(w).alias("rolling_wavg"),
+            F.count(F.lit(1)).over(w).alias("frame_n"),
+        )
+        .orderBy("rf", "l_orderkey", "l_linenumber", "rolling_wavg")
+    )
