@@ -209,7 +209,10 @@ SHUFFLE_BUDGETS = {
     "tpcds_q54": 6,  # union-channel buyer set + 3-month revenue window
     "tpcds_q64": 15, # cs_ui agg + 17-relation chain + year self-join
     "tpcds_q66": 3,  # 2 pivot legs + final re-agg
-    "tpcds_q72": 3,  # inventory-item join + demographic star + agg
+    "tpcds_q72": 5,  # MERGE-pinned inventory leg shuffles BOTH sides on
+                     # (item, week) — +2 exchanges vs the misestimated
+                     # broadcast it replaces, which OOMed at sf1 (r7);
+                     # demographic star stays broadcast + agg
     "tpcds_q75": 18, # 3 channel UNION (distinct) legs + year self-join
     "tpcds_q77": 7,  # 6 per-channel aggs + rollup union
     "tpcds_q78": 9,  # 3 anti-join channel aggs + 2 left joins
