@@ -640,3 +640,21 @@ def test_unnest_filter_pushed_below_generate(spark):
 
     txt = explain_str(QUERIES["nested_unnest_filter_pushdown"](spark, SF_SMALL))
     assert "EqualTo(p_size,5)" in txt, "p_size filter not pushed to scan"
+
+
+def test_q72_inventory_leg_never_broadcasts_fact(spark):
+    """Regression pin for the r7 sf1 OOM: the pre-joined inventory ×
+    date_dim subquery's size ESTIMATE can fall under the broadcast
+    threshold while the real payload is fact-sized — the MERGE hint must
+    keep the (item, week) join a shuffle join at every SF.  Uses the
+    fact-broadcast audit (tools/broadcast_audit.py): no broadcast build
+    side may reach the lineitem scan without a cardinality reducer."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.broadcast_audit import audit
+
+    df = QUERIES["tpcds_q72"](spark, SF_SMALL)
+    hits = audit(df)
+    assert not hits, f"q72 broadcasts a fact-derived side again: {hits}"
