@@ -62,8 +62,8 @@ def _load_all() -> None:
                 raise
 
 
-def _driver_verified() -> set[str]:
-    """Entry names already hash-verified GREEN by the driver in a past round.
+def _driver_latest() -> dict[str, bool]:
+    """Latest driver verdict per entry (True = green, False = FAIL).
 
     Read from the ``CORRECTNESS_r*.json`` files the driver leaves at the repo
     root; latest round wins per entry, and only a passing record
@@ -125,49 +125,31 @@ def _interleave_families() -> None:
        and never on ``oracle=None`` rows the driver can only row-count —
        so cumulative hard-signal coverage grows ~50 entries per round.
     """
-    latest = _driver_verified()
+    latest = _driver_latest()
     verified = _verified_of(latest)
     failed = _failed_of(latest)
 
-    # Hand-pinned front of the prefix for the CURRENT round (r7): the 24
-    # TPC-DS exec entries that landed after the r6 prefix snapshot, the 13
-    # final TPC-DS queries executed this round (99/99), and the new r7
-    # slt-mirror families.  Latest-FAIL entries are NOT listed here — they
-    # are pinned at absolute positions 0..k automatically (see _failed_of).
-    # Rotate per round; harmless if an entry is already verified (it drops
-    # to tier 1/2 automatically) or not yet registered (tier() is only
-    # consulted for registered names).
+    # Hand-pinned front of the prefix for the CURRENT round (r8): the 4
+    # TPC-DS second statements and the 8 driver-unseen tpch_official join
+    # graphs (both called out by the r7 verdict), plus entries that are NEW
+    # or materially CHANGED this round (unparser round-trip, IVFPQ exact
+    # re-rank).  Latest-FAIL entries are NOT listed here — they are pinned
+    # at absolute positions 0..k automatically (see _failed_of).
+    # Rotate per round; harmless if an entry is already verified (the 12
+    # backlog names here are all never-verified) or not yet registered
+    # (tier() is only consulted for registered names).
     priority = {
-        # r6 tranche entries still driver-unseen (the r6 prefix drained 50
-        # of the ~74 priority entries; these 24 are the remainder):
-        "tpcds_q9", "tpcds_q10", "tpcds_q16", "tpcds_q18", "tpcds_q21",
-        "tpcds_q22", "tpcds_q35", "tpcds_q39", "tpcds_q40", "tpcds_q44",
-        "tpcds_q46", "tpcds_q49", "tpcds_q51", "tpcds_q67", "tpcds_q69",
-        "tpcds_q70", "tpcds_q76", "tpcds_q84", "tpcds_q85", "tpcds_q90",
-        "tpcds_q91", "tpcds_q94", "tpcds_q95", "tpcds_q97",
-        # r7 final tranche: the last 13 TPC-DS queries (99/99 executed)
-        "tpcds_q5", "tpcds_q8", "tpcds_q14", "tpcds_q23", "tpcds_q24",
-        "tpcds_q54", "tpcds_q64", "tpcds_q66", "tpcds_q72", "tpcds_q75",
-        "tpcds_q77", "tpcds_q78", "tpcds_q80",
-        # r7 slt mirrors / scale pins
-        "source_parquet_stats_pruning",
-        "source_parquet_sorted_stats",
-        "agg_skip_partial_highcard",
-        "agg_func_substitute_sorted",
-        "join_outer_filter_pushdown",
-        "nested_unnest_filter_pushdown",
-        "compat_ident_normalization",
-        "source_schema_evolution_nested",
-        # r7 late-round mirrors (topk-through-join, CBO statistics
-        # planning, runtime bloom filter, duplicate-name cross join) —
-        # new this round, front-loaded like the other changed entries:
-        "join_topk_through",
-        "catalog_analyze_cbo",
-        "join_runtime_bloom_filter",
-        # NOT pinned: tpcds_q14b/q23b/q24b/q39b (second statements) and
-        # join_cross_same_names — the 50-slot window is exactly full with
-        # the 99-query surface + the scale-lever mirrors; these drain
-        # with the tier-1 backlog.
+        # TPC-DS second statements (judge-verified green in r7; give them
+        # their driver rows):
+        "tpcds_q14b", "tpcds_q23b", "tpcds_q24b", "tpcds_q39b",
+        # the 8 official-schema TPC-H join graphs with no driver signature
+        # (SURVEY §2.1 claims all 22; these are the missing receipts):
+        "tpch_official_q8", "tpch_official_q10", "tpch_official_q13",
+        "tpch_official_q14", "tpch_official_q17", "tpch_official_q19",
+        "tpch_official_q21", "tpch_official_q22",
+        # new/changed this round:
+        "compat_unparser_roundtrip",
+        "similarity_ivfpq_rerank_topk",
     }
 
     def tier(name: str) -> int:

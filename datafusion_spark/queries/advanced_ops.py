@@ -309,7 +309,7 @@ def agg_grouping_id(spark, sf_dir):
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       WHERE doc_id < 150
     )
-    SELECT doc_id, i AS pos, w AS word,
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, w AS word,
            CAST(length(w) AS INT) AS wlen
     FROM t, LATERAL (
       SELECT UNNEST(generate_series(1, least(len(ws), 4))) AS i,
@@ -331,7 +331,7 @@ def nested_arrays_zip(spark, sf_dir):
         d.select("doc_id", F.explode(zipped).alias("z"))
         .select(
             "doc_id",
-            F.col("z.pos").alias("pos"),
+            F.col("z.pos").cast("long").alias("pos"),
             F.col("z.word").alias("word"),
             F.length("z.word").cast("int").alias("wlen"),
         )

@@ -27,6 +27,20 @@ from datafusion_spark.sources.io import (
 _SCRATCH = os.path.join(tempfile.gettempdir(), "datafusion_spark_io")
 
 
+def _sf_scratch(sf_dir: str, name: str) -> str:
+    """Scratch path for a rewritten layout, keyed on the SF directory.
+
+    Marker-guarded (_SUCCESS/_DONE) layouts MUST embed the sf_dir basename:
+    a guard on an SF-independent path makes the entry read stale data from
+    whichever SF first created the layout (smoke sf0.001 → oracle sf0.01
+    mismatch).  Same fix as advanced_ops.build_bucketed_tables marker v2.
+    Entries that rewrite unconditionally on every call don't need this.
+    """
+    return os.path.join(
+        _SCRATCH, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
 @query(
     "source_csv_roundtrip",
     oracle="""
@@ -690,7 +704,7 @@ def source_parquet_stats_pruning(spark, sf_dir):
     pushed filter present and scan output rows << table rows (row
     groups outside the band were never decoded)."""
     orders = load_table(spark, sf_dir, "orders")
-    path = os.path.join(_SCRATCH, "orders_stats_sorted")
+    path = _sf_scratch(sf_dir, "orders_stats_sorted")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (orders.repartition(1).sortWithinPartitions("o_orderkey")
                .write.mode("overwrite")
@@ -734,7 +748,7 @@ def source_parquet_sorted_stats(spark, sf_dir):
     layout's overlapping [min,max] ranges prune nothing) — statistics
     quality IS a layout property, which is the slt's point."""
     li = load_table(spark, sf_dir, "lineitem")
-    path = os.path.join(_SCRATCH, "lineitem_shipdate_sorted")
+    path = _sf_scratch(sf_dir, "lineitem_shipdate_sorted")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (li.repartition(1).sortWithinPartitions("l_shipdate")
            .write.mode("overwrite")
@@ -786,7 +800,7 @@ def source_schema_evolution_nested(spark, sf_dir):
     rows' vol IS NULL), so the value hash proves NULL-filling and field
     alignment, not just rowcounts."""
     part = load_table(spark, sf_dir, "part")
-    base = os.path.join(_SCRATCH, "nested_evolution")
+    base = _sf_scratch(sf_dir, "nested_evolution")
     pa_, pb = os.path.join(base, "va"), os.path.join(base, "vb")
     if not os.path.exists(os.path.join(pa_, "_SUCCESS")):
         (part.filter(F.col("p_partkey") % 2 == 0)
@@ -840,7 +854,7 @@ def source_csv_mixed_multifile(spark, sf_dir):
     recomputes from the canonical parquet, proving no row was lost or
     double-read across the file boundaries."""
     c = load_table(spark, sf_dir, "customer")
-    base = os.path.join(_SCRATCH, "customer_mixed_csv")
+    base = _sf_scratch(sf_dir, "customer_mixed_csv")
     if not os.path.exists(os.path.join(base, "_DONE")):
         plain = c.filter(F.col("c_custkey") % 3 != 0)
         gz = c.filter(F.col("c_custkey") % 3 == 0)

@@ -3643,10 +3643,14 @@ _register(
             GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
       WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 0.4
     )
-    SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1,
-           inv1.d_moy AS moy1, inv1.mean AS mean1, inv1.cov AS cov1,
-           inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
-           inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+    SELECT CAST(inv1.w_warehouse_sk AS BIGINT) AS wsk1,
+           CAST(inv1.i_item_sk AS BIGINT) AS isk1,
+           CAST(inv1.d_moy AS BIGINT) AS moy1,
+           inv1.mean AS mean1, inv1.cov AS cov1,
+           CAST(inv2.w_warehouse_sk AS BIGINT) AS wsk2,
+           CAST(inv2.i_item_sk AS BIGINT) AS isk2,
+           CAST(inv2.d_moy AS BIGINT) AS moy2,
+           inv2.mean AS mean2, inv2.cov AS cov2
     FROM inv inv1, inv inv2
     WHERE inv1.i_item_sk = inv2.i_item_sk
       AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
@@ -5876,10 +5880,14 @@ _register(
             GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
       WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 0.4
     )
-    SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1,
-           inv1.d_moy AS moy1, inv1.mean AS mean1, inv1.cov AS cov1,
-           inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
-           inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+    SELECT CAST(inv1.w_warehouse_sk AS BIGINT) AS wsk1,
+           CAST(inv1.i_item_sk AS BIGINT) AS isk1,
+           CAST(inv1.d_moy AS BIGINT) AS moy1,
+           inv1.mean AS mean1, inv1.cov AS cov1,
+           CAST(inv2.w_warehouse_sk AS BIGINT) AS wsk2,
+           CAST(inv2.i_item_sk AS BIGINT) AS isk2,
+           CAST(inv2.d_moy AS BIGINT) AS moy2,
+           inv2.mean AS mean2, inv2.cov AS cov2
     FROM inv inv1, inv inv2
     WHERE inv1.i_item_sk = inv2.i_item_sk
       AND inv1.w_warehouse_sk = inv2.w_warehouse_sk

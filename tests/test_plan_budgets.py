@@ -538,12 +538,14 @@ def test_parquet_stats_pruning_layout(spark):
 
     from datafusion_spark.plans import explain_str
 
+    from datafusion_spark.queries.sources_io import _sf_scratch
+
     df = QUERIES["source_parquet_stats_pruning"](spark, SF_SMALL)
+    df.collect()  # ensure the SF-keyed sorted layout exists
     txt = explain_str(df)
     assert "PushedFilters" in txt and "GreaterThanOrEqual(o_orderkey,1000)" in txt, (
         "range predicate not pushed to the parquet scan")
-    path = os.path.join(tempfile.gettempdir(), "datafusion_spark_io",
-                        "orders_stats_sorted")
+    path = _sf_scratch(SF_SMALL, "orders_stats_sorted")
     frac, total = _rowgroup_prune_fraction(path, "o_orderkey", 1000, 2000)
     assert total >= 5, f"expected many row groups, layout has {total}"
     assert frac <= 0.5, (
@@ -568,9 +570,10 @@ def test_parquet_sorted_stats_tighter_than_shuffled(spark):
     txt = explain_str(df)
     assert "PushedFilters" in txt and "l_shipdate" in txt
 
-    scratch = os.path.join(tempfile.gettempdir(), "datafusion_spark_io")
-    sorted_path = os.path.join(scratch, "lineitem_shipdate_sorted")
-    shuffled_path = os.path.join(scratch, "lineitem_shipdate_shuffled")
+    from datafusion_spark.queries.sources_io import _sf_scratch
+
+    sorted_path = _sf_scratch(SF_SMALL, "lineitem_shipdate_sorted")
+    shuffled_path = _sf_scratch(SF_SMALL, "lineitem_shipdate_shuffled")
     if not os.path.exists(os.path.join(shuffled_path, "_SUCCESS")):
         (load_table(spark, SF_SMALL, "lineitem")
          .repartition(1).sortWithinPartitions("l_orderkey")

@@ -66,10 +66,27 @@ def _subtree_scans_fact(node, marker: str) -> bool:
         ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
-        # subqueries hang off expressions, not children; a broadcast INSIDE
-        # a subquery is flagged when that fragment is walked from its own
-        # join node.
     return False
+
+
+def _iter_nodes(root):
+    """Yield every physical node under root, INCLUDING subquery plan
+    fragments (scalar/IN subqueries hang off expressions via
+    node.subqueries(), not children() — a broadcast hosted inside one
+    would otherwise never be walked)."""
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        try:
+            sq = n.subqueries()
+            for i in range(sq.size()):
+                stack.append(sq.apply(i))
+        except Exception:  # noqa: BLE001 - node type without subqueries()
+            pass
 
 
 def audit(df, marker: str = "lineitem.parquet"):
@@ -81,19 +98,17 @@ def audit(df, marker: str = "lineitem.parquet"):
     declared build side: BroadcastHashJoin/BroadcastNestedLoopJoin with
     BuildLeft/BuildRight naming which child will be broadcast."""
     root = df._jdf.queryExecution().sparkPlan()
-    flagged, stack = [], [root]
-    while stack:
-        n = stack.pop()
+    flagged = []
+    for n in _iter_nodes(root):
         cls = n.getClass().getSimpleName()
         if cls in ("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"):
-            head = n.toString().splitlines()[0]
-            build = 0 if "BuildLeft" in head else 1
+            # Read the build side from the node itself, not the toString
+            # head line (which truncates and could silently pick the wrong
+            # child if the format ever changes).
+            build = 0 if "BuildLeft" in n.buildSide().toString() else 1
             side = n.children().apply(build)
             if _subtree_scans_fact(side, marker):
-                flagged.append(head[:160])
-        ch = n.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
+                flagged.append(n.toString().splitlines()[0][:160])
     return flagged
 
 
