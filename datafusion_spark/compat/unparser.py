@@ -1,0 +1,297 @@
+"""Plan → SQL unparser: DataFrame logical plans back to SQL text.
+
+Mirrors the reference's ``datafusion/sql/src/unparser/`` (plan.rs:
+plan_to_sql walking LogicalPlan and assembling a SELECT query block;
+expr.rs: expr_to_sql; dialect.rs: per-target-engine knobs — identifier
+quote style, limit clause style, what refuses).  That surface is what a
+DataFusion embedder uses for federation/pushdown: take an optimized
+plan fragment and ship it to a remote engine as SQL text.
+
+Spark-first design: Catalyst expressions already know how to render
+themselves as SQL (``Expression.sql`` — the same mechanism ``df
+.selectExpr`` round-trips through), so unlike the reference's expr.rs
+we never hand-unparse expression trees.  This module only unparses the
+PLAN STRUCTURE — Project/Filter/Aggregate/Sort/Limit/Join/Union/
+Distinct/Window/relations — assembling query blocks bottom-up exactly
+like plan.rs does (select/from/where accumulate into one block until a
+clause slot is already occupied, then the block flushes into a derived
+table, reference plan.rs derive_table_with_alias).
+
+Non-unparsable plans refuse with ``DialectError`` carrying the node
+class name, mirroring the reference's ``unsupported plan`` errors.
+
+Round-trip contract (validated by ``compat_unparser_roundtrip`` and
+tests/test_unparser.py): ``spark.sql(to_sql(df))`` produces the same
+rows as ``df`` itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from datafusion_spark.compat.dialect import DialectError
+
+
+@dataclass(frozen=True)
+class Dialect:
+    """Target-engine knobs (reference unparser/dialect.rs).
+
+    identifier_quote: what Catalyst's backtick-quoted identifiers are
+        re-quoted to ('`' = leave as Spark emits them).
+    file_table_style: how a file-backed relation is named —
+        'spark' → ``parquet.`/path```  (Spark SQL direct-file syntax)
+        'duckdb' → ``read_parquet('/path/**/*.parquet')``
+        'none' → refuse file relations (engines needing catalog names).
+    supports_semi_anti_join: LEFT SEMI/ANTI JOIN keywords allowed.
+    """
+
+    name: str = "spark"
+    identifier_quote: str = "`"
+    file_table_style: str = "spark"
+    supports_semi_anti_join: bool = True
+
+
+SPARK = Dialect()
+ANSI = Dialect(name="ansi", identifier_quote='"', file_table_style="none",
+               supports_semi_anti_join=False)
+DUCKDB = Dialect(name="duckdb", identifier_quote='"',
+                 file_table_style="duckdb", supports_semi_anti_join=False)
+
+
+def _requote(sql: str, quote: str) -> str:
+    """Re-quote Catalyst's backtick identifiers for another dialect.
+
+    Walks the text tracking single-quoted string literals so a backtick
+    inside a string is never touched.  Escaped backticks inside an
+    identifier (``````) are refused — no portable rendering.
+    """
+    if quote == "`":
+        return sql
+    out, i, n, in_str = [], 0, len(sql), False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                # '' escape stays inside the literal
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            out.append(ch)
+        elif ch == "`":
+            j = sql.find("`", i + 1)
+            if j < 0:
+                raise DialectError("unterminated identifier quote in: " + sql)
+            ident = sql[i + 1:j]
+            if "`" in ident or quote in ident:
+                raise DialectError(
+                    f"identifier {ident!r} not representable in "
+                    f"{quote}-quoted dialect")
+            out.append(quote + ident + quote)
+            i = j
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+@dataclass
+class _Block:
+    """One SELECT query block being assembled (reference plan.rs
+    QueryBuilder/SelectBuilder)."""
+
+    from_: str
+    select: list[str] | None = None
+    distinct: bool = False
+    where: list[str] = field(default_factory=list)
+    group_by: list[str] | None = None
+    order_by: list[str] | None = None
+    limit: str | None = None
+
+    def render(self) -> str:
+        sel = ", ".join(self.select) if self.select else "*"
+        parts = [f"SELECT {'DISTINCT ' if self.distinct else ''}{sel}",
+                 f"FROM {self.from_}"]
+        if self.where:
+            parts.append("WHERE " + " AND ".join(self.where))
+        if self.group_by:
+            parts.append("GROUP BY " + ", ".join(self.group_by))
+        if self.order_by:
+            parts.append("ORDER BY " + ", ".join(self.order_by))
+        if self.limit is not None:
+            parts.append("LIMIT " + self.limit)
+        return " ".join(parts)
+
+
+class _Unparser:
+    def __init__(self, dialect: Dialect):
+        self.dialect = dialect
+        self._n = 0
+
+    def _alias(self) -> str:
+        self._n += 1
+        return f"t{self._n}"
+
+    # -- helpers over py4j Scala collections ------------------------------
+    @staticmethod
+    def _seq(jseq):
+        return [jseq.apply(i) for i in range(jseq.size())]
+
+    def _sqls(self, jexprs) -> list[str]:
+        return [_requote(e.sql(), self.dialect.identifier_quote)
+                for e in self._seq(jexprs)]
+
+    def _derive(self, b: _Block) -> _Block:
+        """Flush a block into a derived table (plan.rs derive_table)."""
+        return _Block(from_=f"({b.render()}) AS {self._alias()}")
+
+    def _as_factor(self, b: _Block) -> str:
+        """A join input: bare table factor if untouched, else derived."""
+        if (b.select is None and not b.where and not b.distinct
+                and b.group_by is None and b.order_by is None
+                and b.limit is None):
+            return b.from_
+        return f"({b.render()}) AS {self._alias()}"
+
+    # -- relations ---------------------------------------------------------
+    def _relation(self, node) -> _Block:
+        rel = node.relation()
+        rcls = rel.getClass().getSimpleName()
+        if "HadoopFsRelation" not in rcls:
+            raise DialectError(f"unsupported relation: {rcls}")
+        fmt = rel.fileFormat().toString().lower()
+        paths = rel.location().rootPaths()
+        if paths.size() != 1:
+            raise DialectError("multi-root file relation not unparsable")
+        path = paths.apply(0).toString()
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        style = self.dialect.file_table_style
+        if style == "spark":
+            return _Block(from_=f"{fmt}.`{path}`")
+        if style == "duckdb":
+            if fmt != "parquet":
+                raise DialectError(f"duckdb file factor only for parquet, got {fmt}")
+            # single .parquet file → read directly; directory → recursive glob
+            glob = path if path.endswith(".parquet") else f"{path}/**/*.parquet"
+            return _Block(from_=f"read_parquet('{glob}')")
+        raise DialectError(
+            f"dialect {self.dialect.name} has no syntax for file relations")
+
+    # -- plan walk ---------------------------------------------------------
+    def visit(self, node) -> _Block:
+        cls = node.getClass().getSimpleName()
+        if cls == "LogicalRelation":
+            return self._relation(node)
+        if cls == "SubqueryAlias":
+            child = self.visit(node.child())
+            name = node.alias()
+            q = self.dialect.identifier_quote
+            return _Block(from_=f"({child.render()}) AS {q}{name}{q}")
+        if cls == "View":
+            return self.visit(node.child())
+        if cls == "Project":
+            b = self.visit(node.child())
+            if b.select is not None or b.order_by is not None or b.limit is not None:
+                b = self._derive(b)
+            b.select = self._sqls(node.projectList())
+            return b
+        if cls == "Filter":
+            b = self.visit(node.child())
+            if (b.select is not None or b.group_by is not None
+                    or b.order_by is not None or b.limit is not None):
+                b = self._derive(b)
+            b.where.append(_requote(node.condition().sql(),
+                                    self.dialect.identifier_quote))
+            return b
+        if cls == "Aggregate":
+            b = self.visit(node.child())
+            if b.select is not None or b.group_by is not None or b.limit is not None:
+                b = self._derive(b)
+            b.select = self._sqls(node.aggregateExpressions())
+            groups = self._sqls(node.groupingExpressions())
+            b.group_by = groups or None  # global agg: plain SELECT aggs
+            return b
+        if cls == "Sort":
+            if not getattr(node, "global")():
+                raise DialectError("sortWithinPartitions has no SQL equivalent")
+            b = self.visit(node.child())
+            if b.limit is not None:
+                b = self._derive(b)
+            b.order_by = self._sqls(node.order())
+            return b
+        if cls in ("GlobalLimit", "LocalLimit"):
+            b = self.visit(node.child())
+            if b.limit is not None and cls == "GlobalLimit":
+                # GlobalLimit(LocalLimit(n)) pairs carry the same literal
+                return b
+            if b.limit is not None:
+                b = self._derive(b)
+            b.limit = node.limitExpr().sql()
+            return b
+        if cls == "Deduplicate":
+            # df.distinct() analyzes to Deduplicate over all columns —
+            # SELECT DISTINCT.  dropDuplicates(subset) keeps an arbitrary
+            # row per key and has NO deterministic SQL equivalent: refuse.
+            keys = {a.name() for a in self._seq(node.keys())}
+            cols = {a.name() for a in self._seq(node.child().output())}
+            if keys != cols:
+                raise DialectError(
+                    "dropDuplicates on a column subset is not SQL-expressible")
+            b = self.visit(node.child())
+            if b.distinct or b.order_by is not None or b.limit is not None:
+                b = self._derive(b)
+            b.distinct = True
+            return b
+        if cls == "Distinct":
+            b = self.visit(node.child())
+            if b.distinct or b.order_by is not None or b.limit is not None:
+                b = self._derive(b)
+            b.distinct = True
+            return b
+        if cls == "Union":
+            kids = self._seq(node.children())
+            rendered = [self.visit(k).render() for k in kids]
+            body = " UNION ALL ".join(rendered)
+            return _Block(from_=f"({body}) AS {self._alias()}")
+        if cls == "Join":
+            jt = node.joinType().sql().upper()
+            if jt in ("LEFT SEMI", "LEFT ANTI") and \
+                    not self.dialect.supports_semi_anti_join:
+                raise DialectError(
+                    f"dialect {self.dialect.name} lacks {jt} JOIN")
+            lf = self._as_factor(self.visit(node.left()))
+            rf = self._as_factor(self.visit(node.right()))
+            cond = node.condition()
+            if cond.isDefined():
+                on = _requote(cond.get().sql(), self.dialect.identifier_quote)
+                return _Block(from_=f"{lf} {jt} JOIN {rf} ON {on}")
+            if jt in ("INNER", "CROSS"):
+                return _Block(from_=f"{lf} CROSS JOIN {rf}")
+            raise DialectError(f"{jt} join without condition")
+        if cls == "Window":
+            b = self.visit(node.child())
+            if b.select is not None or b.order_by is not None or b.limit is not None:
+                b = self._derive(b)
+            q = self.dialect.identifier_quote
+            child_cols = [f"{q}{a.name()}{q}"
+                          for a in self._seq(node.child().output())]
+            b.select = child_cols + self._sqls(node.windowExpressions())
+            return b
+        raise DialectError(f"unsupported plan node for unparsing: {cls}")
+
+
+def to_sql(df, dialect: Dialect = SPARK) -> str:
+    """Unparse a DataFrame's analyzed logical plan to SQL text.
+
+    ``spark.sql(to_sql(df))`` returns the same rows as ``df`` (the
+    reference validates plan_to_sql the same way: roundtrip_statement
+    tests in unparser/plan.rs).  Raises DialectError on plan shapes
+    with no faithful SQL rendering in the target dialect.
+    """
+    plan = df._jdf.queryExecution().analyzed()
+    return _Unparser(dialect).visit(plan).render()

@@ -528,3 +528,55 @@ def compat_ident_normalization(spark, sf_dir):
         GROUP BY n_regionkey
         ORDER BY region_key
     """)
+
+
+@query(
+    "compat_unparser_roundtrip",
+    oracle="""
+    SELECT l_returnflag, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity < 25 AND o_orderstatus = 'F'
+    GROUP BY l_returnflag, o_orderpriority
+    ORDER BY l_returnflag, o_orderpriority
+    LIMIT 20
+    """,
+    tags=("compat", "unparser"),
+)
+def compat_unparser_roundtrip(spark, sf_dir):
+    """Plan → SQL unparser round-trip (reference datafusion/sql/src/
+    unparser/plan.rs plan_to_sql + expr.rs expr_to_sql + dialect.rs —
+    the federation/pushdown surface: an optimized plan fragment shipped
+    to a remote engine as SQL text).  The entry builds the plan with
+    the DataFrame VERB surface only (read/filter/join/groupBy/agg/
+    orderBy/limit — never SQL text), unparses it via compat.unparser
+    .to_sql, re-executes the emitted SQL with spark.sql, and returns
+    THAT DataFrame — so the driver's hash against the DuckDB oracle
+    certifies the unparsed text is semantically identical to the
+    original plan.  Spark-first: expression rendering delegates to
+    Catalyst's own Expression.sql (the selectExpr round-trip surface);
+    only plan-block assembly mirrors plan.rs.  Non-unparsable shapes
+    (sortWithinPartitions, dropDuplicates subsets, semi-joins in ANSI
+    dialect) refuse with DialectError — pinned in tests/test_unparser.py."""
+    from pyspark.sql import functions as F
+
+    from datafusion_spark.compat.unparser import to_sql
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = (
+        li.filter(F.col("l_quantity") < 25)
+        .join(o.filter(F.col("o_orderstatus") == "F"),
+              li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag", "o_orderpriority")
+        .limit(20)
+    )
+    return spark.sql(to_sql(df))
