@@ -112,11 +112,15 @@ def main() -> int:
     ):
         exact_l2.setdefault(r.qid, set()).add(r.vec_id)
     PQ_FLOOR = 0.3  # guards the ~0.64/0.52/0.38 measured levels
+    # the exact-re-rank path removes quantization distortion from the final
+    # ranking, so it is held to the IVF probe ceiling, not the ADC floor
+    RERANK_FLOOR = 0.8
     pq_ok = True
-    for name in [
-        "similarity_pq_topk",
-        "similarity_ivfpq_topk",
-        "similarity_ivfpq_residual_topk",
+    for name, floor in [
+        ("similarity_pq_topk", PQ_FLOOR),
+        ("similarity_ivfpq_topk", PQ_FLOOR),
+        ("similarity_ivfpq_residual_topk", PQ_FLOOR),
+        ("similarity_ivfpq_rerank_topk", RERANK_FLOOR),
     ]:
         got: dict[int, set[int]] = {}
         for r in QUERIES[name](spark, args.sf).collect():
@@ -128,9 +132,9 @@ def main() -> int:
             "recall_at_5": round(rc, 4),
             "n_queries": len(exact_l2),
             "baseline": "exact-l2",
-            "floor": PQ_FLOOR,
+            "floor": floor,
         }
-        pq_ok = pq_ok and rc >= PQ_FLOOR
+        pq_ok = pq_ok and rc >= floor
 
     mp = report["paths"]["similarity_ivf_topk_multiprobe"]["recall_at_5"]
     report["floor"] = RECALL_FLOOR
