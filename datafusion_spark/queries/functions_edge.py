@@ -613,7 +613,7 @@ _sql_query(
            NULLIF(3, 3)                                           AS nullif_same,
            NULLIF(3, 4)                                           AS nullif_diff,
            CAST(COALESCE(NULL, 1, 2.5) AS DOUBLE)                 AS coalesce_type_unify,
-           GREATEST(1, NULL, 3)                                   AS greatest_skips_null,
+           CAST(GREATEST(1, NULL, 3) AS BIGINT)                   AS greatest_skips_null,
            LEAST(CAST(NULL AS INT), CAST(NULL AS INT))            AS least_all_null,
            CAST(NULL AS INT) IS DISTINCT FROM NULL                AS null_not_distinct_null,
            1 IS NOT DISTINCT FROM NULL                            AS one_distinct_null
@@ -626,7 +626,7 @@ _sql_query(
            NULLIF(3, 3)                                           AS nullif_same,
            NULLIF(3, 4)                                           AS nullif_diff,
            CAST(COALESCE(NULL, 1, 2.5) AS DOUBLE)                 AS coalesce_type_unify,
-           GREATEST(1, NULL, 3)                                   AS greatest_skips_null,
+           CAST(GREATEST(1, NULL, 3) AS BIGINT)                   AS greatest_skips_null,
            LEAST(CAST(NULL AS INT), CAST(NULL AS INT))            AS least_all_null,
            CAST(NULL AS INT) IS DISTINCT FROM NULL                AS null_not_distinct_null,
            1 IS NOT DISTINCT FROM NULL                            AS one_distinct_null
@@ -735,7 +735,7 @@ _sql_query(
            CAST(LEAD(v, 1, -1.0) OVER (ORDER BY i) AS DOUBLE)      AS lead_with_default,
            CAST(NTH_VALUE(v, 2) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND UNBOUNDED FOLLOWING) AS DOUBLE) AS nth2_full_frame,
-           NTILE(3) OVER (ORDER BY i)                              AS ntile_uneven
+           CAST(NTILE(3) OVER (ORDER BY i) AS BIGINT)              AS ntile_uneven
     FROM VALUES (1, 10.0), (2, 20.0), (3, NULL), (4, 40.0), (5, 50.0) t(i, v)
     ORDER BY i
     """,
@@ -747,7 +747,7 @@ _sql_query(
            CAST(LEAD(v, 1, -1.0) OVER (ORDER BY i) AS DOUBLE)      AS lead_with_default,
            CAST(NTH_VALUE(v, 2) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND UNBOUNDED FOLLOWING) AS DOUBLE) AS nth2_full_frame,
-           NTILE(3) OVER (ORDER BY i)                              AS ntile_uneven
+           CAST(NTILE(3) OVER (ORDER BY i) AS BIGINT)              AS ntile_uneven
     FROM (VALUES (1, 10.0), (2, 20.0), (3, NULL), (4, 40.0), (5, 50.0)) t(i, v)
     ORDER BY i
     """,

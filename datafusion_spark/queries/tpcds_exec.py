@@ -52,7 +52,9 @@ _SPARK_DERIVE = f"""
 WITH date_dim AS (
   SELECT CAST(d AS DATE) AS d_date,
          datediff(CAST(d AS DATE), DATE '1992-01-01') + 2450000 AS d_date_sk,
-         year(d) AS d_year, month(d) AS d_moy, day(d) AS d_dom,
+         CAST(year(d) AS BIGINT) AS d_year,
+         CAST(month(d) AS BIGINT) AS d_moy,
+         CAST(day(d) AS BIGINT) AS d_dom,
          CAST(1200 + (year(d) - 1992) * 12 + month(d) - 1 AS INT)
              AS d_month_seq,
          CAST((datediff(CAST(d AS DATE), DATE '1992-01-01') + 3) % 7 AS INT)
