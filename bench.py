@@ -50,7 +50,29 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return min(runs)
 
+    def measure_calibration() -> float:
+        """Host-phase calibration kernel: a FIXED-SIZE, CPU-bound,
+        zero-I/O hash aggregate (~1 s on an unloaded host).  The floor
+        samples measure scheduling overhead, not CPU throughput — the
+        hypervisor alternates fast/slow phases that scale every
+        CPU-bound query by the same factor (r7 burned a session on a
+        phantom 1.8× "regression").  Cross-round comparisons divide by
+        this number to normalize host state mechanically
+        (tools/bench_compare.py --calibrate)."""
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 30_000_000, 1, 8).select(
+                ((F.col("id") * 2654435761) % 1000003).alias("k"),
+                (F.col("id") % 97).alias("v"),
+            ).groupBy("k").agg(
+                F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+            ).agg(F.sum("s"), F.max("n")).collect()
+            runs.append(time.perf_counter() - t0)
+        return min(runs)
+
     floor_start = measure_floor()
+    calibration_start = measure_calibration()
 
     # Fixed (sorted) query order, min-of-3 fresh builds per query.  The
     # floor is re-sampled every 10 queries: a long single-JVM run
@@ -74,6 +96,7 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         local_floor[name] = floors[-1]
     floors.append(measure_floor())
+    calibration_end = measure_calibration()
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     floor = round(min(floors), 3)
@@ -95,6 +118,13 @@ def main() -> None:
         # it makes rounds comparable across host states)
         "queries_minus_floor": q_minus_floor,
         "value_minus_floor": round(sum(q_minus_floor.values()), 3),
+        # CPU-throughput calibration (fixed-size in-memory hash agg, no
+        # I/O): divide value_minus_floor by this to compare rounds across
+        # hypervisor fast/slow phases.  Start AND end samples so intra-run
+        # drift is visible too.
+        "calibration_s": round(min(calibration_start, calibration_end), 3),
+        "calibration_samples": [round(calibration_start, 3),
+                                round(calibration_end, 3)],
     }
     print(json.dumps(out))
 

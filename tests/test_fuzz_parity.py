@@ -1163,3 +1163,106 @@ def test_random_datetime_tree_parity(spark, duck, spec):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == want, sql
+
+
+# --- axis 16 (r8): map/struct-typed expression trees ------------------------
+# Reference functions-nested (map_extract.rs, struct.rs) + sqllogictest
+# map.slt / struct.slt: random NESTED struct trees and string-keyed maps
+# over orders-derived DOUBLE scalars, projected back to scalars (field
+# access along the grown path, map extraction hit + miss, cardinality,
+# map_values element) so results stay row-comparable across engines.
+#
+# Constructors spell differently per engine, so this is the first PAIRED
+# axis: one spec tree renders twice — Spark named_struct/map(...) vs
+# DuckDB struct_pack(:=)/MAP literal — with identical semantics.
+# Normalizations + divergences handled structurally:
+#   * DuckDB map extraction m['k'] returns a LIST ([] on miss); the duck
+#     rendering appends [1] so both engines yield the VALUE or NULL —
+#     Spark's m['k'] is value-or-NULL natively (element_at semantics).
+#   * Struct comparison with NULL-able fields DIVERGES: Spark compares
+#     with total ordering (NULL smallest: struct(NULL) = struct(NULL) is
+#     TRUE, struct(NULL,1) < struct(1,1) is TRUE) while DuckDB propagates
+#     NULL three-valued logic (both are NULL).  Pinned here, same class
+#     as the axis-8 NULLS-default and axis-13 dow findings: comparison
+#     operands draw from the NON-NULL leaf pool only.
+
+_MS_SCALARS = [
+    "CAST(o_totalprice AS DOUBLE)",
+    "CAST(o_orderkey % 7 AS DOUBLE)",
+    "CAST(o_custkey % 5 + 1 AS DOUBLE)",
+    "CAST(o_custkey % 13 AS DOUBLE)",
+]
+_MS_NULLABLE = "CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS DOUBLE) " \
+    "ELSE CAST(o_totalprice AS DOUBLE) END"
+
+
+def _grow_struct(draw, depth, allow_null):
+    """Grow a struct/scalar tree; returns (spark_txt, duck_txt, path) where
+    path is a field-access chain reaching a scalar leaf."""
+    leaves = _MS_SCALARS + ([_MS_NULLABLE] if allow_null else [])
+    if depth >= 2 or (depth > 0 and draw(st.booleans())):
+        leaf = draw(st.sampled_from(leaves))
+        return leaf, leaf, ""
+    a_s, a_d, a_p = _grow_struct(draw, depth + 1, allow_null)
+    b_s, b_d, _ = _grow_struct(draw, depth + 1, allow_null)
+    sp = f"named_struct('a', {a_s}, 'b', {b_s})"
+    du = f"struct_pack(a := {a_d}, b := {b_d})"
+    return sp, du, ".a" + a_p
+
+
+@st.composite
+def map_struct_spec(draw):
+    s_sp, s_du, path = _grow_struct(draw, 0, allow_null=True)
+    # map values: two random scalar exprs (nullable allowed)
+    v1 = draw(st.sampled_from(_MS_SCALARS + [_MS_NULLABLE]))
+    v2 = draw(st.sampled_from(_MS_SCALARS + [_MS_NULLABLE]))
+    # comparison pair: one shape (flat 2-field struct), two non-null fills
+    c = [draw(st.sampled_from(_MS_SCALARS)) for _ in range(4)]
+    miss_key = draw(st.sampled_from(["zz", "K1", "k1 ", ""]))
+    return (s_sp, s_du, path, v1, v2, c, miss_key)
+
+
+@given(map_struct_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_map_struct_parity(spark, duck, spec):
+    """Random nested-struct access paths + string-keyed map operations must
+    agree per row on both engines (values compared, not container reprs)."""
+    s_sp, s_du, path, v1, v2, c, miss = spec
+    m_sp = f"map('k1', {v1}, 'k2', {v2})"
+    m_du = f"MAP {{'k1': {v1}, 'k2': {v2}}}"
+    cmp_sp = (f"(named_struct('a', {c[0]}, 'b', {c[1]}) < "
+              f"named_struct('a', {c[2]}, 'b', {c[3]}))")
+    cmp_du = (f"(struct_pack(a := {c[0]}, b := {c[1]}) < "
+              f"struct_pack(a := {c[2]}, b := {c[3]}))")
+    eq_sp = cmp_sp.replace(" < ", " = ")
+    eq_du = cmp_du.replace(" < ", " = ")
+    sel_sp = (
+        f"({s_sp}){path} AS s_access, {m_sp}['k1'] AS m_hit, "
+        f"{m_sp}['{miss}'] AS m_miss, "
+        f"CAST(cardinality({m_sp}) AS BIGINT) AS m_card, "
+        f"element_at(map_values({m_sp}), 2) AS m_val2, "
+        f"{cmp_sp} AS s_lt, {eq_sp} AS s_eq"
+    )
+    sel_du = (
+        f"({s_du}){path} AS s_access, ({m_du})['k1'][1] AS m_hit, "
+        f"({m_du})['{miss}'][1] AS m_miss, "
+        f"CAST(cardinality({m_du}) AS BIGINT) AS m_card, "
+        f"(map_values({m_du}))[2] AS m_val2, "
+        f"{cmp_du} AS s_lt, {eq_du} AS s_eq"
+    )
+    tail = "FROM orders WHERE o_orderkey % 19 = 3 ORDER BY o_orderkey LIMIT 60"
+    got = [tuple(r) for r in spark.sql(f"SELECT {sel_sp} {tail}").collect()]
+    want = [tuple(r) for r in duck.execute(f"SELECT {sel_du} {tail}").fetchall()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if gv is None or wv is None:
+                assert gv is None and wv is None, (g, w)
+            elif isinstance(gv, bool):
+                assert gv == bool(wv), (g, w)
+            else:
+                assert float(gv) == float(wv), (g, w)

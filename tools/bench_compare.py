@@ -20,6 +20,12 @@ def main() -> int:
     ap.add_argument("base")
     ap.add_argument("new")
     ap.add_argument("--tol", type=float, default=0.15)
+    ap.add_argument("--calibrate", action="store_true",
+                    help="normalize by each run's calibration_s (the "
+                    "fixed CPU kernel bench.py times), so hypervisor "
+                    "fast/slow phases cancel out of the comparison")
+    ap.add_argument("--minus-floor", action="store_true",
+                    help="compare queries_minus_floor instead of raw wall")
     args = ap.parse_args()
 
     with open(args.base) as fh:
@@ -30,7 +36,21 @@ def main() -> int:
     noise = 2.0 * max(
         base.get("floor_per_query", 0.0), new.get("floor_per_query", 0.0)
     )
-    bq, nq = base.get("queries", {}), new.get("queries", {})
+    qkey = "queries_minus_floor" if args.minus_floor else "queries"
+    bq = dict(base.get(qkey) or base.get("queries", {}))
+    nq = dict(new.get(qkey) or new.get("queries", {}))
+    cal_b = cal_n = 1.0
+    if args.calibrate:
+        cal_b = base.get("calibration_s") or 1.0
+        cal_n = new.get("calibration_s") or 1.0
+        if not base.get("calibration_s") or not new.get("calibration_s"):
+            print("note: calibration_s missing from one side; "
+                  "normalization is a no-op for that side")
+        bq = {k: v / cal_b for k, v in bq.items()}
+        nq = {k: v / cal_n for k, v in nq.items()}
+        noise /= max(cal_b, cal_n)
+        print(f"calibration: base={cal_b:.3f}s new={cal_n:.3f}s "
+              f"(values below in calibration units)")
     regressions = []
     print(f"{'query':32s} {'base':>8s} {'new':>8s} {'delta':>8s}")
     for name in sorted(set(bq) | set(nq)):
