@@ -111,6 +111,7 @@ class _Block:
     group_by: list[str] | None = None
     order_by: list[str] | None = None
     limit: str | None = None
+    offset: str | None = None
 
     def render(self) -> str:
         sel = ", ".join(self.select) if self.select else "*"
@@ -124,6 +125,8 @@ class _Block:
             parts.append("ORDER BY " + ", ".join(self.order_by))
         if self.limit is not None:
             parts.append("LIMIT " + self.limit)
+        if self.offset is not None:
+            parts.append("OFFSET " + self.offset)
         return " ".join(parts)
 
 
@@ -153,7 +156,7 @@ class _Unparser:
         """A join input: bare table factor if untouched, else derived."""
         if (b.select is None and not b.where and not b.distinct
                 and b.group_by is None and b.order_by is None
-                and b.limit is None):
+                and b.limit is None and b.offset is None):
             return b.from_
         return f"({b.render()}) AS {self._alias()}"
 
@@ -220,7 +223,7 @@ class _Unparser:
             if not getattr(node, "global")():
                 raise DialectError("sortWithinPartitions has no SQL equivalent")
             b = self.visit(node.child())
-            if b.limit is not None:
+            if b.limit is not None or b.offset is not None:
                 b = self._derive(b)
             b.order_by = self._sqls(node.order())
             return b
@@ -253,6 +256,26 @@ class _Unparser:
                 b = self._derive(b)
             b.distinct = True
             return b
+        if cls == "Offset":
+            b = self.visit(node.child())
+            if b.offset is not None:
+                b = self._derive(b)
+            b.offset = node.offsetExpr().sql()
+            return b
+        if cls in ("Intersect", "Except"):
+            kw = "INTERSECT" if cls == "Intersect" else "EXCEPT"
+            kw += " ALL" if node.isAll() else ""
+            lhs = self.visit(node.left()).render()
+            rhs = self.visit(node.right()).render()
+            return _Block(from_=f"({lhs} {kw} {rhs}) AS {self._alias()}")
+        if cls == "Range":
+            # spark.range(start, end, step) -> the range() table function
+            start, end = node.start(), node.end()
+            step = node.step()
+            if self.dialect.name == "duckdb":
+                return _Block(from_=f"range({start}, {end}, {step}) AS "
+                                    f"{self._alias()}(id)")
+            return _Block(from_=f"range({start}, {end}, {step})")
         if cls == "Union":
             kids = self._seq(node.children())
             rendered = [self.visit(k).render() for k in kids]

@@ -131,3 +131,28 @@ def test_registry_entry_matches_original_plan(spark):
     got = QUERIES["compat_unparser_roundtrip"](spark, SF_SMALL)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, orig.collect()))
+
+
+def test_setops_offset_range(spark):
+    a = _li(spark).filter(F.col("l_quantity") < 45).select("l_returnflag")
+    b = _li(spark).filter(F.col("l_quantity") > 40).select("l_returnflag")
+    assert "INTERSECT" in _assert_roundtrip(spark, a.intersect(b))
+    # a has far more rows per flag than b, so EXCEPT ALL keeps the surplus
+    assert "EXCEPT ALL" in _assert_roundtrip(spark, a.exceptAll(b))
+
+    off = (_orders(spark).select("o_orderkey")
+           .orderBy("o_orderkey").offset(3).limit(5))
+    sql = _assert_roundtrip(spark, off)
+    assert "OFFSET 3" in sql and "LIMIT 5" in sql
+
+    rng = spark.range(5, 50, 3).select((F.col("id") * 2).alias("x"))
+    assert "range(5, 50, 3)" in _assert_roundtrip(spark, rng)
+
+
+def test_duckdb_dialect_range(spark):
+    import duckdb
+
+    rng = spark.range(0, 10).select((F.col("id") + 1).alias("x"))
+    sql = to_sql(rng, DUCKDB)
+    got = sorted(v for (v,) in duckdb.sql(sql).fetchall())
+    assert got == [r.x for r in rng.orderBy("x").collect()]
