@@ -144,9 +144,24 @@ class _Unparser:
     def _seq(jseq):
         return [jseq.apply(i) for i in range(jseq.size())]
 
+    # Expression.sql renderings that do NOT re-parse as SQL (Catalyst
+    # prints an internal spelling): higher-order-function lambdas and
+    # plan-hosted subquery expressions.  The reference unparser refuses
+    # the analogous Expr shapes (expr.rs unsupported-expression errors).
+    _UNPARSABLE_EXPR_MARKERS = ("lambdafunction(", "scalarsubquery(",
+                                "exists#", "listquery(")
+
+    def _expr_sql(self, e) -> str:
+        txt = e.sql()
+        low = txt.lower()
+        for marker in self._UNPARSABLE_EXPR_MARKERS:
+            if marker in low:
+                raise DialectError(
+                    f"expression does not re-parse as SQL: {txt[:120]}")
+        return _requote(txt, self.dialect.identifier_quote)
+
     def _sqls(self, jexprs) -> list[str]:
-        return [_requote(e.sql(), self.dialect.identifier_quote)
-                for e in self._seq(jexprs)]
+        return [self._expr_sql(e) for e in self._seq(jexprs)]
 
     def _derive(self, b: _Block) -> _Block:
         """Flush a block into a derived table (plan.rs derive_table)."""
@@ -191,10 +206,28 @@ class _Unparser:
         if cls == "LogicalRelation":
             return self._relation(node)
         if cls == "SubqueryAlias":
-            child = self.visit(node.child())
-            name = node.alias()
             q = self.dialect.identifier_quote
-            return _Block(from_=f"({child.render()}) AS {q}{name}{q}")
+            ident = node.identifier()
+            qualifier = self._seq(ident.qualifier())
+            if qualifier:
+                # A catalog table (saveAsTable / metastore): column refs
+                # render FULLY QUALIFIED (catalog.db.table.col), so the
+                # only resolvable FROM factor is the qualified table name
+                # itself — legitimate only when the subtree is the plain
+                # table scan (View/Project-of-attributes/Relation).
+                if self.dialect.name != "spark":
+                    raise DialectError(
+                        "catalog-qualified table reference is Spark-only")
+                n = node.child()
+                while n.getClass().getSimpleName() in ("View", "Project"):
+                    n = n.child()
+                if n.getClass().getSimpleName() != "LogicalRelation":
+                    raise DialectError(
+                        "qualified alias over a non-scan subtree")
+                parts = qualifier + [ident.name()]
+                return _Block(from_=".".join(f"{q}{p}{q}" for p in parts))
+            child = self.visit(node.child())
+            return _Block(from_=f"({child.render()}) AS {q}{ident.name()}{q}")
         if cls == "View":
             return self.visit(node.child())
         if cls == "Project":
@@ -208,8 +241,7 @@ class _Unparser:
             if (b.select is not None or b.group_by is not None
                     or b.order_by is not None or b.limit is not None):
                 b = self._derive(b)
-            b.where.append(_requote(node.condition().sql(),
-                                    self.dialect.identifier_quote))
+            b.where.append(self._expr_sql(node.condition()))
             return b
         if cls == "Aggregate":
             b = self.visit(node.child())
@@ -291,7 +323,7 @@ class _Unparser:
             rf = self._as_factor(self.visit(node.right()))
             cond = node.condition()
             if cond.isDefined():
-                on = _requote(cond.get().sql(), self.dialect.identifier_quote)
+                on = self._expr_sql(cond.get())
                 return _Block(from_=f"{lf} {jt} JOIN {rf} ON {on}")
             if jt in ("INNER", "CROSS"):
                 return _Block(from_=f"{lf} CROSS JOIN {rf}")

@@ -156,3 +156,42 @@ def test_duckdb_dialect_range(spark):
     sql = to_sql(rng, DUCKDB)
     got = sorted(v for (v,) in duckdb.sql(sql).fetchall())
     assert got == [r.x for r in rng.orderBy("x").collect()]
+
+
+def test_registry_unparse_sweep(spark):
+    """Robustness sweep mirroring the reference's roundtrip_statement
+    battery: a deterministic sample of registry entries (every 23rd by
+    sorted name) is unparsed.  Every outcome must be either an exact
+    round-trip (same rows from the emitted SQL) or a clean DialectError
+    refusal — never a crash, never a silent divergence."""
+    import math
+
+    from datafusion_spark.queries import QUERIES
+
+    names = sorted(QUERIES)[::23]
+    outcomes = {"roundtrip": 0, "refused": 0}
+    for name in names:
+        try:
+            df = QUERIES[name](spark, SF_SMALL)
+        except Exception:
+            continue  # entries needing env/scratch state not built here
+        try:
+            sql = to_sql(df)
+        except DialectError:
+            outcomes["refused"] += 1
+            continue
+        got = sorted(map(tuple, spark.sql(sql).collect()))
+        want = sorted(map(tuple, df.collect()))
+        assert len(got) == len(want), f"{name}: row count diverged\n{sql}"
+        for g, w in zip(got, want):
+            for gv, wv in zip(g, w):
+                if isinstance(gv, float) and isinstance(wv, float):
+                    ok = (gv == wv or (math.isnan(gv) and math.isnan(wv))
+                          or abs(gv - wv) <= 1e-9 * max(abs(gv), abs(wv)))
+                    assert ok, f"{name}: value diverged {gv} vs {wv}\n{sql}"
+                else:
+                    assert gv == wv, f"{name}: {gv!r} != {wv!r}\n{sql}"
+        outcomes["roundtrip"] += 1
+    # the sweep must exercise both paths to be meaningful
+    assert outcomes["roundtrip"] >= 3, outcomes
+    assert outcomes["refused"] >= 1, outcomes
