@@ -68,9 +68,9 @@ def test_failed_entries_pinned_first():
     despite verified fixes.  The ordering now derives the pin set from
     CORRECTNESS_r*.json itself; this test locks that in.
     """
-    from datafusion_spark.queries import _driver_verified, _failed_of
+    from datafusion_spark.queries import _driver_latest, _failed_of
 
-    failed = _failed_of(_driver_verified()) & set(QUERIES)
+    failed = _failed_of(_driver_latest()) & set(QUERIES)
     if not failed:
         pytest.skip("no latest-FAIL entries on the scoreboard")
     names = list(QUERIES)
