@@ -148,8 +148,55 @@ class _Unparser:
     # prints an internal spelling): higher-order-function lambdas and
     # plan-hosted subquery expressions.  The reference unparser refuses
     # the analogous Expr shapes (expr.rs unsupported-expression errors).
+    # "exists(" also covers the HOF exists(arr, lambda) — that rendering
+    # always carries lambdafunction( too, so no legitimate text is lost.
     _UNPARSABLE_EXPR_MARKERS = ("lambdafunction(", "scalarsubquery(",
-                                "exists#", "listquery(")
+                                "exists(", "exists#", "listquery(",
+                                "in(listquery")
+
+    # Expression classes whose Expression.sql SILENTLY DROPS the
+    # ignoreNulls flag (renders first(x) for first(x, true)) — found by
+    # the registry round-trip sweep as a wrong-VALUES divergence, the
+    # worst class.  Refused by tree inspection, not text.
+    _IGNORE_NULLS_CLASSES = ("First", "Last", "NthValue", "Lead", "Lag",
+                             "AnyValue")
+
+    def _check_tree(self, e) -> None:
+        stack = [e]
+        while stack:
+            n = stack.pop()
+            cls = n.getClass().getSimpleName()
+            if cls in self._IGNORE_NULLS_CLASSES:
+                try:
+                    ign = bool(n.ignoreNulls())
+                except Exception:  # noqa: BLE001 - variant without the flag
+                    ign = False
+                if ign:
+                    raise DialectError(
+                        "IGNORE NULLS is dropped by Expression.sql — "
+                        f"not unparsable: {n.toString()[:100]}")
+            elif cls == "HyperLogLogPlusPlus":
+                # .sql() renders approx_count_distinct(x) and DROPS a
+                # non-default rsd — the re-parsed sketch silently uses
+                # 0.05 and estimates differently (registry-sweep find).
+                try:
+                    lossy = abs(float(n.relativeSD()) - 0.05) > 1e-12
+                except Exception:  # noqa: BLE001
+                    lossy = True
+                if lossy:
+                    raise DialectError(
+                        "approx_count_distinct rsd is dropped by "
+                        f"Expression.sql: {n.toString()[:100]}")
+            elif cls in ("VariantGet", "TryVariantGet"):
+                # .sql() renders variant_get(v, path) and DROPS the
+                # target type — the re-parse returns raw VARIANT values
+                # instead of the extracted scalars (registry-sweep find).
+                raise DialectError(
+                    "variant_get target type is dropped by "
+                    f"Expression.sql: {n.toString()[:100]}")
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
 
     def _expr_sql(self, e) -> str:
         txt = e.sql()
@@ -158,6 +205,7 @@ class _Unparser:
             if marker in low:
                 raise DialectError(
                     f"expression does not re-parse as SQL: {txt[:120]}")
+        self._check_tree(e)
         return _requote(txt, self.dialect.identifier_quote)
 
     def _sqls(self, jexprs) -> list[str]:
@@ -189,6 +237,15 @@ class _Unparser:
         if path.startswith("file:"):
             path = path[len("file:"):]
         style = self.dialect.file_table_style
+        if fmt not in ("parquet", "orc"):
+            # Direct-file table factors carry NO reader options or user
+            # schema; only self-describing columnar formats survive the
+            # round trip (a csv.`path` re-read loses the schema/header/
+            # sep options and resolves different columns — found by the
+            # registry sweep as a reparse failure).
+            raise DialectError(
+                f"{fmt} file relation loses reader options in a direct "
+                "file factor — not unparsable")
         if style == "spark":
             return _Block(from_=f"{fmt}.`{path}`")
         if style == "duckdb":
@@ -340,13 +397,56 @@ class _Unparser:
         raise DialectError(f"unsupported plan node for unparsing: {cls}")
 
 
-def to_sql(df, dialect: Dialect = SPARK) -> str:
+def to_sql(df, dialect: Dialect = SPARK, validate: bool = True) -> str:
     """Unparse a DataFrame's analyzed logical plan to SQL text.
 
     ``spark.sql(to_sql(df))`` returns the same rows as ``df`` (the
     reference validates plan_to_sql the same way: roundtrip_statement
     tests in unparser/plan.rs).  Raises DialectError on plan shapes
     with no faithful SQL rendering in the target dialect.
+
+    validate (Spark dialect only): re-analyze the emitted text and both
+    refuse non-analyzable renderings (e.g. an unregistered Python UDF's
+    bare name) and require the round-trip SCHEMA to match — a column
+    count/name drift means the text silently computes something else.
+    Costs one driver-side analysis pass, no execution.
     """
     plan = df._jdf.queryExecution().analyzed()
-    return _Unparser(dialect).visit(plan).render()
+    text = _Unparser(dialect).visit(plan).render()
+    if validate and dialect.name == "spark":
+        from pyspark.errors.exceptions.captured import CapturedException
+
+        try:
+            reparsed = df.sparkSession.sql(text)
+            re_cols = reparsed.columns
+        except CapturedException as e:
+            raise DialectError(
+                "emitted SQL does not re-analyze: "
+                + str(e).splitlines()[0][:160]) from e
+        if re_cols != df.columns:
+            raise DialectError(
+                f"round-trip schema drift: {df.columns} -> {re_cols}")
+    return text
+
+
+def plan_to_sql(df, dialect: Dialect = SPARK, validate: bool = True) -> str:
+    """Reference-name alias (unparser/plan.rs exports plan_to_sql)."""
+    return to_sql(df, dialect, validate)
+
+
+class Unparser:
+    """Reference-shape wrapper (unparser/mod.rs Unparser::new(dialect)):
+    holds a dialect and exposes plan_to_sql.  ``with_pretty`` is accepted
+    for API parity; the emitted text is single-line either way (Spark
+    re-parses both identically)."""
+
+    def __init__(self, dialect: Dialect = SPARK):
+        self.dialect = dialect
+        self._pretty = False
+
+    def with_pretty(self, pretty: bool) -> "Unparser":
+        self._pretty = pretty
+        return self
+
+    def plan_to_sql(self, df, validate: bool = True) -> str:
+        return to_sql(df, self.dialect, validate)

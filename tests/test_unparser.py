@@ -180,8 +180,10 @@ def test_registry_unparse_sweep(spark):
         except DialectError:
             outcomes["refused"] += 1
             continue
-        got = sorted(map(tuple, spark.sql(sql).collect()))
-        want = sorted(map(tuple, df.collect()))
+        # None is not orderable against str/int — sort by a None-aware key
+        key = lambda r: [(v is None, repr(v)) for v in r]  # noqa: E731
+        got = sorted(map(tuple, spark.sql(sql).collect()), key=key)
+        want = sorted(map(tuple, df.collect()), key=key)
         assert len(got) == len(want), f"{name}: row count diverged\n{sql}"
         for g, w in zip(got, want):
             for gv, wv in zip(g, w):

@@ -15,6 +15,12 @@ calendar) without passing a cardinality reducer.  Run at the LARGEST
 available SF: at tiny SFs facts are legitimately broadcastable, so only
 the big-SF plan shows the misestimate.
 
+r8 re-run (with buildSide read from the node and subquery fragments
+walked): 3 flags over the 104-entry TPC-DS surface at sf1 — q14/q14b
+(INTERSECT set-bounded item triples, safe class 3 below; q14b is new
+coverage from the subquery walk) and q95 (pruned raw fact scan near
+threshold, self-correcting class 2).  No new true hazards.
+
 Adjudicating a flag (r7 taxonomy):
   * build subtree contains a JOIN OUTPUT over facts with no reducer
     (q72's inventory x date_dim): TRUE HAZARD — join-output estimates
