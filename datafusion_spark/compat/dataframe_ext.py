@@ -95,6 +95,14 @@ def _write_json(self: DataFrame, path: str, **options) -> None:
     self.write.mode("overwrite").options(**options).json(path)
 
 
+def _logical_plan_sql(self: DataFrame, dialect=None) -> str:
+    """df.logical_plan() → SQL text via the unparser (the reference user's
+    plan_to_sql(df.logical_plan()) two-step collapsed to one call)."""
+    from datafusion_spark.compat.unparser import SPARK, to_sql
+
+    return to_sql(self, dialect or SPARK)
+
+
 _METHODS = {
     "aggregate": _aggregate,
     "select_columns": _select_columns,
@@ -108,6 +116,7 @@ _METHODS = {
     "write_parquet": _write_parquet,
     "write_csv": _write_csv,
     "write_json": _write_json,
+    "logical_plan_sql": _logical_plan_sql,
 }
 
 

@@ -197,3 +197,15 @@ def test_registry_unparse_sweep(spark):
     # the sweep must exercise both paths to be meaningful
     assert outcomes["roundtrip"] >= 3, outcomes
     assert outcomes["refused"] >= 1, outcomes
+
+
+def test_compat_dataframe_logical_plan_sql(spark):
+    """The compat verb surface exposes the unparser as
+    df.logical_plan_sql() — the reference user's
+    plan_to_sql(df.logical_plan()) collapsed to one call."""
+    import datafusion_spark.compat  # noqa: F401 - installs the verbs
+
+    df = _orders(spark).filter(F.col("o_orderkey") < 50).select("o_orderkey")
+    sql = df.logical_plan_sql()
+    assert sorted(r[0] for r in spark.sql(sql).collect()) == \
+        sorted(r[0] for r in df.collect())
