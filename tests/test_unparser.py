@@ -209,3 +209,69 @@ def test_compat_dataframe_logical_plan_sql(spark):
     sql = df.logical_plan_sql()
     assert sorted(r[0] for r in spark.sql(sql).collect()) == \
         sorted(r[0] for r in df.collect())
+
+
+# --- verb-chain fuzz: random DataFrame pipelines must round-trip or refuse --
+# Mirrors how the reference fuzzes its own components (core/tests/
+# fuzz_cases): hypothesis composes random verb chains over orders(+lineitem)
+# and every emitted SQL must reproduce the original rows exactly.
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# thunks: building a Column requires an active SparkContext, which does
+# not exist at collection time
+_UF_FILTERS = [
+    lambda: F.col("o_totalprice") > 50000.0,
+    lambda: F.col("o_orderstatus") == "F",
+    lambda: F.col("o_orderkey") % 7 == 3,
+    lambda: F.col("o_custkey").between(100, 900),
+]
+_UF_KEYS = ["o_orderstatus", "o_orderpriority"]
+
+
+@st.composite
+def _verb_chain(draw):
+    return dict(
+        filt=draw(st.lists(st.integers(0, len(_UF_FILTERS) - 1),
+                           max_size=2, unique=True)),
+        do_join=draw(st.booleans()),
+        shape=draw(st.sampled_from(["project", "aggregate"])),
+        distinct=draw(st.booleans()),
+        sort_limit=draw(st.booleans()),
+    )
+
+
+@given(_verb_chain())
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_verb_chains_roundtrip(spark, spec):
+    df = _orders(spark)
+    for i in spec["filt"]:
+        df = df.filter(_UF_FILTERS[i]())
+    if spec["do_join"]:
+        li = _li(spark).filter(F.col("l_quantity") < 20)
+        df = df.join(li, df.o_orderkey == li.l_orderkey)
+    if spec["shape"] == "aggregate":
+        df = df.groupBy(*_UF_KEYS).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double").alias("total"),
+            F.min("o_orderkey").alias("min_key"))
+        cols = _UF_KEYS + ["n", "total", "min_key"]
+    else:
+        df = df.select("o_orderkey", "o_orderstatus",
+                       (F.col("o_totalprice") * 2).alias("p2"))
+        cols = ["o_orderkey"]
+    if spec["distinct"]:
+        df = df.distinct()
+    if spec["sort_limit"]:
+        df = df.orderBy(*cols).limit(40)
+    try:
+        sql = to_sql(df)
+    except DialectError:
+        return  # clean refusal is a legal outcome
+    key = lambda r: [(v is None, repr(v)) for v in r]  # noqa: E731
+    got = sorted(map(tuple, spark.sql(sql).collect()), key=key)
+    want = sorted(map(tuple, df.collect()), key=key)
+    assert got == want, f"verb-chain roundtrip diverged:\n{sql}"
