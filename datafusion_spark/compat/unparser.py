@@ -450,3 +450,19 @@ class Unparser:
 
     def plan_to_sql(self, df, validate: bool = True) -> str:
         return to_sql(df, self.dialect, validate)
+
+
+def expr_to_sql(df, col, dialect: Dialect = SPARK) -> str:
+    """Single-expression unparse (reference unparser exports expr_to_sql
+    alongside plan_to_sql).  Takes the DataFrame the Column resolves
+    against (Spark 4 Columns are unresolved nodes until analysis) plus
+    the Column; applies the same non-reparsable-rendering checks as plan
+    unparsing and returns text usable in selectExpr/spark.sql."""
+    plan = df.select(col)._jdf.queryExecution().analyzed()
+    # an aggregate-function Column analyzes to a global Aggregate node,
+    # anything else to a Project
+    if plan.getClass().getSimpleName() == "Aggregate":
+        exprs = plan.aggregateExpressions()
+    else:
+        exprs = plan.projectList()
+    return _Unparser(dialect)._expr_sql(exprs.apply(exprs.size() - 1))

@@ -275,3 +275,19 @@ def test_fuzz_verb_chains_roundtrip(spark, spec):
     got = sorted(map(tuple, spark.sql(sql).collect()), key=key)
     want = sorted(map(tuple, df.collect()), key=key)
     assert got == want, f"verb-chain roundtrip diverged:\n{sql}"
+
+
+def test_expr_to_sql(spark):
+    """Single-expression unparse (reference expr_to_sql): a Column renders
+    to SQL text usable in selectExpr; lossy renderings refuse."""
+    from datafusion_spark.compat.unparser import expr_to_sql
+
+    li = _li(spark)
+    txt = expr_to_sql(li, (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .alias("net"))
+    got = li.selectExpr(txt).limit(5).collect()
+    want = li.select((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                     .alias("net")).limit(5).collect()
+    assert [r.net for r in got] == [r.net for r in want]
+    with pytest.raises(DialectError):
+        expr_to_sql(li, F.first("l_quantity", ignorenulls=True))
