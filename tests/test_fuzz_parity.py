@@ -1266,3 +1266,161 @@ def test_random_map_struct_parity(spark, duck, spec):
                 assert gv == bool(wv), (g, w)
             else:
                 assert float(gv) == float(wv), (g, w)
+
+
+# --- axis 17 (r8): statistical aggregate estimators --------------------------
+# Reference aggregate.slt statistics rows (stddev/variance, covar_pop/samp,
+# corr, regr_slope/intercept/r2/count/avgx/avgy/sxx/sxy/syy — the full
+# regression family the reference implements in
+# functions-aggregate/src/regr.rs) plus ordered-set percentile_cont/disc and
+# median: random (function × operand expr × group shape) combos, shared SQL
+# text on both engines.  Group shapes include single-digit-row groups so the
+# n<2 guard paths (NULL, not error) are continuously exercised.
+#
+# Probe-sweep findings baked in:
+#   * corr / regr_r2 over a ZERO-VARIANCE operand with n>=2: Spark (ANSI
+#     mode, the session default) raises DIVIDE_BY_ZERO where DuckDB
+#     returns NULL — generator operands all vary with the row, group keys
+#     never derive from an operand column (a same-column key would pin the
+#     operand constant within each group); the divergence itself is pinned
+#     in test_stat_zero_variance_divergence below.
+#   * skewness / kurtosis DIVERGE by ESTIMATOR DEFINITION: Spark computes
+#     the population moments (g1 = m3/m2^1.5, g2 = m4/m2^2 - 3), DuckDB
+#     the bias-corrected sample estimators (G1, G2), and the small-n guard
+#     thresholds differ too (DuckDB NULLs at n=2 resp. n<=3 where Spark
+#     returns values).  Excluded from the shared pool; the exact
+#     conversion formulas are pinned in
+#     test_stat_skew_kurtosis_estimator_divergence below.
+#   * approx_count_distinct is sketch-implementation-defined (HLL++ vs
+#     DuckDB's HLL: 151 vs 150 on the same 150-key column) — out of scope
+#     here; the registry compares approx entries via exact twins instead.
+#   * Distributed co-moment merge (Spark) vs serial accumulation (DuckDB)
+#     differs only in float tail digits — compared at rel 1e-6.
+
+_ST_ONE = [
+    "stddev_samp({x})", "stddev_pop({x})", "var_samp({x})", "var_pop({x})",
+    "avg({x})", "median({x})",
+    "percentile_cont(0.25) WITHIN GROUP (ORDER BY {x})",
+    "percentile_disc(0.75) WITHIN GROUP (ORDER BY {x})",
+]
+_ST_TWO = [
+    "corr({y}, {x})", "covar_samp({y}, {x})", "covar_pop({y}, {x})",
+    "regr_slope({y}, {x})", "regr_intercept({y}, {x})", "regr_r2({y}, {x})",
+    "CAST(regr_count({y}, {x}) AS BIGINT)",
+    "regr_avgx({y}, {x})", "regr_avgy({y}, {x})",
+    "regr_sxx({y}, {x})", "regr_sxy({y}, {x})", "regr_syy({y}, {x})",
+]
+# Operands vary per row; group keys (below) never reuse these columns.
+_ST_XS = [
+    "o_totalprice",
+    "CAST(o_orderkey % 997 AS DOUBLE)",
+    "CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS DOUBLE) "
+    "ELSE o_totalprice END",
+]
+_ST_YS = [
+    "CAST(o_custkey % 89 AS DOUBLE)",
+    "o_totalprice * 1e-3",
+    "CASE WHEN o_custkey % 7 = 0 THEN CAST(NULL AS DOUBLE) "
+    "ELSE CAST(o_custkey % 53 AS DOUBLE) END",
+]
+_ST_GROUPS = [
+    None,  # global aggregate
+    "o_orderstatus",
+    "o_orderpriority",
+    "year(CAST(o_orderdate AS TIMESTAMP))",
+]
+
+
+@st.composite
+def stat_agg_spec(draw):
+    fns = draw(st.lists(st.sampled_from(_ST_ONE + _ST_TWO), min_size=1,
+                        max_size=3, unique=True))
+    x = draw(st.sampled_from(_ST_XS))
+    y = draw(st.sampled_from(_ST_YS))
+    key = draw(st.sampled_from(_ST_GROUPS))
+    return fns, x, y, key
+
+
+@given(stat_agg_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_stat_aggregate_parity(spark, duck, spec):
+    """Random statistical-aggregate combos must agree on both engines
+    within float-merge tolerance (NULL pattern exactly)."""
+    fns, x, y, key = spec
+    sel = ", ".join(
+        f"{f.format(x=x, y=y)} AS a{i}" for i, f in enumerate(fns)
+    )
+    if key is None:
+        sql = f"SELECT {sel} FROM orders"
+    else:
+        sql = (f"SELECT {key} AS k, {sel} FROM orders "
+               f"GROUP BY {key} ORDER BY k")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if gv is None or wv is None:
+                assert gv is None and wv is None, (sql, g, w)
+            elif isinstance(gv, float):
+                assert gv == pytest.approx(float(wv), rel=1e-6, abs=1e-9), \
+                    (sql, g, w)
+            else:
+                assert gv == wv, (sql, g, w)
+
+
+def test_stat_zero_variance_divergence(spark, duck):
+    """Pinned axis-17 divergence: corr (and the regr ratios) over a
+    zero-variance operand with n>=2.  Spark under ANSI mode (the session
+    default) raises DIVIDE_BY_ZERO; DuckDB returns NULL.  Same
+    permissive-vs-strict class as the error-parity negative-substring
+    finding — recorded, not reconciled."""
+    sql = ("SELECT corr(x, CAST(o_custkey AS DOUBLE)) AS v FROM "
+           "(SELECT 5.0 AS x, o_custkey FROM orders) t")
+    assert duck.execute(sql).fetchone()[0] is None
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql(sql).collect()
+    # n=1 (single-row group) is the NON-divergent guard path: both NULL.
+    one = ("SELECT corr(o_totalprice, CAST(o_custkey AS DOUBLE)) AS v "
+           "FROM orders WHERE o_orderkey = "
+           "(SELECT MIN(o_orderkey) FROM orders)")
+    assert spark.sql(one).collect()[0][0] is None
+    assert duck.execute(one).fetchone()[0] is None
+
+
+def test_stat_skew_kurtosis_estimator_divergence(spark, duck):
+    """Pinned axis-17 divergence: higher-moment estimator DEFINITIONS.
+
+    Spark's skewness/kurtosis are the population moments
+        g1 = m3 / m2^1.5          g2 = m4 / m2^2 - 3
+    while DuckDB computes the bias-corrected sample estimators
+        G1 = g1 * sqrt(n(n-1)) / (n-2)
+        G2 = ((n-1) / ((n-2)(n-3))) * ((n+1) * g2 + 6)
+    so the two engines agree only through the conversion formulas (and
+    DuckDB guards to NULL below the correction's domain: n<3 resp. n<4,
+    where Spark still returns the population value)."""
+    sql = ("SELECT CAST(COUNT(o_totalprice) AS BIGINT) AS n, "
+           "skewness(o_totalprice) AS sk, kurtosis(o_totalprice) AS ku "
+           "FROM orders")
+    n, g1, g2 = spark.sql(sql).collect()[0]
+    _, G1, G2 = duck.execute(sql).fetchone()
+    assert G1 == pytest.approx(g1 * (n * (n - 1)) ** 0.5 / (n - 2), rel=1e-9)
+    assert G2 == pytest.approx(
+        (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6), rel=1e-9)
+    # guard thresholds: n=2 → Spark numeric skewness, DuckDB NULL;
+    # n=3 → Spark numeric kurtosis, DuckDB NULL (domain of the correction)
+    two = ("SELECT skewness(o_totalprice) AS sk, kurtosis(o_totalprice) AS ku "
+           "FROM orders WHERE o_orderkey IN "
+           "(SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT {k})")
+    s2 = spark.sql(two.format(k=2)).collect()[0]
+    d2 = duck.execute(two.format(k=2)).fetchone()
+    assert s2[0] is not None and s2[1] is not None
+    assert d2 == (None, None)
+    s3 = spark.sql(two.format(k=3)).collect()[0]
+    d3 = duck.execute(two.format(k=3)).fetchone()
+    assert s3[1] is not None and d3[1] is None
+    assert d3[0] == pytest.approx(s3[0] * (3 * 2) ** 0.5 / 1, rel=1e-9)
