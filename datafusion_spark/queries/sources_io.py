@@ -35,9 +35,14 @@ def _sf_scratch(sf_dir: str, name: str) -> str:
     whichever SF first created the layout (smoke sf0.001 → oracle sf0.01
     mismatch).  Same fix as advanced_ops.build_bucketed_tables marker v2.
     Entries that rewrite unconditionally on every call don't need this.
+
+    The ``ts64`` suffix is a WRITER-CONFIG version: layouts written before
+    spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS landed carry
+    INT96 timestamps with no row-group statistics (no pruning) — bumping
+    the key abandons them so every cached layout is known stats-bearing.
     """
     return os.path.join(
-        _SCRATCH, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+        _SCRATCH, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}_ts64"
     )
 
 

@@ -271,9 +271,19 @@ def _load_sql(qid: int) -> list[str]:
 
 def register_tpcds_schema(spark) -> None:
     """Empty temp views with the exact reference schemas (shadow any
-    same-named parquet views for the session)."""
+    same-named parquet views for the session).
+
+    ``customer`` collides with the TPC-H base-table name, so the session's
+    view-state cache MUST be invalidated — otherwise a later
+    register_views() believes the plain views are still installed and a
+    TPC-H entry resolves the empty TPC-DS customer schema (found by the
+    r8 full-sweep: tpch_official_q10 after tpcds_planning_sweep in the
+    same session)."""
+    from datafusion_spark.catalog import invalidate_views
+
     for name, ddl in TPCDS_TABLE_SCHEMAS.items():
         spark.createDataFrame([], schema=ddl).createOrReplaceTempView(name)
+    invalidate_views(spark)
 
 
 def plan_tpcds_query(spark, qid: int) -> int:

@@ -30,6 +30,16 @@ def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Write timestamps as INT64 micros, not the legacy INT96 default:
+        # INT96 columns carry NO row-group min/max statistics and no
+        # filter pushdown, so any layout WE rewrite (sorted-stats scratch
+        # copies, bucketed tables, sinks) would silently lose stats-based
+        # pruning on every timestamp key — at 100 TB that turns a
+        # one-month range scan into a full-table decode.  Micros also
+        # round-trips the source data exactly (testdata is INT64 micros)
+        # and matches the reference's parquet writer (DataFusion writes
+        # Arrow Timestamp(us) physical INT64).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet size estimates feed join selection as compressed bytes x

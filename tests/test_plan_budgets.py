@@ -522,7 +522,17 @@ def _rowgroup_prune_fraction(path, col, lo, hi):
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(idx).statistics
             total += 1
-            if st.min <= hi and lo <= st.max:
+            assert st is not None and st.has_min_max, (
+                f"{fpath} rg{g} {col}: no min/max statistics — the layout "
+                "was written without stats (e.g. legacy INT96 timestamps), "
+                "so NO reader can prune it; see session.py "
+                "outputTimestampType")
+            mn, mx = st.min, st.max
+            # UTC-written timestamp columns come back tz-aware; the probe
+            # bounds are naive wall-clock values in the same UTC frame.
+            if getattr(mn, "tzinfo", None) is not None:
+                mn, mx = mn.replace(tzinfo=None), mx.replace(tzinfo=None)
+            if mn <= hi and lo <= mx:
                 kept += 1
     return kept / total, total
 

@@ -36,3 +36,24 @@ def test_tpcds_plans(tpcds_spark, qid):
     expected = 2 if qid in (14, 23, 24, 39) else 1
     assert len(_load_sql(qid)) == expected
     assert plan_tpcds_query(tpcds_spark, qid) == expected
+
+
+def test_schema_shadow_invalidates_view_state(spark):
+    """register_tpcds_schema shadows `customer` (the one name shared with
+    the TPC-H base tables) with an EMPTY TPC-DS-schema view.  The session
+    view-state cache must be invalidated so the next register_views()
+    actually re-registers — otherwise any spark.sql entry touching
+    customer resolves c_customer_sk instead of c_custkey (r8 full-sweep
+    find: tpch_official_q10 FAILed after tpcds_planning_sweep in the
+    same session)."""
+    from datafusion_spark.catalog import register_views, view_state
+
+    from tests.conftest import SF_SMALL
+
+    register_views(spark, SF_SMALL)
+    assert "c_custkey" in spark.table("customer").columns
+    register_tpcds_schema(spark)
+    assert "c_customer_sk" in spark.table("customer").columns  # shadowed
+    assert view_state(spark) is None  # cache knows it's dirty
+    register_views(spark, SF_SMALL)  # must NOT be a cache no-op
+    assert "c_custkey" in spark.table("customer").columns
