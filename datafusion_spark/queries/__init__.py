@@ -150,6 +150,8 @@ def _interleave_families() -> None:
         # new/changed this round:
         "compat_unparser_roundtrip",
         "similarity_ivfpq_rerank_topk",
+        "text_bm25_topk",
+        "similarity_hybrid_rrf",
     }
 
     def tier(name: str) -> int:

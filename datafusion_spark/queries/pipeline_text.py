@@ -1115,3 +1115,93 @@ def text_pack_assembly(spark, sf_dir):
         "n_docs",
         F.md5(F.array_join("tokens", " ")).alias("pack_md5"),
     ).orderBy("pack_id")
+
+
+# BM25 retrieval: the standard lexical ranking a training-data pipeline
+# uses for corpus search / contamination lookups.  Parameters are the
+# textbook defaults; the 3-term query mixes common terms with the rare
+# 'dup' marker so idf separation is visible in the result.
+_BM25_QUERY = ("vector", "merge", "dup")
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('vector', 'merge', 'dup') GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), part AS (
+      SELECT tf.doc_id,
+             CAST(ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 *
+                     (CAST(dl.dl AS DOUBLE) * s.n_docs / s.total_len)))
+                  AS DECIMAL(20,8)) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+    FROM part GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("pipeline", "text", "retrieval"),
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval (k1=1.2, b=0.75, Robertson idf) for a fixed
+    3-term query over the document corpus.
+
+    Scale shape: the postings stream is FILTERED to the query terms
+    before any shuffle (only matching tokens leave the scan), so tf is
+    |matching docs|x|query| sized; df and the corpus stats (N, total
+    length) are single-row broadcasts; doc lengths are the one
+    corpus-wide aggregation (a production system precomputes dl once per
+    ingest and reuses it across queries).  Top-k is orderBy+limit —
+    Spark's distributed TakeOrdered, never a single-partition window.
+
+    Determinism: each per-term partial score is computed in double with
+    the IDENTICAL expression tree on both engines, then quantized to
+    DECIMAL(20,8); the cross-term sum is decimal (exact, order-free), so
+    the final score and the (score, doc_id) ranking are engine-independent
+    (helpers.py decimal-accumulation rule)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_dl = (
+        F.col("dl").cast("double") * F.col("n_docs") / F.col("total_len")
+    )
+    part = (
+        idf * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * norm_dl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.cast("decimal(20,8)").alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
