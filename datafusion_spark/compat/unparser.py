@@ -83,11 +83,25 @@ def _requote(sql: str, quote: str) -> str:
             in_str = True
             out.append(ch)
         elif ch == "`":
-            j = sql.find("`", i + 1)
-            if j < 0:
-                raise DialectError("unterminated identifier quote in: " + sql)
+            # Scan to the closing backtick, honouring Catalyst's ``
+            # escape for a literal backtick INSIDE the identifier — the
+            # first find() would otherwise stop at the escape and split
+            # the identifier (r8 review find: alias 'x`y' silently became
+            # "x""y").  Escaped backticks are refused: no portable
+            # rendering in a non-backtick dialect.
+            j = i + 1
+            while True:
+                j = sql.find("`", j)
+                if j < 0:
+                    raise DialectError(
+                        "unterminated identifier quote in: " + sql)
+                if j + 1 < n and sql[j + 1] == "`":
+                    raise DialectError(
+                        f"identifier containing a backtick in {sql[i:j+2]!r}"
+                        f" is not representable in a {quote}-quoted dialect")
+                break
             ident = sql[i + 1:j]
-            if "`" in ident or quote in ident:
+            if quote in ident:
                 raise DialectError(
                     f"identifier {ident!r} not representable in "
                     f"{quote}-quoted dialect")
@@ -198,9 +212,31 @@ class _Unparser:
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
 
+    @staticmethod
+    def _outside_literals(txt: str) -> str:
+        """The rendered text with single-quoted string literals blanked,
+        so marker matching can't fire on literal CONTENT (r8 review
+        find: lit("call exists(now)") spuriously refused).  '' escapes
+        stay inside the literal, same walk as _requote."""
+        out, i, n, in_str = [], 0, len(txt), False
+        while i < n:
+            ch = txt[i]
+            if in_str:
+                if ch == "'":
+                    if i + 1 < n and txt[i + 1] == "'":
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+            else:
+                out.append(ch)
+            i += 1
+        return "".join(out)
+
     def _expr_sql(self, e) -> str:
         txt = e.sql()
-        low = txt.lower()
+        low = self._outside_literals(txt).lower()
         for marker in self._UNPARSABLE_EXPR_MARKERS:
             if marker in low:
                 raise DialectError(
@@ -289,20 +325,37 @@ class _Unparser:
             return self.visit(node.child())
         if cls == "Project":
             b = self.visit(node.child())
-            if b.select is not None or b.order_by is not None or b.limit is not None:
+            # distinct flush: SELECT DISTINCT <proj> would NARROW the
+            # dedup to the projected columns — project does not commute
+            # with a whole-row Deduplicate (r8 review find).
+            if (b.select is not None or b.distinct
+                    or b.order_by is not None or b.limit is not None):
                 b = self._derive(b)
             b.select = self._sqls(node.projectList())
             return b
         if cls == "Filter":
             b = self.visit(node.child())
+            # distinct/offset flush: in SQL, WHERE runs BEFORE both
+            # DISTINCT and OFFSET — a filter applied AFTER either must
+            # not merge into the same block (offset: r8 review find;
+            # distinct: only commutes for deterministic predicates, and
+            # a derived table is always correct).
             if (b.select is not None or b.group_by is not None
-                    or b.order_by is not None or b.limit is not None):
+                    or b.distinct or b.order_by is not None
+                    or b.limit is not None or b.offset is not None):
                 b = self._derive(b)
             b.where.append(self._expr_sql(node.condition()))
             return b
         if cls == "Aggregate":
             b = self.visit(node.child())
-            if b.select is not None or b.group_by is not None or b.limit is not None:
+            # distinct flush: GROUP BY in the same block would aggregate
+            # the PRE-dedup rows (SELECT DISTINCT applies after
+            # aggregation in SQL) — r8 review find.  order_by/offset:
+            # both run after grouping in SQL, so an aggregate applied
+            # after them must derive.
+            if (b.select is not None or b.group_by is not None
+                    or b.distinct or b.order_by is not None
+                    or b.limit is not None or b.offset is not None):
                 b = self._derive(b)
             b.select = self._sqls(node.aggregateExpressions())
             groups = self._sqls(node.groupingExpressions())
@@ -335,19 +388,28 @@ class _Unparser:
                 raise DialectError(
                     "dropDuplicates on a column subset is not SQL-expressible")
             b = self.visit(node.child())
-            if b.distinct or b.order_by is not None or b.limit is not None:
+            # offset flush: DISTINCT runs before OFFSET in a SQL block, so
+            # a dedup applied after offset must derive (r8 review class).
+            if (b.distinct or b.order_by is not None
+                    or b.limit is not None or b.offset is not None):
                 b = self._derive(b)
             b.distinct = True
             return b
         if cls == "Distinct":
             b = self.visit(node.child())
-            if b.distinct or b.order_by is not None or b.limit is not None:
+            if (b.distinct or b.order_by is not None
+                    or b.limit is not None or b.offset is not None):
                 b = self._derive(b)
             b.distinct = True
             return b
         if cls == "Offset":
             b = self.visit(node.child())
-            if b.offset is not None:
+            # limit flush: df.limit(n).offset(m) takes n rows THEN skips m;
+            # `LIMIT n OFFSET m` in one block skips m then takes n — the
+            # clauses don't commute, so an offset arriving onto a block
+            # that already has LIMIT must derive (r8 review find; the
+            # reverse order, offset-then-limit, merges correctly).
+            if b.offset is not None or b.limit is not None:
                 b = self._derive(b)
             b.offset = node.offsetExpr().sql()
             return b
@@ -387,7 +449,9 @@ class _Unparser:
             raise DialectError(f"{jt} join without condition")
         if cls == "Window":
             b = self.visit(node.child())
-            if b.select is not None or b.order_by is not None or b.limit is not None:
+            if (b.select is not None or b.distinct
+                    or b.order_by is not None or b.limit is not None
+                    or b.offset is not None):
                 b = self._derive(b)
             q = self.dialect.identifier_quote
             child_cols = [f"{q}{a.name()}{q}"

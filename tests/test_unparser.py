@@ -291,3 +291,50 @@ def test_expr_to_sql(spark):
     assert [r.net for r in got] == [r.net for r in want]
     with pytest.raises(DialectError):
         expr_to_sql(li, F.first("l_quantity", ignorenulls=True))
+
+
+def test_non_commuting_clause_flushes(spark):
+    """r8 review regression pins: clause pairs that do NOT commute inside
+    one SQL block must flush to a derived table.  Each case previously
+    unparsed to text with identical schema but different ROWS (passing
+    the schema-only validate), violating the round-trip contract."""
+    o = _orders(spark)
+    small = o.select((F.col("o_orderkey") % 2).alias("a"),
+                     (F.col("o_custkey") % 3).alias("b")).limit(40)
+    # limit-then-offset: LIMIT 5 OFFSET 3 in one block means the reverse
+    df = o.select("o_orderkey").orderBy("o_orderkey").limit(5).offset(3)
+    _assert_roundtrip(spark, df)
+    # aggregate over distinct: GROUP BY must see the deduped rows
+    _assert_roundtrip(
+        spark, small.distinct().groupBy("a").agg(F.count("*").alias("n")))
+    # project over whole-row distinct: SELECT DISTINCT a would narrow it
+    _assert_roundtrip(spark, small.distinct().select("a"))
+    # filter after offset: WHERE runs before OFFSET in a block
+    _assert_roundtrip(
+        spark,
+        o.select("o_orderkey").orderBy("o_orderkey").offset(3)
+         .filter(F.col("o_orderkey") % 2 == 0).limit(7))
+    # distinct after offset: DISTINCT runs before OFFSET in a block
+    _assert_roundtrip(
+        spark, small.select("a", "b").orderBy("a", "b").offset(5).distinct())
+    # offset-then-limit still merges into one block (the commuting order)
+    sql = to_sql(
+        o.select("o_orderkey").orderBy("o_orderkey").offset(3).limit(5))
+    assert "LIMIT 5 OFFSET 3" in sql
+
+
+def test_requote_and_literal_marker_hardening(spark):
+    """r8 review pins: (1) an identifier containing a backtick must be
+    REFUSED in a non-backtick dialect, not silently rewritten; (2)
+    refusal markers must not fire on string-literal content."""
+    o = _orders(spark)
+    with pytest.raises(DialectError, match="backtick"):
+        to_sql(o.select(F.col("o_orderkey").alias("x`y")), DUCKDB,
+               validate=False)
+    # marker text inside a literal is fine...
+    df = o.select(F.lit("call exists(now)").alias("s"), "o_orderkey").limit(3)
+    _assert_roundtrip(spark, df)
+    # ...while a real HOF exists(...) still refuses
+    arr = o.select(F.array(F.col("o_orderkey")).alias("xs"))
+    with pytest.raises(DialectError):
+        to_sql(arr.select(F.expr("exists(xs, x -> x > 0)")), validate=False)

@@ -37,6 +37,12 @@ def main() -> int:
         base.get("floor_per_query", 0.0), new.get("floor_per_query", 0.0)
     )
     qkey = "queries_minus_floor" if args.minus_floor else "queries"
+    if args.minus_floor:
+        for side, d in (("base", base), ("new", new)):
+            if qkey not in d:
+                print(f"note: {side} file has no {qkey}; falling back to "
+                      "raw 'queries' for that side — mixed metrics, the "
+                      "floor stays inside its numbers")
     bq = dict(base.get(qkey) or base.get("queries", {}))
     nq = dict(new.get(qkey) or new.get("queries", {}))
     cal_b = cal_n = 1.0
