@@ -129,29 +129,21 @@ def _interleave_families() -> None:
     verified = _verified_of(latest)
     failed = _failed_of(latest)
 
-    # Hand-pinned front of the prefix for the CURRENT round (r8): the 4
-    # TPC-DS second statements and the 8 driver-unseen tpch_official join
-    # graphs (both called out by the r7 verdict), plus entries that are NEW
-    # or materially CHANGED this round (unparser round-trip, IVFPQ exact
-    # re-rank).  Latest-FAIL entries are NOT listed here — they are pinned
-    # at absolute positions 0..k automatically (see _failed_of).
-    # Rotate per round; harmless if an entry is already verified (the 12
-    # backlog names here are all never-verified) or not yet registered
-    # (tier() is only consulted for registered names).
+    # Hand-pinned front of the prefix for the CURRENT round (r9): entries
+    # that are NEW or materially CHANGED this round only — everything from
+    # the r8 pin list went driver-green in CORRECTNESS_r08 and unpinned
+    # itself (a verified pin would waste a tier-0 slot on a re-check).
+    # Latest-FAIL entries are NOT listed here — they are pinned at absolute
+    # positions 0..k automatically (see _failed_of).  Rotate per round;
+    # harmless if a name is not yet registered (tier() is only consulted
+    # for registered names).
     priority = {
-        # TPC-DS second statements (judge-verified green in r7; give them
-        # their driver rows):
-        "tpcds_q14b", "tpcds_q23b", "tpcds_q24b", "tpcds_q39b",
-        # the 8 official-schema TPC-H join graphs with no driver signature
-        # (SURVEY §2.1 claims all 22; these are the missing receipts):
-        "tpch_official_q8", "tpch_official_q10", "tpch_official_q13",
-        "tpch_official_q14", "tpch_official_q17", "tpch_official_q19",
-        "tpch_official_q21", "tpch_official_q22",
-        # new/changed this round:
-        "compat_unparser_roundtrip",
-        "similarity_ivfpq_rerank_topk",
+        # oracle SQL changed r9 (bare decimal literals → CAST AS DOUBLE,
+        # ADVICE r8): re-verify under the new oracle text.
         "text_bm25_topk",
-        "similarity_hybrid_rrf",
+        # new r9 entries:
+        "text_bm25_index_serve",
+        "compat_unparser_cte_roundtrip",
     }
 
     def tier(name: str) -> int:

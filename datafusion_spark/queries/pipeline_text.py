@@ -1139,10 +1139,16 @@ _BM25_QUERY = ("vector", "merge", "dup")
     ), dfreq AS (
       SELECT term, COUNT(*) AS df FROM tf GROUP BY term
     ), part AS (
+      -- all constants CAST AS DOUBLE: DuckDB would otherwise evaluate bare
+      -- decimal literals in exact DECIMAL before converting, a 1-ulp
+      -- divergence from Spark's fl(tf * fl(2.2)) ahead of the quantization
       SELECT tf.doc_id,
-             CAST(ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                  * (tf.tf * 2.2)
-                  / (tf.tf + 1.2 * (0.25 + 0.75 *
+             CAST(ln(CAST(1.0 AS DOUBLE)
+                     + (s.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                       / (dfreq.df + CAST(0.5 AS DOUBLE)))
+                  * (tf.tf * CAST(2.2 AS DOUBLE))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
                      (CAST(dl.dl AS DOUBLE) * s.n_docs / s.total_len)))
                   AS DECIMAL(20,8)) AS s
       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)

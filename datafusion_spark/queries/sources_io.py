@@ -9,7 +9,9 @@ quoting, type round-trip, and schema application, which is the point.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -40,10 +42,18 @@ def _sf_scratch(sf_dir: str, name: str) -> str:
     spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS landed carry
     INT96 timestamps with no row-group statistics (no pruning) — bumping
     the key abandons them so every cached layout is known stats-bearing.
+    Abandoned pre-bump layouts are swept here (same name+sf prefix, wrong
+    version suffix) so the scratch dir doesn't accumulate dead copies.
     """
-    return os.path.join(
-        _SCRATCH, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}_ts64"
-    )
+    _VERSION = "ts64"
+    base = f"{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+    for stale in glob.glob(os.path.join(_SCRATCH, glob.escape(base) + "*")):
+        if os.path.basename(stale) not in (base, f"{base}_{_VERSION}"):
+            # a previous writer-config version (e.g. bare or _ts32): dead
+            shutil.rmtree(stale, ignore_errors=True)
+        elif os.path.basename(stale) == base:
+            shutil.rmtree(stale, ignore_errors=True)  # pre-versioning layout
+    return os.path.join(_SCRATCH, f"{base}_{_VERSION}")
 
 
 @query(

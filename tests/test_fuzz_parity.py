@@ -1274,8 +1274,13 @@ def test_random_map_struct_parity(spark, duck, spec):
 # regression family the reference implements in
 # functions-aggregate/src/regr.rs) plus ordered-set percentile_cont/disc and
 # median: random (function × operand expr × group shape) combos, shared SQL
-# text on both engines.  Group shapes include single-digit-row groups so the
-# n<2 guard paths (NULL, not error) are continuously exercised.
+# text on both engines.  Group shapes include a high-cardinality key
+# (_ST_GROUP_HICARD: o_orderkey % 5000 → mostly 1-2 row groups at the test
+# SF) so the n<2 guard paths (NULL, not error) are continuously exercised —
+# for the ONE-ARG estimators only: two-arg ratio functions (corr, regr_*)
+# over an n>=2 micro-group can land zero variance (e.g. equal o_custkey % 89
+# pair), which is exactly the pinned DIVIDE_BY_ZERO divergence below, so the
+# random pool keeps two-arg functions on the large-group keys.
 #
 # Probe-sweep findings baked in:
 #   * corr / regr_r2 over a ZERO-VARIANCE operand with n>=2: Spark (ANSI
@@ -1329,15 +1334,20 @@ _ST_GROUPS = [
     "o_orderpriority",
     "year(CAST(o_orderdate AS TIMESTAMP))",
 ]
+# High-cardinality key: mostly singleton/pair groups — the small-n guard
+# path.  One-arg estimators only (see header comment re zero-variance
+# DIVIDE_BY_ZERO divergence for the two-arg ratios).
+_ST_GROUP_HICARD = "o_orderkey % 5000"
 
 
 @st.composite
 def stat_agg_spec(draw):
-    fns = draw(st.lists(st.sampled_from(_ST_ONE + _ST_TWO), min_size=1,
+    key = draw(st.sampled_from(_ST_GROUPS + [_ST_GROUP_HICARD]))
+    pool = _ST_ONE if key == _ST_GROUP_HICARD else _ST_ONE + _ST_TWO
+    fns = draw(st.lists(st.sampled_from(pool), min_size=1,
                         max_size=3, unique=True))
     x = draw(st.sampled_from(_ST_XS))
     y = draw(st.sampled_from(_ST_YS))
-    key = draw(st.sampled_from(_ST_GROUPS))
     return fns, x, y, key
 
 

@@ -148,6 +148,53 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def run_entry(spark, con, name: str, sf_dir: str) -> tuple[str, str]:
+    """Run ONE registry entry through the driver's oracle gate.
+
+    The single source of truth for the per-entry sequence (Spark run →
+    rows-only short-circuit → DuckDB oracle → compare → hard/warn split);
+    oracle_check's sweep and preclear's smoke-first replay both call this
+    so the gate logic cannot drift between the two tools (ADVICE r8).
+
+    Returns ``(status, detail)``:
+      ``"pass"``       oracle compared, no hard problems (detail: rows +
+                       any dtype warns)
+      ``"rows-only"``  no oracle registered; the Spark plan executed
+      ``"fail"``       Spark error, DuckDB error, or hard compare mismatch
+    """
+    from datafusion_spark.queries import ORACLES, QUERIES
+
+    t0 = time.time()
+    try:
+        spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    except Exception as e:  # noqa: BLE001
+        return "fail", f"spark error: {e}"
+    if name not in ORACLES:
+        return "rows-only", f"{len(spark_pdf)} rows, {time.time()-t0:.1f}s"
+    try:
+        duck_pdf = con.execute(ORACLES[name]).df()
+    except Exception as e:  # noqa: BLE001
+        return "fail", f"duckdb error: {e}"
+    problems = compare(name, spark_pdf, duck_pdf)
+    hard = [p for p in problems if "(warn)" not in p]
+    if hard:
+        return "fail", " | ".join(problems)
+    detail = f"{len(spark_pdf)} rows, {time.time()-t0:.1f}s"
+    if problems:
+        detail += "  [" + " | ".join(problems) + "]"
+    return "pass", detail
+
+
+def sf_pinned_to(name: str) -> str | None:
+    """The sf_dir an entry's oracle is pinned to via tag, if any."""
+    from datafusion_spark.queries import TAGS
+
+    for t in TAGS.get(name, ()):
+        if t.startswith("sf-pinned:"):
+            return t.split(":", 1)[1]
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -184,29 +231,14 @@ def main() -> int:
             print(f"?? {name}: not registered")
             failures += 1
             continue
-        t0 = time.time()
-        try:
-            spark_pdf = QUERIES[name](spark, args.sf).toPandas()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
+        status, detail = run_entry(spark, con, name, args.sf)
+        if status == "fail":
             failures += 1
-            continue
-        if name not in ORACLES:
-            print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
-            continue
-        try:
-            duck_pdf = con.execute(ORACLES[name]).df()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures += 1
-            continue
-        problems = compare(name, spark_pdf, duck_pdf)
-        hard = [p for p in problems if "(warn)" not in p]
-        tag = "FAIL" if hard else "ok  "
-        if hard:
-            failures += 1
-        print(f"{tag} {name}: {len(spark_pdf)} rows, {time.time()-t0:.1f}s"
-              + ("".join(f"\n       - {p}" for p in problems)))
+            print(f"FAIL {name}: {detail}")
+        elif status == "rows-only":
+            print(f"ok?  {name}: rows-only ({detail})")
+        else:
+            print(f"ok   {name}: {detail}")
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return 1 if failures else 0
 

@@ -24,7 +24,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -40,8 +39,8 @@ def main() -> int:
     args = ap.parse_args()
 
     from datafusion_spark import get_spark
-    from datafusion_spark.queries import ORACLES, QUERIES, TAGS
-    from tools.oracle_check import compare, duck_connection
+    from datafusion_spark.queries import QUERIES
+    from tools.oracle_check import duck_connection, run_entry, sf_pinned_to
 
     names = list(QUERIES)
     stop = args.stop if args.stop is not None else len(names)
@@ -57,49 +56,29 @@ def main() -> int:
 
     failures = 0
     for name in names:
-        t0 = time.time()
-        # 1. driver smoke: run at sf0.001 first (same process).
+        # 1. driver smoke: run at sf0.001 first (same process).  The only
+        # step preclear adds over oracle_check's gate — everything from
+        # here down is the shared run_entry sequence.
         try:
             smoke_pdf = QUERIES[name](spark, SMOKE_SF).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: smoke(sf0.001) error: {e}", flush=True)
             failures += 1
             continue
-        # 2. driver oracle: run at sf0.01 and compare.
-        pinned = [
-            t.split(":", 1)[1]
-            for t in TAGS.get(name, ())
-            if t.startswith("sf-pinned:")
-        ]
-        if pinned and pinned[0] != ORACLE_SF:
-            print(f"ok?  {name}: smoke green; oracle pinned to {pinned[0]} "
+        # 2. driver oracle: run at sf0.01 and compare (shared gate).
+        pinned = sf_pinned_to(name)
+        if pinned and pinned != ORACLE_SF:
+            print(f"ok?  {name}: smoke green; oracle pinned to {pinned} "
                   f"({len(smoke_pdf)} smoke rows)", flush=True)
             continue
-        try:
-            spark_pdf = QUERIES[name](spark, ORACLE_SF).toPandas()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: oracle-run(sf0.01) error: {e}", flush=True)
+        status, detail = run_entry(spark, con, name, ORACLE_SF)
+        if status == "fail":
             failures += 1
-            continue
-        if name not in ORACLES:
-            print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, "
-                  f"{time.time()-t0:.1f}s)", flush=True)
-            continue
-        try:
-            duck_pdf = con.execute(ORACLES[name]).df()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}", flush=True)
-            failures += 1
-            continue
-        problems = compare(name, spark_pdf, duck_pdf)
-        hard = [p for p in problems if "(warn)" not in p]
-        if hard:
-            failures += 1
-            print(f"FAIL {name}: " + " | ".join(hard), flush=True)
+            print(f"FAIL {name}: {detail}", flush=True)
+        elif status == "rows-only":
+            print(f"ok?  {name}: rows-only ({detail})", flush=True)
         else:
-            tail = "" if not problems else "  [" + " | ".join(problems) + "]"
-            print(f"PASS {name} ({len(spark_pdf)} rows, "
-                  f"{time.time()-t0:.1f}s){tail}", flush=True)
+            print(f"PASS {name} ({detail})", flush=True)
 
     print(f"\n{failures} failures / {len(names)} checked", flush=True)
     return 1 if failures else 0
