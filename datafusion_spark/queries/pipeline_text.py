@@ -14,6 +14,10 @@ classic map-side-combine word count shape.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1211,3 +1215,202 @@ def text_bm25_topk(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# --- BM25 with a PERSISTED index, serving N queries in one pass -------------
+#
+# text_bm25_topk recomputes doc lengths and postings per call (docstring
+# acknowledges it) — the production posture is an inverted-index ARTIFACT
+# built once per corpus ingest and reused across every query: postings
+# (term, doc_id, tf) term-sorted so term predicates prune parquet row
+# groups, doc lengths, per-term document frequencies, and the two corpus
+# scalars (N, total length).  Same artifact pattern as the ANN indexes
+# under spark-warehouse/derived_ann (pipeline_similarity._model_rows).
+
+_BM25_SERVE_QUERIES = {
+    1: ("vector", "merge", "dup"),
+    2: ("hash", "join"),
+    3: ("window", "sort", "stream"),
+    4: ("dup", "scan"),
+}
+_BM25_SERVE_K = 5
+_TEXT_INDEX_VERSION = "v1"  # bump on any index-layout/scoring-input change
+
+
+def _repo_root() -> str:
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def _ensure_bm25_index(spark, sf_dir) -> tuple[str, int, int]:
+    """Build-or-load the persisted BM25 inverted index for a corpus.
+
+    Layout under spark-warehouse/derived_text/<sf>/bm25_<version>/:
+      postings/    (term, doc_id, tf) parquet, repartitioned+sorted by term
+                   so a term-IN predicate prunes row groups via min/max
+                   stats (the 100 TB serving path: only the query terms'
+                   postings leave the scan)
+      doclen/      (doc_id, dl)
+      term_stats/  (term, df) — document frequency per term
+      stats.json   {n_docs, total_len} corpus scalars
+      _DONE        completion marker (written last)
+
+    Concurrent builders race benignly: each writes a pid-suffixed temp
+    tree and the first atomic rename wins (same protocol as the ANN model
+    artifacts).  The key embeds the sf basename and an index version —
+    a scoring-input change must bump _TEXT_INDEX_VERSION.
+    """
+    base = os.path.join(
+        _repo_root(), "spark-warehouse", "derived_text",
+        os.path.basename(sf_dir.rstrip("/")), f"bm25_{_TEXT_INDEX_VERSION}",
+    )
+    if not os.path.isfile(os.path.join(base, "_DONE")):
+        tmp = f"{base}.tmp.{os.getpid()}"
+        d = _t(spark, sf_dir, "documents")
+        toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        postings = toks.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        (postings.repartition("term")
+         .sortWithinPartitions("term", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(tmp, "postings")))
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        dl.write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
+        back = spark.read.parquet(os.path.join(tmp, "postings"))
+        (back.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+         .write.mode("overwrite").parquet(os.path.join(tmp, "term_stats")))
+        row = (spark.read.parquet(os.path.join(tmp, "doclen"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_len")).collect()[0])
+        with open(os.path.join(tmp, "stats.json"), "w") as f:
+            json.dump({"n_docs": int(row["n_docs"]),
+                       "total_len": int(row["total_len"])}, f)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # another builder won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(base, "stats.json")) as f:
+        stats = json.load(f)
+    return base, stats["n_docs"], stats["total_len"]
+
+
+def bm25_serve(spark, sf_dir, queries: dict[int, tuple[str, ...]],
+               k: int = _BM25_SERVE_K) -> DataFrame:
+    """Serve N BM25 queries in ONE pass over the persisted index.
+
+    The public parameterized API (`text_bm25_index_serve` is the fixed-
+    parameter registry entry): queries is {qid: (terms...)}.  Plan shape —
+    the query table and per-term df are broadcast, the postings scan is
+    filtered to the union of query terms (pushed IN-filter over the
+    term-sorted layout), doc lengths join on doc_id, and ranking windows
+    are qid-partitioned (never a single-partition window).  Cost per batch
+    is one pruned postings scan regardless of N."""
+    from pyspark.sql.window import Window
+
+    base, n_docs, total_len = _ensure_bm25_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
+        "qid int, term string",
+    )
+    terms = sorted({t for ts in queries.values() for t in ts})
+    postings = (spark.read.parquet(os.path.join(base, "postings"))
+                .filter(F.col("term").isin(terms)))
+    dl = spark.read.parquet(os.path.join(base, "doclen"))
+    tstats = spark.read.parquet(os.path.join(base, "term_stats"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_dl = (
+        F.col("dl").cast("double") * F.lit(n_docs) / F.lit(total_len)
+    )
+    part = (
+        idf * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * norm_dl))
+    )
+    scored = (
+        postings.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(tstats), "term")
+        .join(dl, "doc_id")
+        .select("qid", "doc_id", part.cast("decimal(20,8)").alias("s"))
+    )
+    agg = scored.groupBy("qid", "doc_id").agg(
+        F.sum("s").cast("double").alias("bm25")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "bm25")
+        .orderBy("qid", "rank")
+    )
+
+
+def _bm25_serve_values_sql() -> str:
+    return ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in sorted(_BM25_SERVE_QUERIES.items()) for t in terms
+    )
+
+
+@query(
+    "text_bm25_index_serve",
+    oracle=f"""
+    WITH q(qid, term) AS (VALUES {_bm25_serve_values_sql()}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), postings AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+    ), part AS (
+      -- constants CAST AS DOUBLE so both engines run the identical pure-
+      -- double expression tree ahead of the DECIMAL(20,8) quantization
+      SELECT q.qid, p.doc_id,
+             CAST(ln(CAST(1.0 AS DOUBLE)
+                     + (s.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                       / (dfreq.df + CAST(0.5 AS DOUBLE)))
+                  * (p.tf * CAST(2.2 AS DOUBLE))
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                     (CAST(dl.dl AS DOUBLE) * s.n_docs / s.total_len)))
+                  AS DECIMAL(20,8)) AS s
+      FROM q JOIN postings p USING (term) JOIN dfreq USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN stats s
+    ), agg AS (
+      SELECT qid, doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+      FROM part GROUP BY qid, doc_id
+    ), ranked AS (
+      SELECT qid, doc_id, bm25,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY bm25 DESC, doc_id) AS rn
+      FROM agg
+    )
+    SELECT qid, doc_id, CAST(rn AS INTEGER) AS rank, bm25
+    FROM ranked WHERE rn <= {_BM25_SERVE_K} ORDER BY qid, rank
+    """,
+    tags=("pipeline", "text", "retrieval", "index"),
+)
+def text_bm25_index_serve(spark, sf_dir):
+    """BM25 top-5 for FOUR queries served in one pass over the persisted
+    inverted index (reusable artifact under spark-warehouse/derived_text;
+    bm25_serve is the parameterized API).
+
+    Contrast with text_bm25_topk (which recomputes dl/postings per call):
+    here the corpus-wide work is paid once per ingest; the serving plan
+    reads only the query terms' postings (pushed IN-filter over the
+    term-sorted parquet → row-group pruning), broadcasts the query table
+    and df stats, and ranks with qid-partitioned windows.  The oracle
+    recomputes the index from the raw corpus — the persisted artifact
+    must be exactly the deterministic function of the corpus it claims.
+    Determinism: same decimal-quantized partial-score protocol as
+    text_bm25_topk (helpers.py decimal-accumulation rule)."""
+    return bm25_serve(spark, sf_dir, _BM25_SERVE_QUERIES, _BM25_SERVE_K)

@@ -553,3 +553,41 @@ def test_view_state_cache_transitions(spark):
     assert catalog.view_state(spark) == (SF_ORACLE, frozenset())
     catalog.register_views(spark, SF_SMALL)
     assert catalog.view_state(spark) == (SF_SMALL, frozenset())
+
+
+def test_bm25_index_serve_matches_per_query_scoring(spark):
+    """The persisted-index serving path must score identically to the
+    recompute-everything path: for the query that text_bm25_topk runs
+    (qid 1 = the same 3 terms), the serve entry's top-5 (doc_id, bm25)
+    must equal the head of text_bm25_topk's top-10."""
+    from datafusion_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    serve = QUERIES["text_bm25_index_serve"](spark, SF_SMALL)
+    got = [(r.doc_id, r.bm25) for r in serve.collect() if r.qid == 1]
+    single = QUERIES["text_bm25_topk"](spark, SF_SMALL)
+    want = [(r.doc_id, r.bm25) for r in single.collect()][: len(got)]
+    assert got == want
+
+
+def test_bm25_index_artifact_reused(spark, tmp_path):
+    """Second serve call must NOT rebuild the index (marker present) and
+    the artifact carries all four components."""
+    import os
+
+    from datafusion_spark.queries.pipeline_text import (
+        _BM25_SERVE_QUERIES,
+        _ensure_bm25_index,
+        bm25_serve,
+    )
+    from tests.conftest import SF_SMALL
+
+    base, n_docs, total_len = _ensure_bm25_index(spark, SF_SMALL)
+    for comp in ("postings", "doclen", "term_stats", "stats.json", "_DONE"):
+        assert os.path.exists(os.path.join(base, comp)), comp
+    mtime = os.path.getmtime(os.path.join(base, "_DONE"))
+    rows = bm25_serve(spark, SF_SMALL, _BM25_SERVE_QUERIES, k=3).collect()
+    assert os.path.getmtime(os.path.join(base, "_DONE")) == mtime
+    assert rows and all(r.rank <= 3 for r in rows)
+    # every requested qid that has any matching doc appears
+    assert {r.qid for r in rows} == set(_BM25_SERVE_QUERIES)
