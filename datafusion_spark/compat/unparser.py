@@ -116,9 +116,10 @@ def _requote(sql: str, quote: str) -> str:
 @dataclass
 class _Block:
     """One SELECT query block being assembled (reference plan.rs
-    QueryBuilder/SelectBuilder)."""
+    QueryBuilder/SelectBuilder).  ``from_ is None`` = a FROM-less
+    one-row SELECT (Catalyst OneRowRelation)."""
 
-    from_: str
+    from_: str | None
     select: list[str] | None = None
     distinct: bool = False
     where: list[str] = field(default_factory=list)
@@ -129,8 +130,9 @@ class _Block:
 
     def render(self) -> str:
         sel = ", ".join(self.select) if self.select else "*"
-        parts = [f"SELECT {'DISTINCT ' if self.distinct else ''}{sel}",
-                 f"FROM {self.from_}"]
+        parts = [f"SELECT {'DISTINCT ' if self.distinct else ''}{sel}"]
+        if self.from_ is not None:
+            parts.append(f"FROM {self.from_}")
         if self.where:
             parts.append("WHERE " + " AND ".join(self.where))
         if self.group_by:
@@ -148,6 +150,7 @@ class _Unparser:
     def __init__(self, dialect: Dialect):
         self.dialect = dialect
         self._n = 0
+        self._cte_names: dict[int, str] = {}  # cteId -> WITH-clause name
 
     def _alias(self) -> str:
         self._n += 1
@@ -234,7 +237,80 @@ class _Unparser:
             i += 1
         return "".join(out)
 
+    # Plan-hosted subquery EXPRESSION nodes (reference unparser handles
+    # these in plan.rs subquery reconstruction): Expression.sql renders
+    # an internal placeholder (scalarsubquery()/listquery()/exists#n)
+    # that never re-parses, so subquery-bearing trees are rendered by
+    # _render_subq_expr below — the inner PLAN is unparsed recursively
+    # and spliced as (SELECT ...).  Correlated subqueries refuse (the
+    # inner plan would render outer(...) references).
+    _SUBQ_EXPR_CLASSES = ("ScalarSubquery", "Exists", "InSubquery",
+                          "ListQuery")
+
+    def _tree_has_subquery(self, e) -> bool:
+        stack = [e]
+        while stack:
+            n = stack.pop()
+            if n.getClass().getSimpleName() in self._SUBQ_EXPR_CLASSES:
+                return True
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+
+    def _subplan_sql(self, subq, what: str) -> str:
+        if subq.outerAttrs().size() != 0:
+            raise DialectError(
+                f"correlated {what} renders outer() references — "
+                "not unparsable")
+        return self.visit(subq.plan()).render()
+
+    def _render_subq_expr(self, e) -> str:
+        """Render an expression tree CONTAINING subquery expressions:
+        subquery nodes splice their recursively-unparsed plan; boolean /
+        binary-operator spine nodes recurse; subquery-free subtrees fall
+        back to the Expression.sql path."""
+        cls = e.getClass().getSimpleName()
+        if not self._tree_has_subquery(e):
+            return self._expr_sql(e)
+        if cls == "ScalarSubquery":
+            return f"({self._subplan_sql(e, 'scalar subquery')})"
+        if cls == "Exists":
+            return f"EXISTS ({self._subplan_sql(e, 'EXISTS subquery')})"
+        if cls == "InSubquery":
+            vals = [self._render_subq_expr(v) for v in self._seq(e.values())]
+            lhs = vals[0] if len(vals) == 1 else "(" + ", ".join(vals) + ")"
+            return f"{lhs} IN ({self._subplan_sql(e.query(), 'IN subquery')})"
+        if cls == "Not":
+            return f"(NOT {self._render_subq_expr(e.child())})"
+        if cls in ("And", "Or"):
+            kw = "AND" if cls == "And" else "OR"
+            return (f"({self._render_subq_expr(e.left())} {kw} "
+                    f"{self._render_subq_expr(e.right())})")
+        if cls == "Alias":
+            q = self.dialect.identifier_quote
+            name = e.name()
+            if q in name or "`" in name:
+                raise DialectError(f"alias {name!r} not quotable")
+            return f"{self._render_subq_expr(e.child())} AS {q}{name}{q}"
+        if cls == "Cast":
+            return (f"CAST({self._render_subq_expr(e.child())} AS "
+                    f"{e.dataType().sql()})")
+        # generic binary operator (comparisons, arithmetic): symbol() is
+        # defined on every Catalyst BinaryOperator
+        try:
+            sym = e.symbol()
+            left, right = e.left(), e.right()
+        except Exception:  # noqa: BLE001 - not a binary operator
+            raise DialectError(
+                f"subquery under unsupported expression node {cls}")
+        return (f"({self._render_subq_expr(left)} {sym} "
+                f"{self._render_subq_expr(right)})")
+
     def _expr_sql(self, e) -> str:
+        if self._tree_has_subquery(e):
+            self._check_tree(e)
+            return self._render_subq_expr(e)
         txt = e.sql()
         low = self._outside_literals(txt).lower()
         for marker in self._UNPARSABLE_EXPR_MARKERS:
@@ -253,9 +329,10 @@ class _Unparser:
 
     def _as_factor(self, b: _Block) -> str:
         """A join input: bare table factor if untouched, else derived."""
-        if (b.select is None and not b.where and not b.distinct
-                and b.group_by is None and b.order_by is None
-                and b.limit is None and b.offset is None):
+        if (b.from_ is not None and b.select is None and not b.where
+                and not b.distinct and b.group_by is None
+                and b.order_by is None and b.limit is None
+                and b.offset is None):
             return b.from_
         return f"({b.render()}) AS {self._alias()}"
 
@@ -298,6 +375,85 @@ class _Unparser:
         cls = node.getClass().getSimpleName()
         if cls == "LogicalRelation":
             return self._relation(node)
+        if cls == "OneRowRelation":
+            # FROM-less SELECT (Project over the implicit one-row input)
+            return _Block(from_=None)
+        if cls == "ResolvedHint":
+            # Strategy hints (broadcast/merge/shuffle_hash) are COST-ONLY
+            # physical directives: SQL text renders logical structure, so
+            # the hint is dropped, same as the reference unparser (plan.rs
+            # renders LogicalPlan structure; exec hints have no Expr/plan
+            # spelling).  Rows are identical by construction.
+            return self.visit(node.child())
+        if cls in ("Repartition", "RepartitionByExpression"):
+            # df.repartition()/coalesce()/repartitionByRange: partitioning
+            # directives, cost-only — values unchanged.  (sortWithinParts
+            # is NOT in this class: it changes observable row order and
+            # still refuses below.)
+            return self.visit(node.child())
+        if cls == "WithCTE":
+            q = self.dialect.identifier_quote
+            parts, used = [], set()
+            for d in self._seq(node.cteDefs()):
+                child = d.child()
+                if child.getClass().getSimpleName() == "SubqueryAlias":
+                    name = child.identifier().name()
+                    body = child.child()
+                else:
+                    name, body = f"cte{d.id()}", child
+                if name in used:
+                    raise DialectError(
+                        f"duplicate CTE name {name!r} (shadowing) has no "
+                        "single-WITH rendering")
+                used.add(name)
+                self._cte_names[d.id()] = name
+                parts.append(f"{q}{name}{q} AS ({self.visit(body).render()})")
+            body_sql = self.visit(node.plan()).render()
+            text = "WITH " + ", ".join(parts) + " " + body_sql
+            return _Block(from_=f"({text}) AS {self._alias()}")
+        if cls == "CTERelationRef":
+            name = self._cte_names.get(node.cteId())
+            if name is None:
+                raise DialectError(
+                    "CTE reference outside its defining WITH scope")
+            q = self.dialect.identifier_quote
+            return _Block(from_=f"{q}{name}{q}")
+        if cls == "Generate":
+            # explode/posexplode/inline/stack/json_tuple → LATERAL VIEW
+            # (Spark syntax; other dialects spell table functions
+            # differently — refuse there).
+            if self.dialect.name != "spark":
+                raise DialectError(
+                    f"dialect {self.dialect.name} has no LATERAL VIEW")
+            if node.unrequiredChildIndex().size() != 0:
+                raise DialectError(
+                    "Generate with pruned child output is optimizer-"
+                    "internal — not unparsable")
+            b = self.visit(node.child())
+            if (b.select is not None or b.distinct
+                    or b.group_by is not None or b.order_by is not None
+                    or b.limit is not None or b.offset is not None):
+                b = self._derive(b)
+            gen_sql = self._expr_sql(node.generator())
+            qual = node.qualifier()
+            alias = qual.get() if qual.isDefined() else self._alias()
+            q = self.dialect.identifier_quote
+            out_cols = [f"{q}{a.name()}{q}"
+                        for a in self._seq(node.generatorOutput())]
+            outer = "OUTER " if node.outer() else ""
+            one_row = b.from_ is None
+            if one_row:
+                # Generate directly over the one-row relation (SELECT
+                # explode(...)): LATERAL VIEW needs a FROM factor, and a
+                # bare * would drag the dummy column into the schema —
+                # select exactly the generator output.
+                b = _Block(
+                    from_=f"(SELECT 1 AS {q}__one__{q}) AS {self._alias()}")
+            b.from_ += (f" LATERAL VIEW {outer}{gen_sql} "
+                        f"{q}{alias}{q} AS {', '.join(out_cols)}")
+            if one_row:
+                b.select = out_cols
+            return b
         if cls == "SubqueryAlias":
             q = self.dialect.identifier_quote
             ident = node.identifier()

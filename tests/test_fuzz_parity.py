@@ -1434,3 +1434,133 @@ def test_stat_skew_kurtosis_estimator_divergence(spark, duck):
     d3 = duck.execute(two.format(k=3)).fetchone()
     assert s3[1] is not None and d3[1] is None
     assert d3[0] == pytest.approx(s3[0] * (3 * 2) ** 0.5 / 1, rel=1e-9)
+
+
+# --- axis 18 (r9): window FRAME BOUNDS × aggregate interplay -----------------
+# Reference window.slt frame coverage (functions-window + window exec ROWS/
+# RANGE offset frames): random (frame mode × bound pair × aggregate ×
+# partition × direction) combos, shared SQL text on both engines — the
+# frame-edge space the hand suite (window.py, window_edge_frames_nulls)
+# samples only pointwise.
+#
+# Domain constraints baked in:
+#   * GROUPS mode is DuckDB-only (Spark has ROWS/RANGE) — out of scope.
+#   * ORDER BY key is o_orderkey, UNIQUE within every partition: RANGE
+#     frames are then peer-free (same membership logic as ROWS) and
+#     first_value/last_value are deterministic on both engines.
+#   * Operands are exact integers (sum/min/max/count stay exact; avg is
+#     one double division of exact ints — bit-equal on both engines).
+#   * Bound pairs are rank-ordered (start never after end) — the
+#     frame-start>end shapes are rejected at parse/run time by both
+#     engines, nothing to fuzz there.  Empty frames (e.g. BETWEEN
+#     3 FOLLOWING AND 5 FOLLOWING at the partition tail) DO occur and
+#     pin the NULL-vs-0 guard behavior (count → 0, others → NULL).
+#
+# Probe-sweep finding baked in (found by this axis on its FIRST run):
+#   * RANGE mode with an END bound of exactly `0 PRECEDING`: Spark
+#     includes the current row (0 PRECEDING ≡ CURRENT ROW, the SQL-
+#     standard reading), DuckDB EXCLUDES it (first row's frame is
+#     empty → NULL).  ROWS mode and `0 FOLLOWING`/start-side zero
+#     bounds agree.  Excluded from the random pool; pinned in
+#     test_window_frame_zero_preceding_divergence below.
+
+_WF_FNS = [
+    "sum({x})", "min({x})", "max({x})", "count({x})", "avg({x})",
+    "first_value({x})", "last_value({x})",
+]
+_WF_XS = [
+    "o_orderkey % 97",
+    "CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS BIGINT) "
+    "ELSE o_custkey % 53 END",
+]
+_WF_PARTS = [None, "o_orderstatus", "o_orderpriority"]
+# (rank, template): a frame start must have rank <= the end's rank
+_WF_BOUNDS = [
+    (0, "UNBOUNDED PRECEDING"),
+    (1, "{n} PRECEDING"),
+    (2, "CURRENT ROW"),
+    (3, "{n} FOLLOWING"),
+    (4, "UNBOUNDED FOLLOWING"),
+]
+
+
+@st.composite
+def window_frame_spec(draw):
+    mode = draw(st.sampled_from(["ROWS", "RANGE"]))
+    r1, t1 = draw(st.sampled_from(_WF_BOUNDS[:4]))
+    r2, t2 = draw(st.sampled_from([b for b in _WF_BOUNDS if b[0] >= max(r1, 1)]))
+    n1, n2 = draw(st.integers(0, 6)), draw(st.integers(0, 6))
+    if r1 == r2 == 1:
+        n1, n2 = max(n1, n2), min(n1, n2)  # k PRECEDING pairs: larger first
+    if r1 == r2 == 3:
+        n1, n2 = min(n1, n2), max(n1, n2)  # k FOLLOWING pairs: smaller first
+    if mode == "RANGE" and r2 == 1 and n2 == 0:
+        # END `0 PRECEDING` in RANGE: pinned divergence — shift both
+        # bounds up one (preserves start >= end for PRECEDING pairs)
+        n2 = 1
+        if r1 == 1:
+            n1 = max(n1, n2)
+    start, end = t1.format(n=n1), t2.format(n=n2)
+    fns = draw(st.lists(st.sampled_from(_WF_FNS), min_size=1, max_size=3,
+                        unique=True))
+    x = draw(st.sampled_from(_WF_XS))
+    part = draw(st.sampled_from(_WF_PARTS))
+    desc = draw(st.booleans())
+    return mode, start, end, fns, x, part, desc
+
+
+@given(window_frame_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_frame_parity(spark, duck, spec):
+    """Random frame-bound × aggregate windows must agree on both engines
+    (NULL pattern exactly; ints exactly; avg at 1e-9)."""
+    mode, start, end, fns, x, part, desc = spec
+    over = (f"OVER ({'PARTITION BY ' + part + ' ' if part else ''}"
+            f"ORDER BY o_orderkey {'DESC' if desc else 'ASC'} "
+            f"{mode} BETWEEN {start} AND {end})")
+    sel = ", ".join(f"{f.format(x=x)} {over} AS a{i}"
+                    for i, f in enumerate(fns))
+    sql = (f"SELECT o_orderkey, {sel} FROM orders "
+           f"WHERE o_orderkey % 7 = 1 ORDER BY o_orderkey LIMIT 150")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if gv is None or wv is None:
+                assert gv is None and wv is None, (sql, g, w)
+            elif isinstance(gv, float):
+                assert gv == pytest.approx(float(wv), rel=1e-9), (sql, g, w)
+            else:
+                assert gv == wv, (sql, g, w)
+
+
+def test_window_frame_zero_preceding_divergence(spark, duck):
+    """Pinned axis-18 divergence (found by the random sweep's first run):
+    a RANGE frame whose END bound is `0 PRECEDING`.  Spark reads
+    0 PRECEDING as CURRENT ROW — the SQL-standard identity — so the
+    frame includes the current row's peers; DuckDB excludes the current
+    row (its first row's frame is EMPTY → NULL).  ROWS mode and
+    zero-offset start bounds / 0 FOLLOWING agree on both engines."""
+    sql = ("SELECT o_orderkey, sum(o_orderkey % 97) OVER ("
+           "ORDER BY o_orderkey RANGE BETWEEN UNBOUNDED PRECEDING "
+           "AND 0 PRECEDING) AS s FROM orders "
+           "ORDER BY o_orderkey LIMIT 3")
+    got = [r.s for r in spark.sql(sql).collect()]
+    want = [r[1] for r in duck.execute(sql).fetchall()]
+    assert got[0] is not None          # Spark: frame = {current row}
+    assert want[0] is None             # DuckDB: frame empty on row 1
+    # every later DuckDB frame lags Spark's by exactly the current row
+    assert want[1] == got[0] and want[2] == got[1]
+    # the agreeing neighbours: ROWS mode and 0 FOLLOWING end bound
+    for frame in ("ROWS BETWEEN UNBOUNDED PRECEDING AND 0 PRECEDING",
+                  "RANGE BETWEEN UNBOUNDED PRECEDING AND 0 FOLLOWING",
+                  "RANGE BETWEEN 0 PRECEDING AND UNBOUNDED FOLLOWING"):
+        q = (f"SELECT sum(o_orderkey % 97) OVER (ORDER BY o_orderkey "
+             f"{frame}) AS s FROM orders ORDER BY o_orderkey LIMIT 5")
+        assert [r.s for r in spark.sql(q).collect()] == \
+            [r[0] for r in duck.execute(q).fetchall()], frame

@@ -338,3 +338,139 @@ def test_requote_and_literal_marker_hardening(spark):
     arr = o.select(F.array(F.col("o_orderkey")).alias("xs"))
     with pytest.raises(DialectError):
         to_sql(arr.select(F.expr("exists(xs, x -> x > 0)")), validate=False)
+
+
+# --- r9 extensions: CTE/WITH, subquery expressions, LATERAL VIEW, ----------
+# one-row SELECT, cost-only directive unwrapping (reference plan.rs CTE
+# reconstruction + expr.rs subquery rendering).
+
+
+def _v(spark, name="uli_v"):
+    _li(spark).createOrReplaceTempView(name)
+    return name
+
+
+def test_cte_roundtrip(spark):
+    v = _v(spark)
+    df = spark.sql(f"""
+        WITH a AS (SELECT l_orderkey AS k, l_quantity AS q FROM {v}
+                   WHERE l_quantity < 10),
+             b AS (SELECT k, SUM(q) AS s FROM a GROUP BY k)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(s) AS t FROM b
+    """)
+    sql = _assert_roundtrip(spark, df)
+    assert "WITH `a` AS" in sql and "`b` AS" in sql
+
+
+def test_cte_chain_order_limit(spark):
+    df = spark.sql("""
+        WITH a AS (SELECT 1 AS x UNION ALL SELECT 2),
+             b AS (SELECT x + 1 AS y FROM a)
+        SELECT * FROM b ORDER BY y LIMIT 3
+    """)
+    _assert_roundtrip(spark, df)
+
+
+def test_scalar_subquery_roundtrip(spark):
+    v = _v(spark)
+    df = spark.sql(f"""
+        SELECT l_orderkey FROM {v}
+        WHERE l_quantity > (SELECT AVG(l_quantity) FROM {v})
+          AND l_orderkey < 100
+    """)
+    sql = _assert_roundtrip(spark, df)
+    assert "(select avg(" in sql.lower().replace("`", "")
+
+
+def test_in_and_not_in_subquery_roundtrip(spark):
+    v = _v(spark)
+    df = spark.sql(f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {v}
+        WHERE l_orderkey IN (SELECT l_orderkey FROM {v} WHERE l_quantity < 3)
+    """)
+    assert " IN (SELECT" in _assert_roundtrip(spark, df)
+    df2 = spark.sql(f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {v}
+        WHERE l_orderkey NOT IN
+              (SELECT l_orderkey FROM {v} WHERE l_quantity < 3)
+          AND l_linenumber = 1
+    """)
+    _assert_roundtrip(spark, df2)
+
+
+def test_scalar_subquery_in_projection(spark):
+    v = _v(spark)
+    df = spark.sql(f"""
+        SELECT l_returnflag,
+               CAST((SELECT MAX(l_quantity) FROM {v}) AS INT) AS mx
+        FROM {v} GROUP BY l_returnflag
+    """)
+    _assert_roundtrip(spark, df)
+
+
+def test_correlated_subquery_refuses(spark):
+    v = _v(spark)
+    df = spark.sql(f"""
+        SELECT l_returnflag FROM {v} t
+        WHERE EXISTS (SELECT 1 FROM {v} u
+                      WHERE u.l_orderkey = t.l_orderkey
+                        AND u.l_quantity > 49)
+    """)
+    with pytest.raises(DialectError, match="correlated"):
+        to_sql(df)
+
+
+def test_lateral_view_roundtrip(spark):
+    v = _v(spark)
+    df = spark.sql(f"""
+        SELECT l_orderkey, v FROM {v}
+        LATERAL VIEW explode(sequence(1, l_linenumber)) g AS v
+        WHERE l_orderkey < 30
+    """)
+    sql = _assert_roundtrip(spark, df)
+    assert "LATERAL VIEW explode(" in sql
+    # OUTER + aggregate above the generate
+    df2 = spark.sql(f"""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM {v}
+        LATERAL VIEW OUTER explode(
+            CASE WHEN l_quantity > 45 THEN sequence(1, 2) END) g AS v
+        GROUP BY l_returnflag
+    """)
+    assert "LATERAL VIEW OUTER" in _assert_roundtrip(spark, df2)
+
+
+def test_posexplode_verb_roundtrip(spark):
+    df = (_li(spark).filter("l_orderkey < 30")
+          .select("l_orderkey",
+                  F.posexplode(F.sequence(F.lit(1), "l_linenumber"))))
+    _assert_roundtrip(spark, df)
+
+
+def test_one_row_select_roundtrip(spark):
+    df = spark.sql("SELECT 1 + 1 AS a, upper('x') AS b")
+    sql = _assert_roundtrip(spark, df)
+    assert "FROM" not in sql
+    # explode over the one-row relation needs the dummy-factor path
+    df2 = spark.sql("SELECT explode(array(1, 2, 3)) AS v")
+    _assert_roundtrip(spark, df2)
+
+
+def test_hint_and_repartition_are_cost_only(spark):
+    li, o = _li(spark), _orders(spark)
+    df = (li.repartition(4)
+          .join(F.broadcast(o.filter("o_orderkey < 50")),
+                li.l_orderkey == o.o_orderkey)
+          .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
+    sql = _assert_roundtrip(spark, df)
+    # the hint/repartition leave no residue in the text
+    assert "broadcast" not in sql.lower() and "repartition" not in sql.lower()
+
+
+def test_cte_plus_scalar_subquery(spark):
+    v = _v(spark)
+    df = spark.sql(f"""
+        WITH th AS (SELECT AVG(l_quantity) AS a FROM {v})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {v}
+        WHERE l_quantity > (SELECT a FROM th)
+    """)
+    _assert_roundtrip(spark, df)

@@ -20,10 +20,13 @@ def main() -> int:
     ap.add_argument("base")
     ap.add_argument("new")
     ap.add_argument("--tol", type=float, default=0.15)
-    ap.add_argument("--calibrate", action="store_true",
+    ap.add_argument("--calibrate", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="normalize by each run's calibration_s (the "
                     "fixed CPU kernel bench.py times), so hypervisor "
-                    "fast/slow phases cancel out of the comparison")
+                    "fast/slow phases cancel out of the comparison.  "
+                    "DEFAULT: on when both files carry calibration_s "
+                    "(r8+); --no-calibrate forces raw seconds")
     ap.add_argument("--minus-floor", action="store_true",
                     help="compare queries_minus_floor instead of raw wall")
     args = ap.parse_args()
@@ -45,8 +48,15 @@ def main() -> int:
                       "floor stays inside its numbers")
     bq = dict(base.get(qkey) or base.get("queries", {}))
     nq = dict(new.get(qkey) or new.get("queries", {}))
+    # shared-set ratio in RAW seconds first (quoted alongside normalized)
+    shared = sorted(set(bq) & set(nq))
+    raw_b = sum(bq[k] for k in shared)
+    raw_n = sum(nq[k] for k in shared)
     cal_b = cal_n = 1.0
-    if args.calibrate:
+    calibrate = args.calibrate
+    if calibrate is None:
+        calibrate = bool(base.get("calibration_s") and new.get("calibration_s"))
+    if calibrate:
         cal_b = base.get("calibration_s") or 1.0
         cal_n = new.get("calibration_s") or 1.0
         if not base.get("calibration_s") or not new.get("calibration_s"):
@@ -74,6 +84,13 @@ def main() -> int:
         f"\ntotal: base={base.get('value')}s new={new.get('value')}s "
         f"noise_floor={noise:.3f}s tol={args.tol:.0%}"
     )
+    if shared and raw_b:
+        line = (f"shared-{len(shared)} {qkey} ratio: "
+                f"raw {raw_n / raw_b:.3f}x")
+        if calibrate and cal_b and cal_n:
+            norm = (raw_n / cal_n) / (raw_b / cal_b)
+            line += f", calibration-normalized {norm:.3f}x"
+        print(line)
     if regressions:
         print(f"REGRESSED: {', '.join(regressions)}")
         return 1
