@@ -204,6 +204,28 @@ class _Unparser:
                     raise DialectError(
                         "approx_count_distinct rsd is dropped by "
                         f"Expression.sql: {n.toString()[:100]}")
+            elif cls in ("Cast", "TryCast", "AnsiCast"):
+                # Catalyst renders a Cast to a COMPLEX type (array/map/
+                # struct) as just its child — CAST(array(1,2) AS
+                # ARRAY<DOUBLE>).sql() == 'array(1, 2)' — so the target
+                # type is silently dropped and the re-parse computes
+                # different element types (found by the r9 registry
+                # sweep as a wrong-VALUES divergence: the 5th silent-
+                # arg-drop class).  Scalar casts render correctly.
+                # Same-type no-op casts are harmless and pass.
+                try:
+                    dt = n.dataType().sql().upper()
+                    if (dt.startswith(("ARRAY", "MAP", "STRUCT"))
+                            and not n.dataType().sameType(
+                                n.child().dataType())
+                            and n.sql() == n.child().sql()):
+                        raise DialectError(
+                            "complex-type CAST target is dropped by "
+                            f"Expression.sql: {n.toString()[:100]}")
+                except DialectError:
+                    raise
+                except Exception:  # noqa: BLE001 - variant w/o accessors
+                    pass
             elif cls in ("VariantGet", "TryVariantGet"):
                 # .sql() renders variant_get(v, path) and DROPS the
                 # target type — the re-parse returns raw VARIANT values
@@ -323,18 +345,89 @@ class _Unparser:
     def _sqls(self, jexprs) -> list[str]:
         return [self._expr_sql(e) for e in self._seq(jexprs)]
 
-    def _derive(self, b: _Block) -> _Block:
-        """Flush a block into a derived table (plan.rs derive_table)."""
-        return _Block(from_=f"({b.render()}) AS {self._alias()}")
+    def _qual_alias(self, node) -> str | None:
+        """The single-part qualifier shared by every qualified output
+        attribute of ``node``, if any.  Catalyst renders attribute
+        references WITH their original qualifier (``large.v2`` after
+        ``df.alias("large")``); a derived table must carry that name or
+        the reference dangles — naming the factor by the common
+        qualifier keeps Expression.sql's rendering resolvable
+        (reference plan.rs derive_table_with_alias keeps the original
+        table alias the same way)."""
+        if node is None:
+            return None
+        quals: set[str] = set()
+        out = node.output()
+        for i in range(out.size()):
+            q = out.apply(i).qualifier()
+            if q.size() > 1:
+                return None  # catalog-qualified: no single alias matches
+            if q.size() == 1:
+                quals.add(q.apply(0))
+        if len(quals) != 1:
+            return None
+        name = next(iter(quals))
+        return name if "`" not in name else None
 
-    def _as_factor(self, b: _Block) -> str:
+    def _derived_alias(self, node) -> str:
+        qual = self._qual_alias(node)
+        if qual is None:
+            return self._alias()
+        q = self.dialect.identifier_quote
+        if q in qual:
+            return self._alias()
+        return f"{q}{qual}{q}"
+
+    def _derive(self, b: _Block, node=None) -> _Block:
+        """Flush a block into a derived table (plan.rs derive_table).
+        ``node`` (the plan whose output the new block exposes) supplies
+        the factor alias when its attributes render qualified."""
+        return _Block(from_=f"({b.render()}) AS {self._derived_alias(node)}")
+
+    def _as_factor(self, b: _Block, node=None) -> str:
         """A join input: bare table factor if untouched, else derived."""
         if (b.from_ is not None and b.select is None and not b.where
                 and not b.distinct and b.group_by is None
                 and b.order_by is None and b.limit is None
                 and b.offset is None):
             return b.from_
-        return f"({b.render()}) AS {self._alias()}"
+        return f"({b.render()}) AS {self._derived_alias(node)}"
+
+    def _using_columns(self, node, cond) -> list[str] | None:
+        """If the join condition is a conjunction of EqualTo over
+        SAME-NAMED attribute pairs, one side each from left/right (the
+        df.join(other, "key") shape), return the quoted key list for a
+        USING clause; else None."""
+        left_ids = {a.exprId().id()
+                    for a in self._seq(node.left().output())}
+        right_ids = {a.exprId().id()
+                     for a in self._seq(node.right().output())}
+        cols: list[str] = []
+        stack = [cond]
+        while stack:
+            c = stack.pop()
+            ccls = c.getClass().getSimpleName()
+            if ccls == "And":
+                stack.extend((c.left(), c.right()))
+                continue
+            if ccls != "EqualTo":
+                return None
+            a, b = c.left(), c.right()
+            if (a.getClass().getSimpleName() != "AttributeReference"
+                    or b.getClass().getSimpleName() != "AttributeReference"):
+                return None
+            if a.name() != b.name():
+                return None
+            ids = {a.exprId().id(), b.exprId().id()}
+            if not (ids & left_ids and ids & right_ids):
+                return None
+            cols.append(a.name())
+        if len(set(cols)) != len(cols) or not cols:
+            return None
+        q = self.dialect.identifier_quote
+        if any(q in c or "`" in c for c in cols):
+            return None
+        return [f"{q}{c}{q}" for c in cols]
 
     # -- relations ---------------------------------------------------------
     def _relation(self, node) -> _Block:
@@ -433,7 +526,7 @@ class _Unparser:
             if (b.select is not None or b.distinct
                     or b.group_by is not None or b.order_by is not None
                     or b.limit is not None or b.offset is not None):
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             gen_sql = self._expr_sql(node.generator())
             qual = node.qualifier()
             alias = qual.get() if qual.isDefined() else self._alias()
@@ -486,7 +579,7 @@ class _Unparser:
             # with a whole-row Deduplicate (r8 review find).
             if (b.select is not None or b.distinct
                     or b.order_by is not None or b.limit is not None):
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             b.select = self._sqls(node.projectList())
             return b
         if cls == "Filter":
@@ -499,7 +592,7 @@ class _Unparser:
             if (b.select is not None or b.group_by is not None
                     or b.distinct or b.order_by is not None
                     or b.limit is not None or b.offset is not None):
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             b.where.append(self._expr_sql(node.condition()))
             return b
         if cls == "Aggregate":
@@ -512,7 +605,7 @@ class _Unparser:
             if (b.select is not None or b.group_by is not None
                     or b.distinct or b.order_by is not None
                     or b.limit is not None or b.offset is not None):
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             b.select = self._sqls(node.aggregateExpressions())
             groups = self._sqls(node.groupingExpressions())
             b.group_by = groups or None  # global agg: plain SELECT aggs
@@ -522,7 +615,7 @@ class _Unparser:
                 raise DialectError("sortWithinPartitions has no SQL equivalent")
             b = self.visit(node.child())
             if b.limit is not None or b.offset is not None:
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             b.order_by = self._sqls(node.order())
             return b
         if cls in ("GlobalLimit", "LocalLimit"):
@@ -531,7 +624,7 @@ class _Unparser:
                 # GlobalLimit(LocalLimit(n)) pairs carry the same literal
                 return b
             if b.limit is not None:
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             b.limit = node.limitExpr().sql()
             return b
         if cls == "Deduplicate":
@@ -548,14 +641,14 @@ class _Unparser:
             # a dedup applied after offset must derive (r8 review class).
             if (b.distinct or b.order_by is not None
                     or b.limit is not None or b.offset is not None):
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             b.distinct = True
             return b
         if cls == "Distinct":
             b = self.visit(node.child())
             if (b.distinct or b.order_by is not None
                     or b.limit is not None or b.offset is not None):
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             b.distinct = True
             return b
         if cls == "Offset":
@@ -566,7 +659,7 @@ class _Unparser:
             # that already has LIMIT must derive (r8 review find; the
             # reverse order, offset-then-limit, merges correctly).
             if b.offset is not None or b.limit is not None:
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             b.offset = node.offsetExpr().sql()
             return b
         if cls in ("Intersect", "Except"):
@@ -594,10 +687,19 @@ class _Unparser:
                     not self.dialect.supports_semi_anti_join:
                 raise DialectError(
                     f"dialect {self.dialect.name} lacks {jt} JOIN")
-            lf = self._as_factor(self.visit(node.left()))
-            rf = self._as_factor(self.visit(node.right()))
+            lf = self._as_factor(self.visit(node.left()), node.left())
+            rf = self._as_factor(self.visit(node.right()), node.right())
             cond = node.condition()
             if cond.isDefined():
+                using = self._using_columns(node, cond.get())
+                if using is not None and jt == "INNER":
+                    # df.join(other, "k") equi-joins SAME-NAMED attributes
+                    # from unqualified factors — an ON clause renders the
+                    # key ambiguous (both factors expose `k`), USING
+                    # resolves it and matches Catalyst's key-dedup output.
+                    # INNER only: outer-join USING coalesces sides.
+                    return _Block(
+                        from_=f"{lf} JOIN {rf} USING ({', '.join(using)})")
                 on = self._expr_sql(cond.get())
                 return _Block(from_=f"{lf} {jt} JOIN {rf} ON {on}")
             if jt in ("INNER", "CROSS"):
@@ -608,7 +710,7 @@ class _Unparser:
             if (b.select is not None or b.distinct
                     or b.order_by is not None or b.limit is not None
                     or b.offset is not None):
-                b = self._derive(b)
+                b = self._derive(b, node.child())
             q = self.dialect.identifier_quote
             child_cols = [f"{q}{a.name()}{q}"
                           for a in self._seq(node.child().output())]

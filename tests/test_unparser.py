@@ -474,3 +474,34 @@ def test_cte_plus_scalar_subquery(spark):
         WHERE l_quantity > (SELECT a FROM th)
     """)
     _assert_roundtrip(spark, df)
+
+
+def test_complex_cast_drop_refuses(spark):
+    """Pinned Catalyst rendering bug (5th silent-arg-drop class, found by
+    the r9 registry sweep): Expression.sql renders a CAST to a COMPLEX
+    type as just its child — CAST(array(1,2) AS ARRAY<DOUBLE>) prints
+    'array(1, 2)' — so the re-parse silently computes integer elements
+    ('1,2' instead of '1.0,2.0' through array_join).  Refused by tree
+    inspection; scalar casts and same-type no-op casts still unparse."""
+    df = spark.sql(
+        "SELECT array_join(CAST(array(1,2) AS ARRAY<DOUBLE>), ',') AS c")
+    with pytest.raises(DialectError, match="complex-type CAST"):
+        to_sql(df)
+    # scalar casts render correctly and keep round-tripping
+    _assert_roundtrip(
+        spark, spark.sql("SELECT CAST(1 AS DOUBLE) AS x, CAST('7' AS INT) AS y"))
+
+
+def test_same_name_equi_join_renders_using(spark):
+    """df.join(other, "key") equi-joins same-named unqualified attributes;
+    an ON clause would render the key ambiguous (both factors expose it),
+    so the unparser emits USING — which also matches Catalyst's key-dedup
+    output shape."""
+    li = _li(spark).groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q"))
+    o = _orders(spark).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    df = (li.join(o, "l_orderkey")
+          .groupBy("o_orderpriority").agg(F.sum("q").alias("tq")))
+    sql = _assert_roundtrip(spark, df)
+    assert "USING (`l_orderkey`)" in sql

@@ -84,10 +84,14 @@ def main() -> int:
             err += 1
             continue
         try:
+            # FULL collect on both sides: a .limit(K) cap takes an
+            # ARBITRARY subset per physical plan, so two correct plans
+            # "diverge" whenever the result exceeds K (r9 false positive
+            # on dedup_simhash_pairs, 6150 rows).  Entries are aggregates
+            # and top-ks at sf0.001 — full results stay collect-sized.
             with contextlib.redirect_stderr(io.StringIO()):
-                a = sorted(map(repr, map(tuple, df.limit(2000).collect())))
-                b = sorted(map(repr, map(tuple,
-                                         spark.sql(sql).limit(2000).collect())))
+                a = sorted(map(repr, map(tuple, df.collect())))
+                b = sorted(map(repr, map(tuple, spark.sql(sql).collect())))
         except Exception as e:  # noqa: BLE001
             print(f"REPARSE-ERR {name}: {str(e)[:120]}", flush=True)
             diverged += 1
