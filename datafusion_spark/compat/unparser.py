@@ -318,6 +318,27 @@ class _Unparser:
         if cls == "Cast":
             return (f"CAST({self._render_subq_expr(e.child())} AS "
                     f"{e.dataType().sql()})")
+        if cls in ("IsNull", "IsNotNull"):
+            kw = "IS NULL" if cls == "IsNull" else "IS NOT NULL"
+            return f"({self._render_subq_expr(e.child())} {kw})"
+        if cls == "In":
+            vals = [self._render_subq_expr(v) for v in self._seq(e.list())]
+            return (f"({self._render_subq_expr(e.value())} IN "
+                    f"({', '.join(vals)}))")
+        if cls == "Between":
+            return (f"({self._render_subq_expr(e.input())} BETWEEN "
+                    f"{self._render_subq_expr(e.lower())} AND "
+                    f"{self._render_subq_expr(e.upper())})")
+        if cls == "CaseWhen":
+            parts = ["CASE"]
+            for br in self._seq(e.branches()):
+                parts.append(f"WHEN {self._render_subq_expr(br._1())} "
+                             f"THEN {self._render_subq_expr(br._2())}")
+            ev = e.elseValue()
+            if ev.isDefined():
+                parts.append(f"ELSE {self._render_subq_expr(ev.get())}")
+            parts.append("END")
+            return "(" + " ".join(parts) + ")"
         # generic binary operator (comparisons, arithmetic): symbol() is
         # defined on every Catalyst BinaryOperator
         try:
@@ -471,6 +492,82 @@ class _Unparser:
         if cls == "OneRowRelation":
             # FROM-less SELECT (Project over the implicit one-row input)
             return _Block(from_=None)
+        if cls == "LocalRelation":
+            # Inline data (spark.sql VALUES / resolved inline tables):
+            # re-render as a VALUES table factor, each cell through
+            # Catalyst Literal.sql so typed literals keep their type
+            # (DATE '...', 1.50BD, CAST(NULL AS INT)).  Reference
+            # unparser renders LogicalPlan::Values the same way.
+            out, data = node.output(), node.data()
+            q = self.dialect.identifier_quote
+            names = [out.apply(i).name() for i in range(out.size())]
+            if any(q in n or "`" in n for n in names):
+                raise DialectError("inline-table column name not quotable")
+            cols = ", ".join(f"{q}{n}{q}" for n in names)
+            alias = self._alias()
+            if data.size() == 0:
+                # VALUES needs >= 1 row; an empty inline relation is a
+                # typed empty table — a FROM-less select under WHERE false
+                sel = ", ".join(
+                    f"CAST(NULL AS {out.apply(i).dataType().sql()}) "
+                    f"AS {q}{names[i]}{q}"
+                    for i in range(out.size()))
+                return _Block(
+                    from_=f"(SELECT {sel} WHERE false) AS {alias}")
+            if data.size() > 100:
+                raise DialectError(
+                    f"inline relation with {data.size()} rows — VALUES "
+                    "rendering capped at 100 (ship data as a table, "
+                    "not SQL text)")
+            try:
+                from pyspark import SparkContext
+
+                jvm = SparkContext._active_spark_context._jvm
+                lit_f = jvm.org.apache.spark.sql.catalyst.expressions.Literal
+            except Exception as e:  # noqa: BLE001 - no active JVM handle
+                raise DialectError(f"no JVM handle for literal rendering: {e}")
+            rows = []
+            for r in range(data.size()):
+                row = data.apply(r)
+                cells = []
+                for i in range(out.size()):
+                    dt = out.apply(i).dataType()
+                    v = row.get(i, dt)
+                    ss = dt.simpleString()
+                    # py4j converts primitive-backed cells to python
+                    # int/float and would send them back boxed to the
+                    # WRONG width (Long→Integer, Float→Double, Byte→
+                    # Integer — the Literal factory rejects each) — render
+                    # those literals as text instead of round-tripping
+                    # them through the factory.
+                    is_num = (isinstance(v, (int, float))
+                              and not isinstance(v, bool))
+                    if is_num and ss == "bigint":
+                        txt = f"CAST({v} AS BIGINT)"
+                    elif is_num and ss in ("timestamp", "timestamp_ntz"):
+                        import datetime as _dt
+
+                        ts = (_dt.datetime(1970, 1, 1)
+                              + _dt.timedelta(microseconds=v))
+                        kw = ("TIMESTAMP_NTZ" if ss == "timestamp_ntz"
+                              else "TIMESTAMP")
+                        txt = (f"{kw} "
+                               f"'{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'")
+                    elif is_num and ss in ("tinyint", "smallint"):
+                        txt = f"CAST({v} AS {ss.upper()})"
+                    elif is_num and ss == "float":
+                        if v != v:
+                            txt = "CAST('NaN' AS FLOAT)"
+                        elif v in (float("inf"), float("-inf")):
+                            txt = f"CAST('{v}' AS FLOAT)"
+                        else:
+                            txt = f"CAST({v!r} AS FLOAT)"
+                    else:
+                        txt = lit_f.create(v, dt).sql()
+                    cells.append(_requote(txt, q))
+                rows.append("(" + ", ".join(cells) + ")")
+            return _Block(
+                from_=f"(VALUES {', '.join(rows)}) AS {alias}({cols})")
         if cls == "ResolvedHint":
             # Strategy hints (broadcast/merge/shuffle_hash) are COST-ONLY
             # physical directives: SQL text renders logical structure, so

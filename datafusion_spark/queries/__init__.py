@@ -144,6 +144,7 @@ def _interleave_families() -> None:
         # new r9 entries:
         "text_bm25_index_serve",
         "compat_unparser_cte_roundtrip",
+        "compat_unparser_duckdb_federation",
     }
 
     def tier(name: str) -> int:

@@ -631,3 +631,66 @@ def compat_unparser_cte_roundtrip(spark, sf_dir):
         ORDER BY o_orderpriority
     """)
     return spark.sql(to_sql(df))
+
+
+def _duckdb_federation_plan(spark, sf_dir):
+    """The verb-built plan behind compat_unparser_duckdb_federation."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.filter(F.col("l_quantity") < 30)
+        .join(o.filter(F.col("o_orderstatus") == "F"),
+              li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+# The ORACLE here IS the unparser's DuckDB-dialect output for the sf0.01
+# plan (pinned text): the driver executes it in DuckDB and hash-compares
+# against the Spark plan — a green row certifies the federation contract
+# (reference unparser/dialect.rs: ship a plan fragment to another engine
+# as SQL text) end to end, on the driver's own infrastructure.
+_DUCKDB_FED_SQL = (
+    "SELECT l_returnflag, count(1) AS n, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue "
+    "FROM (SELECT * FROM "
+    "read_parquet('/root/testdata/sf0.01/lineitem.parquet') "
+    "WHERE (l_quantity < CAST(30 AS DOUBLE))) AS t1 "
+    "INNER JOIN (SELECT * FROM "
+    "read_parquet('/root/testdata/sf0.01/orders.parquet') "
+    "WHERE (o_orderstatus = 'F')) AS t2 "
+    "ON (l_orderkey = o_orderkey) GROUP BY l_returnflag"
+)
+
+
+@query(
+    "compat_unparser_duckdb_federation",
+    oracle=_DUCKDB_FED_SQL,
+    tags=("compat", "unparser", "federation"),
+)
+def compat_unparser_duckdb_federation(spark, sf_dir):
+    """DuckDB-dialect federation, driver-certified: the registered oracle
+    is the EXACT text ``to_sql(plan, DUCKDB)`` emits for the sf0.01 plan,
+    so the driver's DuckDB-vs-Spark hash compare certifies that the
+    unparser's cross-engine output computes the same result as the
+    original DataFrame (reference sql/src/unparser/dialect.rs — the
+    ship-a-fragment-to-a-remote-engine path).  The entry re-derives the
+    text at run time and fails loudly on any drift between the unparser
+    and the pinned oracle, so the certification can't silently go stale."""
+    from datafusion_spark.compat.unparser import DUCKDB, to_sql
+
+    df = _duckdb_federation_plan(spark, sf_dir)
+    emitted = to_sql(
+        _duckdb_federation_plan(spark, "/root/testdata/sf0.01"), DUCKDB)
+    if emitted != _DUCKDB_FED_SQL:
+        raise AssertionError(
+            "unparser DuckDB output drifted from the pinned federation "
+            f"oracle:\n{emitted}")
+    return df

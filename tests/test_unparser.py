@@ -505,3 +505,41 @@ def test_same_name_equi_join_renders_using(spark):
           .groupBy("o_orderpriority").agg(F.sum("q").alias("tq")))
     sql = _assert_roundtrip(spark, df)
     assert "USING (`l_orderkey`)" in sql
+
+
+def test_inline_values_roundtrip(spark):
+    """LocalRelation (spark.sql VALUES / resolved inline tables) renders
+    as a VALUES table factor with typed literals — incl. the long-backed
+    cells py4j narrows (bigint, timestamp)."""
+    df = spark.sql("""
+        SELECT i * 2 AS ii, s, b + 1 AS b1, dt, dec FROM VALUES
+          (1, 'a', CAST(5 AS BIGINT), DATE '2020-01-02',
+           CAST(1.5 AS DECIMAL(5,2))),
+          (2, 'b', CAST(9223372036854775806 AS BIGINT), NULL, NULL)
+          AS t(i, s, b, dt, dec)
+    """)
+    sql = _assert_roundtrip(spark, df)
+    assert "VALUES" in sql and "DATE '2020-01-02'" in sql
+    # empty inline relation: typed empty table via WHERE false
+    e = spark.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM "
+                  "(SELECT * FROM VALUES (1) t(v) WHERE false)")
+    sql2 = to_sql(e)
+    got = spark.sql(sql2).collect()[0]
+    assert (got.n, got.s) == (0, None)
+
+
+def test_subquery_under_case_between_in(spark):
+    """Scalar subqueries reachable through CASE WHEN / BETWEEN / IN-list
+    spines render via the recursive path (the tpcds q9/q54/q14b shapes)."""
+    v = _v(spark)
+    df = spark.sql(f"""
+        SELECT CASE WHEN (SELECT COUNT(*) FROM {v} WHERE l_quantity > 40)
+                         > 10
+                    THEN (SELECT AVG(l_quantity) FROM {v})
+                    ELSE 0.0 END AS pick,
+               CAST((SELECT MIN(l_orderkey) FROM {v}) AS INT)
+                 BETWEEN 0 AND 10 AS lo,
+               1 IN (1, (SELECT CAST(MAX(l_linenumber) AS INT) FROM {v}))
+                 AS inlist
+    """)
+    _assert_roundtrip(spark, df)
