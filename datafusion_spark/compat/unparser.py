@@ -450,6 +450,106 @@ class _Unparser:
             return None
         return [f"{q}{c}{q}" for c in cols]
 
+    def _grouping_sets(self, agg, ex) -> _Block:
+        """Reconstruct GROUP BY GROUPING SETS from Aggregate(Expand).
+
+        The analyzer lowers ROLLUP/CUBE/GROUPING SETS into an Expand whose
+        projections replicate each input row once per grouping set, with
+        the inactive grouping columns nulled and a spark_grouping_id
+        literal appended; the Aggregate then groups by the replicated
+        columns + the id.  Supported shape: plain-COLUMN grouping
+        expressions (the Expand child's duplicated tail is bare
+        AttributeReferences) and no grouping()/grouping_id() in the
+        output (their rendering references the internal
+        spark_grouping_id attribute, which has no re-parsable spelling).
+        """
+        out = ex.output()
+        n_out = out.size()
+        if (n_out == 0
+                or out.apply(n_out - 1).name() != "spark_grouping_id"):
+            raise DialectError(
+                "Expand is not the grouping-sets shape (no "
+                "spark_grouping_id tail) — not unparsable")
+        g = agg.groupingExpressions()
+        k = g.size() - 1
+        base = n_out - 1 - k
+        if k < 0 or base < 0:
+            raise DialectError("grouping-sets Expand with no group columns")
+        for i in range(k):
+            gi = g.apply(i)
+            if (gi.getClass().getSimpleName() != "AttributeReference"
+                    or gi.exprId().id() != out.apply(base + i).exprId().id()):
+                raise DialectError(
+                    "grouping expression is not the Expand's replicated "
+                    "column — not unparsable")
+        proj_child = ex.child()
+        if proj_child.getClass().getSimpleName() != "Project":
+            raise DialectError(
+                "grouping-sets Expand over a non-Project child")
+        pl = proj_child.projectList()
+        n_pl = pl.size()
+        spell = []
+        for i in range(k):
+            e = pl.apply(n_pl - k + i)
+            if e.getClass().getSimpleName() == "Alias":
+                e = e.child()  # the analyzer aliases the replicated copy
+            if e.getClass().getSimpleName() != "AttributeReference":
+                # computed grouping expr: the replicated attr's NAME is
+                # the expression text (e.g. `year(o_orderdate)`), which
+                # does not re-resolve against the raw child — refuse.
+                raise DialectError(
+                    "computed grouping-set expression has no re-parsable "
+                    f"column spelling: {e.toString()[:80]}")
+            spell.append(self._expr_sql(e))
+        sets = []
+        projs = ex.projections()
+        for p in range(projs.size()):
+            row = projs.apply(p)
+            active = []
+            for i in range(k):
+                cell = row.apply(base + i)
+                is_null = (cell.getClass().getSimpleName() == "Literal"
+                           and cell.value() is None)
+                if not is_null:
+                    active.append(spell[i])
+            sets.append("(" + ", ".join(active) + ")")
+        import re as _re
+
+        def _regroup(txt: str) -> str:
+            # grouping(col) lowers to CAST((shiftright(spark_grouping_id,
+            # N) & 1) AS TINYINT) with bit N counting from the LAST
+            # grouping column; grouping_id() resolves to the raw internal
+            # attribute.  Both lowerings are exact — rewrite them back to
+            # the calls so the text re-parses (the re-analysis re-lowers
+            # to the identical expressions; sweep row-compares confirm).
+            def bit(m):
+                n = int(m.group(1))
+                if n >= k:
+                    return m.group(0)
+                return f"grouping({spell[k - 1 - n]})"
+
+            txt = _re.sub(
+                r"CAST\(\(shiftright\(spark_grouping_id, (\d+)\) & 1L?\)"
+                r" AS TINYINT\)", bit, txt)
+            return _re.sub(r"\bspark_grouping_id\b", "grouping_id()", txt)
+
+        sel = []
+        for e in self._seq(agg.aggregateExpressions()):
+            txt = _regroup(self._expr_sql(e))
+            if "spark_grouping_id" in self._outside_literals(txt):
+                raise DialectError(
+                    "grouping()/grouping_id() lowering did not match the "
+                    "known pattern — not unparsable")
+            sel.append(txt)
+        b = self.visit(proj_child.child())
+        if (b.select is not None or b.group_by is not None
+                or b.distinct or b.order_by is not None
+                or b.limit is not None or b.offset is not None):
+            b = self._derive(b, proj_child.child())
+        b.select = sel
+        b.group_by = [f"GROUPING SETS ({', '.join(sets)})"]
+        return b
+
     # -- relations ---------------------------------------------------------
     def _relation(self, node) -> _Block:
         rel = node.relation()
@@ -692,6 +792,14 @@ class _Unparser:
                 b = self._derive(b, node.child())
             b.where.append(self._expr_sql(node.condition()))
             return b
+        if cls == "Aggregate" and \
+                node.child().getClass().getSimpleName() == "Expand":
+            # GROUP BY ROLLUP/CUBE/GROUPING SETS analyzes to
+            # Aggregate(Expand(Project(child))) — reconstruct the
+            # GROUPING SETS clause from the Expand projections (the
+            # reference unparser rebuilds LogicalPlan::Aggregate grouping
+            # sets the same way in plan.rs).
+            return self._grouping_sets(node, node.child())
         if cls == "Aggregate":
             b = self.visit(node.child())
             # distinct flush: GROUP BY in the same block would aggregate

@@ -543,3 +543,41 @@ def test_subquery_under_case_between_in(spark):
                  AS inlist
     """)
     _assert_roundtrip(spark, df)
+
+
+def test_grouping_sets_reconstruction(spark):
+    """Aggregate(Expand) reconstructs GROUP BY GROUPING SETS, including
+    grouping()/grouping_id() outputs rewritten back from their exact
+    spark_grouping_id lowerings."""
+    v = _v(spark)
+    df = spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               grouping_id() AS gid
+        FROM {v}
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """)
+    sql = to_sql(df)
+    assert "GROUPING SETS" in sql and "grouping(" in sql \
+        and "grouping_id()" in sql
+    key = lambda r: [(v is None, repr(v)) for v in r]  # noqa: E731
+    a = sorted(map(tuple, df.collect()), key=key)
+    b = sorted(map(tuple, spark.sql(sql).collect()), key=key)
+    assert a == b and a
+    cube = spark.sql(f"""
+        SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS q
+        FROM {v} GROUP BY CUBE(l_returnflag, l_linestatus)
+    """)
+    sql2 = to_sql(cube)
+    assert "GROUPING SETS" in sql2
+    a2 = sorted(map(tuple, cube.collect()), key=key)
+    b2 = sorted(map(tuple, spark.sql(sql2).collect()), key=key)
+    assert a2 == b2 and a2
+    # computed grouping expressions still refuse cleanly
+    comp = spark.sql(f"""
+        SELECT length(l_returnflag) AS lr, COUNT(*) AS n
+        FROM {v} GROUP BY ROLLUP(length(l_returnflag))
+    """)
+    with pytest.raises(DialectError, match="computed grouping-set"):
+        to_sql(comp)
