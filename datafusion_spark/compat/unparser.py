@@ -681,6 +681,11 @@ class _Unparser:
             # is NOT in this class: it changes observable row order and
             # still refuses below.)
             return self.visit(node.child())
+        if cls == "CollectMetrics":
+            # df.observe(): an identity over the rows that accumulates
+            # side-channel metrics — no SQL spelling, rows unchanged;
+            # unwrap like the other cost-only/observability directives.
+            return self.visit(node.child())
         if cls == "WithCTE":
             q = self.dialect.identifier_quote
             parts, used = [], set()

@@ -581,3 +581,11 @@ def test_grouping_sets_reconstruction(spark):
     """)
     with pytest.raises(DialectError, match="computed grouping-set"):
         to_sql(comp)
+
+
+def test_observe_is_cost_only(spark):
+    """df.observe() (CollectMetrics) is an identity over rows — unwraps
+    without residue like hints/repartition."""
+    df = (_li(spark).observe("m", F.count(F.lit(1)).alias("cnt"))
+          .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
+    _assert_roundtrip(spark, df)
