@@ -162,14 +162,14 @@ class _Unparser:
         return [jseq.apply(i) for i in range(jseq.size())]
 
     # Expression.sql renderings that do NOT re-parse as SQL (Catalyst
-    # prints an internal spelling): higher-order-function lambdas and
-    # plan-hosted subquery expressions.  The reference unparser refuses
-    # the analogous Expr shapes (expr.rs unsupported-expression errors).
-    # "exists(" also covers the HOF exists(arr, lambda) — that rendering
-    # always carries lambdafunction( too, so no legitimate text is lost.
-    _UNPARSABLE_EXPR_MARKERS = ("lambdafunction(", "scalarsubquery(",
-                                "exists(", "exists#", "listquery(",
-                                "in(listquery")
+    # prints an internal spelling): plan-hosted subquery expressions.
+    # The reference unparser refuses the analogous Expr shapes (expr.rs
+    # unsupported-expression errors).  Lambda renderings
+    # (lambdafunction(...)) are handled separately: _render_lambda_text
+    # rewrites them into `v -> body` arrow syntax from the tree, refusing
+    # on any text/tree misalignment.
+    _UNPARSABLE_EXPR_MARKERS = ("scalarsubquery(", "exists#",
+                                "listquery(", "in(listquery")
 
     # Expression classes whose Expression.sql SILENTLY DROPS the
     # ignoreNulls flag (renders first(x) for first(x, true)) — found by
@@ -350,17 +350,200 @@ class _Unparser:
         return (f"({self._render_subq_expr(left)} {sym} "
                 f"{self._render_subq_expr(right)})")
 
+    # -- lambda rendering ---------------------------------------------------
+    # Catalyst renders higher-order-function lambdas as
+    # ``lambdafunction(BODY, namedlambdavariable(), ...)`` with every
+    # variable spelled identically — internal text that never re-parses.
+    # The TREE retains variable identity (NamedLambdaVariable exprIds), so
+    # the spans are rewritten into ``(v1, v2) -> BODY`` arrow syntax:
+    # fresh variable names are assigned per lambda and each
+    # namedlambdavariable() occurrence in the body text is substituted by
+    # occurrence order against an in-order traversal of the body tree
+    # (Expression.sql renders children left-to-right, so text order ==
+    # tree order).  Any misalignment — count mismatch, nested lambda,
+    # outer-variable capture — refuses; never a silent guess.
+
+    @staticmethod
+    def _find_outside_str(txt: str, needle: str, start: int) -> int:
+        """txt.find(needle, start) skipping single-quoted literals."""
+        i, n, in_str = start, len(txt), False
+        while i < n:
+            ch = txt[i]
+            if in_str:
+                if ch == "'":
+                    if i + 1 < n and txt[i + 1] == "'":
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+            elif txt.startswith(needle, i):
+                return i
+            i += 1
+        return -1
+
+    @staticmethod
+    def _balanced_end(txt: str, lparen: int) -> int:
+        """Index just past the ')' matching the '(' at ``lparen``."""
+        depth, i, n, in_str = 0, lparen, len(txt), False
+        while i < n:
+            ch = txt[i]
+            if in_str:
+                if ch == "'":
+                    if i + 1 < n and txt[i + 1] == "'":
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+            i += 1
+        raise DialectError("unbalanced parentheses in rendered expression")
+
+    @staticmethod
+    def _split_top_args(txt: str) -> list[str]:
+        """Split argument text on top-level commas (paren/string aware)."""
+        args, depth, in_str, cur = [], 0, False, []
+        i, n = 0, len(txt)
+        while i < n:
+            ch = txt[i]
+            if in_str:
+                cur.append(ch)
+                if ch == "'":
+                    if i + 1 < n and txt[i + 1] == "'":
+                        cur.append("'")
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                cur.append(ch)
+            elif ch == "," and depth == 0:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        if cur:
+            args.append("".join(cur).strip())
+        return args
+
+    def _render_lambda_text(self, e) -> str:
+        # in-order list of LambdaFunction nodes, NOT descending into their
+        # bodies (nested lambdas refuse at the body-text check below)
+        lams = []
+
+        def collect(n):
+            if n.getClass().getSimpleName() == "LambdaFunction":
+                lams.append(n)
+                return
+            ch = n.children()
+            for i in range(ch.size()):
+                collect(ch.apply(i))
+
+        collect(e)
+        txt = e.sql()
+        out, i, k = [], 0, 0
+        while True:
+            j = self._find_outside_str(txt, "lambdafunction(", i)
+            if j < 0:
+                out.append(txt[i:])
+                break
+            out.append(txt[i:j])
+            end = self._balanced_end(txt, j + len("lambdafunction"))
+            inner = txt[j + len("lambdafunction("):end - 1]
+            args = self._split_top_args(inner)
+            if k >= len(lams):
+                raise DialectError(
+                    "lambda text/tree misalignment — not unparsable")
+            lam = lams[k]
+            k += 1
+            lvars = self._seq(lam.arguments())
+            if len(args) != 1 + len(lvars) or any(
+                    a != "namedlambdavariable()" for a in args[1:]):
+                raise DialectError(
+                    "unexpected lambdafunction rendering shape — "
+                    f"not unparsable: {inner[:80]}")
+            body_txt = args[0]
+            if self._find_outside_str(body_txt, "lambdafunction(", 0) >= 0:
+                raise DialectError(
+                    "nested lambda rendering is ambiguous — not unparsable")
+            # occurrence order of variables in the body tree
+            order: list[int] = []
+
+            def walk_body(n):
+                cls = n.getClass().getSimpleName()
+                if cls == "NamedLambdaVariable":
+                    order.append(n.exprId().id())
+                    return
+                if cls == "LambdaFunction":
+                    raise DialectError(
+                        "nested lambda rendering is ambiguous — "
+                        "not unparsable")
+                ch = n.children()
+                for idx in range(ch.size()):
+                    walk_body(ch.apply(idx))
+
+            walk_body(lam.function())
+            names = {v.exprId().id(): f"lv{k}_{idx}" if len(lvars) > 1
+                     else f"lv{k}"
+                     for idx, v in enumerate(lvars)}
+            pieces = body_txt.split("namedlambdavariable()")
+            if len(pieces) - 1 != len(order) or any(
+                    oid not in names for oid in order):
+                raise DialectError(
+                    "lambda variable occurrences do not align with the "
+                    "tree (outer capture or literal collision) — "
+                    "not unparsable")
+            body = "".join(
+                p + (names[order[n]] if n < len(order) else "")
+                for n, p in enumerate(pieces))
+            argtxt = ", ".join(names[v.exprId().id()] for v in lvars)
+            if len(lvars) > 1:
+                argtxt = f"({argtxt})"
+            out.append(f"{argtxt} -> {body}")
+            i = end
+        if k != len(lams):
+            raise DialectError(
+                "lambda text/tree misalignment — not unparsable")
+        return "".join(out)
+
+    def _tree_has_lambda(self, e) -> bool:
+        stack = [e]
+        while stack:
+            n = stack.pop()
+            if n.getClass().getSimpleName() == "LambdaFunction":
+                return True
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+
     def _expr_sql(self, e) -> str:
         if self._tree_has_subquery(e):
             self._check_tree(e)
             return self._render_subq_expr(e)
-        txt = e.sql()
+        self._check_tree(e)
+        if self._tree_has_lambda(e):
+            txt = self._render_lambda_text(e)
+        else:
+            txt = e.sql()
         low = self._outside_literals(txt).lower()
         for marker in self._UNPARSABLE_EXPR_MARKERS:
             if marker in low:
                 raise DialectError(
                     f"expression does not re-parse as SQL: {txt[:120]}")
-        self._check_tree(e)
         return _requote(txt, self.dialect.identifier_quote)
 
     def _sqls(self, jexprs) -> list[str]:

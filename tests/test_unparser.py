@@ -334,10 +334,12 @@ def test_requote_and_literal_marker_hardening(spark):
     # marker text inside a literal is fine...
     df = o.select(F.lit("call exists(now)").alias("s"), "o_orderkey").limit(3)
     _assert_roundtrip(spark, df)
-    # ...while a real HOF exists(...) still refuses
-    arr = o.select(F.array(F.col("o_orderkey")).alias("xs"))
-    with pytest.raises(DialectError):
-        to_sql(arr.select(F.expr("exists(xs, x -> x > 0)")), validate=False)
+    # ...and a real HOF exists(...) now ROUND-TRIPS via the r9 lambda
+    # rewrite (it used to refuse via the exists( marker)
+    arr = o.select(F.array(F.col("o_orderkey")).alias("xs"), "o_orderkey")
+    hof = arr.select(F.expr("exists(xs, x -> x > 0)").alias("p"),
+                     "o_orderkey").limit(5)
+    assert "-> " in _assert_roundtrip(spark, hof)
 
 
 # --- r9 extensions: CTE/WITH, subquery expressions, LATERAL VIEW, ----------
@@ -589,3 +591,47 @@ def test_observe_is_cost_only(spark):
     df = (_li(spark).observe("m", F.count(F.lit(1)).alias("cnt"))
           .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
     _assert_roundtrip(spark, df)
+
+
+def test_lambda_hof_roundtrips(spark):
+    """Higher-order-function lambdas re-render as arrow syntax from the
+    tree: single-var (transform/filter/exists), two-var (zip_with,
+    aggregate's acc/x), and sibling lambdas in one expression."""
+    v = _v(spark)
+    df = spark.sql(f"""
+        SELECT l_orderkey,
+               aggregate(sequence(1, l_linenumber), 0L,
+                         (acc, x) -> acc + x * 2) AS agg2,
+               size(filter(sequence(1, l_linenumber),
+                           x -> x % 2 = 0)) AS n_even,
+               transform(sequence(1, 3), x -> x * l_linenumber) AS scaled,
+               zip_with(sequence(1, 3), sequence(4, 6),
+                        (a, b) -> a * b) AS zw
+        FROM {v} WHERE l_orderkey < 30
+    """)
+    sql = to_sql(df)
+    assert "lambdafunction" not in sql and "-> " in sql
+    key = lambda r: repr(r)  # noqa: E731 - arrays aren't orderable
+    a = sorted(map(tuple, df.collect()), key=key)
+    b = sorted(map(tuple, spark.sql(sql).collect()), key=key)
+    assert a == b and a
+    # a lambda variable named like a column still binds lexically
+    df2 = spark.sql(f"""
+        SELECT SUM(aggregate(sequence(1, 3), 0L,
+                   (l_orderkey, x) -> l_orderkey + x)) AS s
+        FROM {v}
+    """)
+    a2 = df2.collect()
+    b2 = spark.sql(to_sql(df2)).collect()
+    assert [tuple(r) for r in a2] == [tuple(r) for r in b2]
+    # string literal containing the internal token must not corrupt the
+    # rewrite (occurrence-count misalignment refuses instead)
+    df3 = spark.sql(
+        "SELECT transform(array('a'), x -> "
+        "concat(x, 'namedlambdavariable()')) AS t")
+    try:
+        sql3 = to_sql(df3)
+        assert sorted(map(repr, spark.sql(sql3).collect())) == \
+            sorted(map(repr, df3.collect()))
+    except DialectError:
+        pass  # clean refusal is also acceptable — never silent corruption
