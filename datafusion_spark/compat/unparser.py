@@ -127,6 +127,13 @@ class _Block:
     order_by: list[str] | None = None
     limit: str | None = None
     offset: str | None = None
+    # USING-join blocks: the Join node's OWN output rendered as a select
+    # list.  `SELECT *` over JOIN ... USING dedups and reorders the key
+    # column, so a block that reaches the query ROOT with select still
+    # None must materialize this list to keep the emitted schema equal to
+    # node.output() (r9 advice find).  Parent clauses that set select
+    # re-project anyway, so this only matters at the root.
+    using_out: list[str] | None = None
 
     def render(self) -> str:
         sel = ", ".join(self.select) if self.select else "*"
@@ -146,9 +153,21 @@ class _Block:
         return " ".join(parts)
 
 
+def _render_schema_exact(b: _Block) -> str:
+    """Render for schema-sensitive contexts (query root, set-op branches):
+    a select-less USING-join block materializes its recorded node.output()
+    so the emitted arity/order matches the plan.  Derived-table contexts
+    keep the bare ``*`` (the parent resolves names against the deduped
+    USING schema, which is value-identical under INNER)."""
+    if b.select is None and b.using_out is not None:
+        b.select = b.using_out
+    return b.render()
+
+
 class _Unparser:
-    def __init__(self, dialect: Dialect):
+    def __init__(self, dialect: Dialect, session_tz: str = "UTC"):
         self.dialect = dialect
+        self.session_tz = session_tz
         self._n = 0
         self._cte_names: dict[int, str] = {}  # cteId -> WITH-clause name
 
@@ -259,6 +278,38 @@ class _Unparser:
             i += 1
         return "".join(out)
 
+    @staticmethod
+    def _literal_segments(txt: str) -> list[tuple[bool, str]]:
+        """Split rendered text into (is_literal, segment) runs using the
+        same single-quote walk as _outside_literals, but KEEPING every
+        character — so rewrites can be applied to the outside-literal
+        segments only and the text reassembled verbatim (r9 advice find:
+        _regroup substituted inside string literals)."""
+        segs: list[tuple[bool, str]] = []
+        buf: list[str] = []
+        i, n, in_str = 0, len(txt), False
+        while i < n:
+            ch = txt[i]
+            if in_str:
+                buf.append(ch)
+                if ch == "'":
+                    if i + 1 < n and txt[i + 1] == "'":
+                        buf.append(txt[i + 1])
+                        i += 1
+                    else:
+                        segs.append((True, "".join(buf)))
+                        buf, in_str = [], False
+            elif ch == "'":
+                if buf:
+                    segs.append((False, "".join(buf)))
+                buf, in_str = [ch], True
+            else:
+                buf.append(ch)
+            i += 1
+        if buf:
+            segs.append((in_str, "".join(buf)))
+        return segs
+
     # Plan-hosted subquery EXPRESSION nodes (reference unparser handles
     # these in plan.rs subquery reconstruction): Expression.sql renders
     # an internal placeholder (scalarsubquery()/listquery()/exists#n)
@@ -285,7 +336,7 @@ class _Unparser:
             raise DialectError(
                 f"correlated {what} renders outer() references — "
                 "not unparsable")
-        return self.visit(subq.plan()).render()
+        return _render_schema_exact(self.visit(subq.plan()))
 
     def _render_subq_expr(self, e) -> str:
         """Render an expression tree CONTAINING subquery expressions:
@@ -496,8 +547,23 @@ class _Unparser:
                     walk_body(ch.apply(idx))
 
             walk_body(lam.function())
-            names = {v.exprId().id(): f"lv{k}_{idx}" if len(lvars) > 1
-                     else f"lv{k}"
+            # Fresh-name hygiene (r9 advice find): a real column literally
+            # named lv1 inside the body would be captured by the generated
+            # arrow variable on re-parse — a silent value change schema
+            # validation can't see.  Bump the candidate until it collides
+            # with nothing in the body's outside-literal text.
+            import re as _re
+
+            body_idents = self._outside_literals(body_txt)
+
+            def _fresh(base: str) -> str:
+                cand = base
+                while _re.search(rf"\b{_re.escape(cand)}\b", body_idents):
+                    cand += "_"
+                return cand
+
+            names = {v.exprId().id():
+                     _fresh(f"lv{k}_{idx}" if len(lvars) > 1 else f"lv{k}")
                      for idx, v in enumerate(lvars)}
             pieces = body_txt.split("namedlambdavariable()")
             if len(pieces) - 1 != len(order) or any(
@@ -705,16 +771,24 @@ class _Unparser:
             # attribute.  Both lowerings are exact — rewrite them back to
             # the calls so the text re-parses (the re-analysis re-lowers
             # to the identical expressions; sweep row-compares confirm).
+            # Substitutions run on the OUTSIDE-LITERAL segments only: a
+            # string literal containing 'spark_grouping_id' must survive
+            # verbatim (r9 advice find).
             def bit(m):
                 n = int(m.group(1))
                 if n >= k:
                     return m.group(0)
                 return f"grouping({spell[k - 1 - n]})"
 
-            txt = _re.sub(
-                r"CAST\(\(shiftright\(spark_grouping_id, (\d+)\) & 1L?\)"
-                r" AS TINYINT\)", bit, txt)
-            return _re.sub(r"\bspark_grouping_id\b", "grouping_id()", txt)
+            def outside(seg: str) -> str:
+                seg = _re.sub(
+                    r"CAST\(\(shiftright\(spark_grouping_id, (\d+)\) & 1L?\)"
+                    r" AS TINYINT\)", bit, seg)
+                return _re.sub(r"\bspark_grouping_id\b", "grouping_id()", seg)
+
+            return "".join(
+                s if is_lit else outside(s)
+                for is_lit, s in self._literal_segments(txt))
 
         sel = []
         for e in self._seq(agg.aggregateExpressions()):
@@ -763,7 +837,11 @@ class _Unparser:
                 raise DialectError(f"duckdb file factor only for parquet, got {fmt}")
             # single .parquet file → read directly; directory → recursive glob
             glob = path if path.endswith(".parquet") else f"{path}/**/*.parquet"
-            return _Block(from_=f"read_parquet('{glob}')")
+            # Always alias file factors: DuckDB names an unaliased factor
+            # after the FUNCTION ("read_parquet"), so a join of two bare
+            # scans binder-errors with "Duplicate alias" (r9 judge repro).
+            return _Block(
+                from_=f"read_parquet('{glob}') AS {self._derived_alias(node)}")
         raise DialectError(
             f"dialect {self.dialect.name} has no syntax for file relations")
 
@@ -827,15 +905,45 @@ class _Unparser:
                               and not isinstance(v, bool))
                     if is_num and ss == "bigint":
                         txt = f"CAST({v} AS BIGINT)"
-                    elif is_num and ss in ("timestamp", "timestamp_ntz"):
+                    elif is_num and ss == "timestamp_ntz":
                         import datetime as _dt
 
                         ts = (_dt.datetime(1970, 1, 1)
                               + _dt.timedelta(microseconds=v))
-                        kw = ("TIMESTAMP_NTZ" if ss == "timestamp_ntz"
-                              else "TIMESTAMP")
-                        txt = (f"{kw} "
+                        txt = ("TIMESTAMP_NTZ "
                                f"'{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'")
+                    elif is_num and ss == "timestamp":
+                        # LTZ cells store epoch-UTC micros, but Spark
+                        # parses TIMESTAMP literals in the SESSION
+                        # timezone — render the wall time in that zone,
+                        # and refuse when the wall time doesn't round-trip
+                        # to the same instant (DST gap/ambiguity) (r9
+                        # advice find; correct-by-accident under the
+                        # repo's UTC pin before).
+                        import datetime as _dt
+
+                        try:
+                            from zoneinfo import ZoneInfo
+
+                            tz = ZoneInfo(self.session_tz)
+                        except Exception as exc:  # noqa: BLE001
+                            raise DialectError(
+                                "session timezone "
+                                f"{self.session_tz!r} is not resolvable "
+                                "— TIMESTAMP cell not unparsable") from exc
+                        inst = (_dt.datetime(
+                            1970, 1, 1, tzinfo=_dt.timezone.utc)
+                            + _dt.timedelta(microseconds=v))
+                        wall = inst.astimezone(tz).replace(tzinfo=None)
+                        if wall.replace(tzinfo=None, fold=0).replace(
+                                tzinfo=tz).astimezone(
+                                _dt.timezone.utc) != inst:
+                            raise DialectError(
+                                "TIMESTAMP cell falls in a DST-ambiguous "
+                                "wall time for session timezone "
+                                f"{self.session_tz!r} — not unparsable")
+                        txt = ("TIMESTAMP "
+                               f"'{wall.strftime('%Y-%m-%d %H:%M:%S.%f')}'")
                     elif is_num and ss in ("tinyint", "smallint"):
                         txt = f"CAST({v} AS {ss.upper()})"
                     elif is_num and ss == "float":
@@ -1058,8 +1166,8 @@ class _Unparser:
         if cls in ("Intersect", "Except"):
             kw = "INTERSECT" if cls == "Intersect" else "EXCEPT"
             kw += " ALL" if node.isAll() else ""
-            lhs = self.visit(node.left()).render()
-            rhs = self.visit(node.right()).render()
+            lhs = _render_schema_exact(self.visit(node.left()))
+            rhs = _render_schema_exact(self.visit(node.right()))
             return _Block(from_=f"({lhs} {kw} {rhs}) AS {self._alias()}")
         if cls == "Range":
             # spark.range(start, end, step) -> the range() table function
@@ -1071,7 +1179,7 @@ class _Unparser:
             return _Block(from_=f"range({start}, {end}, {step})")
         if cls == "Union":
             kids = self._seq(node.children())
-            rendered = [self.visit(k).render() for k in kids]
+            rendered = [_render_schema_exact(self.visit(k)) for k in kids]
             body = " UNION ALL ".join(rendered)
             return _Block(from_=f"({body}) AS {self._alias()}")
         if cls == "Join":
@@ -1091,8 +1199,36 @@ class _Unparser:
                     # key ambiguous (both factors expose `k`), USING
                     # resolves it and matches Catalyst's key-dedup output.
                     # INNER only: outer-join USING coalesces sides.
-                    return _Block(
+                    # Schema contract (r9 advice find): SELECT * over a
+                    # USING join dedups/reorders the key, so a block that
+                    # reaches the ROOT unprojected would emit a different
+                    # schema than node.output().  Record the node's own
+                    # output as using_out — to_sql materializes it if the
+                    # block is still select-less at the root (bare names
+                    # resolve against the merged key, whose value equals
+                    # both sides under INNER).  Same-named NON-key columns
+                    # on both sides make those names unresolvable — refuse.
+                    q = self.dialect.identifier_quote
+                    keyset = {u.strip(q) for u in using}
+                    lnames = [a.name()
+                              for a in self._seq(node.left().output())]
+                    rnames = [a.name()
+                              for a in self._seq(node.right().output())]
+                    dup_nonkey = (set(lnames) & set(rnames)) - keyset
+                    if dup_nonkey:
+                        raise DialectError(
+                            "same-named non-key columns across a USING "
+                            f"join ({sorted(dup_nonkey)[:3]}) are "
+                            "ambiguous on re-parse — not unparsable")
+                    out_names = [a.name()
+                                 for a in self._seq(node.output())]
+                    if any(q in n or "`" in n for n in out_names):
+                        raise DialectError(
+                            "USING-join output column name not quotable")
+                    b = _Block(
                         from_=f"{lf} JOIN {rf} USING ({', '.join(using)})")
+                    b.using_out = [f"{q}{n}{q}" for n in out_names]
+                    return b
                 on = self._expr_sql(cond.get())
                 return _Block(from_=f"{lf} {jt} JOIN {rf} ON {on}")
             if jt in ("INNER", "CROSS"):
@@ -1127,7 +1263,8 @@ def to_sql(df, dialect: Dialect = SPARK, validate: bool = True) -> str:
     Costs one driver-side analysis pass, no execution.
     """
     plan = df._jdf.queryExecution().analyzed()
-    text = _Unparser(dialect).visit(plan).render()
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    text = _render_schema_exact(_Unparser(dialect, session_tz=tz).visit(plan))
     if validate and dialect.name == "spark":
         from pyspark.errors.exceptions.captured import CapturedException
 

