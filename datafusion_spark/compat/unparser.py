@@ -153,6 +153,187 @@ class _Block:
         return " ".join(parts)
 
 
+import re as _re_mod
+
+# Catalyst renders typed numeric literals with Spark-only suffixes
+# (5Y/5S/5L/0.05D/1.50BD).  Other dialects spell the same type with a
+# CAST; the decimal suffix carries Spark's literal typing rule
+# (precision = significant digits, scale = fraction digits), which the
+# rewrite reproduces so the remote engine computes in the same type.
+_SUFFIX_RE = _re_mod.compile(
+    r'(?<![\w."])(\d+(?:\.\d*)?(?:[eE][-+]?\d+)?)(BD|[YSLD])\b')
+_SUFFIX_TYPE = {"Y": "TINYINT", "S": "SMALLINT", "L": "BIGINT",
+                "D": "DOUBLE"}
+
+
+def _strip_literal_suffixes(txt: str) -> str:
+    """Rewrite Spark literal suffixes to CASTs for non-Spark dialects,
+    protecting single-quoted strings AND double-quoted identifiers (the
+    non-backtick dialects quote identifiers with ``\"``)."""
+
+    def repl(m: "_re_mod.Match[str]") -> str:
+        num, suf = m.group(1), m.group(2)
+        if suf != "BD":
+            return f"CAST({num} AS {_SUFFIX_TYPE[suf]})"
+        if "e" in num.lower():
+            return m.group(0)  # exponent decimals: no portable spelling
+        digits = num.replace(".", "")
+        scale = len(num.split(".")[1]) if "." in num else 0
+        prec = max(len(digits.lstrip("0")) or 1, scale)
+        return f"CAST({num} AS DECIMAL({prec},{scale}))"
+
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(txt)
+    quote: str | None = None
+    while i < n:
+        ch = txt[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                if i + 1 < n and txt[i + 1] == quote:
+                    buf.append(txt[i + 1])
+                    i += 1
+                else:
+                    out.append("".join(buf))
+                    buf, quote = [], None
+        elif ch in ("'", '"'):
+            out.append(_SUFFIX_RE.sub(repl, "".join(buf)))
+            buf, quote = [ch], ch
+        else:
+            buf.append(ch)
+        i += 1
+    if buf:
+        seg = "".join(buf)
+        out.append(seg if quote is not None else _SUFFIX_RE.sub(repl, seg))
+    return "".join(out)
+
+
+# Function-spelling rules for the DuckDB dialect (reference
+# unparser/dialect.rs does exactly this per-target function mapping).
+# Only functions whose DuckDB namesake has DIFFERENT SEMANTICS are
+# listed — the silent-divergence class; a function DuckDB simply lacks
+# fails loudly at the remote binder, which the contract allows.
+#   cast X      — Spark fn(arg) ≡ CAST(arg AS X) in DuckDB (DuckDB's own
+#                 to_timestamp takes EPOCH SECONDS, not a string).
+#   ln_if_unary — DuckDB log(x) is log BASE 10; Spark's is ln.  Two-arg
+#                 log(base, x) agrees in both.
+#   append_arg  — DuckDB regexp_replace replaces the FIRST match unless
+#                 the 'g' flag is passed; Spark replaces all.
+#   refuse      — no faithful DuckDB spelling (different no-match/sketch
+#                 semantics, or execution-dependent value).
+_DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
+    "to_timestamp": ("cast", "TIMESTAMP"),
+    "to_date": ("cast", "DATE"),
+    "log": ("ln_if_unary", None),
+    "regexp_replace": ("append_arg", "'g'"),
+    "regexp_extract": ("refuse", None),   # no-match: Spark '' vs NULL
+    "split": ("refuse", None),            # Spark REGEX vs plain separator
+    "approx_count_distinct": ("refuse", None),  # different sketch
+    "spark_partition_id": ("refuse", None),     # execution-dependent
+}
+
+
+def _skip_quoted(txt: str, i: int) -> int:
+    """Index just past a quoted span starting at txt[i] (''/"" escapes)."""
+    q = txt[i]
+    n = len(txt)
+    i += 1
+    while i < n:
+        if txt[i] == q:
+            if i + 1 < n and txt[i + 1] == q:
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return n
+
+
+def _balanced_close(txt: str, i: int) -> int:
+    """Index of the ')' matching the '(' at txt[i], quote-aware."""
+    depth = 0
+    n = len(txt)
+    while i < n:
+        ch = txt[i]
+        if ch in ("'", '"'):
+            i = _skip_quoted(txt, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise DialectError("unbalanced parentheses in rendered text")
+
+
+def _top_level_commas(txt: str) -> int:
+    depth = 0
+    count = 0
+    i, n = 0, len(txt)
+    while i < n:
+        ch = txt[i]
+        if ch in ("'", '"'):
+            i = _skip_quoted(txt, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            count += 1
+        i += 1
+    return count
+
+
+def _rewrite_functions(txt: str, rules: dict) -> str:
+    out: list[str] = []
+    i, n = 0, len(txt)
+    while i < n:
+        ch = txt[i]
+        if ch in ("'", '"'):
+            j = _skip_quoted(txt, i)
+            out.append(txt[i:j])
+            i = j
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (txt[j].isalnum() or txt[j] == "_"):
+                j += 1
+            name = txt[i:j]
+            rule = rules.get(name.lower())
+            if rule is not None and j < n and txt[j] == "(":
+                kind, arg = rule
+                if kind == "refuse":
+                    raise DialectError(
+                        f"{name}() has no faithful spelling in this "
+                        "dialect — not unparsable")
+                end = _balanced_close(txt, j)
+                inner = _rewrite_functions(txt[j + 1:end], rules)
+                if kind == "cast":
+                    if _top_level_commas(inner) != 0:
+                        raise DialectError(
+                            f"multi-arg {name}() has no faithful "
+                            "spelling in this dialect — not unparsable")
+                    out.append(f"CAST({inner} AS {arg})")
+                elif kind == "ln_if_unary":
+                    fn = "ln" if _top_level_commas(inner) == 0 else name
+                    out.append(f"{fn}({inner})")
+                elif kind == "append_arg":
+                    out.append(f"{name}({inner}, {arg})")
+                else:  # pragma: no cover - rule table is closed
+                    raise DialectError(f"unknown dialect rule {kind}")
+                i = end + 1
+                continue
+            out.append(name)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _render_schema_exact(b: _Block) -> str:
     """Render for schema-sensitive contexts (query root, set-op branches):
     a select-less USING-join block materializes its recorded node.output()
@@ -1265,6 +1446,10 @@ def to_sql(df, dialect: Dialect = SPARK, validate: bool = True) -> str:
     plan = df._jdf.queryExecution().analyzed()
     tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
     text = _render_schema_exact(_Unparser(dialect, session_tz=tz).visit(plan))
+    if dialect.name != "spark":
+        text = _strip_literal_suffixes(text)
+    if dialect.name == "duckdb":
+        text = _rewrite_functions(text, _DUCKDB_FN_RULES)
     if validate and dialect.name == "spark":
         from pyspark.errors.exceptions.captured import CapturedException
 

@@ -261,6 +261,61 @@ def source_schema_evolution_merge(spark, sf_dir):
 
 
 @query(
+    "source_schema_evolution_nested_array",
+    oracle="""
+    SELECT r_regionkey, id, name, chain FROM (
+      SELECT r_regionkey, CAST(r_regionkey * 10 AS BIGINT) AS id,
+             r_name AS name, CAST(NULL AS VARCHAR) AS chain
+      FROM region
+      UNION ALL
+      SELECT r_regionkey, CAST(r_regionkey * 10 + 1 AS BIGINT) AS id,
+             CAST(NULL AS VARCHAR) AS name, 'chain-' || r_name AS chain
+      FROM region
+    )
+    """,
+    tags=("sources", "schema-evolution", "nested"),
+)
+def source_schema_evolution_nested_array(spark, sf_dir):
+    """NESTED schema evolution on read (reference: sqllogictest
+    schema_evolution_nested.slt): shard v1 carries
+    array<struct<id,name>>, shard v2 array<struct<id,chain>> — a struct
+    field ADDED and one REMOVED between pipeline versions.
+    mergeSchema=true unions the struct fields recursively and null-fills
+    the missing ones, exactly like the flat case one level down.  The
+    plan explodes the merged array so the driver hash sees flat scalars.
+    Same scale note as the flat entry: merged-footer inference reads all
+    footers; pin the schema on a million-file dataset."""
+    reg = load_table(spark, sf_dir, "region")
+    base = os.path.join(_SCRATCH, "evolve_nested_region")
+    v1 = reg.select(
+        "r_regionkey",
+        F.array(F.struct(
+            (F.col("r_regionkey") * 10).cast("long").alias("id"),
+            F.col("r_name").alias("name"),
+        )).alias("messages"),
+    )
+    v2 = reg.select(
+        "r_regionkey",
+        F.array(F.struct(
+            (F.col("r_regionkey") * 10 + 1).cast("long").alias("id"),
+            F.concat(F.lit("chain-"), F.col("r_name")).alias("chain"),
+        )).alias("messages"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "v=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "v=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(base, "v=1"), os.path.join(base, "v=2")
+    )
+    m = merged.select("r_regionkey", F.explode("messages").alias("m"))
+    return m.select(
+        "r_regionkey",
+        F.col("m.id").alias("id"),
+        F.col("m.name").alias("name"),
+        F.col("m.chain").alias("chain"),
+    )
+
+
+@query(
     "source_avro_roundtrip",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n,

@@ -46,21 +46,77 @@ def _reason_key(msg: str) -> str:
     return msg.split(":")[0][:80]
 
 
+def _duckdb_rows_match(spark_df, duck_pdf) -> bool:
+    """Cross-engine VALUE equivalence for the federation pass.
+
+    Unlike the Spark re-execution pass (bit-exact by construction — same
+    engine both sides), DuckDB executes the same semantics with its own
+    summation order, so float aggregates may differ in the last bits:
+    compare with a tight relative tolerance instead of bit equality.
+    Column order/naming and row counts must match exactly."""
+    import math
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oracle_check import normalize
+
+    s = normalize(spark_df.toPandas())
+    d = normalize(duck_pdf)
+    if list(s.columns) != list(d.columns) or len(s) != len(d):
+        return False
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        s_num = pd.api.types.is_numeric_dtype(sv)
+        d_num = pd.api.types.is_numeric_dtype(dv)
+        if s_num and d_num:
+            sa = sv.astype("float64").to_numpy()
+            da = dv.astype("float64").to_numpy()
+            both_nan = pd.isna(sa) & pd.isna(da)
+            diff = abs(sa - da)
+            tol = 1e-9 * (abs(sa) + abs(da)) + 1e-12
+            bad = ~both_nan & ~(diff <= tol)
+            if bad.any():
+                return False
+        else:
+            a = sv.map(lambda v: None if (isinstance(v, float)
+                                          and math.isnan(v)) else v)
+            b = dv.map(lambda v: None if (isinstance(v, float)
+                                          and math.isnan(v)) else v)
+            if not a.astype(str).equals(b.astype(str)):
+                return False
+    return True
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reasons", action="store_true",
                     help="print a histogram of refusal classes")
+    ap.add_argument("--duckdb-exec", action="store_true",
+                    help="for every Spark-exact entry, also unparse in the "
+                         "DUCKDB dialect and EXECUTE the text in DuckDB, "
+                         "value-comparing against the Spark rows (the "
+                         "federation analog of the re-execution pass)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     from datafusion_spark import get_spark
     from datafusion_spark.compat.dialect import DialectError
-    from datafusion_spark.compat.unparser import to_sql
+    from datafusion_spark.compat.unparser import DUCKDB, to_sql
     from datafusion_spark.queries import QUERIES
+
+    duck_con = None
+    if args.duckdb_exec:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from oracle_check import duck_connection
+
+        duck_con = duck_connection(SF)
 
     spark = get_spark("unparse_sweep", shuffle_partitions=8)
     names = args.names or list(QUERIES)
     ok = refused = diverged = err = 0
+    dk_ok = dk_refused = dk_execerr = dk_diverged = 0
+    dk_execerr_names: list[str] = []
     reasons: Counter[str] = Counter()
     refused_names: dict[str, list[str]] = {}
     for name in names:
@@ -99,15 +155,56 @@ def main() -> int:
         if a != b:
             print(f"DIVERGED {name}", flush=True)
             diverged += 1
+            continue
+        ok += 1
+        if duck_con is None:
+            continue
+        # -- federation pass: same plan, DUCKDB dialect, real execution --
+        try:
+            dsql = to_sql(df, DUCKDB, validate=False)
+        except DialectError:
+            dk_refused += 1
+            continue
+        except Exception as e:  # noqa: BLE001 - crash = sweep failure
+            print(f"DUCKDB-HARDFAIL {name}: {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
+            dk_execerr += 1
+            dk_execerr_names.append(name)
+            continue
+        try:
+            duck_pdf = duck_con.execute(dsql).df()
+        except Exception as e:  # noqa: BLE001 - remote-engine binder/exec
+            # Spark-only functions / catalog objects the remote engine
+            # lacks: a LOUD failure, acceptable (never silent wrongness)
+            # but counted and listed so the refusal surface is auditable.
+            dk_execerr += 1
+            dk_execerr_names.append(f"{name} ({str(e).splitlines()[0][:60]})")
+            continue
+        try:
+            same = _duckdb_rows_match(df, duck_pdf)
+        except Exception as e:  # noqa: BLE001
+            print(f"DUCKDB-CMP-ERR {name}: {str(e)[:120]}", flush=True)
+            dk_execerr += 1
+            dk_execerr_names.append(name)
+            continue
+        if same:
+            dk_ok += 1
         else:
-            ok += 1
+            print(f"DUCKDB-DIVERGED {name}", flush=True)
+            dk_diverged += 1
     print(f"roundtrip={ok} refused={refused} diverged={diverged} "
           f"builderr={err}", flush=True)
+    if duck_con is not None:
+        print(f"duckdb_exec={dk_ok} duckdb_refused={dk_refused} "
+              f"duckdb_execerr={dk_execerr} duckdb_diverged={dk_diverged}",
+              flush=True)
+        for n in dk_execerr_names:
+            print(f"  execerr {n}", flush=True)
     if args.reasons:
         for key, n in reasons.most_common():
             sample = " ".join(refused_names[key][:6])
             print(f"  {n:4d}  {key}   e.g. {sample}", flush=True)
-    return 1 if diverged else 0
+    return 1 if (diverged or dk_diverged) else 0
 
 
 if __name__ == "__main__":
