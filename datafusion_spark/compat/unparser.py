@@ -222,6 +222,23 @@ def _strip_literal_suffixes(txt: str) -> str:
 #                 the 'g' flag is passed; Spark replaces all.
 #   refuse      — no faithful DuckDB spelling (different no-match/sketch
 #                 semantics, or execution-dependent value).
+# Catalyst INTERNAL function spellings that Expression.sql emits but the
+# parser does not accept back (found by the registry sweep as re-analyze
+# refusals): ANSI-interval field extraction renders as
+# extractansiintervaldays(x) while the parseable spelling is
+# EXTRACT(DAY FROM x).  The rewrite restores the public spelling — the
+# re-analysis lowers it to the identical expression.
+_CATALYST_INTERNAL_FN_RULES: dict[str, tuple[str, str | None]] = {
+    "extractansiintervalyears": ("template", "extract(YEAR FROM {inner})"),
+    "extractansiintervalmonths": ("template", "extract(MONTH FROM {inner})"),
+    "extractansiintervaldays": ("template", "extract(DAY FROM {inner})"),
+    "extractansiintervalhours": ("template", "extract(HOUR FROM {inner})"),
+    "extractansiintervalminutes": ("template",
+                                   "extract(MINUTE FROM {inner})"),
+    "extractansiintervalseconds": ("template",
+                                   "extract(SECOND FROM {inner})"),
+}
+
 _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     "to_timestamp": ("cast", "TIMESTAMP"),
     "to_date": ("cast", "DATE"),
@@ -322,6 +339,12 @@ def _rewrite_functions(txt: str, rules: dict) -> str:
                     out.append(f"{fn}({inner})")
                 elif kind == "append_arg":
                     out.append(f"{name}({inner}, {arg})")
+                elif kind == "template":
+                    if _top_level_commas(inner) != 0:
+                        raise DialectError(
+                            f"multi-arg {name}() does not match the "
+                            "single-arg rewrite template — not unparsable")
+                    out.append(arg.format(inner=inner))
                 else:  # pragma: no cover - rule table is closed
                     raise DialectError(f"unknown dialect rule {kind}")
                 i = end + 1
@@ -330,6 +353,53 @@ def _rewrite_functions(txt: str, rules: dict) -> str:
             i = j
             continue
         out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _top_level_join(txt: str) -> bool:
+    """True when the factor text contains a JOIN at paren depth 0 (i.e.
+    it is a joined-table expression, not a simple table factor)."""
+    depth = 0
+    i, n = 0, len(txt)
+    while i < n:
+        ch = txt[i]
+        if ch in ("'", '"', "`"):
+            i = _skip_quoted(txt, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and txt.startswith(" JOIN ", i):
+            return True
+        i += 1
+    return False
+
+
+def _fix_extract_field_literal(txt: str) -> str:
+    """Catalyst renders EXTRACT with the field as a STRING literal —
+    ``extract('MINUTE' FROM x)`` — but the parser's grammar form takes a
+    bare identifier: ``extract(MINUTE FROM x)`` (registry-sweep find, a
+    parse error at FROM).  Unquote the field only in the exact
+    three-segment shape (outside ``extract(`` + literal field + outside
+    `` FROM``), so literal CONTENT elsewhere can never be touched."""
+    segs = _Unparser._literal_segments(txt)
+    out: list[str] = []
+    i = 0
+    while i < len(segs):
+        is_lit, s = segs[i]
+        if (not is_lit and s.lower().endswith("extract(")
+                and i + 2 < len(segs) and segs[i + 1][0]
+                and segs[i + 2][1].startswith(" FROM ")):
+            field = segs[i + 1][1]
+            inner = field[1:-1]
+            if inner.isalpha():
+                out.append(s)
+                out.append(inner)
+                i += 2
+                continue
+        out.append(s)
         i += 1
     return "".join(out)
 
@@ -351,6 +421,9 @@ class _Unparser:
         self.session_tz = session_tz
         self._n = 0
         self._cte_names: dict[int, str] = {}  # cteId -> WITH-clause name
+        # (qual, name) attribute references hidden behind generated
+        # derived-table aliases (see _hide_quals)
+        self._hidden_pairs: set[tuple[str, str]] = set()
 
     def _alias(self) -> str:
         self._n += 1
@@ -513,11 +586,63 @@ class _Unparser:
         return False
 
     def _subplan_sql(self, subq, what: str) -> str:
-        if subq.outerAttrs().size() != 0:
+        """Unparse a subquery-expression's inner plan.  CORRELATED
+        subqueries (reference unparser/plan.rs renders these as plain
+        correlated column references) are handled by unwrapping the
+        ``outer(q.name)`` spelling Catalyst renders for each outer
+        reference: the bare ``q.name`` is exactly SQL's correlation
+        syntax, resolvable against the outer block's factor ``q``.
+
+        Safety: every outer attribute must render with a single-part
+        qualifier that is NOT hidden behind a generated derived alias
+        (a hidden qual would strip to a bare name, which the INNER
+        scope could capture — the one silent-rebinding hazard; refuse).
+        If the outer factor is derived away AFTER this text freezes the
+        reference dangles and re-analysis fails LOUDLY — the inner
+        scope cannot capture ``q.name`` because the original analysis
+        proved the inner scope does not resolve it (else Catalyst would
+        have bound it inner-first, not as an outer reference)."""
+        oa = subq.outerAttrs()
+        for i in range(oa.size()):
+            a = oa.apply(i)
+            if a.getClass().getSimpleName() != "AttributeReference":
+                raise DialectError(
+                    f"correlated {what} over a non-attribute outer "
+                    "reference — not unparsable")
+            qv = a.qualifier()
+            if qv.size() != 1:
+                raise DialectError(
+                    f"correlated {what} outer reference renders "
+                    "unqualified — inner-scope capture risk, refused")
+            if (qv.apply(0), a.name()) in self._hidden_pairs:
+                raise DialectError(
+                    f"correlated {what} outer qualifier is hidden behind "
+                    "a derived alias — not unparsable")
+        inner = _render_schema_exact(self.visit(subq.plan()))
+        if oa.size() == 0:
+            return inner
+        # re-check AFTER the inner visit: a derive inside the subquery
+        # may have hidden the same (qual, name) pair, in which case the
+        # outer() wrapper was already stripped to a BARE name — unwrapping
+        # it would let the inner scope capture the reference.
+        for i in range(oa.size()):
+            a = oa.apply(i)
+            if (a.qualifier().apply(0), a.name()) in self._hidden_pairs:
+                raise DialectError(
+                    f"correlated {what} outer qualifier was hidden by an "
+                    "inner derived alias — not unparsable")
+        import re as _re
+
+        ident = r"(?:`[^`]+`|\"[^\"]+\"|[A-Za-z_][A-Za-z_0-9]*)"
+        pat = _re.compile(rf"\bouter\(({ident}(?:\.{ident})*)\)")
+        inner = "".join(
+            s if is_lit else pat.sub(r"\1", s)
+            for is_lit, s in self._literal_segments(inner))
+        if "outer(" in self._outside_literals(inner).lower():
             raise DialectError(
-                f"correlated {what} renders outer() references — "
-                "not unparsable")
-        return _render_schema_exact(self.visit(subq.plan()))
+                f"correlated {what} outer reference did not match the "
+                "known rendering — not unparsable")
+        return inner
 
     def _render_subq_expr(self, e) -> str:
         """Render an expression tree CONTAINING subquery expressions:
@@ -780,7 +905,7 @@ class _Unparser:
     def _expr_sql(self, e) -> str:
         if self._tree_has_subquery(e):
             self._check_tree(e)
-            return self._render_subq_expr(e)
+            return self._strip_hidden_quals(self._render_subq_expr(e))
         self._check_tree(e)
         if self._tree_has_lambda(e):
             txt = self._render_lambda_text(e)
@@ -791,7 +916,12 @@ class _Unparser:
             if marker in low:
                 raise DialectError(
                     f"expression does not re-parse as SQL: {txt[:120]}")
-        return _requote(txt, self.dialect.identifier_quote)
+        if "extractansiinterval" in low:
+            txt = _rewrite_functions(txt, _CATALYST_INTERNAL_FN_RULES)
+        if "extract(" in low:
+            txt = _fix_extract_field_literal(txt)
+        return self._strip_hidden_quals(
+            _requote(txt, self.dialect.identifier_quote))
 
     def _sqls(self, jexprs) -> list[str]:
         return [self._expr_sql(e) for e in self._seq(jexprs)]
@@ -820,29 +950,101 @@ class _Unparser:
         name = next(iter(quals))
         return name if "`" not in name else None
 
-    def _derived_alias(self, node) -> str:
+    def _hide_and_alias(self, node) -> str:
+        """The factor alias for a derived table exposing ``node``'s
+        output; when the alias is GENERATED the node's output
+        qualifiers become hidden pairs (see _hide_quals)."""
         qual = self._qual_alias(node)
-        if qual is None:
-            return self._alias()
         q = self.dialect.identifier_quote
-        if q in qual:
+        if qual is None or q in qual:
+            self._hide_quals(node)
             return self._alias()
         return f"{q}{qual}{q}"
+
+    def _hide_quals(self, node) -> None:
+        """A derived table just got a GENERATED alias: the qualifiers of
+        ``node``'s output attributes are now invisible to every ancestor
+        block, but Catalyst's Expression.sql still renders references to
+        those attributes QUALIFIED (`customer`.`c_name`) — which dangles
+        against the tN factor (the r9 sweep's biggest refusal class:
+        mixed-qualifier join/aggregate outputs).  Record each
+        (qual, name) pair whose bare name is UNIQUE within the node's
+        output; _expr_sql rewrites those references to the bare name.
+        Safety: wherever the stripped bare name resolves at all, it
+        resolves either to the hidden node's column (ancestor blocks) or
+        to the unique same-named column of a live factor that the
+        qualified form also named; in every conflicting case (two
+        factors exposing the name) re-analysis fails LOUDLY with
+        AMBIGUOUS_REFERENCE and the unparse refuses — a silent
+        re-resolution is impossible."""
+        if node is None:
+            return
+        out = node.output()
+        names: dict[str, int] = {}
+        pairs: list[tuple[str, str]] = []
+        for i in range(out.size()):
+            a = out.apply(i)
+            names[a.name()] = names.get(a.name(), 0) + 1
+            qv = a.qualifier()
+            if qv.size() == 1:
+                pairs.append((qv.apply(0), a.name()))
+        for qual, name in pairs:
+            if names[name] != 1 or "`" in qual or "`" in name:
+                continue
+            self._hidden_pairs.add((qual, name))
+
+    def _strip_hidden_quals(self, txt: str) -> str:
+        """Rewrite qual.name → name for qualifiers hidden behind
+        generated derived aliases.  Catalyst's Expression.sql quotes
+        identifiers only when they need it, so both the plain and the
+        dialect-quoted spelling of each part must match; a longer dotted
+        chain (catalog.qual.name) is protected by the lookbehind.  Runs
+        only over outside-literal segments; the replacement is emitted
+        quoted, which is valid in every dialect."""
+        if not self._hidden_pairs:
+            return txt
+        import re as _re
+
+        q = self.dialect.identifier_quote
+        qq = _re.escape(q)
+
+        def seg(s: str) -> str:
+            for qual, name in self._hidden_pairs:
+                qual_pat = (f"(?:{qq}{_re.escape(qual)}{qq}"
+                            f"|{_re.escape(qual)})")
+                name_pat = (f"(?:{qq}{_re.escape(name)}{qq}"
+                            f"|{_re.escape(name)}\\b)")
+                s = _re.sub(
+                    rf"(?<![\w.{qq}]){qual_pat}\.{name_pat}",
+                    f"{q}{name}{q}", s)
+            return s
+
+        return "".join(
+            s if is_lit else seg(s)
+            for is_lit, s in self._literal_segments(txt))
 
     def _derive(self, b: _Block, node=None) -> _Block:
         """Flush a block into a derived table (plan.rs derive_table).
         ``node`` (the plan whose output the new block exposes) supplies
         the factor alias when its attributes render qualified."""
-        return _Block(from_=f"({b.render()}) AS {self._derived_alias(node)}")
+        alias = self._hide_and_alias(node)
+        return _Block(from_=f"({b.render()}) AS {alias}")
 
     def _as_factor(self, b: _Block, node=None) -> str:
-        """A join input: bare table factor if untouched, else derived."""
+        """A join input: bare table factor if untouched, else derived.
+        A factor that is itself a JOIN chain is parenthesized — without
+        the parens a RIGHT-nested join tree renders ``A JOIN B JOIN C
+        ON bc ON abc`` and the doubled ON clauses fail to parse
+        (registry-sweep find on the 8-relation TPC-H q2 shape)."""
         if (b.from_ is not None and b.select is None and not b.where
                 and not b.distinct and b.group_by is None
                 and b.order_by is None and b.limit is None
                 and b.offset is None):
+            if _top_level_join(b.from_):
+                return f"({b.from_})"
             return b.from_
-        return f"({b.render()}) AS {self._derived_alias(node)}"
+        alias = self._hide_and_alias(node)
+        return f"({b.render()}) AS {alias}"
 
     def _using_columns(self, node, cond) -> list[str] | None:
         """If the join condition is a conjunction of EqualTo over
@@ -1022,7 +1224,7 @@ class _Unparser:
             # after the FUNCTION ("read_parquet"), so a join of two bare
             # scans binder-errors with "Duplicate alias" (r9 judge repro).
             return _Block(
-                from_=f"read_parquet('{glob}') AS {self._derived_alias(node)}")
+                from_=f"read_parquet('{glob}') AS {self._hide_and_alias(node)}")
         raise DialectError(
             f"dialect {self.dialect.name} has no syntax for file relations")
 
@@ -1347,8 +1549,9 @@ class _Unparser:
         if cls in ("Intersect", "Except"):
             kw = "INTERSECT" if cls == "Intersect" else "EXCEPT"
             kw += " ALL" if node.isAll() else ""
-            lhs = _render_schema_exact(self.visit(node.left()))
-            rhs = _render_schema_exact(self.visit(node.right()))
+            lb, rb = self.visit(node.left()), self.visit(node.right())
+            self._hide_quals(node)
+            lhs, rhs = _render_schema_exact(lb), _render_schema_exact(rb)
             return _Block(from_=f"({lhs} {kw} {rhs}) AS {self._alias()}")
         if cls == "Range":
             # spark.range(start, end, step) -> the range() table function
@@ -1360,7 +1563,9 @@ class _Unparser:
             return _Block(from_=f"range({start}, {end}, {step})")
         if cls == "Union":
             kids = self._seq(node.children())
-            rendered = [_render_schema_exact(self.visit(k)) for k in kids]
+            blocks = [self.visit(k) for k in kids]
+            self._hide_quals(node)
+            rendered = [_render_schema_exact(kb) for kb in blocks]
             body = " UNION ALL ".join(rendered)
             return _Block(from_=f"({body}) AS {self._alias()}")
         if cls == "Join":

@@ -1564,3 +1564,157 @@ def test_window_frame_zero_preceding_divergence(spark, duck):
              f"{frame}) AS s FROM orders ORDER BY o_orderkey LIMIT 5")
         assert [r.s for r in spark.sql(q).collect()] == \
             [r[0] for r in duck.execute(q).fetchall()], frame
+
+
+# --- axis 19 (r10): multi-window-function queries ----------------------------
+# Two or three window functions with INDEPENDENT specs in one SELECT
+# (different partition keys, directions, frames), optionally with a second
+# window LAYER over the first's output — exercises WindowExec chaining,
+# window-spec grouping, and projection pushthrough (reference: window.slt
+# multi-function blocks; the r9 verdict named this space as axis-19
+# candidate).  Spark compiles each distinct (partition, order) spec into
+# its own Window operator stacked over a single sort-reuse chain; the axis
+# checks the chaining never leaks between specs.
+#
+# Domain constraints baked in:
+#   * row_number/ntile/lead/lag/nth_value/first/last_value draw the UNIQUE
+#     order key (o_orderkey) — with ties their output is legitimately
+#     nondeterministic on both engines, nothing to compare.
+#   * Over NON-UNIQUE order keys only peer-insensitive functions are
+#     drawn: rank/dense_rank/percent_rank/cume_dist and aggregates under
+#     the DEFAULT frame (RANGE ... CURRENT ROW includes all peers, so the
+#     result is tie-order-free).  ROWS frames with ties are excluded for
+#     the same nondeterminism reason.
+#   * IGNORE NULLS is a SPELLING divergence, excluded from the shared-SQL
+#     pool and pinned below: Spark puts the modifier OUTSIDE the call
+#     (`lead(x, 1) IGNORE NULLS OVER ...`), DuckDB INSIDE the argument
+#     list (`lead(x, 1 IGNORE NULLS) OVER ...`); each engine rejects the
+#     other's syntax at parse time.  Values agree once spelled per
+#     dialect (test_ignore_nulls_spelling_divergence).
+#
+# Probe sweeps before landing: 280 random multi-spec combos + 8 hand
+# corner cases (window-over-aggregate in one block, negative lead/lag
+# offsets, percent_rank/cume_dist on single-row partitions, ntile >
+# partition size, nth_value beyond frame, two-layer frames) — all
+# value-identical across engines.
+
+_MW_TIE_FNS = [
+    "rank()", "dense_rank()", "percent_rank()", "cume_dist()",
+    "sum({x})", "min({x})", "max({x})", "count({x})", "avg({x})",
+]
+_MW_UNIQ_FNS = [
+    "row_number()", "ntile(3)", "ntile(7)",
+    "lead({x}, 1, -1)", "lag({x}, 2, 0)", "nth_value({x}, 2)",
+    "first_value({x})", "last_value({x})",
+    "sum({x})", "count({x})",
+]
+_MW_XS = [
+    "o_orderkey % 97",
+    "CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS BIGINT) "
+    "ELSE o_custkey % 53 END",
+]
+_MW_PARTS = [None, "o_orderstatus", "o_orderpriority", "o_orderkey % 3"]
+_MW_FRAMES = [
+    None,
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING",
+]
+_MW_RANKING = ("row_number()", "rank()", "dense_rank()", "percent_rank()",
+               "cume_dist()")
+
+
+@st.composite
+def multi_window_spec(draw):
+    n = draw(st.integers(2, 3))
+    exprs = []
+    for i in range(n):
+        tie = draw(st.booleans())
+        if tie:
+            fn = draw(st.sampled_from(_MW_TIE_FNS))
+            okey = draw(st.sampled_from(["o_custkey % 11", "o_orderstatus"]))
+            frame = None  # default frame only: peer-inclusive, tie-safe
+        else:
+            fn = draw(st.sampled_from(_MW_UNIQ_FNS))
+            okey = "o_orderkey"
+            frame = (None if fn.split("(")[0] + "()" in _MW_RANKING
+                     or fn.startswith(("lead", "lag", "ntile"))
+                     else draw(st.sampled_from(_MW_FRAMES)))
+        x = draw(st.sampled_from(_MW_XS))
+        part = draw(st.sampled_from(_MW_PARTS))
+        d = draw(st.sampled_from(["ASC", "DESC"]))
+        over = (f"OVER ({'PARTITION BY ' + part + ' ' if part else ''}"
+                f"ORDER BY {okey} {d}{' ' + frame if frame else ''})")
+        exprs.append(f"{fn.format(x=x)} {over} AS a{i}")
+    outer = draw(st.booleans())
+    return exprs, outer
+
+
+@given(multi_window_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_multi_window_parity(spark, duck, spec):
+    """Random multi-spec window blocks (and a second window layer over
+    the first's output) must agree on both engines."""
+    exprs, outer = spec
+    inner = (f"SELECT o_orderkey, {', '.join(exprs)} FROM orders "
+             f"WHERE o_orderkey % 7 = 1")
+    if outer:
+        sql = (f"SELECT o_orderkey, a0, sum(a0) OVER (ORDER BY o_orderkey "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s "
+               f"FROM ({inner}) t ORDER BY o_orderkey LIMIT 120")
+    else:
+        sql = inner + " ORDER BY o_orderkey LIMIT 120"
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert len(got) == len(want), sql
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if gv is None or wv is None:
+                assert gv is None and wv is None, (sql, g, w)
+            elif isinstance(gv, float):
+                assert gv == pytest.approx(float(wv), rel=1e-9), (sql, g, w)
+            else:
+                assert gv == wv, (sql, g, w)
+
+
+def test_window_over_aggregate_single_block(spark, duck):
+    """Window functions OVER aggregate results in ONE query block (no
+    subquery) — the GROUP BY runs first, the window sees group rows.
+    Both engines implement the SQL-standard two-phase evaluation."""
+    sql = ("SELECT o_orderstatus, count(*) AS c, "
+           "sum(count(*)) OVER (ORDER BY o_orderstatus) AS rc "
+           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want and got
+
+
+def test_ignore_nulls_spelling_divergence(spark, duck):
+    """Pinned axis-19 finding: IGNORE NULLS placement is a hard SYNTAX
+    divergence — Spark takes the modifier after the call, DuckDB inside
+    the argument list; each engine parse-errors on the other's form.
+    The SEMANTICS agree once spelled per dialect (checked here), which
+    is why the unparser must refuse ignoreNulls renderings rather than
+    pass Spark text through (compat/unparser.py _IGNORE_NULLS_CLASSES
+    pins the companion silent-drop bug in Expression.sql)."""
+    x = ("CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS BIGINT) "
+         "ELSE o_custkey % 53 END")
+    s_sql = (f"SELECT lead({x}, 1) IGNORE NULLS OVER (ORDER BY o_orderkey)"
+             f" AS v, last_value({x}) IGNORE NULLS OVER "
+             f"(ORDER BY o_orderkey) AS w FROM orders "
+             f"WHERE o_orderkey < 400 ORDER BY o_orderkey LIMIT 30")
+    d_sql = (f"SELECT lead({x}, 1 IGNORE NULLS) OVER (ORDER BY o_orderkey)"
+             f" AS v, last_value({x} IGNORE NULLS) OVER "
+             f"(ORDER BY o_orderkey) AS w FROM orders "
+             f"WHERE o_orderkey < 400 ORDER BY o_orderkey LIMIT 30")
+    got = [tuple(r) for r in spark.sql(s_sql).collect()]
+    want = [tuple(r) for r in duck.execute(d_sql).fetchall()]
+    assert got == want and got            # same values, per-dialect text
+    with pytest.raises(Exception):        # DuckDB rejects Spark's form
+        duck.execute(s_sql)
+    with pytest.raises(Exception):        # Spark rejects DuckDB's form
+        spark.sql(d_sql).collect()

@@ -410,7 +410,13 @@ def test_scalar_subquery_in_projection(spark):
     _assert_roundtrip(spark, df)
 
 
-def test_correlated_subquery_refuses(spark):
+def test_correlated_subquery_roundtrip(spark):
+    """r10: correlated subqueries unparse by unwrapping Catalyst's
+    outer(q.name) rendering into the bare correlated reference (the
+    reference unparser renders these as plain column refs).  Both the
+    EXISTS and scalar forms must round-trip row-identically; the
+    refusal guards (unqualified outer ref / hidden qualifier) are
+    covered by the registry sweep's refusal classes."""
     v = _v(spark)
     df = spark.sql(f"""
         SELECT l_returnflag FROM {v} t
@@ -418,8 +424,14 @@ def test_correlated_subquery_refuses(spark):
                       WHERE u.l_orderkey = t.l_orderkey
                         AND u.l_quantity > 49)
     """)
-    with pytest.raises(DialectError, match="correlated"):
-        to_sql(df)
+    sql = _assert_roundtrip(spark, df)
+    assert "EXISTS" in sql and "outer(" not in sql
+    df2 = spark.sql(f"""
+        SELECT l_orderkey, l_quantity FROM {v} t
+        WHERE l_quantity > (SELECT AVG(u.l_quantity) FROM {v} u
+                            WHERE u.l_orderkey = t.l_orderkey) + 1
+    """)
+    _assert_roundtrip(spark, df2)
 
 
 def test_lateral_view_roundtrip(spark):
