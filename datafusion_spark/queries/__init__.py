@@ -138,13 +138,15 @@ def _interleave_families() -> None:
     # harmless if a name is not yet registered (tier() is only consulted
     # for registered names).
     priority = {
-        # oracle SQL changed r9 (bare decimal literals → CAST AS DOUBLE,
-        # ADVICE r8): re-verify under the new oracle text.
-        "text_bm25_topk",
-        # new r9 entries:
-        "text_bm25_index_serve",
-        "compat_unparser_cte_roundtrip",
+        # new r10 entries:
+        "source_schema_evolution_nested_array",
+        "text_bm25_index_refresh",
+        # materially changed r10, re-verify: the federation entry's pinned
+        # oracle TEXT regenerated (DuckDB file factors now aliased); the
+        # serve entry's plan gained the segment-generic df merge and the
+        # query-term-pruned term_stats broadcast (r9 judge find).
         "compat_unparser_duckdb_federation",
+        "text_bm25_index_serve",
     }
 
     def tier(name: str) -> int:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from datafusion_spark.catalog import TABLES, load_table
 from datafusion_spark.queries.registry import query
+from datafusion_spark.queries.helpers import values_df
 
 
 def information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -24,8 +25,9 @@ def information_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in TABLES:
         for i, f_ in enumerate(load_table(spark, sf_dir, t).schema.fields):
             rows.append((t, f_.name, i + 1))
-    return spark.createDataFrame(
-        rows, "table_name string, column_name string, ordinal_position long"
+    return values_df(
+        spark, rows,
+        "table_name string, column_name string, ordinal_position long"
     )
 
 
@@ -291,8 +293,8 @@ def catalog_parquet_metadata(spark, sf_dir):
         for i in range(md.num_row_groups):
             rows.append((gid, md.row_group(i).num_rows, md.row_group(i).num_columns))
             gid += 1
-    return spark.createDataFrame(
-        rows, schema="row_group_id bigint, num_rows bigint, n_cols bigint"
+    return values_df(
+        spark, rows, "row_group_id bigint, num_rows bigint, n_cols bigint"
     )
 
 
@@ -466,6 +468,7 @@ def catalog_table_types(spark, sf_dir):
         if t.name in ("ctt_view", "nation_ctt")
     ]
     return (
-        spark.createDataFrame(rows, "tbl string, table_type string, is_temporary boolean")
+        values_df(spark, rows,
+                  "tbl string, table_type string, is_temporary boolean")
         .orderBy("tbl")
     )

@@ -109,3 +109,70 @@ def revenue_expr() -> Column:
 
 
 SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def values_df(spark, rows, schema: str):
+    """Literal DataFrame as an inline VALUES table (LocalRelation).
+
+    ``spark.createDataFrame(rows)`` routes small literal tables through an
+    RDD, analyzing to a LogicalRDD node — which has no SQL spelling, so
+    the plan→SQL unparser must refuse every plan containing one (the r9
+    sweep's second-biggest refusal class).  The same rows written as a
+    ``VALUES`` inline table analyze to a LocalRelation, which round-trips
+    (and skips the Python→RDD serialization entirely).  Literal tables in
+    this package are dimension/model-sized by design; anything
+    data-sized must come from a source, never from the driver.
+
+    ``schema`` is the usual DDL string ("qid int, term string"); scalar
+    columns get an outer CAST to the declared type, array columns have
+    their ELEMENTS cast instead (a complex-typed outer CAST is exactly
+    the Catalyst rendering bug the unparser refuses)."""
+    cols = [c.strip().rsplit(" ", 1) for c in _split_ddl(schema)]
+
+    def scalar(v, typ):
+        t = typ.lower()
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return f"CAST({v!r} AS {'FLOAT' if t == 'float' else 'DOUBLE'})"
+        return str(v)
+
+    def cell(v, typ):
+        t = typ.lower()
+        if t.startswith("array<"):
+            et = typ[6:-1]
+            if v is None:
+                return f"CAST(NULL AS {typ})"
+            return "array(" + ", ".join(scalar(x, et) for x in v) + ")"
+        return scalar(v, typ)
+
+    body = ", ".join(
+        "(" + ", ".join(cell(v, typ) for v, (_, typ) in zip(r, cols)) + ")"
+        for r in rows
+    )
+    names = ", ".join(f"`{n}`" for n, _ in cols)
+    df = spark.sql(f"SELECT * FROM VALUES {body} AS t({names})")
+    return df.select(*[
+        (F.col(n) if typ.lower().startswith("array<")
+         else F.col(n).cast(typ)).alias(n)
+        for n, typ in cols
+    ])
+
+
+def _split_ddl(schema: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas (array<...> nests)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(schema[start:i])
+            start = i + 1
+    parts.append(schema[start:])
+    return [p for p in (s.strip() for s in parts) if p]

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from datafusion_spark.catalog import load_table
 from datafusion_spark.queries.helpers import fan_out
 from datafusion_spark.queries.registry import query
+from datafusion_spark.queries.helpers import values_df
 
 STOPWORDS = {
     "en": ["the", "of", "and", "to", "in"],
@@ -1372,7 +1373,8 @@ def _bm25_serve_plan(spark, segs: list[str], n_docs: int, total_len: int,
     stats (bounded by |query terms| × |segments|, never vocabulary-sized)."""
     from pyspark.sql.window import Window
 
-    qdf = spark.createDataFrame(
+    qdf = values_df(
+        spark,
         [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
         "qid int, term string",
     )

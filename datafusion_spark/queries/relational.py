@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from datafusion_spark.catalog import load_table
 from datafusion_spark.queries.helpers import DEC, dsum
 from datafusion_spark.queries.registry import query
+from datafusion_spark.queries.helpers import values_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -539,8 +540,9 @@ def case_when_bucketing(spark, sf_dir):
     tags=("relational", "values"),
 )
 def values_inline(spark, sf_dir):
-    vals = spark.createDataFrame(
-        [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")], "region_code int, region string"
+    vals = values_df(
+        spark, [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")],
+        "region_code int, region string"
     )
     reg = _t(spark, sf_dir, "region")
     return vals.join(F.broadcast(reg), F.col("region") == F.col("r_name")).select(
@@ -605,7 +607,8 @@ def join_range_nonequi(spark, sf_dir):
     probe.  Never range-join two big tables directly — bucket one side
     first."""
     c = load_table(spark, sf_dir, "customer")
-    bands = spark.createDataFrame(
+    bands = values_df(
+        spark,
         [("low", 0.0, 2000.0), ("mid", 2000.0, 6000.0), ("high", 6000.0, 10000.0)],
         "band_name string, lo double, hi double",
     )
@@ -866,9 +869,7 @@ def join_range_binned(spark, sf_dir):
     join (IP→geo, time→maintenance-window, value→band).
     tests/test_plans.py asserts the plan has no BroadcastNestedLoopJoin."""
     step = 1000.0
-    bands = spark.createDataFrame(
-        _PRICE_BANDS, "band_id int, lo double, hi double"
-    )
+    bands = values_df(spark, _PRICE_BANDS, "band_id int, lo double, hi double")
     binned_bands = bands.select(
         "band_id", "lo", "hi",
         F.explode(
@@ -930,7 +931,7 @@ def join_null_safe_eq(spark, sf_dir):
     )
     b = spark.range(0, 37).select(
         F.col("id").alias("v")
-    ).unionAll(spark.createDataFrame([(99,)], "v long")).select(
+    ).unionAll(values_df(spark, [(99,)], "v long")).select(
         F.when(F.col("v") == 99, None).otherwise(F.col("v")).alias("k"),
         F.col("v").alias("tag"),
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from datafusion_spark.catalog import load_table
 from datafusion_spark.queries.registry import query
+from datafusion_spark.queries.helpers import values_df
 from datafusion_spark.sources.io import (
     copy_to,
     copy_to_arrow_ipc,
@@ -592,7 +593,8 @@ def source_dynamic_partition_prune(spark, sf_dir):
     fact_path = os.path.join(_SCRATCH, "orders_by_priority")
     copy_to(orders, fact_path, fmt="parquet", partition_by=["o_orderpriority"])
     dim_path = os.path.join(_SCRATCH, "priority_dim")
-    dim = spark.createDataFrame(
+    dim = values_df(
+        spark,
         [("1-URGENT", "expedited"), ("2-HIGH", "expedited"),
          ("3-MEDIUM", "standard"), ("4-NOT SPECIFIED", "standard"),
          ("5-LOW", "standard")],
