@@ -229,6 +229,15 @@ def _strip_literal_suffixes(txt: str) -> str:
 # EXTRACT(DAY FROM x).  The rewrite restores the public spelling — the
 # re-analysis lowers it to the identical expression.
 _CATALYST_INTERNAL_FN_RULES: dict[str, tuple[str, str | None]] = {
+    # nullability HINT wrappers: value-identical no-ops whose rendering
+    # never re-parses; the re-analysis recomputes nullability itself
+    "knownnullable": ("template", "{inner}"),
+    "knownnotnull": ("template", "{inner}"),
+    "knownfloatingpointnormalized": ("template", "{inner}"),
+    # the time-window Expand lowering's internal micros conversion: the
+    # original window(ts, ...) call is not reconstructible from the
+    # lowered projections — clean refusal instead of a reparse error
+    "precisetimestampconversion": ("refuse", None),
     "extractansiintervalyears": ("template", "extract(YEAR FROM {inner})"),
     "extractansiintervalmonths": ("template", "extract(MONTH FROM {inner})"),
     "extractansiintervaldays": ("template", "extract(DAY FROM {inner})"),
@@ -916,7 +925,7 @@ class _Unparser:
             if marker in low:
                 raise DialectError(
                     f"expression does not re-parse as SQL: {txt[:120]}")
-        if "extractansiinterval" in low:
+        if any(k + "(" in low for k in _CATALYST_INTERNAL_FN_RULES):
             txt = _rewrite_functions(txt, _CATALYST_INTERNAL_FN_RULES)
         if "extract(" in low:
             txt = _fix_extract_field_literal(txt)
@@ -1198,9 +1207,28 @@ class _Unparser:
             raise DialectError(f"unsupported relation: {rcls}")
         fmt = rel.fileFormat().toString().lower()
         paths = rel.location().rootPaths()
-        if paths.size() != 1:
-            raise DialectError("multi-root file relation not unparsable")
-        path = paths.apply(0).toString()
+        roots = [paths.apply(i).toString() for i in range(paths.size())]
+        factors = [self._file_factor(fmt, r) for r in roots]
+        if len(factors) == 1:
+            return _Block(from_=factors[0])
+        # A multi-root listing (spark.read.parquet(a, b)) is the UNION ALL
+        # of the per-root scans — identical rows, one extra scan node
+        # (reference ListingTable with several location URLs).  Each
+        # branch selects the relation's own output columns BY NAME, so a
+        # root whose footer schema lacks one (mergeSchema evolution reads)
+        # fails re-analysis loudly instead of silently resolving a
+        # different column set per root.
+        q = self.dialect.identifier_quote
+        names = [node.output().apply(i).name()
+                 for i in range(node.output().size())]
+        if any(q in n or "`" in n for n in names):
+            raise DialectError("multi-root column name not quotable")
+        sel = ", ".join(f"{q}{n}{q}" for n in names)
+        branches = " UNION ALL ".join(
+            f"SELECT {sel} FROM {f}" for f in factors)
+        return _Block(from_=f"({branches}) AS {self._alias()}")
+
+    def _file_factor(self, fmt: str, path: str) -> str:
         if path.startswith("file:"):
             path = path[len("file:"):]
         style = self.dialect.file_table_style
@@ -1214,17 +1242,17 @@ class _Unparser:
                 f"{fmt} file relation loses reader options in a direct "
                 "file factor — not unparsable")
         if style == "spark":
-            return _Block(from_=f"{fmt}.`{path}`")
+            return f"{fmt}.`{path}`"
         if style == "duckdb":
             if fmt != "parquet":
-                raise DialectError(f"duckdb file factor only for parquet, got {fmt}")
+                raise DialectError(
+                    f"duckdb file factor only for parquet, got {fmt}")
             # single .parquet file → read directly; directory → recursive glob
             glob = path if path.endswith(".parquet") else f"{path}/**/*.parquet"
             # Always alias file factors: DuckDB names an unaliased factor
             # after the FUNCTION ("read_parquet"), so a join of two bare
             # scans binder-errors with "Duplicate alias" (r9 judge repro).
-            return _Block(
-                from_=f"read_parquet('{glob}') AS {self._hide_and_alias(node)}")
+            return f"read_parquet('{glob}') AS {self._alias()}"
         raise DialectError(
             f"dialect {self.dialect.name} has no syntax for file relations")
 
@@ -1631,6 +1659,31 @@ class _Unparser:
                           for a in self._seq(node.child().output())]
             b.select = child_cols + self._sqls(node.windowExpressions())
             return b
+        if cls == "Expand":
+            # Bare Expand (UNPIVOT / stack lowerings; the Aggregate-over-
+            # Expand grouping-sets shape is reconstructed separately):
+            # each projection row replicates the child with its own
+            # expression list — exactly a UNION ALL of per-row SELECTs
+            # over the same child factor.  Row-identical; the only
+            # divergence is physical (N scans instead of one Expand),
+            # which the unparse contract allows.
+            q = self.dialect.identifier_quote
+            out_names = [a.name() for a in self._seq(node.output())]
+            if any(q in n or "`" in n for n in out_names):
+                raise DialectError("Expand output column name not quotable")
+            factor = self._as_factor(self.visit(node.child()), node.child())
+            branches = []
+            for row in self._seq(node.projections()):
+                exprs = self._seq(row)
+                if len(exprs) != len(out_names):
+                    raise DialectError(
+                        "Expand projection arity mismatch — not unparsable")
+                sel = ", ".join(
+                    f"{self._expr_sql(e)} AS {q}{n}{q}"
+                    for e, n in zip(exprs, out_names))
+                branches.append(f"SELECT {sel} FROM {factor}")
+            return _Block(
+                from_=f"({' UNION ALL '.join(branches)}) AS {self._alias()}")
         raise DialectError(f"unsupported plan node for unparsing: {cls}")
 
 
