@@ -1659,6 +1659,25 @@ class _Unparser:
                           for a in self._seq(node.child().output())]
             b.select = child_cols + self._sqls(node.windowExpressions())
             return b
+        if cls == "LateralJoin":
+            # df.lateralJoin / SQL JOIN LATERAL: the right side is a
+            # LateralSubquery (plan + outerAttrs) — same interface as the
+            # subquery expressions, so the correlated outer() unwrapping
+            # in _subplan_sql applies unchanged.
+            jt = node.joinType().sql().upper()
+            if jt not in ("INNER", "LEFT OUTER", "CROSS"):
+                raise DialectError(f"{jt} LATERAL join — not unparsable")
+            lf = self._as_factor(self.visit(node.left()), node.left())
+            inner = self._subplan_sql(node.right(), "LATERAL subquery")
+            # name the lateral derived table by its plan's own output
+            # qualifier (references render qualified); generated + hidden
+            # otherwise — same contract as _derive
+            alias = self._hide_and_alias(node.right().plan())
+            kw = "LEFT OUTER JOIN" if jt == "LEFT OUTER" else "INNER JOIN"
+            on = (self._expr_sql(node.condition().get())
+                  if node.condition().isDefined() else "true")
+            return _Block(
+                from_=f"{lf} {kw} LATERAL ({inner}) AS {alias} ON {on}")
         if cls == "Expand":
             # Bare Expand (UNPIVOT / stack lowerings; the Aggregate-over-
             # Expand grouping-sets shape is reconstructed separately):
