@@ -487,6 +487,26 @@ class _Unparser:
                         "approx_count_distinct rsd is dropped by "
                         f"Expression.sql: {n.toString()[:100]}")
             elif cls in ("Cast", "TryCast", "AnsiCast"):
+                if self.dialect.name == "duckdb":
+                    # Fractional → integral CAST semantics DIVERGE:
+                    # Spark truncates toward zero, DuckDB rounds
+                    # half-away (382273.9375 → 382273 vs 382274 — found
+                    # by the sweep's DuckDB-execution pass).  Fractional
+                    # → string also formats differently.  No faithful
+                    # DuckDB spelling of Spark's cast — refuse.
+                    try:
+                        src = n.child().dataType().sql().upper()
+                        dst = n.dataType().sql().upper()
+                    except Exception:  # noqa: BLE001
+                        src = dst = ""
+                    frac = (src in ("FLOAT", "DOUBLE")
+                            or src.startswith("DECIMAL"))
+                    if frac and (dst in ("TINYINT", "SMALLINT", "INT",
+                                         "BIGINT", "STRING")):
+                        raise DialectError(
+                            f"CAST({src} AS {dst}) truncates in Spark "
+                            "but rounds/reformats in DuckDB — not "
+                            "unparsable in this dialect")
                 # Catalyst renders a Cast to a COMPLEX type (array/map/
                 # struct) as just its child — CAST(array(1,2) AS
                 # ARRAY<DOUBLE>).sql() == 'array(1, 2)' — so the target
