@@ -253,6 +253,11 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     "to_date": ("cast", "DATE"),
     "log": ("ln_if_unary", None),
     "regexp_replace": ("append_arg", "'g'"),
+    # day-of-week NUMBERING differs: DuckDB weekday/dayofweek are
+    # Sunday=0..6, Spark weekday is Monday=0..6 (= isodow-1) and Spark
+    # dayofweek is Sunday=1..7 (found by the DuckDB-execution pass)
+    "weekday": ("template", "(isodow({inner}) - 1)"),
+    "dayofweek": ("template", "(dayofweek({inner}) + 1)"),
     "regexp_extract": ("refuse", None),   # no-match: Spark '' vs NULL
     "split": ("refuse", None),            # Spark REGEX vs plain separator
     "approx_count_distinct": ("refuse", None),  # different sketch
