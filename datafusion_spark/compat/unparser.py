@@ -258,6 +258,15 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     # dayofweek is Sunday=1..7 (found by the DuckDB-execution pass)
     "weekday": ("template", "(isodow({inner}) - 1)"),
     "dayofweek": ("template", "(dayofweek({inner}) + 1)"),
+    # name ABBREVIATION differs: Spark monthname/dayname return 'Jan'/
+    # 'Mon', DuckDB's namesakes return 'January'/'Monday'
+    "monthname": ("template", "strftime({inner}, '%b')"),
+    "dayname": ("template", "strftime({inner}, '%a')"),
+    # estimator DEFINITIONS differ (the fuzz axis-17 class): Spark
+    # skewness/kurtosis are population g1/g2, DuckDB's are the
+    # sample-adjusted estimators — silently different values
+    "skewness": ("refuse", None),
+    "kurtosis": ("refuse", None),
     "regexp_extract": ("refuse", None),   # no-match: Spark '' vs NULL
     "split": ("refuse", None),            # Spark REGEX vs plain separator
     "approx_count_distinct": ("refuse", None),  # different sketch
