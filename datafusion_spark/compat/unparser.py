@@ -267,7 +267,30 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     # sample-adjusted estimators — silently different values
     "skewness": ("refuse", None),
     "kurtosis": ("refuse", None),
+    # reserved-word/function-spelling translations (loud parse or
+    # catalog errors otherwise; semantics identical after the rewrite)
+    "between": ("template_args", ("({0} BETWEEN {1} AND {2})", 3)),
+    "ilike": ("template_args", ("({0} ILIKE {1})", 2)),
+    "array_join": ("template_args", ("array_to_string({0}, {1})", 2)),
+    # Spark unix_timestamp(ts) is whole epoch SECONDS (bigint); DuckDB
+    # epoch(ts) keeps the fraction — floor + cast restores it.  The
+    # string-parsing arities use Spark format patterns: refused by the
+    # single-arg check.
+    "unix_timestamp": ("template",
+                       "CAST(floor(epoch({inner})) AS BIGINT)"),
     "regexp_extract": ("refuse", None),   # no-match: Spark '' vs NULL
+    # regex PATTERN DIALECTS differ (Java regex vs RE2): the extraction
+    # family can silently match differently (fn_regexp_extract_all
+    # diverged on the exec pass); boolean matchers refuse for the same
+    # reason.  regexp_replace keeps its 'g'-flag translation: RE2 errors
+    # loudly on the Java-only constructs instead of mismatching.
+    "regexp_extract_all": ("refuse", None),
+    "rlike": ("refuse", None),
+    "regexp_like": ("refuse", None),
+    "regexp": ("refuse", None),
+    "regexp_count": ("refuse", None),
+    "regexp_instr": ("refuse", None),
+    "regexp_substr": ("refuse", None),
     "split": ("refuse", None),            # Spark REGEX vs plain separator
     "approx_count_distinct": ("refuse", None),  # different sketch
     "spark_partition_id": ("refuse", None),     # execution-dependent
@@ -306,6 +329,28 @@ def _balanced_close(txt: str, i: int) -> int:
                 return i
         i += 1
     raise DialectError("unbalanced parentheses in rendered text")
+
+
+def _split_top_args(inner: str) -> list[str]:
+    """Split a rendered argument list on top-level commas (quote/paren
+    aware) — for the multi-arg dialect templates."""
+    parts: list[str] = []
+    depth, start, i, n = 0, 0, 0, len(inner)
+    while i < n:
+        ch = inner[i]
+        if ch in ("'", '"'):
+            i = _skip_quoted(inner, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(inner[start:].strip())
+    return parts
 
 
 def _top_level_commas(txt: str) -> int:
@@ -368,6 +413,15 @@ def _rewrite_functions(txt: str, rules: dict) -> str:
                             f"multi-arg {name}() does not match the "
                             "single-arg rewrite template — not unparsable")
                     out.append(arg.format(inner=inner))
+                elif kind == "template_args":
+                    tmpl, arity = arg
+                    parts = _split_top_args(inner)
+                    if len(parts) != arity:
+                        raise DialectError(
+                            f"{len(parts)}-arg {name}() does not match "
+                            f"the {arity}-arg rewrite template — not "
+                            "unparsable")
+                    out.append(tmpl.format(*parts))
                 else:  # pragma: no cover - rule table is closed
                     raise DialectError(f"unknown dialect rule {kind}")
                 i = end + 1
@@ -1761,6 +1815,13 @@ def to_sql(df, dialect: Dialect = SPARK, validate: bool = True) -> str:
         text = _strip_literal_suffixes(text)
     if dialect.name == "duckdb":
         text = _rewrite_functions(text, _DUCKDB_FN_RULES)
+        # DuckDB's TIMESTAMP IS timezone-naive — Spark's TIMESTAMP_NTZ
+        # type token maps to it directly
+        import re as _re
+
+        text = "".join(
+            s if is_lit else _re.sub(r"\bTIMESTAMP_NTZ\b", "TIMESTAMP", s)
+            for is_lit, s in _Unparser._literal_segments(text))
     if validate and dialect.name == "spark":
         from pyspark.errors.exceptions.captured import CapturedException
 
