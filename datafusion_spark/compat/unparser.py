@@ -72,7 +72,11 @@ def _requote(sql: str, quote: str) -> str:
         ch = sql[i]
         if in_str:
             out.append(ch)
-            if ch == "'":
+            if ch == "\\" and i + 1 < n:
+                # Catalyst C-style escape (\' / \\): next char is literal
+                out.append(sql[i + 1])
+                i += 1
+            elif ch == "'":
                 # '' escape stays inside the literal
                 if i + 1 < n and sql[i + 1] == "'":
                     out.append("'")
@@ -298,11 +302,17 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
 
 
 def _skip_quoted(txt: str, i: int) -> int:
-    """Index just past a quoted span starting at txt[i] (''/"" escapes)."""
+    """Index just past a quoted span starting at txt[i].  Handles the
+    doubled-quote escape in both quote styles and, inside SINGLE-quoted
+    literals, Catalyst's C-style backslash escapes (\' and \\ — the
+    rendering convention Literal.sql uses)."""
     q = txt[i]
     n = len(txt)
     i += 1
     while i < n:
+        if q == "'" and txt[i] == "\\" and i + 1 < n:
+            i += 2
+            continue
         if txt[i] == q:
             if i + 1 < n and txt[i + 1] == q:
                 i += 2
@@ -481,6 +491,66 @@ def _fix_extract_field_literal(txt: str) -> str:
     return "".join(out)
 
 
+def _reescape_literals_duckdb(txt: str) -> str:
+    """Convert every string literal from Catalyst's rendering convention
+    (C-style: backslash doubled, quote as \\') to standard-SQL DuckDB
+    form (backslash literal, quote doubled) — found by the exec pass:
+    '%\\\\_x' meant pattern %\\_x to Spark but two literal backslashes to
+    DuckDB.  MUST run LAST in the DuckDB pipeline: every other rewrite
+    walks text in the Catalyst convention."""
+    out: list[str] = []
+    for is_lit, s in _Unparser._literal_segments(txt):
+        if not is_lit or len(s) < 2:
+            out.append(s)
+            continue
+        body = s[1:-1]
+        res: list[str] = []
+        i, n = 0, len(body)
+        while i < n:
+            ch = body[i]
+            if ch == "\\" and i + 1 < n and body[i + 1] in ("\\", "'"):
+                res.append(body[i + 1])
+                i += 2
+                continue
+            if ch == "'" and i + 1 < n and body[i + 1] == "'":
+                res.append("'")
+                i += 2
+                continue
+            res.append(ch)
+            i += 1
+        out.append("'" + "".join(res).replace("'", "''") + "'")
+    return "".join(out)
+
+
+def _like_escape_duckdb(txt: str) -> str:
+    """Append ``ESCAPE '\\'`` to LIKE/ILIKE LITERAL patterns for DuckDB:
+    Spark's LIKE treats backslash as the DEFAULT escape character, DuckDB
+    has none ('%\\_x' matched a literal backslash + any char — found by
+    the exec pass).  For patterns without a backslash the clause is a
+    no-op, so it is semantics-equalizing in every literal case;
+    non-literal patterns are left alone (no rendered occurrence)."""
+    segs = _Unparser._literal_segments(txt)
+    out: list[str] = []
+    i = 0
+    while i < len(segs):
+        is_lit, s = segs[i]
+        out.append(s)
+        if (not is_lit and (s.endswith(" LIKE ") or s.endswith(" ILIKE "))
+                and i + 1 < len(segs) and segs[i + 1][0]):
+            out.append(segs[i + 1][1])
+            nxt = (segs[i + 2][1]
+                   if i + 2 < len(segs) and not segs[i + 2][0] else "")
+            if not nxt.lstrip().upper().startswith("ESCAPE"):
+                # Catalyst-convention spelling of a single backslash —
+                # _reescape_literals_duckdb (which runs after) converts
+                # it to the DuckDB form '\'
+                out.append(" ESCAPE '\\\\'")
+            i += 2
+            continue
+        i += 1
+    return "".join(out)
+
+
 def _render_schema_exact(b: _Block) -> str:
     """Render for schema-sensitive contexts (query root, set-op branches):
     a select-less USING-join block materializes its recorded node.output()
@@ -617,7 +687,9 @@ class _Unparser:
         while i < n:
             ch = txt[i]
             if in_str:
-                if ch == "'":
+                if ch == "\\" and i + 1 < n:
+                    i += 1  # C-style escape: next char stays literal
+                elif ch == "'":
                     if i + 1 < n and txt[i + 1] == "'":
                         i += 1
                     else:
@@ -643,7 +715,10 @@ class _Unparser:
             ch = txt[i]
             if in_str:
                 buf.append(ch)
-                if ch == "'":
+                if ch == "\\" and i + 1 < n:
+                    buf.append(txt[i + 1])
+                    i += 1  # C-style escape: next char stays literal
+                elif ch == "'":
                     if i + 1 < n and txt[i + 1] == "'":
                         buf.append(txt[i + 1])
                         i += 1
@@ -824,7 +899,9 @@ class _Unparser:
         while i < n:
             ch = txt[i]
             if in_str:
-                if ch == "'":
+                if ch == "\\" and i + 1 < n:
+                    i += 1
+                elif ch == "'":
                     if i + 1 < n and txt[i + 1] == "'":
                         i += 1
                     else:
@@ -843,7 +920,9 @@ class _Unparser:
         while i < n:
             ch = txt[i]
             if in_str:
-                if ch == "'":
+                if ch == "\\" and i + 1 < n:
+                    i += 1
+                elif ch == "'":
                     if i + 1 < n and txt[i + 1] == "'":
                         i += 1
                     else:
@@ -868,7 +947,10 @@ class _Unparser:
             ch = txt[i]
             if in_str:
                 cur.append(ch)
-                if ch == "'":
+                if ch == "\\" and i + 1 < n:
+                    cur.append(txt[i + 1])
+                    i += 1
+                elif ch == "'":
                     if i + 1 < n and txt[i + 1] == "'":
                         cur.append("'")
                         i += 1
@@ -1822,6 +1904,8 @@ def to_sql(df, dialect: Dialect = SPARK, validate: bool = True) -> str:
         text = "".join(
             s if is_lit else _re.sub(r"\bTIMESTAMP_NTZ\b", "TIMESTAMP", s)
             for is_lit, s in _Unparser._literal_segments(text))
+        text = _like_escape_duckdb(text)
+        text = _reescape_literals_duckdb(text)  # must run LAST
     if validate and dialect.name == "spark":
         from pyspark.errors.exceptions.captured import CapturedException
 

@@ -748,3 +748,29 @@ def test_ltz_timestamp_non_utc_session(spark):
         assert a == b and a
     finally:
         spark.conf.set(tz_key, "UTC")
+
+
+def test_backslash_and_quote_literals(spark):
+    """r10 exec-pass find: Catalyst renders string literals C-style
+    (backslash doubled, quote as \\'), which the quote-aware walks must
+    parse — and the DuckDB dialect must re-escape to standard SQL
+    (backslash literal, quote doubled).  Covers the LIKE default-escape
+    divergence too (Spark's LIKE escape char is backslash, DuckDB has
+    none without an ESCAPE clause)."""
+    import duckdb
+
+    df = (_li(spark).limit(0)  # schema only; rows come from the VALUES
+          .select("l_orderkey"))
+    df = spark.sql(r"""
+        SELECT s, s LIKE '%\\_x' AS m, 'it''s' AS q
+        FROM VALUES ('a_x'), ('a\\_x') AS t(s)
+    """)
+    sql = to_sql(df)                      # spark round-trip
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, spark.sql(sql).collect()))
+    assert a == b and a
+    dsql = to_sql(df, DUCKDB, validate=False)
+    got = sorted(map(tuple, duckdb.sql(dsql).fetchall()))
+    assert got == a                       # escape + re-quoting exact
+    assert "it''s" in dsql          # quote re-doubled for DuckDB
+    assert "ESCAPE" in dsql         # LIKE default-escape made explicit
