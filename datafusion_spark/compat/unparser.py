@@ -27,6 +27,9 @@ rows as ``df`` itself.
 
 from __future__ import annotations
 
+import os
+import re
+
 from dataclasses import dataclass, field
 
 from datafusion_spark.compat.dialect import DialectError
@@ -256,7 +259,6 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     "to_timestamp": ("cast", "TIMESTAMP"),
     "to_date": ("cast", "DATE"),
     "log": ("ln_if_unary", None),
-    "regexp_replace": ("append_arg", "'g'"),
     # day-of-week NUMBERING differs: DuckDB weekday/dayofweek are
     # Sunday=0..6, Spark weekday is Monday=0..6 (= isodow-1) and Spark
     # dayofweek is Sunday=1..7 (found by the DuckDB-execution pass)
@@ -299,6 +301,693 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     "approx_count_distinct": ("refuse", None),  # different sketch
     "spark_partition_id": ("refuse", None),     # execution-dependent
 }
+
+
+def _lambda_parts(txt: str):
+    """Parse a rendered arrow lambda ``(a, b) -> body`` / ``a -> body``
+    into (params, body); None when the text is not a lambda."""
+    m = re.match(r"^\((\w+), (\w+)\)\s*->\s*(.*)$", txt, re.S)
+    if m:
+        return [m.group(1), m.group(2)], m.group(3)
+    m = re.match(r"^(\w+)\s*->\s*(.*)$", txt, re.S)
+    if m:
+        return [m.group(1)], m.group(2)
+    return None
+
+
+def _subst_word(body: str, old: str, new: str) -> str:
+    """Replace identifier ``old`` with ``new`` in the outside-literal
+    segments of ``body`` (lambda variables are generator-fresh names, but
+    a same-spelled substring inside a string literal must survive)."""
+    return "".join(
+        s if is_lit else re.sub(rf"\b{re.escape(old)}\b", new, s)
+        for is_lit, s in _Unparser._literal_segments(body))
+
+
+def _is_identity_lambda(txt: str) -> bool:
+    lp = _lambda_parts(txt)
+    return bool(lp) and len(lp[0]) == 1 and lp[1].strip() == lp[0][0]
+
+
+# Catalyst renders array_sort's DEFAULT comparator as an explicit
+# IF-chain lambda (asc, NULLs last).  Recognizing that exact shape lets
+# the default sort translate to list_sort; any other comparator refuses.
+_CANON_CMP = ("(IF(((A IS NULL) AND (B IS NULL)), 0, (IF((A IS NULL), 1, "
+              "(IF((B IS NULL), -1, (IF((A < B), -1, (IF((A > B), 1, 0))))"
+              "))))))")
+
+
+def _h_array_sort(name, inner):
+    args = _split_top_args(inner)
+    if len(args) == 1:
+        return f"list_sort({args[0]}, 'ASC', 'NULLS LAST')"
+    if len(args) == 2:
+        lp = _lambda_parts(args[1])
+        if lp and len(lp[0]) == 2:
+            body = _subst_word(_subst_word(lp[1], lp[0][0], "A"),
+                               lp[0][1], "B")
+            if body.strip() == _CANON_CMP:
+                return f"list_sort({args[0]}, 'ASC', 'NULLS LAST')"
+    raise DialectError(
+        "array_sort with a custom comparator has no faithful spelling in "
+        "this dialect — not unparsable")
+
+
+def _h_sort_array(name, inner):
+    args = _split_top_args(inner)
+    if len(args) == 1 or (len(args) == 2 and args[1] == "true"):
+        return f"list_sort({args[0]}, 'ASC', 'NULLS FIRST')"
+    if len(args) == 2 and args[1] == "false":
+        return f"list_sort({args[0]}, 'DESC', 'NULLS LAST')"
+    raise DialectError(
+        "sort_array with a non-literal order flag — not unparsable")
+
+
+def _h_aggregate(name, inner):
+    """Spark aggregate/reduce (left fold with an init value) →
+    list_reduce over list_prepend(init, arr).  The fold order and the
+    empty-array result (init) match; a NULL array needs an explicit
+    guard (list_prepend(init, NULL) is [init] in DuckDB, Spark yields
+    NULL).  Only the identity finish lambda (Catalyst always renders
+    one) is accepted."""
+    args = _split_top_args(inner)
+    if len(args) == 4 and not _is_identity_lambda(args[3]):
+        raise DialectError(
+            f"{name}() with a non-identity finish lambda has no faithful "
+            "spelling in this dialect — not unparsable")
+    if len(args) not in (3, 4):
+        raise DialectError(f"{len(args)}-arg {name}() — not unparsable")
+    arr, init, merge = args[0], args[1], args[2]
+    lp = _lambda_parts(merge)
+    if not lp or len(lp[0]) != 2:
+        raise DialectError(f"{name}() merge lambda did not parse")
+    if re.search(rf"CAST\(\s*\(*\s*{re.escape(lp[0][1])}\b", lp[1]):
+        # list_prepend(init, arr) unifies the ELEMENT type with the
+        # accumulator's — a merge body that casts the element (type
+        # mixing) would see pre-rounded values (exec-pass find: a
+        # float→DECIMAL fold drifted ~1 ulp/element)
+        raise DialectError(
+            f"{name}() merge casts the element — the init/element type "
+            "unification would pre-round it, not unparsable")
+    return (f"CASE WHEN ({arr}) IS NULL THEN NULL ELSE "
+            f"list_reduce(list_prepend({init}, {arr}), "
+            f"({lp[0][0]}, {lp[0][1]}) -> {lp[1]}) END")
+
+
+def _h_zip_with(name, inner):
+    """zip_with(a, b, (x, y) -> e) → list_transform over list_zip (both
+    engines pad the shorter list with NULLs); the lambda variables are
+    rewritten to the zipped struct's positional fields."""
+    args = _split_top_args(inner)
+    if len(args) != 3:
+        raise DialectError(f"{len(args)}-arg zip_with() — not unparsable")
+    lp = _lambda_parts(args[2])
+    if not lp or len(lp[0]) != 2:
+        raise DialectError("zip_with() lambda did not parse")
+    body = lp[1]
+    if re.search(r"\b__zw\b", body):
+        raise DialectError("zip_with body captures the fresh variable")
+    body = _subst_word(body, lp[0][0], "(__zw[1])")
+    body = _subst_word(body, lp[0][1], "(__zw[2])")
+    # DuckDB list_zip treats a NULL side as empty; Spark zip_with is
+    # NULL when either input is NULL — guard explicitly
+    return (f"CASE WHEN ({args[0]}) IS NULL OR ({args[1]}) IS NULL "
+            f"THEN NULL ELSE list_transform(list_zip({args[0]}, "
+            f"{args[1]}), __zw -> {body}) END")
+
+
+def _h_slice(name, inner):
+    # Spark slice(arr, start, LENGTH) vs DuckDB list_slice(arr, begin,
+    # END-INCLUSIVE) — same 1-based/negative-from-end indexing otherwise
+    a = _split_top_args(inner)
+    if len(a) != 3:
+        raise DialectError(f"{len(a)}-arg slice() — not unparsable")
+    return f"list_slice({a[0]}, {a[1]}, ({a[1]}) + ({a[2]}) - 1)"
+
+
+def _h_element_at(name, inner):
+    """Map access by string-literal key → subscript + [1] (DuckDB map
+    subscripts yield a 0/1-element LIST); array access by non-zero
+    integer literal → plain subscript (both 1-based, both
+    negative-from-end, both NULL out of range).  Anything else is
+    type-ambiguous in text form and refuses."""
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(f"{len(a)}-arg element_at() — not unparsable")
+    if re.match(r"^'(?:[^'\\]|\\.)*'$", a[1]):
+        return f"(({a[0]})[{a[1]}])[1]"
+    if re.match(r"^-?\d+$", a[1]):
+        if a[1] == "0":
+            raise DialectError(
+                "element_at index 0 errors in Spark, NULLs in DuckDB — "
+                "not unparsable")
+        return f"({a[0]})[{a[1]}]"
+    raise DialectError(
+        "element_at with a computed key is map/array-ambiguous — "
+        "not unparsable")
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)*$")
+
+
+def _h_struct(name, inner):
+    """struct(...) → struct_pack with Spark's field naming: a simple
+    (possibly qualified) column keeps its bare name, any other
+    expression gets the positional colN name."""
+    args = _split_top_args(inner)
+    parts = []
+    for i, a in enumerate(args):
+        if _IDENT_RE.match(a):
+            nm = a.rsplit(".", 1)[-1]
+        elif re.match(r'^"[^"]+"$', a):
+            nm = a[1:-1]
+        else:
+            nm = f"col{i + 1}"
+        parts.append(f'"{nm}" := {a}')
+    return f"struct_pack({', '.join(parts)})"
+
+
+def _h_named_struct(name, inner):
+    args = _split_top_args(inner)
+    if len(args) % 2 != 0 or not args:
+        raise DialectError("odd-arg named_struct() — not unparsable")
+    parts = []
+    for i in range(0, len(args), 2):
+        m = re.match(r"^'([^'\\\"]*)'$", args[i])
+        if not m:
+            raise DialectError(
+                "named_struct with a computed field name — not unparsable")
+        parts.append(f'"{m.group(1)}" := {args[i + 1]}')
+    return f"struct_pack({', '.join(parts)})"
+
+
+def _h_map(name, inner):
+    args = _split_top_args(inner)
+    if not args or len(args) % 2 != 0:
+        raise DialectError(f"{len(args)}-arg map() — not unparsable")
+    ks = ", ".join(args[0::2])
+    vs = ", ".join(args[1::2])
+    return f"map(list_value({ks}), list_value({vs}))"
+
+
+def _h_str_to_map(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 3:
+        raise DialectError(f"{len(a)}-arg str_to_map() — not unparsable")
+    if any(re.search(r"\b__stm\b", x) for x in a):
+        raise DialectError("str_to_map arg captures the fresh variable")
+    kv = f"string_split(__stm, {a[2]})"
+    return (f"map_from_entries(list_transform(string_split({a[0]}, {a[1]}),"
+            f" __stm -> struct_pack(\"k\" := {kv}[1], \"v\" := {kv}[2])))")
+
+
+def _h_locate(name, inner):
+    a = _split_top_args(inner)
+    if len(a) == 2:
+        return f"instr({a[1]}, {a[0]})"
+    if len(a) == 3:
+        found = f"instr(substring({a[1]}, {a[2]}), {a[0]})"
+        return (f"CASE WHEN {found} = 0 THEN 0 "
+                f"ELSE {found} + ({a[2]}) - 1 END")
+    raise DialectError(f"{len(a)}-arg locate() — not unparsable")
+
+
+def _h_conv(name, inner):
+    a = _split_top_args(inner)
+    if len(a) == 3 and a[1] == "10" and a[2] == "16":
+        return f"upper(to_base(CAST({a[0]} AS BIGINT), 16))"
+    raise DialectError(
+        "conv() only translates base 10 → 16 — not unparsable")
+
+
+def _h_elt(name, inner):
+    a = _split_top_args(inner)
+    if len(a) < 2:
+        raise DialectError(f"{len(a)}-arg elt() — not unparsable")
+    return f"(list_value({', '.join(a[1:])}))[{a[0]}]"
+
+
+def _h_bround(name, inner):
+    a = _split_top_args(inner)
+    if len(a) == 1:
+        return f"round_even({a[0]}, 0)"
+    if len(a) == 2:
+        return f"round_even({a[0]}, {a[1]})"
+    raise DialectError(f"{len(a)}-arg bround() — not unparsable")
+
+
+def _h_shift(name, inner):
+    """Java shift semantics mask the count by the operand's bit width,
+    which text-form translation cannot know — only literal counts that
+    behave identically for both widths (0..31) translate.  In-range
+    value overflow differs loudly (Java wraps, DuckDB errors)."""
+    a = _split_top_args(inner)
+    op = "<<" if name.lower() == "shiftleft" else ">>"
+    if len(a) == 2 and re.match(r"^\d+$", a[1]) and int(a[1]) <= 31:
+        return f"({a[0]} {op} {a[1]})"
+    raise DialectError(
+        f"{name}() count is masked by operand bit width in Spark — "
+        "only literal 0..31 translates, not unparsable")
+
+
+def _h_percentile(name, inner):
+    a = _split_top_args(inner)
+    unit_freq = len(a) == 3 and re.fullmatch(
+        r"(?:CAST\()*1(?: AS \w+\))*", a[2])
+    if len(a) == 2 or unit_freq:
+        return f"quantile_cont({a[0]}, {a[1]})"
+    raise DialectError(
+        "percentile() with a non-unit frequency — not unparsable")
+
+
+_TSADD_UNITS = {"year": "YEAR", "month": "MONTH", "week": "WEEK",
+                "day": "DAY", "hour": "HOUR", "minute": "MINUTE",
+                "second": "SECOND", "millisecond": "MILLISECOND",
+                "microsecond": "MICROSECOND"}
+
+
+def _h_timestampadd(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 3:
+        raise DialectError(f"{len(a)}-arg {name}() — not unparsable")
+    u = a[0].lower()
+    if u == "quarter":
+        return f"(({a[2]}) + ({a[1]}) * 3 * INTERVAL 1 MONTH)"
+    if u not in _TSADD_UNITS:
+        raise DialectError(f"{name}() unit {a[0]} — not unparsable")
+    return f"(({a[2]}) + ({a[1]}) * INTERVAL 1 {_TSADD_UNITS[u]})"
+
+
+def _h_datediff(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(
+            f"{len(a)}-arg {name}() counts boundary crossings differently "
+            "per engine — not unparsable")
+    return f"date_diff('day', {a[1]}, {a[0]})"
+
+
+def _strip_binary_cast(arg: str) -> str:
+    m = re.match(r"^CAST\((.*) AS BINARY\)$", arg, re.S)
+    if m and _balanced_ok(m.group(1)):
+        return m.group(1)
+    return arg
+
+
+def _balanced_ok(txt: str) -> bool:
+    depth = 0
+    i, n = 0, len(txt)
+    while i < n:
+        ch = txt[i]
+        if ch in ("'", '"'):
+            i = _skip_quoted(txt, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+        i += 1
+    return depth == 0
+
+
+def _h_md5(name, inner):
+    # Spark md5 takes BINARY (strings render through CAST AS BINARY);
+    # DuckDB md5 hashes the VARCHAR's UTF-8 bytes directly — same bytes
+    a = _split_top_args(inner)
+    if len(a) != 1:
+        raise DialectError(f"{len(a)}-arg md5() — not unparsable")
+    return f"md5({_strip_binary_cast(a[0])})"
+
+
+def _h_sha2(name, inner):
+    a = _split_top_args(inner)
+    if len(a) == 2 and a[1] in ("0", "256"):
+        return f"sha256({_strip_binary_cast(a[0])})"
+    raise DialectError(
+        "sha2() only translates the 256-bit form — not unparsable")
+
+
+def _h_collect_set(name, inner):
+    return f"list(DISTINCT {inner})"
+
+
+def _h_make_ym_interval(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(
+            f"{len(a)}-arg make_ym_interval() — not unparsable")
+    return (f"(to_years(CAST({a[0]} AS INTEGER)) + "
+            f"to_months(CAST({a[1]} AS INTEGER)))")
+
+
+def _h_concat(name, inner):
+    # DuckDB's concat() SKIPS NULL arguments (Postgres semantics); Spark
+    # concat is NULL if ANY argument is NULL (exec-pass divergence find).
+    # The || operator propagates NULL in both engines, for strings and
+    # lists alike.
+    args = _split_top_args(inner)
+    if len(args) < 2:
+        return f"({inner})"
+    return "(" + " || ".join(args) + ")"
+
+
+def _h_regexp_replace(name, inner):
+    a = _split_top_args(inner)
+    if len(a) == 3 or (len(a) == 4 and a[3] == "1"):
+        return (f"regexp_replace({a[0]}, {a[1]}, {a[2]}, 'g')")
+    raise DialectError(
+        "regexp_replace from a non-initial position — not unparsable")
+
+
+def _h_encode(name, inner):
+    a = _split_top_args(inner)
+    charset = a[1].strip("'").lower().replace("-", "") if len(a) == 2 else ""
+    if charset == "utf8":
+        return f"{name.lower()}({a[0]})"
+    raise DialectError(
+        f"{name}() only translates the UTF-8 charset — not unparsable")
+
+
+def _h_minmax_by(name, inner):
+    a = _split_top_args(inner)
+    if len(a) == 2 and a[1].startswith("struct_pack("):
+        raise DialectError(
+            f"{name}() over a struct ranking — DuckDB's arg_min/arg_max "
+            "take scalar orderings, not unparsable")
+    return f"{name}({inner})"
+
+
+def _h_factorial(name, inner):
+    # Spark factorial is NULL outside 0..20; DuckDB's INT128 result keeps
+    # going — the guard restores the NULL range exactly
+    return (f"(CASE WHEN ({inner}) BETWEEN 0 AND 20 THEN "
+            f"factorial(CAST({inner} AS INTEGER)) ELSE NULL END)")
+
+
+def _h_array_repeat(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(f"{len(a)}-arg array_repeat() — not unparsable")
+    if any(re.search(r"\b__ar\b", x) for x in a):
+        raise DialectError("array_repeat arg captures the fresh variable")
+    return f"list_transform(range({a[1]}), __ar -> ({a[0]}))"
+
+
+def _h_to_binary(name, inner):
+    a = _split_top_args(inner)
+    fmt = (a[1].strip("'").lower().replace("-", "")
+           if len(a) == 2 else "hex")
+    if len(a) in (1, 2) and fmt == "utf8":
+        return f"encode({a[0]})"
+    if len(a) in (1, 2) and fmt == "hex":
+        return f"unhex({a[0]})"
+    if len(a) == 2 and fmt == "base64":
+        return f"from_base64({a[0]})"
+    raise DialectError(f"to_binary() format — not unparsable")
+
+
+def _h_make_dt_interval(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 4:
+        raise DialectError(
+            f"{len(a)}-arg make_dt_interval() — not unparsable")
+    return (f"(to_days(CAST({a[0]} AS INTEGER)) + "
+            f"to_hours(CAST({a[1]} AS INTEGER)) + "
+            f"to_minutes(CAST({a[2]} AS INTEGER)) + "
+            f"to_seconds(CAST({a[3]} AS DOUBLE)))")
+
+
+# Java SimpleDateFormat-style tokens → strftime, longest-first; a format
+# literal with any letter outside this table refuses (silent-format class)
+_DATE_FMT_TOKENS = [("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"),
+                    ("dd", "%d"), ("HH", "%H"), ("hh", "%I"),
+                    ("mm", "%M"), ("ss", "%S"), ("a", "%p")]
+
+
+def _h_make_interval(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 7:
+        raise DialectError(
+            f"{len(a)}-arg make_interval() — not unparsable")
+    return (f"(to_years(CAST({a[0]} AS INTEGER)) + "
+            f"to_months(CAST({a[1]} AS INTEGER)) + "
+            f"to_days(CAST({a[2]} AS INTEGER) * 7 + "
+            f"CAST({a[3]} AS INTEGER)) + "
+            f"to_hours(CAST({a[4]} AS INTEGER)) + "
+            f"to_minutes(CAST({a[5]} AS INTEGER)) + "
+            f"to_seconds(CAST({a[6]} AS DOUBLE)))")
+
+
+def _h_date_format(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 2 or not re.match(r"^'[^'\\]*'$", a[1]):
+        raise DialectError(
+            "date_format() with a computed pattern — not unparsable")
+    pat = a[1][1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(pat):
+        for tok, rep in _DATE_FMT_TOKENS:
+            if pat.startswith(tok, i):
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            ch = pat[i]
+            if ch.isalpha() or ch == "%":
+                raise DialectError(
+                    f"date_format() pattern token {ch!r} has no strftime "
+                    "translation — not unparsable")
+            out.append(ch)
+            i += 1
+    return f"strftime({a[0]}, '{''.join(out)}')"
+
+
+def _rewrite_xor(txt: str) -> str:
+    """Spark's ``^`` is bitwise XOR; DuckDB's is EXPONENTIATION — the
+    nastiest kind of same-spelling divergence (exec-pass find: bxor
+    returned floats).  Catalyst parenthesizes every binary op, so each
+    ``a ^ b`` sits in its own paren group: rewrite to xor(a, b)."""
+    while True:
+        # innermost-first: take the LAST occurrence each round
+        pos = -1
+        opens: list[int] = []
+        enclosing = None
+        i, n = 0, len(txt)
+        while i < n:
+            ch = txt[i]
+            if ch in ("'", '"'):
+                i = _skip_quoted(txt, i)
+                continue
+            if ch == "(":
+                opens.append(i)
+            elif ch == ")":
+                if opens:
+                    opens.pop()
+            elif ch == "^":
+                pos = i
+                enclosing = opens[-1] if opens else None
+            i += 1
+        if pos < 0:
+            return txt
+        if enclosing is None:
+            raise DialectError(
+                "^ (XOR in Spark, power in DuckDB) outside a paren group "
+                "— not unparsable")
+        close = _balanced_close(txt, enclosing)
+        inner = txt[enclosing + 1:close]
+        parts: list[str] = []
+        depth, start, j, m = 0, 0, 0, len(inner)
+        while j < m:
+            ch = inner[j]
+            if ch in ("'", '"'):
+                j = _skip_quoted(inner, j)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and inner.startswith(" ^ ", j):
+                parts.append(inner[start:j])
+                start = j + 3
+            j += 1
+        parts.append(inner[start:])
+        if len(parts) != 2:
+            raise DialectError(
+                "^ expression does not match the binary paren shape — "
+                "not unparsable")
+        txt = (txt[:enclosing] + f"xor({parts[0]}, {parts[1]})"
+               + txt[close + 1:])
+
+
+_DUCKDB_FN_RULES.update({
+    # ---- r10 DuckDB-execution-pass translation batch (each semantic
+    # equivalence probed in DuckDB before being added; divergent classes
+    # refuse instead) ----
+    "startswith": ("rename", "starts_with"),
+    "endswith": ("rename", "ends_with"),
+    "signum": ("rename", "sign"),
+    "char": ("rename", "chr"),
+    "format_string": ("rename", "printf"),
+    "array": ("rename", "list_value"),     # ARRAY( parses as a subquery
+    "collect_list": ("rename", "list"),
+    "filter": ("rename", "list_filter"),
+    "transform": ("rename", "list_transform"),
+    "size": ("rename", "len"),
+    "get_json_object": ("rename", "json_extract_string"),
+    "char_length": ("rename", "length"),
+    "character_length": ("rename", "length"),
+    "map_from_arrays": ("rename", "map"),
+    "unix_millis": ("rename", "epoch_ms"),
+    "unix_micros": ("rename", "epoch_us"),
+    "timestamp_micros": ("rename", "make_timestamp"),
+    "timestamp_millis": ("template", "make_timestamp(({inner}) * 1000)"),
+    "unix_seconds": ("template", "CAST(floor(epoch({inner})) AS BIGINT)"),
+    "rint": ("template", "CAST(round_even({inner}, 0) AS DOUBLE)"),
+    "nvl": ("template_args", ("coalesce({0}, {1})", 2)),
+    "nvl2": ("template_args",
+             ("CASE WHEN ({0}) IS NOT NULL THEN {1} ELSE {2} END", 3)),
+    "equal_null": ("template_args",
+                   ("({0} IS NOT DISTINCT FROM {1})", 2)),
+    "hypot": ("template_args",
+              ("sqrt(({0})*({0})+({1})*({1}))", 2)),
+    "find_in_set": ("template_args",
+                    ("list_position(string_split({1}, ','), {0})", 2)),
+    "from_utc_timestamp": ("template_args",
+                           ("(({0} AT TIME ZONE 'UTC') AT TIME ZONE {1})",
+                            2)),
+    "to_utc_timestamp": ("template_args",
+                         ("(({0} AT TIME ZONE {1}) AT TIME ZONE 'UTC')",
+                          2)),
+    "array_sort": ("custom", _h_array_sort),
+    "sort_array": ("custom", _h_sort_array),
+    "aggregate": ("custom", _h_aggregate),
+    "reduce": ("custom", _h_aggregate),
+    "zip_with": ("custom", _h_zip_with),
+    "slice": ("custom", _h_slice),
+    "element_at": ("custom", _h_element_at),
+    "struct": ("custom", _h_struct),
+    "named_struct": ("custom", _h_named_struct),
+    "map": ("custom", _h_map),
+    "str_to_map": ("custom", _h_str_to_map),
+    "locate": ("custom", _h_locate),
+    "conv": ("custom", _h_conv),
+    "elt": ("custom", _h_elt),
+    "bround": ("custom", _h_bround),
+    "shiftleft": ("custom", _h_shift),
+    "shiftright": ("custom", _h_shift),
+    "percentile": ("custom", _h_percentile),
+    "timestampadd": ("custom", _h_timestampadd),
+    "datediff": ("custom", _h_datediff),
+    "date_diff": ("custom", _h_datediff),
+    "md5": ("custom", _h_md5),
+    "sha2": ("custom", _h_sha2),
+    "collect_set": ("custom", _h_collect_set),
+    "make_ym_interval": ("custom", _h_make_ym_interval),
+    "concat": ("custom", _h_concat),
+    "regexp_replace": ("custom", _h_regexp_replace),
+    "encode": ("custom", _h_encode),
+    "decode": ("custom", _h_encode),
+    "min_by": ("custom", _h_minmax_by),
+    "max_by": ("custom", _h_minmax_by),
+    "factorial": ("custom", _h_factorial),
+    "array_repeat": ("custom", _h_array_repeat),
+    "unbase64": ("rename", "from_base64"),
+    "base64": ("rename", "to_base64"),
+    "btrim": ("rename", "trim"),
+    "space": ("template", "repeat(' ', CAST({inner} AS INTEGER))"),
+    "pmod": ("template_args",
+             ("((({0}) % ({1}) + ({1})) % ({1}))", 2)),
+    "cosh": ("template", "((exp({inner}) + exp(-({inner}))) / 2)"),
+    # sinh/tanh emulations via exp() cancel catastrophically near 0
+    # (relative error up to ~1e-6 vs Math.sinh) — refuse
+    "sinh": ("refuse", None),
+    "tanh": ("refuse", None),
+    "array_max": ("template", "list_aggregate({inner}, 'max')"),
+    "array_min": ("template", "list_aggregate({inner}, 'min')"),
+    "add_months": ("template_args",
+                   ("CAST(({0}) + ({1}) * INTERVAL 1 MONTH AS DATE)", 2)),
+    "date_add": ("template_args", ("(({0}) + CAST({1} AS INTEGER))", 2)),
+    "dateadd": ("template_args", ("(({0}) + CAST({1} AS INTEGER))", 2)),
+    "date_sub": ("template_args", ("(({0}) - CAST({1} AS INTEGER))", 2)),
+    "timestampdiff": ("refuse", None),    # whole-unit vs boundary count
+    "to_binary": ("custom", _h_to_binary),
+    "make_dt_interval": ("custom", _h_make_dt_interval),
+    "make_interval": ("custom", _h_make_interval),
+    "timestamp_seconds": ("template",
+                          "make_timestamp(CAST(({inner}) * 1000000 "
+                          "AS BIGINT))"),
+    "date_format": ("custom", _h_date_format),
+    "octet_length": ("rename", "strlen"),
+    # exp(x)-1 / log(1+x) emulations cancel catastrophically near 0
+    "expm1": ("refuse", None),
+    "log1p": ("refuse", None),
+    # ---- no faithful DuckDB spelling: clean refusals (was loud binder
+    # errors on the exec pass) ----
+    "initcap": ("refuse", None),          # no DuckDB counterpart
+    "soundex": ("refuse", None),
+    "luhn_check": ("refuse", None),
+    "mask": ("refuse", None),
+    "parse_url": ("refuse", None),
+    "url_encode": ("refuse", None),
+    "url_decode": ("refuse", None),
+    "xpath": ("refuse", None),
+    "xpath_string": ("refuse", None),
+    "xpath_boolean": ("refuse", None),
+    "xpath_double": ("refuse", None),
+    "xpath_float": ("refuse", None),
+    "xpath_int": ("refuse", None),
+    "xpath_long": ("refuse", None),
+    "xpath_number": ("refuse", None),
+    "xpath_short": ("refuse", None),
+    "reflect": ("refuse", None),
+    "java_method": ("refuse", None),
+    "format_number": ("refuse", None),    # locale grouping format
+    "width_bucket": ("refuse", None),
+    "overlay": ("refuse", None),          # parses PLACING, no function
+    "crc32": ("refuse", None),
+    "sha1": ("refuse", None),
+    "sha": ("refuse", None),
+    "substring_index": ("refuse", None),
+    "sentences": ("refuse", None),
+    "map_filter": ("refuse", None),
+    "transform_values": ("refuse", None),
+    "transform_keys": ("refuse", None),
+    "map_zip_with": ("refuse", None),
+    "exists": ("refuse", None),           # HOF form only (no paren-space)
+    "forall": ("refuse", None),           # three-valued NULL semantics
+    "shiftrightunsigned": ("refuse", None),
+    # NULL-on-overflow/-error semantics have no DuckDB spelling (DuckDB
+    # raises; translating would turn Spark's NULL into a loud error or,
+    # for try_sum's HUGEINT widening, a silently different value)
+    "try_add": ("refuse", None),
+    "try_subtract": ("refuse", None),
+    "try_multiply": ("refuse", None),
+    "try_divide": ("refuse", None),
+    "try_sum": ("refuse", None),
+    "try_avg": ("refuse", None),
+    "try_to_timestamp": ("refuse", None),
+    "try_to_number": ("refuse", None),
+    "try_element_at": ("refuse", None),
+    "try_to_binary": ("refuse", None),
+    # engine-specific sketch/bitmap state
+    "approx_percentile": ("refuse", None),
+    "percentile_approx": ("refuse", None),
+    "hll_sketch_agg": ("refuse", None),
+    "hll_sketch_estimate": ("refuse", None),
+    "hll_union": ("refuse", None),
+    "hll_union_agg": ("refuse", None),
+    "theta_sketch_estimate": ("refuse", None),
+    "theta_sketch_agg": ("refuse", None),
+    "theta_union": ("refuse", None),
+    "bitmap_bucket_number": ("refuse", None),
+    "bitmap_bit_position": ("refuse", None),
+    "bitmap_count": ("refuse", None),
+    "bitmap_construct_agg": ("refuse", None),
+    "bitmap_or_agg": ("refuse", None),
+})
 
 
 def _skip_quoted(txt: str, i: int) -> int:
@@ -432,6 +1121,10 @@ def _rewrite_functions(txt: str, rules: dict) -> str:
                             f"the {arity}-arg rewrite template — not "
                             "unparsable")
                     out.append(tmpl.format(*parts))
+                elif kind == "rename":
+                    out.append(f"{arg}({inner})")
+                elif kind == "custom":
+                    out.append(arg(name, inner))
                 else:  # pragma: no cover - rule table is closed
                     raise DialectError(f"unknown dialect rule {kind}")
                 i = end + 1
@@ -489,6 +1182,160 @@ def _fix_extract_field_literal(txt: str) -> str:
         out.append(s)
         i += 1
     return "".join(out)
+
+
+def _refuse_int_subscripts(txt: str) -> str:
+    """Raw integer subscripts are 0-based on Spark arrays and 1-based in
+    DuckDB, and a map with integer keys renders identically — both
+    silent-divergence classes, so any Catalyst-rendered ``x[<int>]``
+    refuses.  Runs BEFORE the function rewrites (whose own emitted
+    subscripts are correct 1-based DuckDB accesses)."""
+    for is_lit, s in _Unparser._literal_segments(txt):
+        if not is_lit and re.search(r"[\w)\]\"]\[\s*-?\d+\s*\]", s):
+            raise DialectError(
+                "raw integer subscript is 0-based in Spark and 1-based "
+                "in DuckDB — not unparsable")
+    return txt
+
+
+def _map_string_subscripts(txt: str) -> str:
+    """DuckDB map subscripts yield a 0/1-element LIST where Spark yields
+    the value or NULL — appending ``[1]`` restores value semantics.
+    String-literal keys can only be map accesses (array subscripts are
+    integers, struct fields render as dotted identifiers).  Runs BEFORE
+    the function rewrites so handler-emitted accesses are not
+    double-wrapped."""
+    segs = _Unparser._literal_segments(txt)
+    out: list[str] = []
+    for i, (is_lit, s) in enumerate(segs):
+        out.append(s)
+        if (is_lit and i > 0 and i + 1 < len(segs)
+                and segs[i - 1][1].endswith("[")
+                and segs[i + 1][1].startswith("]")):
+            # close the subscript here and add the list unwrap; the
+            # following segment's own '[' stays untouched
+            out.append("][1")
+    return "".join(out)
+
+
+def _fix_listagg(txt: str) -> str:
+    """``listagg(x[, sep]) WITHIN GROUP (ORDER BY ...)`` →
+    ``string_agg(x, sep ORDER BY ...)`` (DuckDB has no ordered-aggregate
+    listagg; its string_agg takes the ordering inline, and its default
+    separator is ',' where Spark's is '' — so the separator is always
+    made explicit)."""
+    start = 0
+    while True:
+        found = _Unparser._find_outside_str(txt, "listagg(", start)
+        if found < 0:
+            return txt
+        # don't match a longer identifier ending in 'listagg'
+        if found > 0 and (txt[found - 1].isalnum() or txt[found - 1] == "_"):
+            start = found + 1
+            continue
+        close = _balanced_close(txt, found + len("listagg"))
+        args = _split_top_args(txt[found + len("listagg(") : close])
+        distinct = ""
+        if args and args[0].upper().startswith("DISTINCT "):
+            distinct = "DISTINCT "
+            args[0] = args[0][len("DISTINCT "):]
+        if len(args) == 1:
+            args.append("''")
+        if len(args) != 2:
+            raise DialectError(
+                f"{len(args)}-arg listagg() — not unparsable")
+        rest = txt[close + 1:]
+        order = ""
+        m = re.match(r"\s*WITHIN GROUP \(ORDER BY ", rest)
+        if m:
+            oc = _balanced_close(rest, m.end() - len("(ORDER BY "))
+            order = " ORDER BY " + rest[m.end():oc]
+            rest = rest[oc + 1:]
+        repl = f"string_agg({distinct}{args[0]}, {args[1]}{order})"
+        txt = txt[:found] + repl + rest
+
+
+def _fix_negative_frame_bounds(txt: str) -> str:
+    """Spark accepts negative frame offsets (``-3 FOLLOWING`` ≡
+    ``3 PRECEDING``) and Catalyst renders them literally; DuckDB rejects
+    them loudly.  Rewrite each OVER clause's frame bounds: a bound whose
+    expression carries a top-level leading minus (possibly inside CAST
+    wrappers) drops the minus and flips PRECEDING↔FOLLOWING."""
+
+    def fix_bound(bound: str) -> str:
+        s = bound.strip()
+        for kw, flip in (("FOLLOWING", "PRECEDING"),
+                         ("PRECEDING", "FOLLOWING")):
+            if not s.endswith(" " + kw):
+                continue
+            body = s[: -len(kw) - 1]
+            m = re.match(r"^((?:CAST\()*)\s*-\s*(.*)$", body, re.S)
+            if m:
+                return f"{m.group(1)}{m.group(2)} {flip}"
+            return s
+        return s
+
+    out: list[str] = []
+    i = 0
+    while True:
+        j = _Unparser._find_outside_str(txt, "OVER (", i)
+        if j < 0:
+            out.append(txt[i:])
+            return "".join(out)
+        close = _balanced_close(txt, j + len("OVER "))
+        inner = txt[j + len("OVER (") : close]
+        m = re.search(r"\b(ROWS|RANGE|GROUPS) BETWEEN ", inner)
+        if m:
+            frame = inner[m.end():]
+            # the frame clause is the tail of the OVER content; split
+            # its two bounds on the single top-level AND
+            parts = _split_top_and(frame)
+            if len(parts) == 2:
+                inner = (inner[: m.end()]
+                         + fix_bound(parts[0]) + " AND "
+                         + fix_bound(parts[1]))
+        out.append(txt[i:j] + "OVER (" + inner + ")")
+        i = close + 1
+
+
+def _split_top_and(txt: str) -> list[str]:
+    depth = 0
+    i, n = 0, len(txt)
+    while i < n:
+        ch = txt[i]
+        if ch in ("'", '"'):
+            i = _skip_quoted(txt, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and txt.startswith(" AND ", i):
+            return [txt[:i], txt[i + 5:]]
+        i += 1
+    return [txt]
+
+
+def _duckdb_token_rewrites(txt: str) -> str:
+    """Outside-literal token translations: the ``div`` integer-division
+    keyword (DuckDB spells it ``//``, same truncate-toward-zero), the
+    ``<=>`` null-safe equality operator (``IS NOT DISTINCT FROM``), and
+    Catalyst's typed numeric literal suffixes (``1E-7BD``, ``2L``,
+    ``3S``, ``4Y``) that DuckDB's parser rejects."""
+
+    def outside(seg: str) -> str:
+        seg = re.sub(r'(?<![\w"])div(?![\w"])', "//", seg)
+        seg = seg.replace("<=>", "IS NOT DISTINCT FROM")
+        seg = re.sub(r"(?<![\w.])(\d+(?:\.\d+)?(?:E[+-]?\d+)?)BD\b",
+                     r"CAST('\1' AS DECIMAL(38,18))", seg)
+        seg = re.sub(r"(?<![\w.])(\d+)L\b", r"CAST(\1 AS BIGINT)", seg)
+        seg = re.sub(r"(?<![\w.])(\d+)S\b", r"CAST(\1 AS SMALLINT)", seg)
+        seg = re.sub(r"(?<![\w.])(\d+)Y\b", r"CAST(\1 AS TINYINT)", seg)
+        return seg
+
+    return "".join(
+        s if is_lit else outside(s)
+        for is_lit, s in _Unparser._literal_segments(txt))
 
 
 def _reescape_literals_duckdb(txt: str) -> str:
@@ -1346,7 +2193,11 @@ class _Unparser:
                 seg = _re.sub(
                     r"CAST\(\(shiftright\(spark_grouping_id, (\d+)\) & 1L?\)"
                     r" AS TINYINT\)", bit, seg)
-                return _re.sub(r"\bspark_grouping_id\b", "grouping_id()", seg)
+                # explicit args (they must match the grouping columns in
+                # order, which `spell` is): Spark re-lowers identically,
+                # and DuckDB's grouping_id() requires them
+                return _re.sub(r"\bspark_grouping_id\b",
+                               f"grouping_id({', '.join(spell)})", seg)
 
             return "".join(
                 s if is_lit else outside(s)
@@ -1417,8 +2268,12 @@ class _Unparser:
             if fmt != "parquet":
                 raise DialectError(
                     f"duckdb file factor only for parquet, got {fmt}")
-            # single .parquet file → read directly; directory → recursive glob
-            glob = path if path.endswith(".parquet") else f"{path}/**/*.parquet"
+            # single .parquet file → read directly; DIRECTORY (Spark
+            # write targets are directories of part files even when the
+            # name ends in .parquet) → recursive glob (exec-pass find:
+            # derived-layout scans matched zero files)
+            glob = (f"{path}/**/*.parquet" if os.path.isdir(path)
+                    else path)
             # Always alias file factors: DuckDB names an unaliased factor
             # after the FUNCTION ("read_parquet"), so a join of two bare
             # scans binder-errors with "Duplicate alias" (r9 judge repro).
@@ -1896,7 +2751,13 @@ def to_sql(df, dialect: Dialect = SPARK, validate: bool = True) -> str:
     if dialect.name != "spark":
         text = _strip_literal_suffixes(text)
     if dialect.name == "duckdb":
+        text = _refuse_int_subscripts(text)
+        text = _map_string_subscripts(text)
+        text = _fix_listagg(text)
         text = _rewrite_functions(text, _DUCKDB_FN_RULES)
+        text = _rewrite_xor(text)
+        text = _fix_negative_frame_bounds(text)
+        text = _duckdb_token_rewrites(text)
         # DuckDB's TIMESTAMP IS timezone-naive — Spark's TIMESTAMP_NTZ
         # type token maps to it directly
         import re as _re

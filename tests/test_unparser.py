@@ -573,8 +573,10 @@ def test_grouping_sets_reconstruction(spark):
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """)
     sql = to_sql(df)
+    # grouping_id renders with explicit args (r10: DuckDB requires them;
+    # Spark re-lowers the explicit form identically)
     assert "GROUPING SETS" in sql and "grouping(" in sql \
-        and "grouping_id()" in sql
+        and "grouping_id(" in sql
     key = lambda r: [(v is None, repr(v)) for v in r]  # noqa: E731
     a = sorted(map(tuple, df.collect()), key=key)
     b = sorted(map(tuple, spark.sql(sql).collect()), key=key)
@@ -774,3 +776,152 @@ def test_backslash_and_quote_literals(spark):
     assert got == a                       # escape + re-quoting exact
     assert "it''s" in dsql          # quote re-doubled for DuckDB
     assert "ESCAPE" in dsql         # LIKE default-escape made explicit
+
+
+# --- r10 DuckDB-execution translation batch -------------------------------
+# Each translation below was probed for semantic equivalence in DuckDB
+# before being added to _DUCKDB_FN_RULES; these tests pin the emitted
+# text's VALUES on both engines (the failure class that matters is a
+# silent cross-engine divergence, so every test executes the DuckDB text).
+
+
+def _duck_rows(dsql):
+    import duckdb
+
+    return sorted(map(repr, map(tuple, duckdb.sql(dsql).fetchall())))
+
+
+def _both(spark, df):
+    dsql = to_sql(df, DUCKDB, validate=False)
+    a = sorted(map(repr, map(tuple, df.collect())))
+    assert a, "test must not be vacuous"
+    assert _duck_rows(dsql) == a, f"cross-engine divergence for:\n{dsql}"
+    return dsql
+
+
+def test_duckdb_xor_and_bitwise(spark):
+    """Spark ^ is XOR; DuckDB ^ is POWER (exec-pass find) — the same
+    spelling silently computes a different value, so ^ groups rewrite
+    to xor()."""
+    df = spark.sql("SELECT (x ^ 12) AS a, ((x ^ 3) ^ (x ^ 5)) AS b, "
+                   "(x & 6) AS c, (x | 9) AS d "
+                   "FROM VALUES (1), (7) AS t(x)")
+    dsql = _both(spark, df)
+    assert "xor(" in dsql and "^" not in dsql
+
+
+def test_duckdb_concat_null_propagation(spark):
+    """DuckDB concat() SKIPS NULL args (Postgres), Spark concat is NULL
+    on any NULL arg (exec-pass find) — translate through || which
+    propagates NULL identically in both engines."""
+    df = spark.sql("SELECT concat(s, 'x') AS c1, concat(s, s, 'y') AS c2 "
+                   "FROM VALUES ('a'), (CAST(NULL AS STRING)) AS t(s)")
+    _both(spark, df)
+
+
+def test_duckdb_negative_frame_bounds(spark):
+    """Spark accepts -3 FOLLOWING (≡ 3 PRECEDING) and Catalyst renders
+    the minus literally; DuckDB rejects it loudly — bounds flip."""
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(-3, 0))
+    df = (_li(spark).filter(F.col("l_suppkey") <= 3)
+          .select("l_orderkey", "l_linenumber",
+                  F.sum("l_quantity").over(w).alias("s4")))
+    dsql = _both(spark, df)
+    assert "3 PRECEDING" in dsql and "FOLLOWING AND" not in dsql
+
+
+def test_duckdb_map_and_struct_surface(spark):
+    """Map subscripts return value-or-NULL in Spark but a 0/1-element
+    LIST in DuckDB (the appended [1] restores value semantics);
+    struct()/named_struct() render as struct_pack with Spark's field
+    naming; raw integer subscripts refuse (0- vs 1-based)."""
+    df = spark.sql(
+        "SELECT map_from_arrays(array('k'), array(x))['k'] AS hit, "
+        "map_from_arrays(array('k'), array(x))['z'] AS miss, "
+        "named_struct('a', x, 'b', 'c').a AS fld, "
+        "element_at(array(x, x + 1), -1) AS last_el "
+        "FROM VALUES (1), (2) AS t(x)")
+    _both(spark, df)
+    bad = spark.sql("SELECT array(x, 1)[0] AS first FROM VALUES (5) AS t(x)")
+    with pytest.raises(DialectError):
+        to_sql(bad, DUCKDB, validate=False)
+
+
+def test_duckdb_fold_and_zip_with(spark):
+    """aggregate() folds via list_reduce(list_prepend(init, arr)) with a
+    NULL-array guard; zip_with zips through list_zip positional structs.
+    A fold whose merge CASTS the element refuses: list_prepend unifies
+    the element type with the accumulator's and pre-rounds it
+    (exec-pass divergence find)."""
+    df = spark.sql(
+        "SELECT aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+        "AS s, zip_with(a, b, (x, y) -> x * y) AS z, "
+        "size(filter(a, v -> v > 1.0)) AS n "
+        "FROM VALUES (array(1.0D, 2.0D), array(3.0D, 4.0D)), "
+        "(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS t(a, b)")
+    _both(spark, df)
+    mixing = spark.sql(
+        "SELECT aggregate(a, CAST(0 AS DECIMAL(20,8)), "
+        "(acc, v) -> CAST(acc + CAST(v AS DECIMAL(20,8)) AS DECIMAL(20,8)))"
+        " AS s FROM VALUES (array(1.5D)) AS t(a)")
+    with pytest.raises(DialectError):
+        to_sql(mixing, DUCKDB, validate=False)
+
+
+def test_duckdb_collect_and_sort_translations(spark):
+    """collect_list→list / collect_set→list(DISTINCT ...) with the
+    Catalyst default array_sort comparator recognized as plain
+    list_sort (asc NULLS LAST in both engines)."""
+    df = spark.sql(
+        "SELECT g, array_sort(collect_list(x)) AS xs, "
+        "array_sort(collect_set(x)) AS ds, "
+        "aggregate(collect_list(CAST(x AS DOUBLE)), 1.0D, "
+        "(a, b) -> a * b) AS prod "
+        "FROM VALUES (1, 3), (1, 1), (1, 3), (2, 2) AS t(g, x) GROUP BY g")
+    _both(spark, df)
+
+
+def test_duckdb_grouping_id_explicit_args(spark):
+    """grouping_id() renders with explicit grouping columns — required
+    by DuckDB, re-lowered identically by Spark."""
+    df = spark.sql(
+        "SELECT l_returnflag, l_linestatus, grouping_id() AS gid, "
+        "count(1) AS n FROM parquet.`{}/lineitem.parquet` "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+        "(l_returnflag), ())".format(SF_SMALL))
+    sql = to_sql(df)                        # Spark dialect still exact
+    a = sorted(map(repr, map(tuple, df.collect())))
+    b = sorted(map(repr, map(tuple, spark.sql(sql).collect())))
+    assert a == b and a
+    assert "grouping_id(l_returnflag, l_linestatus)" in sql
+    _both(spark, df)                        # and DuckDB executes it
+
+
+def test_duckdb_misc_function_batch(spark):
+    """One-line spellings probed and pinned: percentile→quantile_cont,
+    sha2-256→sha256, md5 binary-cast strip, div→//, <=> → IS NOT
+    DISTINCT FROM, typed-literal suffixes, date_format pattern map."""
+    df = spark.sql(
+        "SELECT percentile(x, 0.5) AS p50, "
+        "count(CASE WHEN (x <=> NULL) THEN 1 END) AS nsafe "
+        "FROM VALUES (1), (2), (3) AS t(x)")
+    _both(spark, df)
+    df2 = spark.sql(
+        "SELECT md5(s) AS h1, sha2(s, 256) AS h2, x div 2 AS d, "
+        "CAST(CAST(1E-7BD AS DECIMAL(12,7)) AS DOUBLE) AS tiny, "
+        "date_format(TIMESTAMP '2020-01-05 13:07:09', "
+        "'yyyy-MM-dd HH:mm:ss') AS fmt "
+        "FROM VALUES ('ab', 7), ('cd', -7) AS t(s, x)")
+    dsql = _both(spark, df2)
+    assert "//" in dsql and "quantile_cont" not in dsql
+
+
+def test_duckdb_timestampadd_and_intervals(spark):
+    df = spark.sql(
+        "SELECT timestampadd(HOUR, n, TIMESTAMP '2020-01-01 00:00:00') "
+        "AS th, date_add(DATE '2020-02-27', n) AS da, "
+        "datediff(DATE '2020-03-01', DATE '2020-01-01') AS dd "
+        "FROM VALUES (1), (3) AS t(n)")
+    _both(spark, df)
