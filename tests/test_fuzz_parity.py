@@ -1718,3 +1718,110 @@ def test_ignore_nulls_spelling_divergence(spark, duck):
         duck.execute(s_sql)
     with pytest.raises(Exception):        # Spark rejects DuckDB's form
         spark.sql(d_sql).collect()
+
+
+# --- axis 20 (r10): array-generator (explode/UNNEST) parity -------------------
+# Spark's generator family (explode / explode_outer / posexplode, both
+# the select-list form and LATERAL VIEW) against DuckDB's select-list
+# unnest() — the reference covers this space in unnest.slt.  There is NO
+# shared spelling (Spark rejects unnest, DuckDB rejects explode/LATERAL
+# VIEW), so this axis renders PER-DIALECT text for the same semantics
+# and value-compares, pinning the emulation identities:
+#   * explode(a)        ≡ unnest(a)            — NULL elements kept, and
+#     NULL/empty arrays drop the row in BOTH engines;
+#   * explode_outer(a)  ≡ unnest(CASE WHEN a IS NULL OR len(a) = 0
+#     THEN [NULL] ELSE a END) — one NULL row survives;
+#   * posexplode(a)     ≡ unnest(range(len(a))) zipped with unnest(a) —
+#     DuckDB zips multiple same-SELECT unnests positionally and range()
+#     is 0-based, exactly posexplode's pos numbering.
+# Source-function note (spelling, not a same-text divergence): Spark
+# sequence(start, stop) auto-steps -1 when start > stop where DuckDB
+# range(start, stop) is empty — the generator pairs below keep
+# stop >= start so the axis tests the GENERATORS, not sequence().
+#
+# Probe sweep before landing: all 15 (array-shape × variant) combos over
+# part at sf0.01 — value-identical.
+
+_GEN_ARRS = [
+    # (spark spelling, duckdb spelling) — same semantics
+    ("array(p_size, CAST(NULL AS INT), p_size + 1)",
+     "[p_size, CAST(NULL AS INT), p_size + 1]"),
+    ("sequence(1, p_size % 4 + 1)", "range(1, p_size % 4 + 2)"),
+    ("split(p_name, ' ')", "string_split(p_name, ' ')"),
+    # empty for p_size % 3 = 0 rows (exercises the drop/outer paths)
+    ("slice(array(p_size, p_size * 2), 1, p_size % 3)",
+     "list_slice([p_size, p_size * 2], 1, p_size % 3)"),
+    ("filter(array(p_size, p_size * 2, 7), x -> x > 8)",
+     "list_filter([p_size, p_size * 2, 7], x -> x > 8)"),
+]
+_GEN_PREDS = ["p_partkey < 300", "p_partkey BETWEEN 100 AND 500",
+              "p_size % 2 = 0 AND p_partkey < 600"]
+
+
+@st.composite
+def generator_spec(draw):
+    arr = draw(st.sampled_from(_GEN_ARRS))
+    variant = draw(st.sampled_from(["explode", "outer", "pos"]))
+    pred = draw(st.sampled_from(_GEN_PREDS))
+    return arr, variant, pred
+
+
+def _null_last_key(r):
+    return [(v is None, repr(v)) for v in r]
+
+
+@given(generator_spec())
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_generator_parity(spark, duck_part, spec):
+    (sa, da), variant, pred = spec
+    if variant == "explode":
+        ss = f"SELECT p_partkey, explode({sa}) AS v FROM part WHERE {pred}"
+        ds = f"SELECT p_partkey, unnest({da}) AS v FROM part WHERE {pred}"
+    elif variant == "outer":
+        ss = (f"SELECT p_partkey, explode_outer({sa}) AS v "
+              f"FROM part WHERE {pred}")
+        ds = (f"SELECT p_partkey, unnest(CASE WHEN ({da}) IS NULL OR "
+              f"len({da}) = 0 THEN [NULL] ELSE {da} END) AS v "
+              f"FROM part WHERE {pred}")
+    else:
+        ss = (f"SELECT p_partkey, pos, v FROM (SELECT p_partkey, {sa} AS a "
+              f"FROM part WHERE {pred}) t LATERAL VIEW posexplode(a) ex "
+              f"AS pos, v")
+        ds = (f"SELECT p_partkey, unnest(range(len(a))) AS pos, "
+              f"unnest(a) AS v FROM (SELECT p_partkey, {da} AS a "
+              f"FROM part WHERE {pred}) t")
+    got = sorted(map(tuple, spark.sql(ss).collect()), key=_null_last_key)
+    want = sorted(map(tuple, duck_part.execute(ds).fetchall()),
+                  key=_null_last_key)
+    assert got == want, (ss, ds, got[:3], want[:3])
+    assert got or variant != "outer"      # outer always emits >= 1/row
+
+
+def test_generator_nested_and_reaggregate(spark, duck_part):
+    """Corner pins: one-level unnest of a nested array yields the inner
+    LISTS in both engines, and a post-explode re-aggregation (the
+    flatten-transform-regroup pipeline shape) returns identical group
+    results."""
+    ss = ("SELECT p_partkey, sort_array(collect_list(v)) AS vs FROM ("
+          "SELECT p_partkey, explode(array(p_size, p_size * 2)) AS v "
+          "FROM part WHERE p_partkey < 200) t GROUP BY p_partkey")
+    ds = ("SELECT p_partkey, list_sort(list(v), 'ASC', 'NULLS FIRST') "
+          "AS vs FROM (SELECT p_partkey, unnest([p_size, p_size * 2]) "
+          "AS v FROM part WHERE p_partkey < 200) t GROUP BY p_partkey")
+    got = sorted(map(repr, (tuple(r) for r in spark.sql(ss).collect())))
+    want = sorted(map(repr, ((r[0], list(r[1]))
+                             for r in duck_part.execute(ds).fetchall())))
+    assert got == want and got
+    # nested: explode of array<array<int>> yields inner lists
+    s2 = ("SELECT explode(array(array(p_size), array(p_size, 7))) AS v "
+          "FROM part WHERE p_partkey < 50")
+    d2 = ("SELECT unnest([[p_size], [p_size, 7]]) AS v "
+          "FROM part WHERE p_partkey < 50")
+    g2 = sorted(map(repr, (tuple(r.v) for r in spark.sql(s2).collect())))
+    w2 = sorted(map(repr, (tuple(r[0])
+                           for r in duck_part.execute(d2).fetchall())))
+    assert g2 == w2 and g2
