@@ -141,6 +141,10 @@ def _interleave_families() -> None:
         # new r10 entries:
         "source_schema_evolution_nested_array",
         "text_bm25_index_refresh",
+        # new r10 late-session entries: driver-certified federation of
+        # the DuckDB translation batch (pinned-oracle pattern)
+        "compat_unparser_duckdb_federation_fns",
+        "compat_unparser_duckdb_federation_window",
         # materially changed r10, re-verify: the federation entry's pinned
         # oracle TEXT regenerated (DuckDB file factors now aliased); the
         # serve entry's plan gained the segment-generic df merge and the

@@ -694,3 +694,118 @@ def compat_unparser_duckdb_federation(spark, sf_dir):
             "unparser DuckDB output drifted from the pinned federation "
             f"oracle:\n{emitted}")
     return df
+
+
+def _duckdb_fed_fns_plan(spark, sf_dir):
+    """The verb-built plan behind compat_unparser_duckdb_federation_fns."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_quantity") < 30)
+        .groupBy(F.concat(F.col("l_returnflag"), F.lit("_"),
+                          F.col("l_linestatus")).alias("k"))
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+             F.expr("count(1)").alias("n"))
+    )
+
+
+# Pinned ``to_sql(plan, DUCKDB)`` output for the sf0.01 plan — exercises
+# the r10 translation batch on the driver's own hash gate: concat → ||
+# (NULL-propagation divergence find) and percentile → quantile_cont.
+_DUCKDB_FED_FNS_SQL = (
+    "SELECT (l_returnflag || '_' || l_linestatus) AS k, "
+    "quantile_cont(l_quantity, CAST(CAST(0.5 AS DECIMAL(1,1)) AS DOUBLE))"
+    " AS med_qty, count(1) AS n "
+    "FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet') AS t1 "
+    "WHERE (l_quantity < CAST(30 AS DOUBLE)) "
+    "GROUP BY (l_returnflag || '_' || l_linestatus)"
+)
+
+
+@query(
+    "compat_unparser_duckdb_federation_fns",
+    oracle=_DUCKDB_FED_FNS_SQL,
+    tags=("compat", "unparser", "federation"),
+)
+def compat_unparser_duckdb_federation_fns(spark, sf_dir):
+    """Second driver-certified DuckDB federation entry (r10): the oracle
+    is byte-for-byte the unparser's DUCKDB-dialect output for a plan
+    that exercises the r10 function-translation batch — concat rendered
+    through || (DuckDB's concat() skips NULL args where Spark returns
+    NULL, an exec-pass divergence find) and percentile → quantile_cont.
+    Re-derives the text per run and fails loudly on drift, like
+    compat_unparser_duckdb_federation."""
+    from datafusion_spark.compat.unparser import DUCKDB, to_sql
+
+    df = _duckdb_fed_fns_plan(spark, sf_dir)
+    emitted = to_sql(
+        _duckdb_fed_fns_plan(spark, "/root/testdata/sf0.01"), DUCKDB,
+        validate=False)
+    if emitted != _DUCKDB_FED_FNS_SQL:
+        raise AssertionError(
+            "unparser DuckDB output drifted from the pinned federation "
+            f"oracle:\n{emitted}")
+    return df
+
+
+def _duckdb_fed_window_plan(spark, sf_dir):
+    """The verb-built plan behind
+    compat_unparser_duckdb_federation_window.  Orders by o_orderkey —
+    UNIQUE in the synthetic data — because a ROWS frame over a tied
+    ordering is legitimately nondeterministic per engine (the first
+    lineitem-based draft of this entry hit exactly that: duplicate
+    (l_orderkey, l_linenumber) pairs within a partition)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy("o_orderkey").rowsBetween(-3, 0))
+    return (
+        o.filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", "o_orderstatus",
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w)
+                .cast("double").alias("price_run4"))
+    )
+
+
+# Pinned DUCKDB output: Catalyst renders rowsBetween(-3, 0) as
+# ``-3 FOLLOWING`` (Spark-legal, DuckDB parse error) — the dialect
+# flips it to ``3 PRECEDING`` (r10 frame-bound rewrite).
+_DUCKDB_FED_WINDOW_SQL = (
+    "SELECT o_orderkey, o_orderstatus, price_run4 FROM (SELECT "
+    "o_orderkey, o_orderstatus, _w0, _we0, CAST(_we0 AS DOUBLE) AS "
+    "price_run4 FROM (SELECT \"o_orderkey\", \"o_orderstatus\", "
+    "\"_w0\", sum(_w0) OVER (PARTITION BY o_orderstatus ORDER BY "
+    "o_orderkey ASC NULLS FIRST ROWS BETWEEN 3 PRECEDING AND CURRENT "
+    "ROW) AS _we0 FROM (SELECT o_orderkey, o_orderstatus, "
+    "CAST(o_totalprice AS DECIMAL(38,6)) AS _w0 FROM "
+    "read_parquet('/root/testdata/sf0.01/orders.parquet') AS t1 "
+    "WHERE (o_orderkey < CAST(4000 AS BIGINT))) AS t2) AS t3) AS t4"
+)
+
+
+@query(
+    "compat_unparser_duckdb_federation_window",
+    oracle=_DUCKDB_FED_WINDOW_SQL,
+    tags=("compat", "unparser", "federation"),
+)
+def compat_unparser_duckdb_federation_window(spark, sf_dir):
+    """Third driver-certified DuckDB federation entry (r10): a windowed
+    plan whose frame Catalyst renders with a negative offset
+    (``-3 FOLLOWING``) — Spark-legal, DuckDB parse error — certifying
+    the r10 frame-bound flip plus decimal-accumulated window sums on
+    the driver's hash gate.  Re-derives the text per run and fails
+    loudly on drift."""
+    from datafusion_spark.compat.unparser import DUCKDB, to_sql
+
+    df = _duckdb_fed_window_plan(spark, sf_dir)
+    emitted = to_sql(
+        _duckdb_fed_window_plan(spark, "/root/testdata/sf0.01"), DUCKDB,
+        validate=False)
+    if emitted != _DUCKDB_FED_WINDOW_SQL:
+        raise AssertionError(
+            "unparser DuckDB output drifted from the pinned federation "
+            f"oracle:\n{emitted}")
+    return df
