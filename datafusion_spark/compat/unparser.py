@@ -1418,6 +1418,9 @@ class _Unparser:
         # (qual, name) attribute references hidden behind generated
         # derived-table aliases (see _hide_quals)
         self._hidden_pairs: set[tuple[str, str]] = set()
+        # lossy struct-name renders recorded by _check_tree, adjudicated
+        # against the actual Catalyst text in _expr_sql
+        self._struct_drop_candidates: list[tuple[str, str]] = []
 
     def _alias(self) -> str:
         self._n += 1
@@ -1520,6 +1523,50 @@ class _Unparser:
                 raise DialectError(
                     "variant_get target type is dropped by "
                     f"Expression.sql: {n.toString()[:100]}")
+            elif cls == "CreateNamedStruct":
+                # The SIXTH Catalyst silent-arg-drop class (r10 find):
+                # struct(x AS w1).sql() renders 'struct(x)' — the field
+                # NAME is gone, so the re-parse names the field after
+                # the value expression instead.  VALUES are identical,
+                # which is why the row-comparing sweep never caught it;
+                # the drift is in the nested schema, visible only when
+                # a downstream reference to the declared name fails.
+                # Refuse whenever the rendered form is the name-less
+                # struct(...) and a declared name would not be re-derived
+                # by the re-parse's own naming rule (attribute/field →
+                # its bare name, anything else → positional colN).
+                # named_struct('w1', x) renders faithfully and passes.
+                # A lossy node may sit in an analyzer-internal
+                # REPLACEMENT subtree that never renders (str_to_map's
+                # lowering carries a struct(k, v, ...) the final text
+                # spells as str_to_map(...)), so the candidate is only
+                # recorded here; _expr_sql refuses iff its rendering
+                # actually occurs in the emitted text.
+                try:
+                    nsql = n.sql()
+                    if nsql.lower().startswith("struct("):
+                        ch0 = n.children()
+                        names: list[str] = []
+                        lossy = False
+                        for j in range(0, ch0.size(), 2):
+                            name_e, val = ch0.apply(j), ch0.apply(j + 1)
+                            declared = str(name_e.eval(None))
+                            names.append(declared)
+                            vs = val.sql().replace("`", "")
+                            import re as _re
+
+                            if _re.fullmatch(
+                                    r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", vs):
+                                natural = vs.rsplit(".", 1)[-1]
+                            else:
+                                natural = f"col{j // 2 + 1}"
+                            if declared != natural:
+                                lossy = True
+                        if lossy:
+                            self._struct_drop_candidates.append(
+                                (nsql, names))
+                except Exception:  # noqa: BLE001 - variant w/o accessors
+                    pass
             ch = n.children()
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
@@ -1929,14 +1976,17 @@ class _Unparser:
         return False
 
     def _expr_sql(self, e) -> str:
+        self._struct_drop_candidates = []
         if self._tree_has_subquery(e):
             self._check_tree(e)
-            return self._strip_hidden_quals(self._render_subq_expr(e))
+            return self._strip_hidden_quals(self._fix_struct_drops(
+                e, self._render_subq_expr(e)))
         self._check_tree(e)
         if self._tree_has_lambda(e):
             txt = self._render_lambda_text(e)
         else:
             txt = e.sql()
+        txt = self._fix_struct_drops(e, txt)
         low = self._outside_literals(txt).lower()
         for marker in self._UNPARSABLE_EXPR_MARKERS:
             if marker in low:
@@ -1948,6 +1998,50 @@ class _Unparser:
             txt = _fix_extract_field_literal(txt)
         return self._strip_hidden_quals(
             _requote(txt, self.dialect.identifier_quote))
+
+    def _fix_struct_drops(self, e, txt: str) -> str:
+        """The SIXTH Catalyst silent-arg-drop class (r10 find):
+        CreateNamedStruct.sql drops ALIASED field names —
+        ``struct(x AS w1)`` renders ``struct(x)``, so the re-parse
+        names the field after the value expression instead.  VALUES
+        are identical (why the row-comparing sweep never saw it); the
+        drift lives in the nested schema and only errs loudly when a
+        downstream reference uses the declared name.  _check_tree
+        records candidates; each whose lossy spelling actually occurs
+        in the text is REWRITTEN to the faithful named_struct form
+        (names from the tree, value spellings reused from the lossy
+        render).  A candidate that rendered but is textually invisible
+        (a lambda body after variable substitution) refuses; one that
+        never rendered at all (analyzer-internal replacement subtrees,
+        e.g. str_to_map's struct(k, v) lowering) is ignored."""
+        if not self._struct_drop_candidates:
+            return txt
+        try:
+            raw = e.sql()
+        except Exception:  # noqa: BLE001 - render errors surface later
+            raw = txt
+        for nsql, names in self._struct_drop_candidates:
+            if self._find_outside_str(txt, nsql, 0) >= 0:
+                vals = self._split_top_args(nsql[len("struct("):-1])
+                if len(vals) != len(names) or any(
+                        "'" in nm or "\\" in nm for nm in names):
+                    raise DialectError(
+                        "struct() field name is dropped by "
+                        f"Expression.sql and not repairable: {nsql[:90]}")
+                pairs = ", ".join(
+                    f"'{nm}', {v}" for nm, v in zip(names, vals))
+                while True:
+                    at = self._find_outside_str(txt, nsql, 0)
+                    if at < 0:
+                        break
+                    txt = (txt[:at] + f"named_struct({pairs})"
+                           + txt[at + len(nsql):])
+            elif self._find_outside_str(raw, nsql, 0) >= 0:
+                raise DialectError(
+                    "struct() field name is dropped by Expression.sql "
+                    "inside a lambda body — the re-parse renames "
+                    f"{names!r}: {nsql[:90]}")
+        return txt
 
     def _sqls(self, jexprs) -> list[str]:
         return [self._expr_sql(e) for e in self._seq(jexprs)]

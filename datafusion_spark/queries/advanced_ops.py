@@ -39,12 +39,15 @@ def build_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
     """Write lineitem+orders as bucketed tables (hash-partitioned by the
     join key at write time, per-bucket sorted).  Idempotent per (sf_dir);
     re-registers the catalog entries if the session changed."""
-    li_tbl, ord_tbl = "li_bucketed", "ord_bucketed"
-    # marker v2: layouts before r7 had multiple files per bucket (no
-    # pre-write repartition), which defeats sorted-scan elision — rebuild.
-    marker = os.path.join(
-        _SCRATCH, f"done2_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    # Table names, paths, and marker are ALL per-SF (r10 preclear find:
+    # the shared "li_bucketed" name let a PERSISTENT done-marker written
+    # by one process validate a SESSION table another process had built
+    # from a different sf_dir — the smoke(sf0.001)→oracle(sf0.01)
+    # sequence then served sf0.001 rows at sf0.01).  marker v3 so every
+    # pre-fix layout rebuilds once.
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_tbl, ord_tbl = f"li_bucketed_{base}", f"ord_bucketed_{base}"
+    marker = os.path.join(_SCRATCH, f"done3_{base}")
     if not os.path.exists(marker) or not spark.catalog.tableExists(li_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {ord_tbl}")
@@ -61,7 +64,7 @@ def build_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
             .write.mode("overwrite")
             .bucketBy(n_buckets, "l_orderkey")
             .sortBy("l_orderkey")
-            .option("path", os.path.join(_SCRATCH, "lineitem"))
+            .option("path", os.path.join(_SCRATCH, base, "lineitem"))
             .saveAsTable(li_tbl)
         )
         (
@@ -70,7 +73,7 @@ def build_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
             .write.mode("overwrite")
             .bucketBy(n_buckets, "o_orderkey")
             .sortBy("o_orderkey")
-            .option("path", os.path.join(_SCRATCH, "orders"))
+            .option("path", os.path.join(_SCRATCH, base, "orders"))
             .saveAsTable(ord_tbl)
         )
         os.makedirs(_SCRATCH, exist_ok=True)

@@ -925,3 +925,29 @@ def test_duckdb_timestampadd_and_intervals(spark):
         "datediff(DATE '2020-03-01', DATE '2020-01-01') AS dd "
         "FROM VALUES (1), (3) AS t(n)")
     _both(spark, df)
+
+
+def test_struct_alias_name_drop_repair(spark):
+    """SIXTH Catalyst silent-arg-drop class (r10): struct(x AS w1).sql()
+    renders 'struct(x)' — the aliased field NAME is gone and the
+    re-parse renames the nested field (values identical, schema drifts).
+    The unparser repairs the render to named_struct('w1', x) when the
+    lossy spelling occurs in the text, and refuses when it is hidden
+    inside a lambda body (variable substitution makes the repair
+    unanchorable)."""
+    df = spark.sql("SELECT struct(c1 AS w1, c1 + 1 AS w2) AS s, "
+                   "struct(c1 AS w1).w1 AS v FROM VALUES (1), (2) t(c1)")
+    sql = to_sql(df, validate=False)
+    assert "named_struct('w1'" in sql
+    re_df = spark.sql(sql)
+    assert re_df.schema == df.schema          # nested names survive
+    a = sorted(map(repr, map(tuple, df.collect())))
+    b = sorted(map(repr, map(tuple, re_df.collect())))
+    assert a == b and a
+    lam = spark.sql(
+        "SELECT transform(array(1, 2), x -> struct(x AS w1)) AS a")
+    with pytest.raises(DialectError):
+        to_sql(lam, validate=False)
+    # natural names (no alias) keep the plain struct render
+    plain = spark.sql("SELECT struct(c1) AS s FROM VALUES (3) t(c1)")
+    assert "named_struct" not in to_sql(plain, validate=False)
