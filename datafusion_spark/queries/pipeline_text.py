@@ -1544,3 +1544,118 @@ def text_bm25_index_refresh(spark, sf_dir):
     segs, n_docs, total_len = _ensure_bm25_segments(spark, sf_dir)
     return _bm25_serve_plan(
         spark, segs, n_docs, total_len, _BM25_SERVE_QUERIES, _BM25_SERVE_K)
+
+
+def _ensure_bm25_compacted(spark, sf_dir) -> tuple[str, int, int]:
+    """COMPACT the segmented index into one merged segment (the Lucene
+    merge-policy step SCALE.md's refresh section names as the documented
+    compaction point: when the per-segment scan setup starts to dominate
+    serve cost, segments merge back into one term-sorted layout).
+
+    The merge never touches raw text — compaction cost is index-sized,
+    not corpus-sized:
+      postings:   segments partition DOCUMENTS, so (term, doc_id) rows are
+                  disjoint across segments; the merge is a pure re-sort —
+                  one union scan + repartition(term) + in-partition sort,
+                  the same single-shuffle job as the original build but
+                  over the (much smaller) index rows.
+      doclen:     disjoint union, no shuffle beyond the write.
+      term_stats: per-term df ADDS across segments (disjoint doc sets) —
+                  one vocabulary-keyed sum, a batch-job shuffle (only
+                  SERVING must stay query-term-bounded).
+      scalars:    n_docs / total_len add.
+    Same atomic-rename build protocol as _ensure_bm25_index."""
+    base = os.path.join(
+        _repo_root(), "spark-warehouse", "derived_text",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"bm25_cmp_{_TEXT_INDEX_VERSION}",
+    )
+    if not os.path.isfile(os.path.join(base, "_DONE")):
+        segs, n_docs, total_len = _ensure_bm25_segments(spark, sf_dir)
+        tmp = f"{base}.tmp.{os.getpid()}"
+        (spark.read.parquet(*[os.path.join(s, "postings") for s in segs])
+         .repartition("term")
+         .sortWithinPartitions("term", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(tmp, "postings")))
+        (spark.read.parquet(*[os.path.join(s, "doclen") for s in segs])
+         .write.mode("overwrite").parquet(os.path.join(tmp, "doclen")))
+        (spark.read.parquet(*[os.path.join(s, "term_stats") for s in segs])
+         .groupBy("term").agg(F.sum("df").alias("df"))
+         .write.mode("overwrite").parquet(os.path.join(tmp, "term_stats")))
+        with open(os.path.join(tmp, "stats.json"), "w") as f:
+            json.dump({"n_docs": n_docs, "total_len": total_len}, f)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # another builder won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(base, "stats.json")) as f:
+        stats = json.load(f)
+    return base, stats["n_docs"], stats["total_len"]
+
+
+@query(
+    "text_bm25_index_compact",
+    oracle=f"""
+    WITH q(qid, term) AS (VALUES {_bm25_serve_values_sql()}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), postings AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+    ), part AS (
+      SELECT q.qid, p.doc_id,
+             CAST(ln(CAST(1.0 AS DOUBLE)
+                     + (s.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                       / (dfreq.df + CAST(0.5 AS DOUBLE)))
+                  * (p.tf * CAST(2.2 AS DOUBLE))
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                     (CAST(dl.dl AS DOUBLE) * s.n_docs / s.total_len)))
+                  AS DECIMAL(20,8)) AS s
+      FROM q JOIN postings p USING (term) JOIN dfreq USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN stats s
+    ), agg AS (
+      SELECT qid, doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+      FROM part GROUP BY qid, doc_id
+    ), ranked AS (
+      SELECT qid, doc_id, bm25,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY bm25 DESC, doc_id) AS rn
+      FROM agg
+    )
+    SELECT qid, doc_id, CAST(rn AS INTEGER) AS rank, bm25
+    FROM ranked WHERE rn <= {_BM25_SERVE_K} ORDER BY qid, rank
+    """,
+    tags=("pipeline", "text", "retrieval", "index", "incremental"),
+)
+def text_bm25_index_compact(spark, sf_dir):
+    """BM25 segment COMPACTION, served: the segmented layout that
+    `text_bm25_index_refresh` accretes (seg0 historical + seg1 delta) is
+    merged back into ONE term-sorted segment and the standard 4-query
+    batch is served over the compacted index.  This closes the index
+    lifecycle — build (`text_bm25_index_serve`) → incremental refresh
+    (`text_bm25_index_refresh`) → compact — the Lucene merge-policy
+    analog SCALE.md documents as the point where per-segment scan setup
+    starts to dominate serve cost.
+
+    Compaction is index-sized, never corpus-sized: postings rows are
+    disjoint across segments (segments partition documents), so the merge
+    is one union scan + repartition(term) + in-partition sort; per-term
+    df ADDS across segments; corpus scalars add.  No raw text is ever
+    re-tokenized.  The oracle recomputes BM25 over the full corpus from
+    raw text — a hash match proves compact(refresh(build)) == full
+    rebuild, and the result must equal `text_bm25_index_serve` and
+    `text_bm25_index_refresh` row-for-row (pinned by a unit test).
+    Determinism: same decimal-quantized partial-score protocol as
+    text_bm25_topk (helpers.py decimal-accumulation rule)."""
+    base, n_docs, total_len = _ensure_bm25_compacted(spark, sf_dir)
+    return _bm25_serve_plan(
+        spark, [base], n_docs, total_len, _BM25_SERVE_QUERIES, _BM25_SERVE_K)

@@ -591,3 +591,25 @@ def test_bm25_index_artifact_reused(spark, tmp_path):
     assert rows and all(r.rank <= 3 for r in rows)
     # every requested qid that has any matching doc appears
     assert {r.qid for r in rows} == set(_BM25_SERVE_QUERIES)
+
+
+def test_bm25_compact_equals_segmented_and_monolithic(spark):
+    """Index-lifecycle invariant: serve(build) == serve(refresh) ==
+    serve(compact(refresh)) row-for-row — compaction merges segments
+    without changing a single score, and both equal the monolithic
+    build (the oracle separately proves all three == full rebuild)."""
+    import os
+
+    from datafusion_spark.queries import QUERIES
+    from datafusion_spark.queries.pipeline_text import _ensure_bm25_compacted
+    from tests.conftest import SF_SMALL
+
+    mono = QUERIES["text_bm25_index_serve"](spark, SF_SMALL).collect()
+    seg = QUERIES["text_bm25_index_refresh"](spark, SF_SMALL).collect()
+    cmp_ = QUERIES["text_bm25_index_compact"](spark, SF_SMALL).collect()
+    as_tuples = lambda rows: [(r.qid, r.doc_id, r.rank, r.bm25) for r in rows]
+    assert as_tuples(cmp_) == as_tuples(seg) == as_tuples(mono)
+    # the compacted artifact is ONE segment with all four components
+    base, _, _ = _ensure_bm25_compacted(spark, SF_SMALL)
+    for comp in ("postings", "doclen", "term_stats", "stats.json", "_DONE"):
+        assert os.path.exists(os.path.join(base, comp)), comp
