@@ -1825,3 +1825,107 @@ def test_generator_nested_and_reaggregate(spark, duck_part):
     w2 = sorted(map(repr, (tuple(r[0])
                            for r in duck_part.execute(d2).fetchall())))
     assert g2 == w2 and g2
+
+
+# --- axis 21 (r10): correlated SCALAR subqueries × decorrelation --------------
+#
+# The reference dedicates optimizer passes to turning correlated scalar
+# subqueries into joins (datafusion/optimizer/src/scalar_subquery_to_join.rs
+# + decorrelate.rs); Spark runs the same rewrite in DecorrelateInnerQuery /
+# RewriteCorrelatedScalarSubquery.  The classic decorrelation trap is the
+# EMPTY correlated group: after the rewrite the inner aggregate becomes a
+# LEFT OUTER join, so `COUNT(*)` over a customer with no matching orders
+# must still produce 0 (the rewrite has to patch NULL -> 0), while
+# SUM/MIN/MAX/AVG must stay NULL — getting this wrong is a recurring bug
+# class in every engine that decorrelates.  The axis crosses:
+#   placement    SELECT-list scalar vs WHERE comparison vs COALESCE-wrapped
+#   inner agg    COUNT(*) / COUNT(col) / SUM / MIN / MAX / AVG
+#   inner filter none / half-selective / mostly-empty (forces empty groups)
+#   outer slice  full customer table vs an acctbal band
+# Aggregates are decimal-cast per the SURVEY §4 determinism rules so both
+# engines quantize identically before the compare.
+
+_CSQ_AGGS = [
+    # (expr over orders, needs_null_patch) — COUNTs are the 0-vs-NULL class
+    ("CAST(COUNT(*) AS BIGINT)", True),
+    ("CAST(COUNT(o_orderkey) AS BIGINT)", True),
+    ("CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)", False),
+    ("MIN(o_totalprice)", False),
+    ("MAX(o_totalprice)", False),
+    ("CAST(AVG(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))", False),
+]
+_CSQ_INNER_FILTERS = [
+    "",                                   # every customer with orders matches
+    "AND o_orderstatus = 'F'",            # half-selective
+    "AND o_totalprice > 400000.0",        # mostly-empty correlated groups
+]
+_CSQ_OUTER_FILTERS = [
+    "",
+    "WHERE c_acctbal BETWEEN 0.0 AND 5000.0",
+]
+
+
+@st.composite
+def csq_spec(draw):
+    agg, _ = draw(st.sampled_from(_CSQ_AGGS))
+    inner_flt = draw(st.sampled_from(_CSQ_INNER_FILTERS))
+    outer_flt = draw(st.sampled_from(_CSQ_OUTER_FILTERS))
+    placement = draw(st.sampled_from(["select", "coalesce", "where"]))
+    return agg, inner_flt, outer_flt, placement
+
+
+@given(csq_spec())
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_correlated_scalar_subquery_parity(spark, duck_join, spec):
+    agg, inner_flt, outer_flt, placement = spec
+    sub = (f"(SELECT {agg} FROM orders "
+           f"WHERE o_custkey = c_custkey {inner_flt})")
+    if placement == "where":
+        # comparison in WHERE: UNKNOWN (NULL scalar) must filter the row,
+        # and the empty-group COUNT=0 path must compare as 0, not NULL
+        sql = (f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+               f"CAST(SUM(c_custkey) AS BIGINT) AS checksum "
+               f"FROM customer {outer_flt} "
+               f"{'AND' if outer_flt else 'WHERE'} {sub} >= 2")
+    else:
+        v = f"COALESCE({sub}, -1)" if placement == "coalesce" else sub
+        sql = (f"SELECT c_custkey, {v} AS v FROM customer {outer_flt} "
+               f"ORDER BY c_custkey")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck_join.execute(sql).fetchall()]
+    assert got == want, sql
+
+
+def test_correlated_count_empty_group_is_zero(spark, duck_join):
+    """Corner pin (the decorrelation trap the axis hunts): a correlated
+    COUNT(*) over a predicate no order satisfies must be 0 for EVERY
+    customer — a decorrelation that forgets the NULL->0 patch after its
+    LEFT OUTER rewrite returns NULL (or drops rows) instead."""
+    sql = ("SELECT CAST(COUNT(*) AS BIGINT) AS n_customers, "
+           "CAST(SUM(cnt) AS BIGINT) AS total "
+           "FROM (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders "
+           "WHERE o_custkey = c_custkey AND o_totalprice > 1e12) AS cnt "
+           "FROM customer) t")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck_join.execute(sql).fetchall()]
+    assert got == want
+    n, total = got[0]
+    assert n > 0 and total == 0      # every count is exactly 0, never NULL
+
+
+def test_correlated_top1_subquery_parity(spark, duck_join):
+    """Corner pin: correlated scalar subquery with ORDER BY ... LIMIT 1
+    (the top-1-per-group decorrelation — Spark rewrites it through a
+    window/aggregate, DuckDB through its DelimJoin).  Tie-broken by
+    o_orderkey so the top-1 is unique and the compare deterministic."""
+    sql = ("SELECT c_custkey, (SELECT o_totalprice FROM orders "
+           "WHERE o_custkey = c_custkey "
+           "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS v "
+           "FROM customer ORDER BY c_custkey")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck_join.execute(sql).fetchall()]
+    assert got == want and got
