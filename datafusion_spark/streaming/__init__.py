@@ -3,6 +3,7 @@
 from datafusion_spark.streaming.ops import (
     click_purchase_join,
     click_purchase_join_outer,
+    click_purchase_join_semi,
     dedup_within_watermark,
     foreach_batch_append_sink,
     read_events_stream,
@@ -22,6 +23,7 @@ __all__ = [
     "sessionize_stateful",
     "click_purchase_join",
     "click_purchase_join_outer",
+    "click_purchase_join_semi",
     "dedup_within_watermark",
     "foreach_batch_append_sink",
     "read_latest_per_user",

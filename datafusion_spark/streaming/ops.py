@@ -284,6 +284,46 @@ def click_purchase_join_outer(
     )
 
 
+def click_purchase_join_semi(
+    events, within: str = "1 hour", watermark: str = "2 hours"
+):
+    """Stream-stream LEFT SEMI join (reference: physical-plan/src/joins/
+    symmetric_hash_join.rs supports SemiJoin — existence, not payload):
+    emit each CLICK that is followed by at least one purchase from the
+    same user within ``within`` — the purchase columns never leave the
+    join, so the output is click-shaped and duplicate-free regardless of
+    how many purchases matched (the "converted clicks" stream).
+
+    State economics match the inner variant: both sides watermarked,
+    time-bounded in both directions, so Spark evicts click state once
+    its horizon passes and purchase state once nothing earlier can still
+    match it.  On batch inputs this is a plain left semi join with the
+    same condition — the stream==batch test compares exactly.
+    """
+    from pyspark.sql import functions as F
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "leftSemi").select(
+        F.col("c_user").alias("user_id"), "c_event_id", "c_ts",
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
     keeps state only for ids newer than the watermark horizon — the

@@ -499,3 +499,38 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     key = (t(0, 0), "click")
     assert got.get(key) == 2, got  # late row NOT counted, row NOT re-emitted
+
+
+def test_stream_stream_semi_join_matches_batch(spark):
+    """Converted clicks (left SEMI stream-stream join): the streamed
+    result must equal the batch left-semi join exactly — click-shaped
+    output, one row per converted click no matter how many purchases
+    matched inside the window."""
+    from datafusion_spark.streaming import (
+        click_purchase_join_semi,
+        read_events_stream,
+    )
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_SMALL)
+    q = (
+        click_purchase_join_semi(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {r.c_event_id
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        batch = click_purchase_join_semi(load_table(spark, SF_SMALL, "events"))
+        want = {r.c_event_id for r in batch.collect()}
+        assert got == want and want
+        # semi: strictly fewer rows than the inner join's match pairs
+        from datafusion_spark.streaming import click_purchase_join
+        inner = click_purchase_join(load_table(spark, SF_SMALL, "events"))
+        assert len(want) <= inner.count()
+    finally:
+        q.stop()
