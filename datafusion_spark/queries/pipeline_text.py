@@ -1634,7 +1634,8 @@ def _ensure_bm25_compacted(spark, sf_dir) -> tuple[str, int, int]:
     SELECT qid, doc_id, CAST(rn AS INTEGER) AS rank, bm25
     FROM ranked WHERE rn <= {_BM25_SERVE_K} ORDER BY qid, rank
     """,
-    tags=("pipeline", "text", "retrieval", "index", "incremental"),
+    tags=("pipeline", "text", "retrieval", "index", "incremental",
+          "bench"),
 )
 def text_bm25_index_compact(spark, sf_dir):
     """BM25 segment COMPACTION, served: the segmented layout that
