@@ -171,6 +171,22 @@ _SUFFIX_RE = _re_mod.compile(
     r'(?<![\w."])(\d+(?:\.\d*)?(?:[eE][-+]?\d+)?)(BD|[YSLD])\b')
 _SUFFIX_TYPE = {"Y": "TINYINT", "S": "SMALLINT", "L": "BIGINT",
                 "D": "DOUBLE"}
+# Type-MIN literals whose magnitude overflows the type: the minus sign
+# is provably PART of the literal (Catalyst could never render the bare
+# positive 9223372036854775808L as a BIGINT subtraction operand), so it
+# must move inside the CAST — `-CAST(9223372036854775808 AS BIGINT)`
+# makes the inner positive value overflow at a remote binder (DuckDB
+# reads it as INT128 and the cast errors; found by the sweep's
+# execution pass on fn_edge_in_list_typed).
+_NEG_BOUNDARY_RE = _re_mod.compile(
+    r"-\s?(?:(9223372036854775808)L|(32768)S|(128)Y)\b")
+
+
+def _neg_boundary(seg: str) -> str:
+    return _NEG_BOUNDARY_RE.sub(
+        lambda m: (f"CAST(-{m.group(1)} AS BIGINT)" if m.group(1)
+                   else f"CAST(-{m.group(2)} AS SMALLINT)" if m.group(2)
+                   else f"CAST(-{m.group(3)} AS TINYINT)"), seg)
 
 
 def _strip_literal_suffixes(txt: str) -> str:
@@ -205,14 +221,15 @@ def _strip_literal_suffixes(txt: str) -> str:
                     out.append("".join(buf))
                     buf, quote = [], None
         elif ch in ("'", '"'):
-            out.append(_SUFFIX_RE.sub(repl, "".join(buf)))
+            out.append(_SUFFIX_RE.sub(repl, _neg_boundary("".join(buf))))
             buf, quote = [ch], ch
         else:
             buf.append(ch)
         i += 1
     if buf:
         seg = "".join(buf)
-        out.append(seg if quote is not None else _SUFFIX_RE.sub(repl, seg))
+        out.append(seg if quote is not None
+                   else _SUFFIX_RE.sub(repl, _neg_boundary(seg)))
     return "".join(out)
 
 
@@ -414,6 +431,27 @@ def _h_zip_with(name, inner):
     return (f"CASE WHEN ({args[0]}) IS NULL OR ({args[1]}) IS NULL "
             f"THEN NULL ELSE list_transform(list_zip({args[0]}, "
             f"{args[1]}), __zw -> {body}) END")
+
+
+_REVERSE_LIST_HEADS = ("list_sort(", "list(", "list_transform(",
+                       "list_zip(", "list_reverse(", "list_concat(",
+                       "list_distinct(", "flatten(", "string_split(",
+                       "range(", "generate_series(", "[")
+
+
+def _h_reverse(name, inner):
+    """Spark reverse() is string- AND array-polymorphic; DuckDB's
+    reverse() is VARCHAR-only (lists spell list_reverse).  The argument
+    type is invisible in rendered text, so translate to list_reverse
+    only when the argument's head syntactically PROVES a list (an
+    already-translated list-producing call or a bracket literal); keep
+    strings and unknowable column refs on reverse() — a list-typed
+    column there fails LOUDLY at the DuckDB binder, never silently."""
+    if len(_split_top_args(inner)) != 1:
+        raise DialectError("multi-arg reverse() — not unparsable")
+    if inner.lstrip().lower().startswith(_REVERSE_LIST_HEADS):
+        return f"list_reverse({inner})"
+    return f"reverse({inner})"
 
 
 def _h_slice(name, inner):
@@ -866,6 +904,7 @@ _DUCKDB_FN_RULES.update({
     "aggregate": ("custom", _h_aggregate),
     "reduce": ("custom", _h_aggregate),
     "zip_with": ("custom", _h_zip_with),
+    "reverse": ("custom", _h_reverse),
     "slice": ("custom", _h_slice),
     "element_at": ("custom", _h_element_at),
     "struct": ("custom", _h_struct),
@@ -1324,6 +1363,7 @@ def _duckdb_token_rewrites(txt: str) -> str:
     ``3S``, ``4Y``) that DuckDB's parser rejects."""
 
     def outside(seg: str) -> str:
+        seg = _neg_boundary(seg)
         seg = re.sub(r'(?<![\w"])div(?![\w"])', "//", seg)
         seg = seg.replace("<=>", "IS NOT DISTINCT FROM")
         seg = re.sub(r"(?<![\w.])(\d+(?:\.\d+)?(?:E[+-]?\d+)?)BD\b",
@@ -1495,6 +1535,26 @@ class _Unparser:
                             f"CAST({src} AS {dst}) truncates in Spark "
                             "but rounds/reformats in DuckDB — not "
                             "unparsable in this dialect")
+                    # Spark numeric↔timestamp CAST is epoch-seconds
+                    # arithmetic; DuckDB has NO such cast at all
+                    # ("Unimplemented type for cast", found by the
+                    # sweep's execution pass as loud type-blind binder
+                    # errors).  DuckDB spells the semantics
+                    # to_timestamp()/epoch(), which a text rewrite
+                    # cannot target without the operand type — refuse
+                    # from the tree, where the types are exact.
+                    def _numt(t: str) -> bool:
+                        return (t in ("TINYINT", "SMALLINT", "INT",
+                                      "BIGINT", "FLOAT", "DOUBLE")
+                                or t.startswith("DECIMAL"))
+                    if ((_numt(src) and dst.startswith("TIMESTAMP"))
+                            or (src.startswith("TIMESTAMP")
+                                and _numt(dst))):
+                        raise DialectError(
+                            f"CAST({src} AS {dst}) is Spark "
+                            "epoch-seconds semantics with no DuckDB "
+                            "CAST spelling (DuckDB needs to_timestamp()"
+                            "/epoch()) — not unparsable in this dialect")
                 # Catalyst renders a Cast to a COMPLEX type (array/map/
                 # struct) as just its child — CAST(array(1,2) AS
                 # ARRAY<DOUBLE>).sql() == 'array(1, 2)' — so the target

@@ -951,3 +951,48 @@ def test_struct_alias_name_drop_repair(spark):
     # natural names (no alias) keep the plain struct render
     plain = spark.sql("SELECT struct(c1) AS s FROM VALUES (3) t(c1)")
     assert "named_struct" not in to_sql(plain, validate=False)
+
+
+def test_duckdb_reverse_list_vs_string(spark):
+    """Spark reverse() is string- AND array-polymorphic; DuckDB's is
+    VARCHAR-only (exec-pass find: reverse(BIGINT[]) binder error).  A
+    provably-list head translates to list_reverse; a string head stays
+    reverse() — both executed and value-compared."""
+    df = spark.sql(
+        "SELECT reverse(sort_array(collect_list(x))) AS r, "
+        "reverse(min(s)) AS rs "
+        "FROM VALUES (1, 'ab'), (3, 'cd'), (2, 'ee') AS t(x, s)")
+    dsql = to_sql(df, DUCKDB, validate=False)
+    assert "list_reverse(" in dsql and "reverse(min(" in dsql
+    got = [(list(r[0]), r[1]) for r in df.collect()]
+    import duckdb
+    want = [(list(r[0]), r[1]) for r in duckdb.sql(dsql).fetchall()]
+    assert got == want == [([3, 2, 1], "ba")]
+
+
+def test_duckdb_long_min_literal(spark):
+    """Long.MinValue renders as -9223372036854775808L; splitting the
+    minus out of the CAST makes the positive magnitude overflow at the
+    DuckDB binder (INT128 -> INT64 conversion error, exec-pass find on
+    fn_edge_in_list_typed) — the minus moves inside the CAST."""
+    df = spark.sql(
+        "SELECT (x IN (CAST(1 AS BIGINT), -9223372036854775808L)) AS hit "
+        "FROM VALUES (CAST(-9223372036854775808 AS BIGINT)), "
+        "(CAST(5 AS BIGINT)) AS t(x)")
+    dsql = _both(spark, df)
+    assert "CAST(-9223372036854775808 AS BIGINT)" in dsql
+
+
+def test_duckdb_numeric_timestamp_cast_refuses(spark):
+    """Spark CAST(numeric AS TIMESTAMP) / CAST(ts AS BIGINT) is epoch-
+    seconds semantics; DuckDB has no such cast ("Unimplemented type for
+    cast", exec-pass find) and the operand type is invisible in text —
+    refused from the tree in the DUCKDB dialect, exact in Spark."""
+    df = spark.sql("SELECT CAST(1700000000 AS TIMESTAMP) AS ts")
+    _assert_roundtrip(spark, df.selectExpr("CAST(ts AS STRING) AS s"))
+    with pytest.raises(DialectError, match="epoch-seconds"):
+        to_sql(df, DUCKDB, validate=False)
+    df2 = _orders(spark).select(
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("secs"))
+    with pytest.raises(DialectError, match="epoch-seconds"):
+        to_sql(df2, DUCKDB, validate=False)
