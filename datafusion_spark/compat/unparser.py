@@ -1461,6 +1461,9 @@ class _Unparser:
         # lossy struct-name renders recorded by _check_tree, adjudicated
         # against the actual Catalyst text in _expr_sql
         self._struct_drop_candidates: list[tuple[str, str]] = []
+        # lossy complex-cast renders (child text, target type SQL) —
+        # same record-then-adjudicate protocol
+        self._cast_drop_candidates: list[tuple[str, str]] = []
 
     def _alias(self) -> str:
         self._n += 1
@@ -1569,9 +1572,22 @@ class _Unparser:
                             and not n.dataType().sameType(
                                 n.child().dataType())
                             and n.sql() == n.child().sql()):
-                        raise DialectError(
-                            "complex-type CAST target is dropped by "
-                            f"Expression.sql: {n.toString()[:100]}")
+                        if self.dialect.name != "spark":
+                            # the repair re-emits the target type in
+                            # SPARK type syntax (ARRAY<DOUBLE>), which
+                            # other dialects don't parse — refuse there
+                            raise DialectError(
+                                "complex-type CAST target is dropped by "
+                                f"Expression.sql: {n.toString()[:100]}")
+                        # Spark dialect: repairable — record the lossy
+                        # render; _fix_cast_drops wraps its unique
+                        # occurrence back into an explicit CAST (same
+                        # adjudication protocol as the struct-name
+                        # repair: candidates in replacement subtrees
+                        # that never render are ignored, ambiguous
+                        # multi-occurrence anchors refuse).
+                        self._cast_drop_candidates.append(
+                            (n.sql(), n.dataType().sql()))
                 except DialectError:
                     raise
                 except Exception:  # noqa: BLE001 - variant w/o accessors
@@ -2037,16 +2053,18 @@ class _Unparser:
 
     def _expr_sql(self, e) -> str:
         self._struct_drop_candidates = []
+        self._cast_drop_candidates = []
         if self._tree_has_subquery(e):
             self._check_tree(e)
-            return self._strip_hidden_quals(self._fix_struct_drops(
-                e, self._render_subq_expr(e)))
+            return self._strip_hidden_quals(self._fix_cast_drops(
+                self._fix_struct_drops(e, self._render_subq_expr(e))))
         self._check_tree(e)
         if self._tree_has_lambda(e):
             txt = self._render_lambda_text(e)
         else:
             txt = e.sql()
         txt = self._fix_struct_drops(e, txt)
+        txt = self._fix_cast_drops(txt)
         low = self._outside_literals(txt).lower()
         for marker in self._UNPARSABLE_EXPR_MARKERS:
             if marker in low:
@@ -2101,6 +2119,37 @@ class _Unparser:
                     "struct() field name is dropped by Expression.sql "
                     "inside a lambda body — the re-parse renames "
                     f"{names!r}: {nsql[:90]}")
+        return txt
+
+    def _fix_cast_drops(self, txt: str) -> str:
+        """Complex-type CAST repair (the FIFTH silent-arg-drop class,
+        r9 find, repaired r10): Catalyst renders CAST(x AS ARRAY<T>) as
+        just x's render, so the target type vanishes and the re-parse
+        computes different element types.  _check_tree records the
+        lossy render + the tree's target type; each candidate whose
+        render occurs EXACTLY ONCE in the text is wrapped back into an
+        explicit CAST at that anchor.  A second occurrence is ambiguous
+        (the same spelling may be the UN-cast child elsewhere) —
+        refuse.  A candidate that never rendered (analyzer replacement
+        subtrees) is ignored.  Nested dropped casts resolve correctly
+        because _check_tree records parent-before-child and each wrap
+        keeps the child's anchor inside the new CAST.  Safety net: the
+        Spark-dialect validator compares the full round-trip schema
+        including nested types, so a mis-anchored wrap refuses rather
+        than drifting silently."""
+        if not self._cast_drop_candidates:
+            return txt
+        for nsql, dt in self._cast_drop_candidates:
+            at = self._find_outside_str(txt, nsql, 0)
+            if at < 0:
+                continue  # replacement subtree: render never surfaced
+            if self._find_outside_str(txt, nsql, at + 1) >= 0:
+                raise DialectError(
+                    "complex-type CAST target is dropped by "
+                    "Expression.sql and its render is not uniquely "
+                    f"anchorable: {nsql[:90]}")
+            txt = (txt[:at] + f"CAST({nsql} AS {dt})"
+                   + txt[at + len(nsql):])
         return txt
 
     def _sqls(self, jexprs) -> list[str]:
@@ -2934,6 +2983,26 @@ def to_sql(df, dialect: Dialect = SPARK, validate: bool = True) -> str:
         if re_cols != df.columns:
             raise DialectError(
                 f"round-trip schema drift: {df.columns} -> {re_cols}")
+        # TYPES too (incl. nested struct field names — the class the
+        # struct-name and complex-cast repairs fix is exactly a type
+        # drift with identical values, invisible to a row compare);
+        # nullability excluded: re-analysis legitimately re-infers it.
+        # TIMESTAMP_NTZ↔TIMESTAMP tolerated under a UTC session only:
+        # the DataFrame parquet reader infers NTZ where the re-parsed
+        # `parquet.` file factor analyzes LTZ — same stored micros,
+        # identical wall-clock values when the session is UTC (the
+        # repo-wide pin); any other tz keeps the strict check.
+        tz_utc = (tz or "UTC").upper() in ("UTC", "ETC/UTC", "Z")
+
+        def _norm(t: str) -> str:
+            return t.replace("timestamp_ntz", "timestamp") if tz_utc else t
+
+        want = [_norm(f.dataType.simpleString()) for f in df.schema.fields]
+        got = [_norm(f.dataType.simpleString())
+               for f in reparsed.schema.fields]
+        if got != want:
+            raise DialectError(
+                f"round-trip type drift: {want} -> {got}")
     return text
 
 

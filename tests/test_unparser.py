@@ -490,17 +490,34 @@ def test_cte_plus_scalar_subquery(spark):
     _assert_roundtrip(spark, df)
 
 
-def test_complex_cast_drop_refuses(spark):
+def test_complex_cast_drop_repaired(spark):
     """Pinned Catalyst rendering bug (5th silent-arg-drop class, found by
     the r9 registry sweep): Expression.sql renders a CAST to a COMPLEX
     type as just its child — CAST(array(1,2) AS ARRAY<DOUBLE>) prints
     'array(1, 2)' — so the re-parse silently computes integer elements
-    ('1,2' instead of '1.0,2.0' through array_join).  Refused by tree
-    inspection; scalar casts and same-type no-op casts still unparse."""
+    ('1,2' instead of '1.0,2.0' through array_join).  REPAIRED (r10,
+    same protocol as the struct-name repair): the lossy render's unique
+    occurrence is wrapped back into an explicit CAST from the tree's
+    target type; an ambiguous multi-occurrence anchor refuses."""
     df = spark.sql(
         "SELECT array_join(CAST(array(1,2) AS ARRAY<DOUBLE>), ',') AS c")
-    with pytest.raises(DialectError, match="complex-type CAST"):
-        to_sql(df)
+    sql = _assert_roundtrip(spark, df)
+    assert "CAST(array(1, 2) AS ARRAY<DOUBLE>)" in sql
+    assert df.collect()[0].c == "1.0,2.0"
+    # anchoring is per-EXPRESSION: a sibling column with the same un-cast
+    # spelling repairs independently and still round-trips
+    two = spark.sql(
+        "SELECT array_join(CAST(array(1,2) AS ARRAY<DOUBLE>), ',') AS c, "
+        "array(1,2) AS raw")
+    assert "AS ARRAY<DOUBLE>)" in _assert_roundtrip(spark, two)
+    # the same child spelling appearing UN-cast INSIDE one expression →
+    # ambiguous anchor, refuse rather than guess which occurrence
+    amb = spark.sql(
+        "SELECT concat(array_join(CAST(array(1,2) AS ARRAY<DOUBLE>), ','),"
+        " '|', array_join(array(1,2), ',')) AS c")
+    with pytest.raises(DialectError,
+                       match="complex-type CAST|not uniquely anchorable"):
+        to_sql(amb)
     # scalar casts render correctly and keep round-tripping
     _assert_roundtrip(
         spark, spark.sql("SELECT CAST(1 AS DOUBLE) AS x, CAST('7' AS INT) AS y"))
