@@ -1929,3 +1929,45 @@ def test_correlated_top1_subquery_parity(spark, duck_join):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in duck_join.execute(sql).fetchall()]
     assert got == want and got
+
+
+def test_correlated_boolean_projection_parity(spark, duck_join):
+    """Axis-21 companion: EXISTS as a PROJECTED boolean (not a WHERE
+    predicate) — the decorrelation must preserve the value in a context
+    where UNKNOWN can't be filtered away.  Parity holds for EXISTS and
+    for IN over a NULL-free inner set."""
+    sql = ("SELECT c_custkey, "
+           "EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+           "AND o_totalprice > 200000.0) AS has_big, "
+           "c_custkey IN (SELECT o_custkey FROM orders "
+           "WHERE o_orderstatus = 'F') AS in_f "
+           "FROM customer ORDER BY c_custkey")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck_join.execute(sql).fetchall()]
+    assert got == want and got
+
+
+def test_in_subquery_projection_null_divergence(spark, duck_join):
+    """Pinned axis-21 finding (first run): `x IN (subquery whose set
+    contains NULL)` PROJECTED as a value is FALSE in Spark for
+    non-members but UNKNOWN→NULL per the SQL standard (DuckDB agrees
+    with the standard; so does Spark's own LITERAL in-list `1 IN (2,
+    NULL)` = NULL!).  Spark's InSubquery rewrite keeps null-awareness
+    only where the predicate is a FILTER (the axis-12 NOT IN anti-join
+    path); in a projection the existence-join lowering loses the
+    UNKNOWN state.  In a WHERE clause FALSE and UNKNOWN both drop the
+    row, so the divergence is invisible there — only the projected
+    value exposes it."""
+    q = ("SELECT 1 IN (SELECT x FROM VALUES (2), (CAST(NULL AS INT)) "
+         "AS t(x)) AS v")
+    assert spark.sql(q).collect()[0].v is False          # Spark: FALSE
+    dq = q.replace("AS t(x)", "t(x)")
+    assert duck_join.execute(dq).fetchall()[0][0] is None  # standard: NULL
+    # Spark's literal in-list follows the standard — the divergence is
+    # specific to the subquery lowering
+    assert spark.sql("SELECT 1 IN (2, NULL) AS v").collect()[0].v is None
+    # membership TRUE is unaffected
+    q2 = q.replace("SELECT 1 IN", "SELECT 2 IN")
+    assert spark.sql(q2).collect()[0].v is True
+    assert duck_join.execute(q2.replace("AS t(x)", "t(x)")
+                             ).fetchall()[0][0] is True
