@@ -142,6 +142,7 @@ def _interleave_families() -> None:
         "source_schema_evolution_nested_array",
         "text_bm25_index_refresh",
         "text_bm25_index_compact",
+        "text_bm25_index_delete",
         "similarity_ivf_filtered_topk",
         # new r10 late-session entries: driver-certified federation of
         # the DuckDB translation batch (pinned-oracle pattern)

@@ -1349,6 +1349,56 @@ def _ensure_bm25_segments(spark, sf_dir) -> tuple[list[str], int, int]:
     return segs, n_docs, total_len
 
 
+def _ensure_bm25_tombstones(spark, sf_dir) -> tuple[str, int, int]:
+    """Apply a DELETION batch to the segmented index as TOMBSTONES (the
+    Lucene .del-file analog): the segments are never rewritten; the
+    delete job records (a) the deleted doc_ids, (b) the per-term df of
+    the deleted docs, (c) the deleted n_docs/total_len scalars — ALL
+    derived from the EXISTING index by joining postings/doclen against
+    the deletion set, so delete cost is index-sized and no raw text is
+    ever re-tokenized.  Serving then anti-joins candidates against the
+    tombstones and subtracts the recorded deltas from df and the corpus
+    scalars, which makes tombstoned serving EXACTLY equal a full rebuild
+    on the shrunken corpus (Lucene itself skips the df adjustment until
+    merge and lets scores drift; the exact adjustment costs only a
+    |query terms|-bounded join here, so this engine keeps it exact).
+    Deletion set for the registry entry: doc_id % 7 == 3.
+    Same atomic-rename protocol as the other index artifacts."""
+    base = os.path.join(
+        _repo_root(), "spark-warehouse", "derived_text",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"bm25_del_{_TEXT_INDEX_VERSION}",
+    )
+    if not os.path.isfile(os.path.join(base, "_DONE")):
+        segs, _, _ = _ensure_bm25_segments(spark, sf_dir)
+        tmp = f"{base}.tmp.{os.getpid()}"
+        dl = spark.read.parquet(*[os.path.join(s, "doclen") for s in segs])
+        dead = dl.filter(F.col("doc_id") % 7 == 3)
+        dead.select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(tmp, "tombstones"))
+        postings = spark.read.parquet(
+            *[os.path.join(s, "postings") for s in segs])
+        (postings.join(dead.select("doc_id"), "doc_id")
+         .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+         .write.mode("overwrite").parquet(os.path.join(tmp, "term_stats")))
+        row = dead.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.coalesce(F.sum("dl"), F.lit(0)).alias("total_len")
+                       ).collect()[0]
+        with open(os.path.join(tmp, "stats.json"), "w") as f:
+            json.dump({"n_docs": int(row["n_docs"]),
+                       "total_len": int(row["total_len"])}, f)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # another builder won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(base, "stats.json")) as f:
+        stats = json.load(f)
+    return base, stats["n_docs"], stats["total_len"]
+
+
 def bm25_serve(spark, sf_dir, queries: dict[int, tuple[str, ...]],
                k: int = _BM25_SERVE_K) -> DataFrame:
     """Serve N BM25 queries in ONE pass over the persisted index.
@@ -1365,12 +1415,22 @@ def bm25_serve(spark, sf_dir, queries: dict[int, tuple[str, ...]],
 
 
 def _bm25_serve_plan(spark, segs: list[str], n_docs: int, total_len: int,
-                     queries: dict[int, tuple[str, ...]], k: int) -> DataFrame:
+                     queries: dict[int, tuple[str, ...]], k: int,
+                     tomb: str | None = None) -> DataFrame:
     """The serving plan over one or more index SEGMENTS (multi-segment =
     the incremental-refresh layout).  Per-segment postings stay
     term-sorted so the IN-filter prunes row groups in every segment; the
     per-term df merges with a sum over the query-term-pruned per-segment
-    stats (bounded by |query terms| × |segments|, never vocabulary-sized)."""
+    stats (bounded by |query terms| × |segments|, never vocabulary-sized).
+
+    ``tomb``: a tombstone layout from _ensure_bm25_tombstones — the
+    term-pruned postings anti-join the deleted doc_ids and the per-term
+    df subtracts the recorded deleted-df (query-term-pruned, bounded);
+    the caller passes the ALREADY-ADJUSTED corpus scalars.  The
+    anti-join runs on the candidate stream AFTER term pruning, so its
+    left side is query-bounded; at a 100 TB corpus the tombstone side
+    is delete-horizon-bounded and Spark picks broadcast vs shuffle per
+    stats (compaction physically drops tombstoned rows and resets)."""
     from pyspark.sql.window import Window
 
     qdf = values_df(
@@ -1382,6 +1442,9 @@ def _bm25_serve_plan(spark, segs: list[str], n_docs: int, total_len: int,
     postings = (spark.read.parquet(*[os.path.join(s, "postings")
                                      for s in segs])
                 .filter(F.col("term").isin(terms)))
+    if tomb is not None:
+        dead = spark.read.parquet(os.path.join(tomb, "tombstones"))
+        postings = postings.join(dead, "doc_id", "left_anti")
     dl = spark.read.parquet(*[os.path.join(s, "doclen") for s in segs])
     # Prune term_stats to the query-term set BEFORE broadcasting (same
     # IN-filter the postings scan gets): the unfiltered table is
@@ -1392,6 +1455,17 @@ def _bm25_serve_plan(spark, segs: list[str], n_docs: int, total_len: int,
                                    for s in segs])
               .filter(F.col("term").isin(terms))
               .groupBy("term").agg(F.sum("df").alias("df")))
+    if tomb is not None:
+        # subtract the deleted docs' per-term df (query-term-pruned:
+        # |union of query terms| rows at most, never vocabulary-sized)
+        ddf = (spark.read.parquet(os.path.join(tomb, "term_stats"))
+               .filter(F.col("term").isin(terms))
+               .select("term", F.col("df").alias("ddf")))
+        tstats = (tstats.join(ddf, "term", "left")
+                  .select("term", (F.col("df")
+                                   - F.coalesce(F.col("ddf"), F.lit(0))
+                                   ).alias("df"))
+                  .filter(F.col("df") > 0))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -1544,6 +1618,74 @@ def text_bm25_index_refresh(spark, sf_dir):
     segs, n_docs, total_len = _ensure_bm25_segments(spark, sf_dir)
     return _bm25_serve_plan(
         spark, segs, n_docs, total_len, _BM25_SERVE_QUERIES, _BM25_SERVE_K)
+
+
+@query(
+    "text_bm25_index_delete",
+    oracle=f"""
+    WITH q(qid, term) AS (VALUES {_bm25_serve_values_sql()}),
+    live AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM live
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), postings AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+    ), part AS (
+      SELECT q.qid, p.doc_id,
+             CAST(ln(CAST(1.0 AS DOUBLE)
+                     + (s.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                       / (dfreq.df + CAST(0.5 AS DOUBLE)))
+                  * (p.tf * CAST(2.2 AS DOUBLE))
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                     (CAST(dl.dl AS DOUBLE) * s.n_docs / s.total_len)))
+                  AS DECIMAL(20,8)) AS s
+      FROM q JOIN postings p USING (term) JOIN dfreq USING (term)
+      JOIN dl USING (doc_id) CROSS JOIN stats s
+    ), agg AS (
+      SELECT qid, doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+      FROM part GROUP BY qid, doc_id
+    ), ranked AS (
+      SELECT qid, doc_id, bm25,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY bm25 DESC, doc_id) AS rn
+      FROM agg
+    )
+    SELECT qid, doc_id, CAST(rn AS INTEGER) AS rank, bm25
+    FROM ranked WHERE rn <= {_BM25_SERVE_K} ORDER BY qid, rank
+    """,
+    tags=("pipeline", "text", "retrieval", "index", "incremental"),
+)
+def text_bm25_index_delete(spark, sf_dir):
+    """BM25 document DELETION via tombstones, served: a deletion batch
+    (doc_id % 7 == 3) is applied to the segmented index WITHOUT
+    rewriting any segment — the Lucene .del-file posture.  The delete
+    job derives everything from the existing index (postings/doclen
+    joined against the deletion set): tombstone ids, the deleted docs'
+    per-term df, and the deleted corpus scalars — no raw text is ever
+    re-tokenized, so delete cost is index-sized.  Serving anti-joins
+    the term-pruned candidate stream against the tombstones and
+    subtracts the query-term-pruned df deltas and the corpus scalars,
+    making tombstoned serving EXACTLY equal a full rebuild on the
+    shrunken corpus (Lucene defers the df adjustment to merge and lets
+    scores drift; here exactness costs one bounded join).  The oracle
+    recomputes BM25 from the raw corpus MINUS the deleted docs — a hash
+    match proves delete(refresh(build)) == rebuild-without-deleted.
+    Completes the index lifecycle: build → refresh → DELETE → compact.
+    Determinism: same decimal-quantized partial-score protocol as
+    text_bm25_topk (helpers.py decimal-accumulation rule)."""
+    segs, n_docs, total_len = _ensure_bm25_segments(spark, sf_dir)
+    tomb, dn, dtl = _ensure_bm25_tombstones(spark, sf_dir)
+    return _bm25_serve_plan(
+        spark, segs, n_docs - dn, total_len - dtl,
+        _BM25_SERVE_QUERIES, _BM25_SERVE_K, tomb=tomb)
 
 
 def _ensure_bm25_compacted(spark, sf_dir) -> tuple[str, int, int]:

@@ -613,3 +613,28 @@ def test_bm25_compact_equals_segmented_and_monolithic(spark):
     base, _, _ = _ensure_bm25_compacted(spark, SF_SMALL)
     for comp in ("postings", "doclen", "term_stats", "stats.json", "_DONE"):
         assert os.path.exists(os.path.join(base, comp)), comp
+
+
+def test_bm25_tombstone_delete_semantics(spark):
+    """Tombstoned serving: (a) no deleted doc_id (doc_id % 7 == 3) ever
+    appears in results; (b) the ranking CHANGES vs the undeleted index
+    (the df/corpus-scalar adjustment is live, not just an output
+    filter); (c) the tombstone artifact carries all three components."""
+    import os
+
+    from datafusion_spark.queries import QUERIES
+    from datafusion_spark.queries.pipeline_text import (
+        _ensure_bm25_tombstones,
+    )
+    from tests.conftest import SF_SMALL
+
+    deleted = QUERIES["text_bm25_index_delete"](spark, SF_SMALL).collect()
+    assert deleted and all(r.doc_id % 7 != 3 for r in deleted)
+    base_rows = QUERIES["text_bm25_index_serve"](spark, SF_SMALL).collect()
+    # some qid's top-5 must differ once ~1/7 of the corpus is deleted
+    assert {(r.qid, r.doc_id, r.bm25) for r in deleted} != \
+        {(r.qid, r.doc_id, r.bm25) for r in base_rows}
+    tomb, dn, dtl = _ensure_bm25_tombstones(spark, SF_SMALL)
+    assert dn > 0 and dtl > 0
+    for comp in ("tombstones", "term_stats", "stats.json", "_DONE"):
+        assert os.path.exists(os.path.join(tomb, comp)), comp
