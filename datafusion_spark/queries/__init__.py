@@ -138,7 +138,8 @@ def _interleave_families() -> None:
     # harmless if a name is not yet registered (tier() is only consulted
     # for registered names).
     priority = {
-        # new r10 entries:
+        # new r10 entries (compact/delete/filtered from the second r10
+        # session — index-lifecycle completion + payload-filtered ANN):
         "source_schema_evolution_nested_array",
         "text_bm25_index_refresh",
         "text_bm25_index_compact",
