@@ -671,3 +671,37 @@ def test_q72_inventory_leg_never_broadcasts_fact(spark):
     df = QUERIES["tpcds_q72"](spark, SF_SMALL)
     hits = audit(df)
     assert not hits, f"q72 broadcasts a fact-derived side again: {hits}"
+
+
+@pytest.mark.parametrize("name", [
+    "text_bm25_index_serve", "text_bm25_index_refresh",
+    "text_bm25_index_delete", "text_bm25_index_compact",
+])
+def test_bm25_index_serving_plan_shape(spark, name):
+    """The 100 TB serving contract for every BM25 index-lifecycle stage:
+    (a) the query-term IN filter reaches the postings/term_stats parquet
+    scans as a pushed DataFilter (row-group pruning over the term-sorted
+    layout — only the query terms' postings leave the scan), and (b) no
+    SinglePartition exchange anywhere (ranking windows are
+    qid-partitioned).  The delete stage must additionally carry the
+    tombstone LeftAnti join on the candidate stream."""
+    df = QUERIES[name](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "IN (" in plan and plan.count("FileScan") >= 2
+    assert any("DataFilters: [term" in ln and " IN (" in ln
+               for ln in plan.splitlines()), name
+    assert "Exchange SinglePartition" not in plan, name
+    if name == "text_bm25_index_delete":
+        assert "LeftAnti" in plan, "tombstone anti-join missing"
+
+
+def test_filtered_ann_label_conjunct_in_join(spark):
+    """similarity_ivf_filtered_topk: the metadata predicate must ride IN
+    the probed-cell equi-join (one pass), not as a post-scan filter —
+    the BroadcastHashJoin keys carry BOTH the cluster id and the label,
+    and no SinglePartition exchange appears (per-query windows)."""
+    df = QUERIES["similarity_ivf_filtered_topk"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert any(("cluster" in ln and "label" in ln) for ln in joins), joins
+    assert "Exchange SinglePartition" not in plan
