@@ -1971,3 +1971,71 @@ def test_in_subquery_projection_null_divergence(spark, duck_join):
     assert spark.sql(q2).collect()[0].v is True
     assert duck_join.execute(q2.replace("AS t(x)", "t(x)")
                              ).fetchall()[0][0] is True
+
+
+# --- axis 22 (r10): multi-DISTINCT aggregates × Expand lowering ---------------
+#
+# Spark lowers a query with MULTIPLE DISTINCT aggregates through Expand
+# (one row replica per distinct group, null-padded) — a rewrite with a
+# long history of wrong-result bugs (mixed plain+distinct aggs, FILTER
+# clauses landing on the wrong replica, NULL keys merging replicas);
+# DuckDB plans each distinct aggregate as its own hash table.  The
+# reference runs the analogous shapes in its aggregate fuzz (distinct
+# aggregation in fuzz_cases/aggregate_fuzz.rs).  The axis crosses 1-3
+# distinct aggregates over DIFFERENT columns (some NULL-bearing via
+# NULLIF) with an optional plain aggregate alongside (the mixed lowering
+# is the hard path), an optional FILTER clause on one distinct agg, and
+# 0-2 group keys including a NULL-bearing key.
+
+_DAGG_POOL = [
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT)",
+    "CAST(COUNT(DISTINCT NULLIF(o_orderpriority, '1-URGENT')) AS BIGINT)",
+    "CAST(SUM(DISTINCT o_orderkey % 100) AS BIGINT)",
+    "CAST(AVG(DISTINCT CAST(o_orderkey % 7 AS DOUBLE)) AS DOUBLE)",
+    "CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000.0)"
+    " AS BIGINT)",
+    "CAST(MIN(DISTINCT o_totalprice) AS DOUBLE)",
+]
+_DAGG_PLAIN = [
+    None,
+    "CAST(COUNT(*) AS BIGINT)",
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)",
+]
+_DAGG_KEYS = [
+    [],
+    ["o_orderstatus"],
+    ["NULLIF(o_orderstatus, 'P')"],            # NULL-bearing group key
+    ["o_orderstatus", "CAST(o_custkey % 5 AS BIGINT)"],
+]
+
+
+@st.composite
+def dagg_spec(draw):
+    daggs = draw(st.lists(st.sampled_from(_DAGG_POOL),
+                          min_size=1, max_size=3, unique=True))
+    plain = draw(st.sampled_from(_DAGG_PLAIN))
+    keys = draw(st.sampled_from(_DAGG_KEYS))
+    flt = draw(st.sampled_from(["", "WHERE o_totalprice > 50000.0"]))
+    return daggs, plain, keys, flt
+
+
+@given(dagg_spec())
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_multi_distinct_aggregate_parity(spark, duck, spec):
+    daggs, plain, keys, flt = spec
+    aggs = list(daggs) + ([plain] if plain else [])
+    key_cols = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+    agg_cols = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    sel = f"{key_cols}, {agg_cols}" if keys else agg_cols
+    group = (" GROUP BY " + ", ".join(f"k{i}" for i in range(len(keys)))
+             if keys else "")
+    sql = f"SELECT {sel} FROM orders {flt}{group}"
+    # order-insensitive compare (the axis-8 NULLS-default divergence is
+    # a separate, already-pinned finding — this axis is about VALUES)
+    got = sorted(map(repr, (tuple(r) for r in spark.sql(sql).collect())))
+    want = sorted(map(repr, map(tuple, duck.execute(sql).fetchall())))
+    assert got == want, sql
