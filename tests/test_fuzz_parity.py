@@ -2039,3 +2039,65 @@ def test_random_multi_distinct_aggregate_parity(spark, duck, spec):
     got = sorted(map(repr, (tuple(r) for r in spark.sql(sql).collect())))
     want = sorted(map(repr, map(tuple, duck.execute(sql).fetchall())))
     assert got == want, sql
+
+
+# --- axis 23 (r10): set-operation branch TYPE UNIFICATION ---------------------
+#
+# UNION branches of different types force an engine to pick a unified
+# column type (Spark: TypeCoercion widerTypeFor; DuckDB: MaxLogicalType;
+# the reference: comparison_coercion in expr-common/type_coercion.rs).
+# Unification rules are engine POLICY, not SQL-standard-determined, so
+# this axis sweeps branch-type pairs and compares the unified VALUES —
+# with the two divergent classes pinned explicitly below: numeric ×
+# numeric-looking-STRING silently unifies to the NUMERIC type in Spark
+# but VARCHAR in DuckDB (same rows, different types, different ORDER
+# BY!), and bool × int is a loud Spark error but an int in DuckDB.
+
+_UNIFY_SAFE_BRANCHES = [
+    # (left literal, right literal) — pairs where both engines succeed
+    ("CAST(1 AS TINYINT)", "CAST(300 AS BIGINT)"),
+    ("CAST(1 AS INT)", "CAST(2.5 AS DOUBLE)"),
+    ("CAST(1.5 AS DECIMAL(3,1))", "CAST(2 AS BIGINT)"),
+    ("CAST(1.5 AS DECIMAL(3,1))", "CAST(0.25 AS DECIMAL(10,6))"),
+    ("1", "2.5"),
+    ("DATE '2024-01-01'", "TIMESTAMP '2024-01-02 03:04:05'"),
+    ("CAST(1 AS INT)", "NULL"),
+    ("NULL", "'abc'"),
+    ("CAST(2.5 AS FLOAT)", "CAST(1 AS BIGINT)"),
+]
+
+
+@pytest.mark.parametrize("lhs,rhs", _UNIFY_SAFE_BRANCHES)
+def test_setop_type_unification_parity(spark, duck, lhs, rhs):
+    q = (f"SELECT x FROM (SELECT {lhs} AS x UNION ALL SELECT {rhs}) t")
+    got = sorted(map(repr, (r.x for r in spark.sql(q).collect())))
+    want = sorted(map(repr, (v[0] for v in duck.execute(q).fetchall())))
+    assert got == want, (q, got, want)
+
+
+def test_setop_numeric_string_unification_divergence(spark, duck):
+    """Pinned axis-23 finding (first probe): numeric × numeric-looking
+    STRING branches unify to the NUMERIC type in Spark but to VARCHAR in
+    DuckDB — both succeed silently, and an ORDER BY over the unified
+    column then sorts numerically in Spark ([9, 10]) but
+    LEXICOGRAPHICALLY in DuckDB (['10', '9']).  A federated query over
+    this shape silently returns a different first row per engine — the
+    unparser's job is exactly to never let such text cross engines
+    unvalidated."""
+    q = ("SELECT x FROM (SELECT 10 AS x UNION ALL SELECT '9') t "
+         "ORDER BY x LIMIT 1")
+    assert spark.sql(q).collect()[0].x == 9          # numeric order
+    assert duck.execute(q).fetchall()[0][0] == "10"  # lexicographic order
+
+
+def test_setop_bool_int_union_loud_vs_value(spark, duck):
+    """Pinned axis-23 finding: bool × int UNION is a LOUD analysis error
+    in Spark (INCOMPATIBLE_COLUMN_TYPE) but quietly unifies to int in
+    DuckDB — the acceptable divergence direction (never silent wrongness
+    on the Spark side)."""
+    q = "SELECT x FROM (SELECT true AS x UNION ALL SELECT 1) t"
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        spark.sql(q).collect()
+    assert sorted(v[0] for v in duck.execute(q).fetchall()) == [1, 1]
