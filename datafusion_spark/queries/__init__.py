@@ -149,6 +149,7 @@ def _interleave_families() -> None:
         # the DuckDB translation batch (pinned-oracle pattern)
         "compat_unparser_duckdb_federation_fns",
         "compat_unparser_duckdb_federation_window",
+        "compat_unparser_duckdb_federation_lists",
         # materially changed r10, re-verify: the federation entry's pinned
         # oracle TEXT regenerated (DuckDB file factors now aliased); the
         # serve entry's plan gained the segment-generic df merge and the

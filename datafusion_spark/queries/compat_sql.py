@@ -809,3 +809,65 @@ def compat_unparser_duckdb_federation_window(spark, sf_dir):
             "unparser DuckDB output drifted from the pinned federation "
             f"oracle:\n{emitted}")
     return df
+
+
+def _duckdb_fed_lists_plan(spark, sf_dir):
+    """The verb-built plan behind compat_unparser_duckdb_federation_lists.
+    Exercises the late-r10 binder-error fixes: a polymorphic reverse()
+    over a list-producing head (must translate to list_reverse — DuckDB's
+    reverse() is VARCHAR-only) NEXT TO a string reverse() that must stay
+    reverse(), plus a Long.MinValue comparison literal (Catalyst renders
+    -9223372036854775808L; the minus must stay inside the CAST or DuckDB
+    reads the positive magnitude as INT128 and errors)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arr = F.reverse(F.sort_array(F.collect_list(F.col("event_id") % 1000)))
+    return (
+        ev.filter(F.col("event_id") > -9223372036854775808)
+        .groupBy("event_type")
+        .agg(F.array_join(F.transform(arr, lambda x: x.cast("string")),
+                          ",").alias("ids_desc"),
+             F.reverse(F.min("event_type")).alias("rev_type"))
+    )
+
+
+# Pinned ``to_sql(plan, DUCKDB)`` output for the sf0.01 plan.
+_DUCKDB_FED_LISTS_SQL = (
+    "SELECT event_type, array_to_string(list_transform(list_reverse("
+    "list_sort(list((event_id % CAST(1000 AS BIGINT))), 'ASC', "
+    "'NULLS FIRST')), lv1 -> CAST(lv1 AS STRING)), ',') AS ids_desc, "
+    "reverse(min(event_type)) AS rev_type "
+    "FROM read_parquet('/root/testdata/sf0.01/events.parquet') AS t1 "
+    "WHERE (event_id > CAST(-9223372036854775808 AS BIGINT)) "
+    "GROUP BY event_type"
+)
+
+
+@query(
+    "compat_unparser_duckdb_federation_lists",
+    oracle=_DUCKDB_FED_LISTS_SQL,
+    tags=("compat", "unparser", "federation"),
+)
+def compat_unparser_duckdb_federation_lists(spark, sf_dir):
+    """Fourth driver-certified DuckDB federation entry (r10 second
+    session): the oracle is byte-for-byte the unparser's DUCKDB-dialect
+    output for a plan that exercises the final binder-error fixes —
+    list-proven reverse() → list_reverse beside a string reverse() that
+    stays put, the Long.MinValue literal kept inside its CAST — plus
+    the arrow-lambda rendering (transform → list_transform with a
+    fresh lambda variable); the list is rendered to text in-plan
+    because the driver harness cannot hash ARRAY cells.  Re-derives
+    the text per run and fails loudly on drift, like the other
+    federation entries."""
+    from datafusion_spark.compat.unparser import DUCKDB, to_sql
+
+    df = _duckdb_fed_lists_plan(spark, sf_dir)
+    emitted = to_sql(
+        _duckdb_fed_lists_plan(spark, "/root/testdata/sf0.01"), DUCKDB,
+        validate=False)
+    if emitted != _DUCKDB_FED_LISTS_SQL:
+        raise AssertionError(
+            "unparser DuckDB output drifted from the pinned federation "
+            f"oracle:\n{emitted}")
+    return df
