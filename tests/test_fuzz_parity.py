@@ -2101,3 +2101,35 @@ def test_setop_bool_int_union_loud_vs_value(spark, duck):
     with pytest.raises(pyspark.errors.AnalysisException):
         spark.sql(q).collect()
     assert sorted(v[0] for v in duck.execute(q).fetchall()) == [1, 1]
+
+
+# --- empty-input global-aggregate battery (reference aggregate.slt) ----------
+
+_EMPTY_AGG_CASES = [
+    # global aggregate over empty input yields ONE row: COUNT 0, others NULL
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(o_orderkey) AS BIGINT)"
+    " AS s, MIN(o_totalprice) AS m FROM orders WHERE o_orderkey < 0",
+    # HAVING filters that single row away
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey < 0"
+    " HAVING COUNT(*) > 0",
+    # ... or keeps it when the NULL-SUM predicate holds
+    "SELECT CAST(SUM(o_orderkey) AS BIGINT) AS s FROM orders "
+    "WHERE o_orderkey < 0 HAVING SUM(o_orderkey) IS NULL",
+    # GROUPED aggregate over empty input yields ZERO rows (not one)
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+    "WHERE o_orderkey < 0 GROUP BY o_orderstatus",
+    # HAVING without GROUP BY is a global aggregate even without WHERE
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+    "HAVING MIN(o_totalprice) > 1e9",
+]
+
+
+@pytest.mark.parametrize("sql", _EMPTY_AGG_CASES)
+def test_empty_input_global_aggregate_parity(spark, duck, sql):
+    """The one-row-vs-zero-rows contract of global vs grouped aggregates
+    over empty input (reference aggregate.slt empty-relation family; the
+    same invariant axis 21's decorrelated COUNT relies on): both engines
+    agree on every case."""
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
