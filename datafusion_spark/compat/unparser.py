@@ -178,7 +178,13 @@ _SUFFIX_TYPE = {"Y": "TINYINT", "S": "SMALLINT", "L": "BIGINT",
 # makes the inner positive value overflow at a remote binder (DuckDB
 # reads it as INT128 and the cast errors; found by the sweep's
 # execution pass on fn_edge_in_list_typed).
+# The two fixed-width lookbehinds anchor the minus against a preceding
+# operand (identifier / closing paren / quote, with or without one
+# space) so the rewrite can never consume a BINARY minus — today a
+# positive boundary magnitude cannot render as a suffixed literal, but
+# that invariant lives in Catalyst, not here.
 _NEG_BOUNDARY_RE = _re_mod.compile(
+    r"(?<![\w.)\"'])(?<![\w.)\"'] )"
     r"-\s?(?:(9223372036854775808)L|(32768)S|(128)Y)\b")
 
 
@@ -433,9 +439,13 @@ def _h_zip_with(name, inner):
             f"{args[1]}), __zw -> {body}) END")
 
 
-_REVERSE_LIST_HEADS = ("list_sort(", "list(", "list_transform(",
-                       "list_zip(", "list_reverse(", "list_concat(",
-                       "list_distinct(", "flatten(", "string_split(",
+# Heads that syntactically PROVE a list argument.  list_value( is the
+# unparser's own translation of Spark array() — inner args are rewritten
+# before the handler runs, so that is the spelling _h_reverse sees.
+_REVERSE_LIST_HEADS = ("list_sort(", "list(", "list_value(",
+                       "list_transform(", "list_zip(", "list_reverse(",
+                       "list_concat(", "list_distinct(", "list_slice(",
+                       "list_filter(", "flatten(", "string_split(",
                        "range(", "generate_series(", "[")
 
 
@@ -1071,7 +1081,9 @@ def _balanced_close(txt: str, i: int) -> int:
 
 def _split_top_args(inner: str) -> list[str]:
     """Split a rendered argument list on top-level commas (quote/paren
-    aware) — for the multi-arg dialect templates."""
+    AND bracket aware — DuckDB-side rewrites produce ``[1, 2, 3]`` list
+    literals whose commas are not argument separators) — for the
+    multi-arg dialect templates."""
     parts: list[str] = []
     depth, start, i, n = 0, 0, 0, len(inner)
     while i < n:
@@ -1079,9 +1091,9 @@ def _split_top_args(inner: str) -> list[str]:
         if ch in ("'", '"'):
             i = _skip_quoted(inner, i)
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(inner[start:i].strip())
@@ -1100,9 +1112,9 @@ def _top_level_commas(txt: str) -> int:
         if ch in ("'", '"'):
             i = _skip_quoted(txt, i)
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             count += 1
@@ -1450,9 +1462,14 @@ def _render_schema_exact(b: _Block) -> str:
 
 
 class _Unparser:
-    def __init__(self, dialect: Dialect, session_tz: str = "UTC"):
+    def __init__(self, dialect: Dialect, session_tz: str = "UTC",
+                 validated: bool = False):
         self.dialect = dialect
         self.session_tz = session_tz
+        # True when the caller will run the full round-trip schema/type
+        # validation on the emitted text — repairs may then lean on that
+        # safety net (see _fix_cast_drops' lambda adjudication)
+        self._validated = validated
         self._n = 0
         self._cte_names: dict[int, str] = {}  # cteId -> WITH-clause name
         # (qual, name) attribute references hidden behind generated
@@ -2061,10 +2078,15 @@ class _Unparser:
         self._check_tree(e)
         if self._tree_has_lambda(e):
             txt = self._render_lambda_text(e)
+            try:
+                raw = e.sql()
+            except Exception:  # noqa: BLE001 - render errors surface later
+                raw = txt
         else:
             txt = e.sql()
+            raw = None
         txt = self._fix_struct_drops(e, txt)
-        txt = self._fix_cast_drops(txt)
+        txt = self._fix_cast_drops(txt, raw=raw)
         low = self._outside_literals(txt).lower()
         for marker in self._UNPARSABLE_EXPR_MARKERS:
             if marker in low:
@@ -2115,13 +2137,20 @@ class _Unparser:
                     txt = (txt[:at] + f"named_struct({pairs})"
                            + txt[at + len(nsql):])
             elif self._find_outside_str(raw, nsql, 0) >= 0:
+                # Rendered in e.sql() but invisible in the lambda-
+                # rendered text.  Unlike the cast-drop class this is
+                # NOT deferred to the validator even though it would
+                # catch real drift (r11 audit: every such entry fails
+                # validation anyway — downstream references use the
+                # declared name) — refusing HERE keeps the precise
+                # refusal reason for the sweep's class histogram.
                 raise DialectError(
                     "struct() field name is dropped by Expression.sql "
                     "inside a lambda body — the re-parse renames "
                     f"{names!r}: {nsql[:90]}")
         return txt
 
-    def _fix_cast_drops(self, txt: str) -> str:
+    def _fix_cast_drops(self, txt: str, raw: str | None = None) -> str:
         """Complex-type CAST repair (the FIFTH silent-arg-drop class,
         r9 find, repaired r10): Catalyst renders CAST(x AS ARRAY<T>) as
         just x's render, so the target type vanishes and the re-parse
@@ -2142,6 +2171,26 @@ class _Unparser:
         for nsql, dt in self._cast_drop_candidates:
             at = self._find_outside_str(txt, nsql, 0)
             if at < 0:
+                # r10 ADVICE: the lambda render path renames lambda
+                # variables, so a candidate whose child CONTAINS a
+                # lambda spells differently in the emitted text WITHOUT
+                # being an analyzer replacement subtree — distinguished
+                # by the RAW e.sql() render (the same adjudication
+                # _fix_struct_drops uses).  Present-in-raw drops are
+                # usually analyzer-INSERTED coercion casts that
+                # re-analysis re-derives identically (sweep: all three
+                # such registry entries round-trip schema- and
+                # value-exact), so under the Spark-dialect validator
+                # they pass through to the full nested-type check —
+                # but when validation is OFF nothing would catch a real
+                # drift, so refuse there (the old code silently
+                # continued: wrong element types with validate=False).
+                if raw is not None and not self._validated and \
+                        self._find_outside_str(raw, nsql, 0) >= 0:
+                    raise DialectError(
+                        "complex-type CAST target is dropped by "
+                        "Expression.sql inside a lambda-rendered "
+                        f"expression — not anchorable: {nsql[:90]}")
                 continue  # replacement subtree: render never surfaced
             if self._find_outside_str(txt, nsql, at + 1) >= 0:
                 raise DialectError(
@@ -2835,12 +2884,20 @@ class _Unparser:
             cond = node.condition()
             if cond.isDefined():
                 using = self._using_columns(node, cond.get())
-                if using is not None and jt == "INNER":
+                if using is not None and jt in ("INNER", "LEFT SEMI",
+                                                "LEFT ANTI"):
                     # df.join(other, "k") equi-joins SAME-NAMED attributes
                     # from unqualified factors — an ON clause renders the
                     # key ambiguous (both factors expose `k`), USING
                     # resolves it and matches Catalyst's key-dedup output.
-                    # INNER only: outer-join USING coalesces sides.
+                    # INNER + SEMI/ANTI only: outer-join USING coalesces
+                    # sides.  SEMI/ANTI (r11 — was the biggest
+                    # AMBIGUOUS_REFERENCE refusal subclass): the right
+                    # side never surfaces, so SELECT * == the LEFT schema
+                    # exactly (verified: Spark resolves LEFT SEMI/ANTI
+                    # USING and returns left columns unchanged) and
+                    # same-named non-key columns cannot collide in the
+                    # output — the INNER-only refusal below doesn't apply.
                     # Schema contract (r9 advice find): SELECT * over a
                     # USING join dedups/reorders the key, so a block that
                     # reaches the ROOT unprojected would emit a different
@@ -2849,7 +2906,8 @@ class _Unparser:
                     # block is still select-less at the root (bare names
                     # resolve against the merged key, whose value equals
                     # both sides under INNER).  Same-named NON-key columns
-                    # on both sides make those names unresolvable — refuse.
+                    # on both sides make those names unresolvable — refuse
+                    # (INNER only).
                     q = self.dialect.identifier_quote
                     keyset = {u.strip(q) for u in using}
                     lnames = [a.name()
@@ -2857,7 +2915,7 @@ class _Unparser:
                     rnames = [a.name()
                               for a in self._seq(node.right().output())]
                     dup_nonkey = (set(lnames) & set(rnames)) - keyset
-                    if dup_nonkey:
+                    if dup_nonkey and jt == "INNER":
                         raise DialectError(
                             "same-named non-key columns across a USING "
                             f"join ({sorted(dup_nonkey)[:3]}) are "
@@ -2867,8 +2925,9 @@ class _Unparser:
                     if any(q in n or "`" in n for n in out_names):
                         raise DialectError(
                             "USING-join output column name not quotable")
+                    kw = "JOIN" if jt == "INNER" else f"{jt} JOIN"
                     b = _Block(
-                        from_=f"{lf} JOIN {rf} USING ({', '.join(using)})")
+                        from_=f"{lf} {kw} {rf} USING ({', '.join(using)})")
                     b.using_out = [f"{q}{n}{q}" for n in out_names]
                     return b
                 on = self._expr_sql(cond.get())
@@ -2950,7 +3009,9 @@ def to_sql(df, dialect: Dialect = SPARK, validate: bool = True) -> str:
     """
     plan = df._jdf.queryExecution().analyzed()
     tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
-    text = _render_schema_exact(_Unparser(dialect, session_tz=tz).visit(plan))
+    text = _render_schema_exact(_Unparser(
+        dialect, session_tz=tz,
+        validated=validate and dialect.name == "spark").visit(plan))
     if dialect.name != "spark":
         text = _strip_literal_suffixes(text)
     if dialect.name == "duckdb":

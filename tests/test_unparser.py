@@ -1013,3 +1013,63 @@ def test_duckdb_numeric_timestamp_cast_refuses(spark):
         F.col("o_orderdate").cast("timestamp").cast("long").alias("secs"))
     with pytest.raises(DialectError, match="epoch-seconds"):
         to_sql(df2, DUCKDB, validate=False)
+
+
+def test_duckdb_reverse_of_translated_array(spark):
+    """r10 ADVICE: _REVERSE_LIST_HEADS omitted list_value( — the
+    unparser's OWN translation of Spark array() (inner args are
+    rewritten before the handler runs), so reverse(array(1,2,3))
+    emitted reverse(list_value(...)), a DuckDB binder error.  Now
+    translates to list_reverse and executes."""
+    df = spark.sql("SELECT reverse(array(1, 2, 3)) AS r, "
+                   "reverse(slice(array(9, 8, 7), 1, 2)) AS r2")
+    dsql = to_sql(df, DUCKDB, validate=False)
+    assert "list_reverse(list_value(" in dsql
+    assert "list_reverse(list_slice(" in dsql
+    import duckdb
+    got = [tuple(map(list, r)) for r in df.collect()]
+    want = [tuple(map(list, r)) for r in duckdb.sql(dsql).fetchall()]
+    assert got == want == [([3, 2, 1], [8, 9])]
+
+
+def test_split_top_args_bracket_aware():
+    """r10 ADVICE: _split_top_args counted the commas inside a bracket
+    list literal [1, 2, 3] as argument separators, tripping multi-arg
+    refusals before the '[' head in _REVERSE_LIST_HEADS could match."""
+    from datafusion_spark.compat.unparser import (_split_top_args,
+                                                  _top_level_commas)
+    assert _split_top_args("[1, 2, 3]") == ["[1, 2, 3]"]
+    assert _top_level_commas("[1, 2, 3]") == 0
+    assert _split_top_args("list_value(1, 2), 'a,b', [4, 5]") == [
+        "list_value(1, 2)", "'a,b'", "[4, 5]"]
+
+
+def test_lambda_dropped_cast_refuses(spark):
+    """r10 ADVICE: a complex-type CAST dropped by Expression.sql INSIDE
+    a lambda body cannot anchor against the lambda-rendered text (the
+    render renames lambda variables) — previously silently unrepaired
+    when validate=False.  Now: validate=False refuses at the anchor
+    check; validate=True defers to the full nested-type round-trip
+    check (so analyzer-inserted coercion casts that re-analysis
+    re-derives — e.g. agg_array_agg_ordered — still round-trip exact)
+    and refuses HERE because the drift is real."""
+    df = spark.sql("SELECT transform(array(1, 2), "
+                   "x -> CAST(array(x) AS ARRAY<DOUBLE>)) AS t")
+    with pytest.raises(DialectError, match="lambda-rendered"):
+        to_sql(df, SPARK, validate=False)
+    with pytest.raises(DialectError, match="type drift"):
+        to_sql(df, SPARK, validate=True)
+
+
+def test_neg_boundary_binary_minus_guard():
+    """r10 ADVICE: _NEG_BOUNDARY_RE had no left guard — a spaced binary
+    subtraction 'a - 128Y' would corrupt to 'a CAST(-128 AS TINYINT)'.
+    The fixed-width lookbehinds anchor the minus against a preceding
+    operand; unary positions still rewrite."""
+    from datafusion_spark.compat.unparser import _neg_boundary
+    assert _neg_boundary("a - 128Y") == "a - 128Y"
+    assert _neg_boundary("a-128Y") == "a-128Y"
+    assert _neg_boundary("a + -128Y") == "a + CAST(-128 AS TINYINT)"
+    assert _neg_boundary("(-32768S)") == "(CAST(-32768 AS SMALLINT))"
+    assert (_neg_boundary("(x, -9223372036854775808L)")
+            == "(x, CAST(-9223372036854775808 AS BIGINT))")
