@@ -129,33 +129,30 @@ def _interleave_families() -> None:
     verified = _verified_of(latest)
     failed = _failed_of(latest)
 
-    # Hand-pinned front of the prefix for the CURRENT round (r9): entries
-    # that are NEW or materially CHANGED this round only — everything from
-    # the r8 pin list went driver-green in CORRECTNESS_r08 and unpinned
-    # itself (a verified pin would waste a tier-0 slot on a re-check).
+    # Hand-pinned front of the prefix for the CURRENT round (r11): entries
+    # that are NEW or materially CHANGED this round only — the whole r10
+    # pin list went driver-green in CORRECTNESS_r10 and unpinned itself
+    # (a verified pin would waste a tier-0 slot on a re-check).
     # Latest-FAIL entries are NOT listed here — they are pinned at absolute
     # positions 0..k automatically (see _failed_of).  Rotate per round;
     # harmless if a name is not yet registered (tier() is only consulted
     # for registered names).
     priority = {
-        # new r10 entries (compact/delete/filtered from the second r10
-        # session — index-lifecycle completion + payload-filtered ANN):
-        "source_schema_evolution_nested_array",
-        "text_bm25_index_refresh",
-        "text_bm25_index_compact",
+        # new r11 entries: tombstone-aware BM25 compaction (the Lucene
+        # merge applying .del files) + the IVF index lifecycle (FAISS
+        # add()/remove_ids() on the persisted inverted lists)
+        "text_bm25_index_delete_compact",
+        "similarity_ivf_ingest_delta",
+        "similarity_ivf_delete",
+        # materially changed r11, re-verify: the bucketed scratch moved
+        # to the atomic tmp+rename protocol with catalog attach over the
+        # published path (r10 judge find; plan unchanged, storage path
+        # and DDL registration new)
+        "join_bucketed_colocated",
+        # materially changed r11: the tombstone df-delta join now renames
+        # the delta key (dterm) so the unparser renders an unambiguous
+        # ON clause — same LEFT join, distinct column names
         "text_bm25_index_delete",
-        "similarity_ivf_filtered_topk",
-        # new r10 late-session entries: driver-certified federation of
-        # the DuckDB translation batch (pinned-oracle pattern)
-        "compat_unparser_duckdb_federation_fns",
-        "compat_unparser_duckdb_federation_window",
-        "compat_unparser_duckdb_federation_lists",
-        # materially changed r10, re-verify: the federation entry's pinned
-        # oracle TEXT regenerated (DuckDB file factors now aliased); the
-        # serve entry's plan gained the segment-generic df merge and the
-        # query-term-pruned term_stats broadcast (r9 judge find).
-        "compat_unparser_duckdb_federation",
-        "text_bm25_index_serve",
     }
 
     def tier(name: str) -> int:

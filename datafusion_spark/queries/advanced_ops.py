@@ -23,6 +23,7 @@ everything else here is narrow map-side work or a single keyed shuffle.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,22 +36,21 @@ from datafusion_spark.queries.registry import query
 _SCRATCH = os.path.join(tempfile.gettempdir(), "datafusion_spark_bucketed")
 
 
-def build_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
-    """Write lineitem+orders as bucketed tables (hash-partitioned by the
-    join key at write time, per-bucket sorted).  Idempotent per (sf_dir);
-    re-registers the catalog entries if the session changed."""
-    # Table names, paths, and marker are ALL per-SF (r10 preclear find:
-    # the shared "li_bucketed" name let a PERSISTENT done-marker written
-    # by one process validate a SESSION table another process had built
-    # from a different sf_dir — the smoke(sf0.001)→oracle(sf0.01)
-    # sequence then served sf0.001 rows at sf0.01).  marker v3 so every
-    # pre-fix layout rebuilds once.
-    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    li_tbl, ord_tbl = f"li_bucketed_{base}", f"ord_bucketed_{base}"
-    marker = os.path.join(_SCRATCH, f"done3_{base}")
-    if not os.path.exists(marker) or not spark.catalog.tableExists(li_tbl):
-        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
-        spark.sql(f"DROP TABLE IF EXISTS {ord_tbl}")
+def _build_one_bucketed(spark, src_df, tbl, data_dir, key, n_buckets):
+    """Atomic build-or-attach of ONE bucketed table (r10 judge find: the
+    old DROP TABLE + overwrite-in-place at a fixed path let a FRESH
+    process — whose session catalog lacks the table name — rewrite the
+    files while another process was mid-read, FAILED_READ_FILE under the
+    repo's own sharded oracle_check protocol).  Same protocol as
+    _ensure_bm25_index (pipeline_text.py): build into
+    ``{data_dir}.tmp.{pid}``, os.rename into place (losers delete their
+    tmp), then register an EXTERNAL bucketed table over the published
+    path — files under a published path are never rewritten, so a
+    concurrent reader can never be clobbered."""
+    if not os.path.isfile(os.path.join(data_dir, "_DONE")):
+        tmp = f"{data_dir}.tmp.{os.getpid()}"
+        tmp_tbl = f"{tbl}_build_{os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
         # repartition on the bucket key BEFORE the bucketed write: the
         # writer then emits exactly ONE file per bucket (task partitioning
         # == bucket hashing), which is the gate for Spark trusting the
@@ -59,26 +59,52 @@ def build_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
         # tests/test_plan_budgets.py).  Without it each task writes a file
         # per bucket it touches and the read-side sort comes back.
         (
-            load_table(spark, sf_dir, "lineitem")
-            .repartition(n_buckets, F.col("l_orderkey"))
+            src_df.repartition(n_buckets, F.col(key))
             .write.mode("overwrite")
-            .bucketBy(n_buckets, "l_orderkey")
-            .sortBy("l_orderkey")
-            .option("path", os.path.join(_SCRATCH, base, "lineitem"))
-            .saveAsTable(li_tbl)
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", tmp)
+            .saveAsTable(tmp_tbl)
         )
-        (
-            load_table(spark, sf_dir, "orders")
-            .repartition(n_buckets, F.col("o_orderkey"))
-            .write.mode("overwrite")
-            .bucketBy(n_buckets, "o_orderkey")
-            .sortBy("o_orderkey")
-            .option("path", os.path.join(_SCRATCH, base, "orders"))
-            .saveAsTable(ord_tbl)
-        )
-        os.makedirs(_SCRATCH, exist_ok=True)
-        open(marker, "w").close()
-    return spark.table(li_tbl), spark.table(ord_tbl)
+        spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files survive
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        os.makedirs(os.path.dirname(data_dir), exist_ok=True)
+        try:
+            os.rename(tmp, data_dir)
+        except OSError:  # another builder won the race; its files serve
+            shutil.rmtree(tmp, ignore_errors=True)
+    if not spark.catalog.tableExists(tbl):
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in src_df.schema)
+        # underscore-prefixed _DONE is invisible to the parquet reader
+        # (same convention as _SUCCESS)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} ({cols}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{data_dir}'")
+    return spark.table(tbl)
+
+
+def build_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
+    """Write lineitem+orders as bucketed tables (hash-partitioned by the
+    join key at write time, per-bucket sorted).  Idempotent per (sf_dir);
+    re-registers the catalog entries if the session changed.  Table
+    names, paths, and done-markers are ALL per-SF (r10 preclear find:
+    a shared name let one process's marker validate another's
+    different-SF session table); builds are ATOMIC tmp+rename (r11,
+    see _build_one_bucketed)."""
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(_SCRATCH, f"{base}_v4")
+    li = _build_one_bucketed(
+        spark, load_table(spark, sf_dir, "lineitem"),
+        f"li_bucketed_{base}", os.path.join(root, "lineitem"),
+        "l_orderkey", n_buckets)
+    orders = _build_one_bucketed(
+        spark, load_table(spark, sf_dir, "orders"),
+        f"ord_bucketed_{base}", os.path.join(root, "orders"),
+        "o_orderkey", n_buckets)
+    return li, orders
 
 
 @query(

@@ -1457,11 +1457,16 @@ def _bm25_serve_plan(spark, segs: list[str], n_docs: int, total_len: int,
               .groupBy("term").agg(F.sum("df").alias("df")))
     if tomb is not None:
         # subtract the deleted docs' per-term df (query-term-pruned:
-        # |union of query terms| rows at most, never vocabulary-sized)
+        # |union of query terms| rows at most, never vocabulary-sized).
+        # The delta key is RENAMED (dterm) so the left-outer join carries
+        # distinct column names — the unparser then renders an
+        # unambiguous ON clause (r11: same-named outer-join keys were
+        # the entry's last AMBIGUOUS_REFERENCE refusal).
         ddf = (spark.read.parquet(os.path.join(tomb, "term_stats"))
                .filter(F.col("term").isin(terms))
-               .select("term", F.col("df").alias("ddf")))
-        tstats = (tstats.join(ddf, "term", "left")
+               .select(F.col("term").alias("dterm"),
+                       F.col("df").alias("ddf")))
+        tstats = (tstats.join(ddf, F.col("term") == F.col("dterm"), "left")
                   .select("term", (F.col("df")
                                    - F.coalesce(F.col("ddf"), F.lit(0))
                                    ).alias("df"))
@@ -1620,9 +1625,12 @@ def text_bm25_index_refresh(spark, sf_dir):
         spark, segs, n_docs, total_len, _BM25_SERVE_QUERIES, _BM25_SERVE_K)
 
 
-@query(
-    "text_bm25_index_delete",
-    oracle=f"""
+# Shared oracle for the two deletion-bearing lifecycle stages
+# (tombstoned serving and post-compaction serving): full BM25 rebuild
+# from the raw corpus MINUS the deleted docs — byte-identical text so a
+# hash match on BOTH entries proves delete-serve == compact-serve ==
+# rebuild-without-deleted.
+_BM25_DELETE_ORACLE = f"""
     WITH q(qid, term) AS (VALUES {_bm25_serve_values_sql()}),
     live AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
@@ -1660,7 +1668,12 @@ def text_bm25_index_refresh(spark, sf_dir):
     )
     SELECT qid, doc_id, CAST(rn AS INTEGER) AS rank, bm25
     FROM ranked WHERE rn <= {_BM25_SERVE_K} ORDER BY qid, rank
-    """,
+    """
+
+
+@query(
+    "text_bm25_index_delete",
+    oracle=_BM25_DELETE_ORACLE,
     tags=("pipeline", "text", "retrieval", "index", "incremental"),
 )
 def text_bm25_index_delete(spark, sf_dir):
@@ -1800,5 +1813,96 @@ def text_bm25_index_compact(spark, sf_dir):
     Determinism: same decimal-quantized partial-score protocol as
     text_bm25_topk (helpers.py decimal-accumulation rule)."""
     base, n_docs, total_len = _ensure_bm25_compacted(spark, sf_dir)
+    return _bm25_serve_plan(
+        spark, [base], n_docs, total_len, _BM25_SERVE_QUERIES, _BM25_SERVE_K)
+
+
+def _ensure_bm25_delete_compacted(spark, sf_dir) -> tuple[str, int, int]:
+    """TOMBSTONE-AWARE compaction — the Lucene merge step that APPLIES
+    the .del files: merge the segments while physically dropping every
+    tombstoned row, fold the recorded df deltas into the merged
+    term_stats, write the adjusted corpus scalars, and RESET the
+    tombstone set (the merged layout carries an empty tombstones file,
+    exactly as a Lucene merge discards the input segments' .del files).
+
+    Still index-sized, never corpus-sized — no raw text is re-tokenized:
+      postings:   union scan + tombstone LEFT ANTI join +
+                  repartition(term) + in-partition sort (the anti join
+                  rides the same single-shuffle merge job).
+      doclen:     disjoint union, anti-joined, no extra shuffle.
+      term_stats: per-segment df sums MINUS the delete job's recorded
+                  per-term df (vocabulary-keyed batch join; only SERVING
+                  must stay query-term-bounded); df<=0 terms vanish —
+                  they have no live postings left.
+      scalars:    n_docs/total_len minus the recorded deltas.
+    Same atomic-rename build protocol as the other index artifacts."""
+    base = os.path.join(
+        _repo_root(), "spark-warehouse", "derived_text",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"bm25_delcmp_{_TEXT_INDEX_VERSION}",
+    )
+    if not os.path.isfile(os.path.join(base, "_DONE")):
+        segs, n_docs, total_len = _ensure_bm25_segments(spark, sf_dir)
+        tomb, dn, dtl = _ensure_bm25_tombstones(spark, sf_dir)
+        tmp = f"{base}.tmp.{os.getpid()}"
+        dead = spark.read.parquet(
+            os.path.join(tomb, "tombstones")).select("doc_id")
+        (spark.read.parquet(*[os.path.join(s, "postings") for s in segs])
+         .join(dead, "doc_id", "left_anti")
+         .repartition("term")
+         .sortWithinPartitions("term", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(tmp, "postings")))
+        (spark.read.parquet(*[os.path.join(s, "doclen") for s in segs])
+         .join(dead, "doc_id", "left_anti")
+         .write.mode("overwrite").parquet(os.path.join(tmp, "doclen")))
+        ddf = (spark.read.parquet(os.path.join(tomb, "term_stats"))
+               .select("term", F.col("df").alias("ddf")))
+        (spark.read.parquet(*[os.path.join(s, "term_stats") for s in segs])
+         .groupBy("term").agg(F.sum("df").alias("df"))
+         .join(ddf, "term", "left")
+         .select("term", (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0))
+                          ).alias("df"))
+         .filter(F.col("df") > 0)
+         .write.mode("overwrite").parquet(os.path.join(tmp, "term_stats")))
+        # tombstone reset: merged segment starts with an EMPTY delete set
+        dead.limit(0).write.mode("overwrite").parquet(
+            os.path.join(tmp, "tombstones"))
+        with open(os.path.join(tmp, "stats.json"), "w") as f:
+            json.dump({"n_docs": n_docs - dn,
+                       "total_len": total_len - dtl}, f)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # another builder won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(base, "stats.json")) as f:
+        stats = json.load(f)
+    return base, stats["n_docs"], stats["total_len"]
+
+
+@query(
+    "text_bm25_index_delete_compact",
+    oracle=_BM25_DELETE_ORACLE,
+    tags=("pipeline", "text", "retrieval", "index", "incremental"),
+)
+def text_bm25_index_delete_compact(spark, sf_dir):
+    """BM25 compaction AFTER deletion — compact(delete(refresh(build))),
+    served: the segments merge while the tombstoned rows are physically
+    dropped (postings and doclen anti-join the tombstones inside the
+    same single-shuffle merge job), the recorded per-term df deltas fold
+    into the merged term_stats, the corpus scalars shrink, and the
+    tombstone set RESETS — the Lucene merge applying the .del files
+    (lucene MergePolicy; reference has no retrieval index at all).
+    Serving over the merged layout passes NO tombstone argument: the
+    correction that delete-serve computes per query is now baked into
+    the index.  Oracle: byte-identical to `text_bm25_index_delete`'s
+    (full rebuild on corpus minus deleted docs) — hash matches on both
+    prove delete-serve == compact-serve == rebuild, and a unit pin
+    asserts row-for-row equality between the two serving paths.
+    Determinism: same decimal-quantized partial-score protocol as
+    text_bm25_topk (helpers.py decimal-accumulation rule)."""
+    base, n_docs, total_len = _ensure_bm25_delete_compacted(spark, sf_dir)
     return _bm25_serve_plan(
         spark, [base], n_docs, total_len, _BM25_SERVE_QUERIES, _BM25_SERVE_K)
