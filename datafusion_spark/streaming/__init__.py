@@ -2,6 +2,7 @@
 
 from datafusion_spark.streaming.ops import (
     click_purchase_join,
+    click_purchase_join_full,
     click_purchase_join_outer,
     click_purchase_join_semi,
     dedup_within_watermark,
@@ -22,6 +23,7 @@ __all__ = [
     "session_window_counts",
     "sessionize_stateful",
     "click_purchase_join",
+    "click_purchase_join_full",
     "click_purchase_join_outer",
     "click_purchase_join_semi",
     "dedup_within_watermark",

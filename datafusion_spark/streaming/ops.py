@@ -324,6 +324,64 @@ def click_purchase_join_semi(
     )
 
 
+def click_purchase_join_full(
+    events, within: str = "1 hour", watermark: str = "2 hours"
+):
+    """Stream-stream FULL OUTER join (reference: physical-plan/src/joins/
+    symmetric_hash_join.rs supports JoinType::Full — unmatched-row
+    emission on BOTH sides): the same per-user click→purchase
+    time-bounded condition, but clicks with no purchase AND purchases
+    with no preceding click both surface with NULLs on the other side —
+    the complete conversion picture (converted, abandoned click,
+    attribution-less purchase) in one stream.
+
+    This is the hardest eviction reasoning of the join matrix: a CLICK
+    null-emits only once the watermark passes c_ts + within (no matching
+    purchase can still arrive); a PURCHASE null-emits only once the
+    watermark passes p_ts (no click at or before it can still arrive —
+    the condition lower-bounds p_ts by c_ts, so a purchase's match
+    horizon closes when ITS OWN timestamp is past the watermark).  Spark
+    derives both horizons from the two-sided time bound; state stays
+    O(watermark horizon) exactly as in the inner variant, plus the
+    per-row matched bits.
+
+    On batch inputs this is a plain full outer join with the same
+    condition — the stream==batch test compares matched pairs exactly
+    and requires each side's null-emissions to be a subset of the batch
+    unmatched rows (tail rows whose horizon the final watermark never
+    passed are legitimately withheld).
+    """
+    from pyspark.sql import functions as F
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "fullOuter").select(
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        "c_event_id",
+        "p_event_id",
+        "c_ts",
+        "p_ts",
+        "p_value",
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
     keeps state only for ids newer than the watermark horizon — the

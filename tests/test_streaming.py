@@ -534,3 +534,47 @@ def test_stream_stream_semi_join_matches_batch(spark):
         assert len(want) <= inner.count()
     finally:
         q.stop()
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark):
+    """FULL OUTER stream-stream join (both-side null emission — the
+    hardest eviction reasoning of the join matrix): matched pairs
+    identical to batch; EACH side's null-emissions are a subset of the
+    batch unmatched rows (tail rows whose horizon the final watermark
+    never passed are legitimately withheld); and both unmatched classes
+    must actually appear in the batch reference."""
+    from datafusion_spark.streaming import (
+        click_purchase_join_full,
+        read_events_stream,
+    )
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_SMALL)
+    q = (
+        click_purchase_join_full(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+        batch = click_purchase_join_full(
+            load_table(spark, SF_SMALL, "events")
+        ).collect()
+        pairs = lambda rows: {
+            (r.c_event_id, r.p_event_id) for r in rows
+            if r.c_event_id is not None and r.p_event_id is not None}
+        assert pairs(got) == pairs(batch) and pairs(batch)
+        got_left = {r.c_event_id for r in got if r.p_event_id is None}
+        want_left = {r.c_event_id for r in batch if r.p_event_id is None}
+        got_right = {r.p_event_id for r in got if r.c_event_id is None}
+        want_right = {r.p_event_id for r in batch if r.c_event_id is None}
+        assert got_left <= want_left and want_left
+        assert got_right <= want_right and want_right
+        # every output row carries user_id (coalesced across sides)
+        assert all(r.user_id is not None for r in got)
+    finally:
+        q.stop()
