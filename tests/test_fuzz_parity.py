@@ -2133,3 +2133,112 @@ def test_empty_input_global_aggregate_parity(spark, duck, sql):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == want, sql
+
+
+# --- axis 24 (r11): DECIMAL precision/scale PROPAGATION -----------------------
+#
+# The result type of decimal arithmetic is engine POLICY, not standard-
+# determined (Spark: Hive/SQL-Server-style rules in DecimalPrecision +
+# allowPrecisionLoss=true; DuckDB: saturate-at-38 keeping s1+s2; the
+# reference: decimal coercion in expr-common/type_coercion.rs).  The
+# repo leans on decimal accumulation everywhere (SURVEY §4), so this
+# axis sweeps +/-/* literal trees whose worst-case precision fits BOTH
+# engines' caps and requires numeric value equality — with the two
+# divergent classes pinned explicitly below: decimal DIVISION (exact
+# decimal in Spark, DOUBLE in DuckDB) and the precision-38 cap on
+# high-scale multiplication (Spark rounds the VALUE to scale >= 6;
+# DuckDB keeps s1+s2 digits — silently different values).
+
+# literal pool capped at p<=6, s<=3 so a depth-2 all-mul tree tops out
+# at precision 27 / scale 12 — inside every engine's exact range
+_DEC_LITS = [
+    "CAST(1.5 AS DECIMAL(5,2))",
+    "CAST(-3.25 AS DECIMAL(6,3))",
+    "CAST(7 AS DECIMAL(4,1))",
+    "CAST(0.125 AS DECIMAL(6,3))",
+    "CAST(-42 AS DECIMAL(3,0))",
+    "CAST(9.99 AS DECIMAL(3,2))",
+]
+
+
+@st.composite
+def decimal_tree(draw):
+    def node(depth):
+        if depth == 0 or draw(st.booleans()):
+            return draw(st.sampled_from(_DEC_LITS))
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        return f"({node(depth - 1)} {op} {node(depth - 1)})"
+    return node(2)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(decimal_tree())
+def test_decimal_propagation_parity(spark, duck, expr):
+    """Within both engines' exact range, every +/-/* propagation tree
+    must agree NUMERICALLY (result scales differ in spelling — Spark
+    (4,2) vs DuckDB (11,4) for the same addition — so equality is on
+    the Decimal VALUE, not the rendered text)."""
+    q = f"SELECT {expr} AS r"
+    got = spark.sql(q).collect()[0].r
+    want = duck.execute(q).fetchall()[0][0]
+    assert got is not None and want is not None and got == want, (
+        q, got, want)
+
+
+def test_decimal_division_type_policy_divergence(spark, duck):
+    """Pinned axis-24 finding: decimal / decimal is EXACT DECIMAL in
+    Spark (Hive rules: DECIMAL(38,0)/DECIMAL(38,0) -> DECIMAL(38,6),
+    value 0.333333) but DOUBLE in DuckDB (0.3333333333333333) — the
+    same query text silently changes exactness class AND value across
+    engines.  Any federated decimal division must therefore pin its
+    result type explicitly on both sides."""
+    q = ("SELECT CAST(1 AS DECIMAL(38,0)) / CAST(3 AS DECIMAL(38,0)) "
+         "AS r")
+    sdf = spark.sql(q)
+    assert sdf.schema[0].dataType.simpleString() == "decimal(38,6)"
+    assert str(sdf.collect()[0].r) == "0.333333"
+    assert duck.execute(
+        "SELECT typeof(CAST(1 AS DECIMAL(38,0)) / CAST(3 AS "
+        "DECIMAL(38,0)))").fetchall()[0][0] == "DOUBLE"
+    assert duck.execute(q).fetchall()[0][0] == 0.3333333333333333
+
+
+def test_decimal_mul_precision_cap_divergence(spark, duck):
+    """Pinned axis-24 finding: when s1+s2 pushes past precision 38,
+    Spark's allowPrecisionLoss=true REDUCES the result scale (to >= 6)
+    and ROUNDS the value — DECIMAL(38,18) * DECIMAL(38,8) returns
+    DECIMAL(38,6) = 12.193263 — while DuckDB saturates precision at 38
+    but KEEPS scale s1+s2=26, returning the exact product
+    12.19326311248285321112635269.  Same inputs, both succeed, values
+    differ from the 7th decimal digit on: the silent-divergence class
+    this axis exists to catch."""
+    from decimal import Decimal
+
+    q = ("SELECT CAST(1.234567890123456789 AS DECIMAL(38,18)) * "
+         "CAST(9.87654321 AS DECIMAL(38,8)) AS r")
+    sdf = spark.sql(q)
+    assert sdf.schema[0].dataType.simpleString() == "decimal(38,6)"
+    got = sdf.collect()[0].r
+    want = duck.execute(q).fetchall()[0][0]
+    assert got == Decimal("12.193263")
+    assert want == Decimal("12.19326311248285321112635269")
+    assert got != want
+
+
+def test_decimal_chained_division_scale_accumulation(spark, duck):
+    """Pinned axis-24 corollary: in a DIVISION CHAIN Spark's per-step
+    scale rules round INTERMEDIATE results, so the final decimal is not
+    the exact quotient either — (1/3)/7 at DECIMAL(10,5) returns
+    DECIMAL(38,23) = 0.04761904761904761428571, while exact 1/21 =
+    0.047619047619047619...: the error enters at the first rounded
+    step and propagates.  DuckDB computes the whole chain in DOUBLE.
+    Neither engine returns the exact rational; they disagree with each
+    other AND with exact arithmetic — federated decimal division
+    chains must be rewritten to a single division or a pinned scale."""
+    q = ("SELECT CAST(1 AS DECIMAL(10,5)) / CAST(3 AS DECIMAL(10,5)) "
+         "/ CAST(7 AS DECIMAL(10,5)) AS r")
+    sdf = spark.sql(q)
+    assert sdf.schema[0].dataType.simpleString() == "decimal(38,23)"
+    assert str(sdf.collect()[0].r) == "0.04761904761904761428571"
+    assert duck.execute(q).fetchall()[0][0] == 0.047619047619047616
