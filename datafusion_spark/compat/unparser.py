@@ -46,19 +46,24 @@ class Dialect:
         'duckdb' → ``read_parquet('/path/**/*.parquet')``
         'none' → refuse file relations (engines needing catalog names).
     supports_semi_anti_join: LEFT SEMI/ANTI JOIN keywords allowed.
+    semi_anti_keyword: spelling of the semi/anti join keywords —
+        'spark' → LEFT SEMI JOIN / LEFT ANTI JOIN
+        'duckdb' → SEMI JOIN / ANTI JOIN (DuckDB >= 0.8 syntax)
     """
 
     name: str = "spark"
     identifier_quote: str = "`"
     file_table_style: str = "spark"
     supports_semi_anti_join: bool = True
+    semi_anti_keyword: str = "spark"
 
 
 SPARK = Dialect()
 ANSI = Dialect(name="ansi", identifier_quote='"', file_table_style="none",
                supports_semi_anti_join=False)
 DUCKDB = Dialect(name="duckdb", identifier_quote='"',
-                 file_table_style="duckdb", supports_semi_anti_join=False)
+                 file_table_style="duckdb", supports_semi_anti_join=True,
+                 semi_anti_keyword="duckdb")
 
 
 def _requote(sql: str, quote: str) -> str:
@@ -300,30 +305,178 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     # catalog errors otherwise; semantics identical after the rewrite)
     "between": ("template_args", ("({0} BETWEEN {1} AND {2})", 3)),
     "ilike": ("template_args", ("({0} ILIKE {1})", 2)),
-    "array_join": ("template_args", ("array_to_string({0}, {1})", 2)),
-    # Spark unix_timestamp(ts) is whole epoch SECONDS (bigint); DuckDB
-    # epoch(ts) keeps the fraction — floor + cast restores it.  The
-    # string-parsing arities use Spark format patterns: refused by the
-    # single-arg check.
-    "unix_timestamp": ("template",
-                       "CAST(floor(epoch({inner})) AS BIGINT)"),
-    "regexp_extract": ("refuse", None),   # no-match: Spark '' vs NULL
-    # regex PATTERN DIALECTS differ (Java regex vs RE2): the extraction
-    # family can silently match differently (fn_regexp_extract_all
-    # diverged on the exec pass); boolean matchers refuse for the same
-    # reason.  regexp_replace keeps its 'g'-flag translation: RE2 errors
-    # loudly on the Java-only constructs instead of mismatching.
-    "regexp_extract_all": ("refuse", None),
-    "rlike": ("refuse", None),
-    "regexp_like": ("refuse", None),
-    "regexp": ("refuse", None),
+    # DuckDB array_to_string([]) is NULL where Spark array_join([]) is
+    # '' (exec-pass find on fn_regexp_extract_all's no-match arrays);
+    # NULL input must STAY NULL, so the empty-list patch is guarded
+    "array_join": ("template_args",
+                   ("CASE WHEN ({0}) IS NULL THEN NULL ELSE "
+                    "COALESCE(array_to_string({0}, {1}), '') END", 2)),
+    # Spark unix_timestamp renders with an explicit format even for the
+    # 1-arg call ('yyyy-MM-dd HH:mm:ss' default); the handler maps the
+    # Java pattern tokens to strptime and floors the epoch (Spark
+    # returns whole BIGINT seconds) — r11, recovered the ClickBench
+    # family.  Untranslatable format tokens refuse.
+    "unix_timestamp": ("custom", lambda n, i: _h_unix_timestamp(n, i)),
+    # regex PATTERN DIALECTS differ (Java regex vs RE2): translations
+    # are gated on _require_safe_regex — a LITERAL pattern free of the
+    # Java-only constructs (lookaround, backrefs, \Q..\E, possessive
+    # quantifiers, class intersection) matches identically in RE2
+    # (r11; each probed in DuckDB, exec-pass value-compared).
+    # Non-literal or Java-only patterns refuse.  regexp_replace keeps
+    # its 'g'-flag translation: RE2 errors loudly on the Java-only
+    # constructs instead of mismatching.
+    "regexp_extract": ("custom",
+                       lambda n, i: _h_regexp_extract(n, i)),
+    "regexp_extract_all": ("custom",
+                           lambda n, i: _h_regexp_extract(n, i)),
+    "rlike": ("custom", lambda n, i: _h_rlike(n, i)),
+    "regexp_like": ("custom", lambda n, i: _h_rlike(n, i)),
+    "regexp": ("custom", lambda n, i: _h_rlike(n, i)),
     "regexp_count": ("refuse", None),
     "regexp_instr": ("refuse", None),
     "regexp_substr": ("refuse", None),
-    "split": ("refuse", None),            # Spark REGEX vs plain separator
+    # Spark split is REGEX-based with a limit; limit -1 (the default
+    # render) maps to string_split for metacharacter-free literal
+    # patterns and string_split_regex for safe regexes (both keep
+    # trailing empties exactly like Spark — probed).
+    "split": ("custom", lambda n, i: _h_split(n, i)),
     "approx_count_distinct": ("refuse", None),  # different sketch
     "spark_partition_id": ("refuse", None),     # execution-dependent
+    # DuckDB 1.0 has no array_union; list_distinct(list_concat(..))
+    # does NOT preserve Spark's first-occurrence order (probed:
+    # list_distinct([3,1,3,2,1]) = [2,1,3]) — no faithful spelling
+    "array_union": ("refuse", None),
+    # DuckDB reads filenames via read_parquet(filename=true) columns,
+    # not a scalar function — no faithful spelling (exec-pass find)
+    "input_file_name": ("refuse", None),
 }
+
+
+# Java-only regex constructs that RE2 either rejects loudly (fine) or —
+# the dangerous class — silently interprets differently: lookaround,
+# numbered backrefs, \Q..\E quoting, \G, named backrefs, char-class
+# intersection (&&), and possessive quantifiers.
+_REGEX_UNSAFE = _re_mod.compile(
+    r"\(\?<[=!]|\(\?[=!]|\\[0-9]|\\Q|\\E|\\G|\\k<|&&|[*+?}]\+")
+
+
+def _require_safe_regex(arg: str, fn: str) -> str:
+    """``arg`` must be a rendered string LITERAL whose unescaped pattern
+    is free of Java-only regex constructs; returns the unescaped
+    pattern.  Catalyst renders literal backslashes doubled, so a lone
+    backslash escape other than \\\\ or \\' is unknown — refuse."""
+    m = _re_mod.match(r"^'((?:[^'\\]|\\.)*)'$", arg)
+    if m is None:
+        raise DialectError(
+            f"{fn}() pattern is not a plain literal — not unparsable")
+    raw = m.group(1)
+    out, i = [], 0
+    while i < len(raw):
+        if raw[i] == "\\":
+            if i + 1 < len(raw) and raw[i + 1] in ("\\", "'", '"'):
+                out.append(raw[i + 1])
+                i += 2
+                continue
+            raise DialectError(
+                f"{fn}() pattern escape not translatable: {raw[i:i+2]}")
+        out.append(raw[i])
+        i += 1
+    pat = "".join(out)
+    if _REGEX_UNSAFE.search(pat):
+        raise DialectError(
+            f"{fn}() pattern uses Java-only regex constructs — "
+            "not unparsable")
+    return pat
+
+
+def _h_rlike(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(f"{len(a)}-arg {name}() — not unparsable")
+    _require_safe_regex(a[1], name)
+    return f"regexp_matches({a[0]}, {a[1]})"
+
+
+def _h_regexp_extract(name, inner):
+    # DuckDB spells both the same way with the same group-index and
+    # empty-on-no-match semantics (probed: no-match returns '' / [])
+    a = _split_top_args(inner)
+    if len(a) != 3:
+        raise DialectError(f"{len(a)}-arg {name}() — not unparsable")
+    _require_safe_regex(a[1], name)
+    if not _re_mod.match(r"^\d+$", a[2]):
+        raise DialectError(
+            f"{name}() group index is not a literal — not unparsable")
+    return f"{name}({a[0]}, {a[1]}, {a[2]})"
+
+
+_SPLIT_META = set(".^$*+?()[]{}|\\")
+
+
+def _h_split(name, inner):
+    a = _split_top_args(inner)
+    if len(a) != 3 or a[2] != "-1":
+        raise DialectError(
+            "split() with an explicit LIMIT has no DuckDB spelling — "
+            "not unparsable")
+    pat = _require_safe_regex(a[1], name)
+    if pat == "":
+        raise DialectError(
+            "split() on an empty pattern — not unparsable")
+    if not (_SPLIT_META & set(pat)):
+        return f"string_split({a[0]}, {a[1]})"
+    return f"string_split_regex({a[0]}, {a[1]})"
+
+
+# Java SimpleDateFormat tokens with exact strptime equivalents; any
+# other alpha token (yy, SSS, a, EEE, z, ...) refuses — close-but-
+# different is exactly what this table must never emit.
+_JAVA_FMT_TOKENS = (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+                    ("HH", "%H"), ("mm", "%M"), ("ss", "%S"))
+
+
+def _java_fmt_to_strptime(fmt: str, fn: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        for tok, rep in _JAVA_FMT_TOKENS:
+            if fmt.startswith(tok, i):
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            ch = fmt[i]
+            if ch in " -/:.T_,":
+                out.append(ch)
+                i += 1
+            else:
+                raise DialectError(
+                    f"{fn}() format token has no exact strptime "
+                    f"equivalent: {fmt[i:][:12]}")
+    return "".join(out)
+
+
+def _h_unix_timestamp(name, inner):
+    """Spark unix_timestamp(x, 'javafmt') -> whole epoch seconds
+    (BIGINT, session-tz interpreted — this repo pins UTC sessions).
+    DuckDB: strptime parses VARCHAR with the mapped format; epoch
+    yields seconds.  The operand is cast to VARCHAR so string columns
+    pass through unchanged and second-precision timestamps round-trip
+    via their canonical rendering (a fractional-second timestamp fails
+    strptime LOUDLY, never silently)."""
+    a = _split_top_args(inner)
+    if len(a) == 1:
+        return f"CAST(floor(epoch({a[0]})) AS BIGINT)"
+    if len(a) != 2:
+        raise DialectError(
+            f"{len(a)}-arg unix_timestamp() — not unparsable")
+    m = _re_mod.match(r"^'([^'\\]*)'$", a[1])
+    if m is None:
+        raise DialectError(
+            "unix_timestamp() format is not a plain literal — "
+            "not unparsable")
+    fmt = _java_fmt_to_strptime(m.group(1), name)
+    return (f"CAST(floor(epoch(strptime(CAST({a[0]} AS VARCHAR), "
+            f"'{fmt}'))) AS BIGINT)")
 
 
 def _lambda_parts(txt: str):
@@ -703,10 +856,42 @@ def _h_concat(name, inner):
 
 def _h_regexp_replace(name, inner):
     a = _split_top_args(inner)
-    if len(a) == 3 or (len(a) == 4 and a[3] == "1"):
-        return (f"regexp_replace({a[0]}, {a[1]}, {a[2]}, 'g')")
-    raise DialectError(
-        "regexp_replace from a non-initial position — not unparsable")
+    if not (len(a) == 3 or (len(a) == 4 and a[3] == "1")):
+        raise DialectError(
+            "regexp_replace from a non-initial position — not unparsable")
+    # REPLACEMENT backreference syntax differs: Spark (Java) uses $1,
+    # DuckDB (RE2 rewrite) uses \1 and treats $1 as LITERAL text —
+    # cb_q28 exec-pass find: the '$1' group key collapsed every URL
+    # into one literal-'$1' group.  Transform inside the literal:
+    # $N -> \N, Java's escaped \$ -> literal $.  Non-literal
+    # replacements (column refs) can carry $-refs invisibly — refuse.
+    m = _re_mod.match(r"^'((?:[^'\\]|\\.)*)'$", a[2])
+    if m is None:
+        raise DialectError(
+            "regexp_replace replacement is not a plain literal — "
+            "$-backreference semantics untranslatable")
+    raw, out, i = m.group(1), [], 0
+    while i < len(raw):
+        ch = raw[i]
+        if ch == "$" and i + 1 < len(raw) and raw[i + 1].isdigit():
+            out.append("\\\\" + raw[i + 1])  # Spark-escaped backslash
+            i += 2
+        elif ch == "$":
+            raise DialectError(
+                "regexp_replace replacement contains a bare '$' — "
+                "not unparsable")
+        elif ch == "\\" and raw[i:i + 2] == "\\$":
+            out.append("$")
+            i += 2
+        elif ch == "\\":
+            raise DialectError(
+                "regexp_replace replacement escape not translatable: "
+                f"{raw[i:i + 2]}")
+        else:
+            out.append(ch)
+            i += 1
+    repl = "'" + "".join(out) + "'"
+    return f"regexp_replace({a[0]}, {a[1]}, {repl}, 'g')"
 
 
 def _h_encode(name, inner):
@@ -1481,6 +1666,14 @@ class _Unparser:
         # lossy complex-cast renders (child text, target type SQL) —
         # same record-then-adjudicate protocol
         self._cast_drop_candidates: list[tuple[str, str]] = []
+        # lossy from_csv/from_json renders (render, schema DDL, options)
+        self._schema_fn_drop_candidates: list[
+            tuple[str, str, list[tuple[str, str]]]] = []
+        # duckdb-only tree-informed render repairs (render, rebuilt):
+        # fractional→integral cast trunc()-wrapping, timestamp-operand
+        # unix_timestamp — cases where the TEXT is ambiguous but the
+        # TREE has the exact types
+        self._duckdb_render_repairs: list[tuple[str, str]] = []
 
     def _alias(self) -> str:
         self._n += 1
@@ -1549,12 +1742,44 @@ class _Unparser:
                         src = dst = ""
                     frac = (src in ("FLOAT", "DOUBLE")
                             or src.startswith("DECIMAL"))
-                    if frac and (dst in ("TINYINT", "SMALLINT", "INT",
-                                         "BIGINT", "STRING")):
+                    if frac and dst == "STRING":
                         raise DialectError(
                             f"CAST({src} AS {dst}) truncates in Spark "
                             "but rounds/reformats in DuckDB — not "
                             "unparsable in this dialect")
+                    if frac and dst in ("TINYINT", "SMALLINT", "INT",
+                                        "BIGINT"):
+                        # Fractional → integral CAST semantics diverge
+                        # (Spark truncates toward zero, DuckDB rounds
+                        # half-away) but are REPAIRABLE (r11):
+                        # CAST(trunc(x) AS T) is truncation in DuckDB
+                        # too (probed: trunc(2.7)=2, trunc(-2.7)=-2,
+                        # decimals included).  Non-finite doubles still
+                        # differ (Spark NaN→0; DuckDB errors LOUDLY on
+                        # the cast — never silent).  Record the repair;
+                        # the fix pass anchors the unique render.
+                        try:
+                            child_sql = n.child().sql()
+                            render = n.sql()
+                        except Exception as e:  # noqa: BLE001
+                            raise DialectError(
+                                f"cast render unavailable: {e}")
+                        # try_cast must STAY try: DuckDB TRY_CAST NULLs
+                        # on overflow/NaN exactly like Spark try_cast
+                        # (rebuilding it as a plain CAST turned the
+                        # NULL into a loud error — exec-pass find on
+                        # fn_edge_lossy_casts' 1e19 double).  Spark 4
+                        # analyzes try_cast as Cast(evalMode=TRY), not
+                        # a separate class — read the mode.
+                        try:
+                            is_try = (n.evalMode().toString()
+                                      .upper() == "TRY")
+                        except Exception:  # noqa: BLE001 - older trees
+                            is_try = cls == "TryCast"
+                        kw = "TRY_CAST" if is_try else "CAST"
+                        self._duckdb_render_repairs.append(
+                            (render,
+                             f"{kw}(trunc({child_sql}) AS {dst})"))
                     # Spark numeric↔timestamp CAST is epoch-seconds
                     # arithmetic; DuckDB has NO such cast at all
                     # ("Unimplemented type for cast", found by the
@@ -1616,6 +1841,101 @@ class _Unparser:
                 raise DialectError(
                     "variant_get target type is dropped by "
                     f"Expression.sql: {n.toString()[:100]}")
+            elif cls in ("Multiply", "Divide", "MultiplyDTInterval",
+                         "MultiplyYMInterval", "DivideDTInterval",
+                         "DivideYMInterval") \
+                    and self.dialect.name == "duckdb":
+                # Spark multiplies/divides intervals by FRACTIONAL
+                # scalars; DuckDB's INTERVAL arithmetic only takes
+                # integers ("no function matches *(INTERVAL, DECIMAL)"
+                # — exec-pass find on fn_edge_datetime_arith_matrix).
+                # Integer multipliers translate fine; fractional ones
+                # refuse from the tree where the types are exact.
+                try:
+                    kinds = [n.left().dataType().sql().upper(),
+                             n.right().dataType().sql().upper()]
+                except Exception:  # noqa: BLE001 - not a binary node
+                    kinds = []
+                if any(k.startswith("INTERVAL") for k in kinds) and any(
+                        k in ("FLOAT", "DOUBLE") or k.startswith("DECIMAL")
+                        for k in kinds):
+                    raise DialectError(
+                        "INTERVAL × fractional scalar has no DuckDB "
+                        "spelling — not unparsable")
+            elif cls in ("UnixTimestamp", "ToUnixTimestamp") \
+                    and self.dialect.name == "duckdb":
+                # Spark unix_timestamp(x, fmt) IGNORES the format when x
+                # is already a TIMESTAMP/DATE — but the operand type is
+                # invisible in the rendered text, and the strptime
+                # translation would try to PARSE the timestamp's varchar
+                # rendering with the (unrelated) format (cb_q23 exec
+                # find: fractional/longer renderings fail loudly).
+                # Repair from the tree: datetime operands go straight to
+                # epoch(); string operands stay for the textual
+                # strptime handler.
+                try:
+                    ct = n.children().apply(0).dataType().sql().upper()
+                    if ct.startswith(("TIMESTAMP", "DATE")):
+                        child_sql = n.children().apply(0).sql()
+                        self._duckdb_render_repairs.append(
+                            (n.sql(),
+                             f"CAST(floor(epoch({child_sql})) "
+                             "AS BIGINT)"))
+                except Exception as e:  # noqa: BLE001 - accessor drift
+                    raise DialectError(
+                        f"unix_timestamp operand unreadable: {e}")
+            elif cls in ("CsvToStructs", "JsonToStructs"):
+                # The SEVENTH silent-arg-drop class (r11 find):
+                # from_csv/from_json .sql() renders ONLY the input —
+                # from_csv('1,a', 'x INT, y STRING').sql() is
+                # "from_csv('1,a')" — dropping the SCHEMA argument (the
+                # re-parse is a loud arity error) and any options map.
+                # Both are recoverable from the tree: dataType().sql()
+                # is a valid DDL schema string and options() carries
+                # the map — record a repair candidate (Spark dialect;
+                # no remote spelling exists elsewhere).
+                fn = ("from_csv" if cls == "CsvToStructs"
+                      else "from_json")
+                if self.dialect.name != "spark":
+                    raise DialectError(
+                        f"{fn}() schema argument is dropped by "
+                        "Expression.sql — no faithful spelling in "
+                        "this dialect")
+                try:
+                    ddl = n.dataType().sql()
+                    opts = self._scala_map_items(n.options())
+                except Exception as e:  # noqa: BLE001 - accessor drift
+                    raise DialectError(
+                        f"{fn}() schema unrecoverable: {e}")
+                if "'" in ddl or "\\" in ddl or any(
+                        "'" in k or "\\" in k or "'" in v or "\\" in v
+                        for k, v in opts):
+                    raise DialectError(
+                        f"{fn}() schema/options not quotable")
+                self._schema_fn_drop_candidates.append(
+                    (n.sql(), ddl, opts))
+            elif cls in ("StructsToJson", "StructsToCsv"):
+                # Same drop class, options-only: to_json(x, map(...))
+                # renders to_json(x) — the re-parse SILENTLY formats
+                # with default options (a value divergence, not an
+                # arity error).  Empty options render faithfully.
+                fn = "to_json" if cls == "StructsToJson" else "to_csv"
+                try:
+                    opts = self._scala_map_items(n.options())
+                except Exception as e:  # noqa: BLE001 - accessor drift
+                    raise DialectError(f"{fn}() options unreadable: {e}")
+                if opts:
+                    if self.dialect.name != "spark":
+                        raise DialectError(
+                            f"{fn}() options are dropped by "
+                            "Expression.sql — no faithful spelling in "
+                            "this dialect")
+                    if any("'" in k or "\\" in k or "'" in v
+                           or "\\" in v for k, v in opts):
+                        raise DialectError(
+                            f"{fn}() options not quotable")
+                    self._schema_fn_drop_candidates.append(
+                        (n.sql(), None, opts))
             elif cls == "CreateNamedStruct":
                 # The SIXTH Catalyst silent-arg-drop class (r10 find):
                 # struct(x AS w1).sql() renders 'struct(x)' — the field
@@ -2071,10 +2391,13 @@ class _Unparser:
     def _expr_sql(self, e) -> str:
         self._struct_drop_candidates = []
         self._cast_drop_candidates = []
+        self._schema_fn_drop_candidates = []
+        self._duckdb_render_repairs = []
         if self._tree_has_subquery(e):
             self._check_tree(e)
-            return self._strip_hidden_quals(self._fix_cast_drops(
-                self._fix_struct_drops(e, self._render_subq_expr(e))))
+            return self._strip_hidden_quals(self._fix_schema_fn_drops(
+                self._fix_cast_drops(
+                    self._fix_struct_drops(e, self._render_subq_expr(e)))))
         self._check_tree(e)
         if self._tree_has_lambda(e):
             txt = self._render_lambda_text(e)
@@ -2087,6 +2410,7 @@ class _Unparser:
             raw = None
         txt = self._fix_struct_drops(e, txt)
         txt = self._fix_cast_drops(txt, raw=raw)
+        txt = self._fix_schema_fn_drops(txt)
         low = self._outside_literals(txt).lower()
         for marker in self._UNPARSABLE_EXPR_MARKERS:
             if marker in low:
@@ -2200,6 +2524,50 @@ class _Unparser:
             txt = (txt[:at] + f"CAST({nsql} AS {dt})"
                    + txt[at + len(nsql):])
         return txt
+
+    def _fix_schema_fn_drops(self, txt: str) -> str:
+        """Re-attach the schema (and options) argument that
+        from_csv/from_json's Expression.sql drops (the SEVENTH
+        silent-arg-drop class, r11): each candidate whose lossy render
+        occurs EXACTLY ONCE is rewritten to
+        ``fn(input, 'DDL'[, map('k', 'v', ...)])``.  Ambiguous
+        multi-occurrence anchors refuse; a candidate that never
+        rendered refuses too — unlike the cast class this drop is
+        NEVER benign (the emitted text is an arity error), so there is
+        no analyzer-replacement case to ignore."""
+        for render, rebuilt in self._duckdb_render_repairs:
+            at = self._find_outside_str(txt, render, 0)
+            if at < 0 or \
+                    self._find_outside_str(txt, render, at + 1) >= 0:
+                raise DialectError(
+                    "tree-informed DuckDB repair render is not uniquely "
+                    f"anchorable: {render[:90]}")
+            txt = txt[:at] + rebuilt + txt[at + len(render):]
+        if not self._schema_fn_drop_candidates:
+            return txt
+        for nsql, ddl, opts in self._schema_fn_drop_candidates:
+            at = self._find_outside_str(txt, nsql, 0)
+            if at < 0 or self._find_outside_str(txt, nsql, at + 1) >= 0:
+                raise DialectError(
+                    "from_csv/from_json/to_json schema or options "
+                    "argument is dropped by Expression.sql and its "
+                    f"render is not uniquely anchorable: {nsql[:90]}")
+            extra = f", '{ddl}'" if ddl is not None else ""
+            if opts:
+                pairs = ", ".join(f"'{k}', '{v}'" for k, v in opts)
+                extra += f", map({pairs})"
+            rebuilt = nsql[:-1] + extra + ")"
+            txt = txt[:at] + rebuilt + txt[at + len(nsql):]
+        return txt
+
+    @staticmethod
+    def _scala_map_items(jmap) -> list[tuple[str, str]]:
+        items = []
+        it = jmap.iterator()
+        while it.hasNext():
+            kv = it.next()
+            items.append((kv._1(), kv._2()))
+        return items
 
     def _sqls(self, jexprs) -> list[str]:
         return [self._expr_sql(e) for e in self._seq(jexprs)]
@@ -2875,17 +3243,21 @@ class _Unparser:
             return _Block(from_=f"({body}) AS {self._alias()}")
         if cls == "Join":
             jt = node.joinType().sql().upper()
-            if jt in ("LEFT SEMI", "LEFT ANTI") and \
-                    not self.dialect.supports_semi_anti_join:
-                raise DialectError(
-                    f"dialect {self.dialect.name} lacks {jt} JOIN")
+            if jt in ("LEFT SEMI", "LEFT ANTI"):
+                if not self.dialect.supports_semi_anti_join:
+                    raise DialectError(
+                        f"dialect {self.dialect.name} lacks {jt} JOIN")
+                if self.dialect.semi_anti_keyword == "duckdb":
+                    # DuckDB (>= 0.8) spells these SEMI JOIN / ANTI JOIN
+                    jt = jt.replace("LEFT ", "")
             lf = self._as_factor(self.visit(node.left()), node.left())
             rf = self._as_factor(self.visit(node.right()), node.right())
             cond = node.condition()
             if cond.isDefined():
                 using = self._using_columns(node, cond.get())
                 if using is not None and jt in ("INNER", "LEFT SEMI",
-                                                "LEFT ANTI"):
+                                                "LEFT ANTI", "SEMI",
+                                                "ANTI"):
                     # df.join(other, "k") equi-joins SAME-NAMED attributes
                     # from unqualified factors — an ON clause renders the
                     # key ambiguous (both factors expose `k`), USING

@@ -153,6 +153,10 @@ def _interleave_families() -> None:
         # the delta key (dterm) so the unparser renders an unambiguous
         # ON clause — same LEFT join, distinct column names
         "text_bm25_index_delete",
+        # materially changed r11: the pinned federation oracle TEXT
+        # regenerated — array_join translation gained the
+        # NULL-preserving empty-list guard (CASE/COALESCE wrapper)
+        "compat_unparser_duckdb_federation_lists",
     }
 
     def tier(name: str) -> int:

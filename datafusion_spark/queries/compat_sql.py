@@ -832,11 +832,19 @@ def _duckdb_fed_lists_plan(spark, sf_dir):
     )
 
 
-# Pinned ``to_sql(plan, DUCKDB)`` output for the sf0.01 plan.
+# Pinned ``to_sql(plan, DUCKDB)`` output for the sf0.01 plan.  r11:
+# array_join translation gained the NULL-preserving empty-list guard
+# (DuckDB array_to_string([]) is NULL where Spark array_join([]) is
+# '' — exec-pass find), so the pinned text carries the CASE/COALESCE
+# wrapper around the same inner translation.
 _DUCKDB_FED_LISTS_SQL = (
-    "SELECT event_type, array_to_string(list_transform(list_reverse("
+    "SELECT event_type, CASE WHEN (list_transform(list_reverse("
     "list_sort(list((event_id % CAST(1000 AS BIGINT))), 'ASC', "
-    "'NULLS FIRST')), lv1 -> CAST(lv1 AS STRING)), ',') AS ids_desc, "
+    "'NULLS FIRST')), lv1 -> CAST(lv1 AS STRING))) IS NULL THEN NULL "
+    "ELSE COALESCE(array_to_string(list_transform(list_reverse("
+    "list_sort(list((event_id % CAST(1000 AS BIGINT))), 'ASC', "
+    "'NULLS FIRST')), lv1 -> CAST(lv1 AS STRING)), ','), '') END "
+    "AS ids_desc, "
     "reverse(min(event_type)) AS rev_type "
     "FROM read_parquet('/root/testdata/sf0.01/events.parquet') AS t1 "
     "WHERE (event_id > CAST(-9223372036854775808 AS BIGINT)) "

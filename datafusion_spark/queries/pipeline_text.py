@@ -521,8 +521,8 @@ def text_global_shuffle(spark, sf_dir):
             F.sum("n").over(
                 Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
             )
-        ).alias("offset"),
-    ).fillna(0, subset=["offset"])
+        ).alias("bucket_offset"),
+    ).fillna(0, subset=["bucket_offset"])
     rn = F.row_number().over(
         Window.partitionBy("bucket").orderBy("shuffle_key")
     )
@@ -532,8 +532,8 @@ def text_global_shuffle(spark, sf_dir):
         .select(
             "doc_id",
             "shuffle_key",
-            (F.col("offset") + F.col("rank_in_bucket") - 1).cast("long")
-            .alias("global_pos"),
+            (F.col("bucket_offset") + F.col("rank_in_bucket") - 1)
+            .cast("long").alias("global_pos"),
         )
     )
 

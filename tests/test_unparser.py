@@ -1073,3 +1073,96 @@ def test_neg_boundary_binary_minus_guard():
     assert _neg_boundary("(-32768S)") == "(CAST(-32768 AS SMALLINT))"
     assert (_neg_boundary("(x, -9223372036854775808L)")
             == "(x, CAST(-9223372036854775808 AS BIGINT))")
+
+
+def test_schema_fn_arg_drop_repair(spark):
+    """The SEVENTH Catalyst silent-arg-drop class (r11 find):
+    from_csv/from_json .sql() renders only the input — the SCHEMA
+    argument and any options map vanish (re-parse: loud arity error);
+    to_json/to_csv drop their options map SILENTLY (default formatting
+    — a value divergence).  All recoverable from the tree
+    (dataType().sql() is valid DDL; options() carries the map) and
+    re-attached at the unique anchor."""
+    cases = [
+        ("SELECT from_csv('1,a', 'x INT, y STRING') AS m", None),
+        ("SELECT from_csv('1;a', 'x INT, y STRING', map('sep', ';')).y"
+         " AS y2", "map('sep', ';')"),
+        ("SELECT from_json('{\"a\":1}', 'a INT').a AS a", None),
+        ("SELECT from_json('[{\"a\":1},{\"a\":2}]',"
+         " 'ARRAY<STRUCT<a: INT>>') AS arr", None),
+        ("SELECT to_json(named_struct('a', DATE '2024-01-01'),"
+         " map('dateFormat', 'dd/MM/yyyy')) AS j",
+         "map('dateFormat', 'dd/MM/yyyy')"),
+    ]
+    for q, frag in cases:
+        df = spark.sql(q)
+        sql = to_sql(df)
+        if frag:
+            assert frag in sql, (q, sql)
+        a = [tuple(r) for r in df.collect()]
+        b = [tuple(r) for r in spark.sql(sql).collect()]
+        assert a == b == [tuple(r) for r in df.collect()], (q, sql)
+    # DuckDB has no from_csv at all — refused from the tree
+    with pytest.raises(DialectError, match="no faithful spelling"):
+        to_sql(spark.sql(cases[0][0]), DUCKDB, validate=False)
+
+
+def test_duckdb_translation_batch_r11(spark):
+    """r11 DuckDB translation batch, each executed and value-compared:
+    semi/anti joins (DuckDB SEMI/ANTI JOIN spelling), unix_timestamp
+    with a Java format (strptime mapping; timestamp operands repaired
+    from the tree where Spark ignores the format), regex split
+    (string_split / string_split_regex keep trailing empties), RLIKE /
+    regexp_extract under the safe-regex gate, fractional→integral CAST
+    wrapped in trunc() (Spark truncates, DuckDB rounds), try_cast
+    staying TRY_CAST (NULL on overflow), regexp_replace $N backrefs
+    rewritten to RE2 \\N, and array_join('') on an empty array."""
+    import duckdb
+
+    cases = [
+        "SELECT unix_timestamp('2024-03-05 06:07:08',"
+        " 'yyyy-MM-dd HH:mm:ss') AS u",
+        "SELECT unix_timestamp(TIMESTAMP '2024-03-05 06:07:08',"
+        " 'yyyy-MM-dd') AS u",  # ts operand: format IGNORED by Spark
+        "SELECT split('a,b,,', ',') AS s, split('a1b22c', '[0-9]+') AS t",
+        "SELECT 'xabcy' RLIKE 'abc' AS r",
+        "SELECT regexp_extract('ab12cd', '([a-z]+)([0-9]+)', 2) AS g,"
+        " regexp_extract('nope', '([0-9]+)', 1) AS miss",
+        "SELECT CAST(CAST(382273.9375 AS DOUBLE) AS BIGINT) AS c,"
+        " try_cast(1e19 AS BIGINT) AS sat,"
+        " CAST(CAST(-2.7 AS DECIMAL(11,1)) AS INT) AS c2",
+        "SELECT regexp_replace('http://www.x.com/a',"
+        " '^https?://(www.)?([^/]+)/.*$', '$2') AS host",
+        "SELECT array_join(regexp_extract_all('no digits', '([0-9]+)', 1),"
+        " '|') AS empty_join",
+    ]
+    for q in cases:
+        df = spark.sql(q)
+        sql = to_sql(df, DUCKDB, validate=False)
+        norm = lambda rows: sorted(
+            tuple(list(x) if isinstance(x, list) else x for x in r)
+            for r in rows)
+        assert norm(df.collect()) == norm(duckdb.sql(sql).fetchall()), (
+            q, sql)
+    # semi/anti spelling + execution
+    li, o = _li(spark), _orders(spark)
+    semi = (o.join(li.filter(F.col("l_quantity") > 45),
+                   o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n")))
+    sql = to_sql(semi, DUCKDB, validate=False)
+    assert " SEMI JOIN " in sql and "LEFT SEMI" not in sql
+    import duckdb as dk
+    assert sorted(map(tuple, semi.collect())) == \
+        sorted(map(tuple, dk.sql(sql).fetchall()))
+    # untranslatable classes refuse loudly
+    with pytest.raises(DialectError, match="strptime"):
+        to_sql(spark.sql("SELECT unix_timestamp('05/Mar/2024',"
+                         " 'dd/MMM/yyyy') AS u"), DUCKDB, validate=False)
+    with pytest.raises(DialectError, match="Java-only"):
+        to_sql(spark.sql(r"SELECT 'ab' RLIKE 'a(?=b)' AS r"),
+               DUCKDB, validate=False)
+    with pytest.raises(DialectError, match="INTERVAL"):
+        to_sql(spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00'"
+                         " + INTERVAL '1' DAY * 2.5 AS t"),
+               DUCKDB, validate=False)

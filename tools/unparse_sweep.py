@@ -70,12 +70,20 @@ def _duckdb_rows_match(spark_df, duck_pdf) -> bool:
         s_num = pd.api.types.is_numeric_dtype(sv)
         d_num = pd.api.types.is_numeric_dtype(dv)
         if s_num and d_num:
+            import numpy as np
+
             sa = sv.astype("float64").to_numpy()
             da = dv.astype("float64").to_numpy()
             both_nan = pd.isna(sa) & pd.isna(da)
+            # inf == inf (same sign) must compare equal: inf - inf is
+            # NaN, which the tolerance check would flag (first seen
+            # when fn_edge_lossy_casts' '1e400' -> inf column reached
+            # this pass)
+            both_inf = (np.isinf(sa) & np.isinf(da)
+                        & (np.sign(sa) == np.sign(da)))
             diff = abs(sa - da)
             tol = 1e-9 * (abs(sa) + abs(da)) + 1e-12
-            bad = ~both_nan & ~(diff <= tol)
+            bad = ~both_nan & ~both_inf & ~(diff <= tol)
             if bad.any():
                 return False
         else:
