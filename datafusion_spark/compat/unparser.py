@@ -349,7 +349,36 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     # DuckDB reads filenames via read_parquet(filename=true) columns,
     # not a scalar function — no faithful spelling (exec-pass find)
     "input_file_name": ("refuse", None),
+    # Catalyst renders UnaryMinus as negative(x); DuckDB has no such
+    # function (exec-pass find via the lateral-unnest batch)
+    "negative": ("template", "(-({inner}))"),
+    # no DuckDB analog (sketch function) — exec-pass find
+    "approx_top_k": ("refuse", None),
+    # DuckDB list_zip names struct fields list_1/list_2 where Spark
+    # arrays_zip carries the INPUT column names — silent nested-schema
+    # drift, no faithful spelling
+    "arrays_zip": ("refuse", None),
+    # Spark sequence(a, b) auto-descends when a > b; DuckDB
+    # generate_series(a, b) silently returns [] there — only the
+    # explicit-step arity translates unconditionally, the 2-arg form
+    # only when both bounds are literals proving the direction
+    "sequence": ("custom", lambda n, i: _h_sequence(n, i)),
 }
+
+
+def _h_sequence(name, inner):
+    a = _split_top_args(inner)
+    if len(a) == 3:
+        return f"generate_series({a[0]}, {a[1]}, {a[2]})"
+    if len(a) == 2:
+        lits = [_re_mod.match(r"^-?\d+$", x) for x in a]
+        if all(lits) and int(a[0]) <= int(a[1]):
+            return f"generate_series({a[0]}, {a[1]})"
+        raise DialectError(
+            "sequence() without a step auto-descends in Spark but "
+            "empties in DuckDB — only provably ascending literal "
+            "bounds translate")
+    raise DialectError(f"{len(a)}-arg sequence() — not unparsable")
 
 
 # Java-only regex constructs that RE2 either rejects loudly (fine) or —
@@ -3062,26 +3091,58 @@ class _Unparser:
             return _Block(from_=f"{q}{name}{q}")
         if cls == "Generate":
             # explode/posexplode/inline/stack/json_tuple → LATERAL VIEW
-            # (Spark syntax; other dialects spell table functions
-            # differently — refuse there).
-            if self.dialect.name != "spark":
-                raise DialectError(
-                    f"dialect {self.dialect.name} has no LATERAL VIEW")
+            # (Spark syntax).  DuckDB (r11): single-column array
+            # explode — the dominant shape, and the largest exec-
+            # refusal class at 129 entries — translates to a lateral
+            # unnest join with EXACT row semantics (probed: NULL and
+            # empty arrays drop the row under CROSS JOIN unnest and
+            # null-emit under LEFT JOIN ... ON true, matching Spark's
+            # inner and OUTER LATERAL VIEW respectively).  Multi-column
+            # generators (posexplode/map-explode/inline/stack) refuse.
             if node.unrequiredChildIndex().size() != 0:
                 raise DialectError(
                     "Generate with pruned child output is optimizer-"
                     "internal — not unparsable")
+            gen = node.generator()
+            q = self.dialect.identifier_quote
+            out_cols = [f"{q}{a.name()}{q}"
+                        for a in self._seq(node.generatorOutput())]
+            qual = node.qualifier()
+            alias = qual.get() if qual.isDefined() else self._alias()
+            if self.dialect.name == "duckdb":
+                if (gen.getClass().getSimpleName() != "Explode"
+                        or len(out_cols) != 1):
+                    raise DialectError(
+                        "only single-column array explode() has a "
+                        "DuckDB lateral-unnest spelling — not "
+                        "unparsable")
+                b = self.visit(node.child())
+                if (b.select is not None or b.distinct
+                        or b.group_by is not None
+                        or b.order_by is not None
+                        or b.limit is not None or b.offset is not None):
+                    b = self._derive(b, node.child())
+                arr_sql = self._expr_sql(gen.child())
+                one_row = b.from_ is None
+                if one_row:
+                    b = _Block(from_=f"(SELECT 1 AS {q}__one__{q}) "
+                                     f"AS {self._alias()}")
+                join = ("LEFT JOIN" if node.outer() else "CROSS JOIN")
+                on = " ON true" if node.outer() else ""
+                b.from_ += (f" {join} unnest({arr_sql}) "
+                            f"AS {q}{alias}{q}({out_cols[0]}){on}")
+                if one_row:
+                    b.select = out_cols
+                return b
+            if self.dialect.name != "spark":
+                raise DialectError(
+                    f"dialect {self.dialect.name} has no LATERAL VIEW")
             b = self.visit(node.child())
             if (b.select is not None or b.distinct
                     or b.group_by is not None or b.order_by is not None
                     or b.limit is not None or b.offset is not None):
                 b = self._derive(b, node.child())
             gen_sql = self._expr_sql(node.generator())
-            qual = node.qualifier()
-            alias = qual.get() if qual.isDefined() else self._alias()
-            q = self.dialect.identifier_quote
-            out_cols = [f"{q}{a.name()}{q}"
-                        for a in self._seq(node.generatorOutput())]
             outer = "OUTER " if node.outer() else ""
             one_row = b.from_ is None
             if one_row:
