@@ -415,6 +415,30 @@ def _require_safe_regex(arg: str, fn: str) -> str:
         raise DialectError(
             f"{fn}() pattern uses Java-only regex constructs — "
             "not unparsable")
+    # Java's '$' (and '\Z') match BEFORE a final line terminator —
+    # 'abc$' finds 'abc' in 'abc\n' — while RE2 matches only at
+    # absolute end-of-text (probed on DuckDB 1.0:
+    # regexp_matches('abc'||chr(10),'abc$') is false): a silent value
+    # divergence for data with trailing newlines (r11 ADVICE find).
+    # Refuse any unescaped '$' (conservative — '$' inside a character
+    # class is literal in both engines, but this gate does not parse
+    # classes) and the Java-only '\Z' anchor.  '\z' and '\A' mean
+    # absolute end/start in BOTH engines and pass.
+    j = 0
+    while j < len(pat):
+        if pat[j] == "\\":
+            if pat[j + 1:j + 2] == "Z":
+                raise DialectError(
+                    f"{fn}() pattern uses the Java-only \\Z anchor — "
+                    "not unparsable")
+            j += 2
+            continue
+        if pat[j] == "$":
+            raise DialectError(
+                f"{fn}() pattern '$' matches before a trailing newline "
+                "in Java but only at end-of-text in RE2 — not "
+                "unparsable")
+        j += 1
     return pat
 
 
@@ -454,6 +478,21 @@ def _h_split(name, inner):
             "split() on an empty pattern — not unparsable")
     if not (_SPLIT_META & set(pat)):
         return f"string_split({a[0]}, {a[1]})"
+    # Zero-width-capable patterns diverge (r11 ADVICE find): Java split
+    # SKIPS zero-width matches adjacent to a real match ('a1b' split on
+    # '1*' → ['a','b']) while DuckDB string_split_regex emits empty
+    # fields (probed: ['a','','b']).  Refuse any pattern that can match
+    # the empty string; Python re's nullability matches Java's on the
+    # safe-regex subset this gate already enforces.
+    try:
+        can_empty = _re_mod.fullmatch(pat, "") is not None
+    except _re_mod.error:
+        can_empty = True  # pattern this probe can't parse: refuse
+    if can_empty:
+        raise DialectError(
+            "split() pattern can match the empty string — Java skips "
+            "zero-width matches where DuckDB emits empty fields, "
+            "not unparsable")
     return f"string_split_regex({a[0]}, {a[1]})"
 
 
@@ -2180,9 +2219,53 @@ class _Unparser:
             if q in name or "`" in name:
                 raise DialectError(f"alias {name!r} not quotable")
             return f"{self._render_subq_expr(e.child())} AS {q}{name}{q}"
-        if cls == "Cast":
-            return (f"CAST({self._render_subq_expr(e.child())} AS "
-                    f"{e.dataType().sql()})")
+        if cls in ("Cast", "TryCast", "AnsiCast"):
+            # Tree-faithful render carries the SAME DuckDB semantics
+            # checks _check_tree applies on the textual path (r11
+            # ADVICE: the old plain-CAST render silently ROUNDED a
+            # fractional→integral cast over a subquery in DuckDB where
+            # Spark truncates).  Here the repair needs no anchoring —
+            # the text is built from the tree directly.
+            inner_txt = self._render_subq_expr(e.child())
+            dst = e.dataType().sql()
+            try:
+                is_try = e.evalMode().toString().upper() == "TRY"
+            except Exception:  # noqa: BLE001 - older trees
+                is_try = cls == "TryCast"
+            kw = "TRY_CAST" if is_try else "CAST"
+            if self.dialect.name == "duckdb":
+                try:
+                    src = e.child().dataType().sql().upper()
+                except Exception as exc:  # noqa: BLE001 - accessor drift
+                    raise DialectError(f"cast operand unreadable: {exc}")
+                dstu = dst.upper()
+                frac = (src in ("FLOAT", "DOUBLE")
+                        or src.startswith("DECIMAL"))
+                if frac and dstu == "STRING":
+                    raise DialectError(
+                        f"CAST({src} AS {dstu}) truncates in Spark but "
+                        "rounds/reformats in DuckDB — not unparsable in "
+                        "this dialect")
+                if frac and dstu in ("TINYINT", "SMALLINT", "INT",
+                                     "BIGINT"):
+                    return f"{kw}(trunc({inner_txt}) AS {dst})"
+                if dstu.startswith(("ARRAY", "MAP", "STRUCT")):
+                    raise DialectError(
+                        f"CAST target {dstu[:40]} is Spark type syntax "
+                        "with no DuckDB spelling — not unparsable in "
+                        "this dialect")
+
+                def _numt(t: str) -> bool:
+                    return (t in ("TINYINT", "SMALLINT", "INT", "BIGINT",
+                                  "FLOAT", "DOUBLE")
+                            or t.startswith("DECIMAL"))
+                if ((_numt(src) and dstu.startswith("TIMESTAMP"))
+                        or (src.startswith("TIMESTAMP") and _numt(dstu))):
+                    raise DialectError(
+                        f"CAST({src} AS {dstu}) is Spark epoch-seconds "
+                        "semantics with no DuckDB CAST spelling — not "
+                        "unparsable in this dialect")
+            return f"{kw}({inner_txt} AS {dst})"
         if cls in ("IsNull", "IsNotNull"):
             kw = "IS NULL" if cls == "IsNull" else "IS NOT NULL"
             return f"({self._render_subq_expr(e.child())} {kw})"
@@ -2205,7 +2288,25 @@ class _Unparser:
             parts.append("END")
             return "(" + " ".join(parts) + ")"
         # generic binary operator (comparisons, arithmetic): symbol() is
-        # defined on every Catalyst BinaryOperator
+        # defined on every Catalyst BinaryOperator.  Everything ELSE on
+        # a subquery spine refuses here — including the repair-needing
+        # classes _check_tree handles on the textual path
+        # (UnixTimestamp, from_csv/from_json, IGNORE NULLS, ...), whose
+        # spine occurrence would otherwise render lossily (r11 ADVICE).
+        if cls in ("Multiply", "Divide", "MultiplyDTInterval",
+                   "MultiplyYMInterval", "DivideDTInterval",
+                   "DivideYMInterval") and self.dialect.name == "duckdb":
+            try:
+                kinds = [e.left().dataType().sql().upper(),
+                         e.right().dataType().sql().upper()]
+            except Exception:  # noqa: BLE001 - not a binary node
+                kinds = []
+            if any(k.startswith("INTERVAL") for k in kinds) and any(
+                    k in ("FLOAT", "DOUBLE") or k.startswith("DECIMAL")
+                    for k in kinds):
+                raise DialectError(
+                    "INTERVAL × fractional scalar has no DuckDB "
+                    "spelling — not unparsable")
         try:
             sym = e.symbol()
             left, right = e.left(), e.right()
@@ -2418,15 +2519,38 @@ class _Unparser:
         return False
 
     def _expr_sql(self, e) -> str:
+        # The candidate lists are PER-CALL state: _render_subq_expr /
+        # _subplan_sql re-enter _expr_sql on the same instance (r11
+        # ADVICE find — the old reset-at-entry wiped an outer call's
+        # recorded repairs, so a spine-node repair was silently dropped,
+        # and an inner call's leftovers were re-applied by the outer fix
+        # pass, spuriously refusing).  Save/restore makes every nesting
+        # level see exactly its own candidates.
+        saved = (self._struct_drop_candidates, self._cast_drop_candidates,
+                 self._schema_fn_drop_candidates, self._duckdb_render_repairs)
         self._struct_drop_candidates = []
         self._cast_drop_candidates = []
         self._schema_fn_drop_candidates = []
         self._duckdb_render_repairs = []
+        try:
+            return self._expr_sql_inner(e)
+        finally:
+            (self._struct_drop_candidates, self._cast_drop_candidates,
+             self._schema_fn_drop_candidates,
+             self._duckdb_render_repairs) = saved
+
+    def _expr_sql_inner(self, e) -> str:
         if self._tree_has_subquery(e):
-            self._check_tree(e)
-            return self._strip_hidden_quals(self._fix_schema_fn_drops(
-                self._fix_cast_drops(
-                    self._fix_struct_drops(e, self._render_subq_expr(e)))))
+            # Spine nodes are rendered tree-faithfully by
+            # _render_subq_expr, which carries its OWN dialect checks
+            # for the repairable/refusable spine classes (Cast,
+            # interval arithmetic) and refuses every unlisted class —
+            # subquery-free subtrees recurse into _expr_sql, where the
+            # full _check_tree + fix protocol runs per nesting level.
+            # The old shape (_check_tree here + outer fix passes over
+            # the spliced text) double-counted subtree candidates the
+            # nested calls had already repaired (r11 ADVICE).
+            return self._strip_hidden_quals(self._render_subq_expr(e))
         self._check_tree(e)
         if self._tree_has_lambda(e):
             txt = self._render_lambda_text(e)

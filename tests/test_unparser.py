@@ -1166,3 +1166,92 @@ def test_duckdb_translation_batch_r11(spark):
         to_sql(spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00'"
                          " + INTERVAL '1' DAY * 2.5 AS t"),
                DUCKDB, validate=False)
+
+
+def test_duckdb_lateral_unnest_explode(spark):
+    """r11 ADVICE #4: in-repo coverage for the Generate→DuckDB
+    lateral-unnest translation — inner and OUTER explode over NULL and
+    empty arrays executed in DuckDB and value-compared (inner drops the
+    NULL/empty rows, outer keeps them with a NULL element), and the
+    multi-column generator (posexplode) refusal."""
+    import duckdb
+
+    base = ("VALUES (1, array(10, 20)), (2, array()), "
+            "(3, CAST(NULL AS ARRAY<INT>)) AS t(k, xs)")
+    for verb, nrows in (("explode", 2), ("explode_outer", 4)):
+        df = spark.sql(f"SELECT k, {verb}(xs) AS x FROM {base}")
+        sql = to_sql(df, DUCKDB, validate=False)
+        assert "unnest(" in sql, sql
+        got = sorted(map(tuple, duckdb.sql(sql).fetchall()),
+                     key=lambda r: (r[0], r[1] is None, r[1]))
+        want = sorted(map(tuple, df.collect()),
+                      key=lambda r: (r[0], r[1] is None, r[1]))
+        assert got == want and len(got) == nrows, (verb, sql, got)
+    with pytest.raises(DialectError):
+        to_sql(spark.sql(f"SELECT k, posexplode(xs) FROM {base}"),
+               DUCKDB, validate=False)
+
+
+def test_subquery_repair_scoping_duckdb(spark):
+    """r11 ADVICE #1 (high): repair candidates are per-_expr_sql-call
+    scoped, and subquery SPINE nodes carry their own dialect checks.
+    (a) frac→int CAST over a scalar subquery TRUNCATES in the DuckDB
+    text (the old spine render silently rounded); (b) a repairable cast
+    NEXT TO a subquery still translates (the old leftover-candidate
+    re-application spuriously refused); (c) unix_timestamp over a
+    subquery refuses loudly instead of recording a droppable repair."""
+    import duckdb
+
+    # (a) avg = 1.8333…: Spark CAST truncates to 1, raw DuckDB rounds
+    # to 2 — the emitted text must carry trunc() inside the CAST.
+    df = spark.sql("SELECT CAST((SELECT avg(x) FROM VALUES (1.0), (2.0),"
+                   " (2.5) AS s(x)) AS INT) AS c")
+    sql = to_sql(df, DUCKDB, validate=False)
+    assert "trunc(" in sql, sql
+    assert duckdb.sql(sql).fetchall() == [(1,)] == \
+        [tuple(r) for r in df.collect()]
+
+    # (b) the -2.7 cast must translate (trunc → -2, not round → -3)
+    # both in the projection and in the WHERE conjunct beside the IN
+    # subquery; the combined expression previously refused spuriously.
+    df2 = spark.sql(
+        "SELECT k, CAST(d AS INT) AS c FROM VALUES"
+        " (1, CAST(2.7 AS DOUBLE)), (2, CAST(0.3 AS DOUBLE)),"
+        " (3, CAST(-2.7 AS DOUBLE)) AS t(k, d)"
+        " WHERE k IN (SELECT 1 UNION ALL SELECT 3)"
+        " AND CAST(d AS INT) >= -2")
+    sql2 = to_sql(df2, DUCKDB, validate=False)
+    got = sorted(map(tuple, duckdb.sql(sql2).fetchall()))
+    want = sorted(map(tuple, df2.collect()))
+    assert got == want == [(1, 2), (3, -2)], (sql2, got)
+
+    # (c) the timestamp-operand unix_timestamp repair cannot anchor
+    # over a subquery render — must refuse, never silently drop.
+    with pytest.raises(DialectError):
+        to_sql(spark.sql("SELECT unix_timestamp((SELECT TIMESTAMP"
+                         " '2024-01-01 00:00:00'), 'yyyy-MM-dd') AS u"),
+               DUCKDB, validate=False)
+
+
+def test_regex_dollar_and_zero_width_refusals(spark):
+    """r11 ADVICE #2/#3: Java '$' matches before a trailing newline
+    where RE2 matches only end-of-text — unescaped '$' (and \\Z) refuse
+    through the safe-regex gate; an ESCAPED \\$ stays translatable.
+    Zero-width-capable split patterns refuse (Java skips zero-width
+    matches adjacent to a real match, DuckDB emits empty fields)."""
+    import duckdb
+
+    with pytest.raises(DialectError, match="end-of-text"):
+        to_sql(spark.sql("SELECT 'abc' RLIKE 'abc$' AS r"),
+               DUCKDB, validate=False)
+    with pytest.raises(DialectError, match=r"\\Z"):
+        to_sql(spark.sql(r"SELECT 'abc' RLIKE 'abc\\Z' AS r"),
+               DUCKDB, validate=False)
+    with pytest.raises(DialectError, match="empty string"):
+        to_sql(spark.sql("SELECT split('a1b', '1*') AS s"),
+               DUCKDB, validate=False)
+    # escaped $ is a literal character in BOTH engines — translate + run
+    df = spark.sql(r"SELECT 'xa$by' RLIKE 'a\\$b' AS r")
+    sql = to_sql(df, DUCKDB, validate=False)
+    assert duckdb.sql(sql).fetchall() == [(True,)] == \
+        [tuple(r) for r in df.collect()]
