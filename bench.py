@@ -50,7 +50,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return min(runs)
 
-    def measure_calibration() -> float:
+    def measure_calibration(runs_n: int = 2) -> float:
         """Host-phase calibration kernel: a FIXED-SIZE, CPU-bound,
         zero-I/O hash aggregate (~1 s on an unloaded host).  The floor
         samples measure scheduling overhead, not CPU throughput — the
@@ -60,7 +60,7 @@ def main() -> None:
         this number to normalize host state mechanically
         (tools/bench_compare.py --calibrate)."""
         runs = []
-        for _ in range(3):
+        for _ in range(runs_n):
             t0 = time.perf_counter()
             spark.range(0, 30_000_000, 1, 8).select(
                 ((F.col("id") * 2654435761) % 1000003).alias("k"),
@@ -72,7 +72,7 @@ def main() -> None:
         return min(runs)
 
     floor_start = measure_floor()
-    calibration_start = measure_calibration()
+    calibration_start = measure_calibration(runs_n=3)
 
     # Fixed (sorted) query order, min-of-3 fresh builds per query.  The
     # floor is re-sampled every 10 queries: a long single-JVM run
@@ -80,13 +80,21 @@ def main() -> None:
     # and host noise drifts — per-query floor subtraction must use a floor
     # measured NEAR the query, not one from the start of the run
     # (round-3 lesson: the floor rose 34% across one run).
+    # The CALIBRATION kernel is re-sampled every 15 queries for the same
+    # reason (r11 verdict: two end-point samples drifted 26% WITHIN one
+    # run, making the round-over-round normalization ±17% — wider than
+    # any regression it should detect).  Each query records its
+    # nearest-in-time sample; bench_compare normalizes per query.
     names = [n for n in sorted(QUERIES) if "bench" in TAGS.get(n, ()) or n.startswith("tpch_")]
     timings: dict[str, float] = {}
     local_floor: dict[str, float] = {}
     floors = [floor_start]
+    cal_samples: list[tuple[float, float]] = [(0.0, calibration_start)]
     for i, name in enumerate(names):
         if i and i % 10 == 0:
             floors.append(measure_floor())
+        if i and i % 15 == 0:
+            cal_samples.append((float(i), measure_calibration()))
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -96,7 +104,13 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         local_floor[name] = floors[-1]
     floors.append(measure_floor())
-    calibration_end = measure_calibration()
+    calibration_end = measure_calibration(runs_n=3)
+    cal_samples.append((float(len(names)), calibration_end))
+    # nearest-in-time kernel sample per query (by run position)
+    cal_per_query = {
+        name: min(cal_samples, key=lambda pv: abs(pv[0] - (i + 0.5)))[1]
+        for i, name in enumerate(names)
+    }
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     floor = round(min(floors), 3)
@@ -120,11 +134,19 @@ def main() -> None:
         "value_minus_floor": round(sum(q_minus_floor.values()), 3),
         # CPU-throughput calibration (fixed-size in-memory hash agg, no
         # I/O): divide value_minus_floor by this to compare rounds across
-        # hypervisor fast/slow phases.  Start AND end samples so intra-run
-        # drift is visible too.
-        "calibration_s": round(min(calibration_start, calibration_end), 3),
-        "calibration_samples": [round(calibration_start, 3),
-                                round(calibration_end, 3)],
+        # hypervisor fast/slow phases.  Sampled every 15 queries (plus
+        # start and end, ≥6 samples per run — r11 verdict: two end-point
+        # samples drifted 26% within one run); calibration_per_query is
+        # each query's NEAREST-in-time sample, which bench_compare uses
+        # for per-query phase normalization.  calibration_s stays the
+        # min for back-compat with older compare invocations.
+        "calibration_s": round(min(v for _, v in cal_samples), 3),
+        "calibration_samples": [round(v, 3) for _, v in cal_samples],
+        "calibration_sample_positions": [p for p, _ in cal_samples],
+        "calibration_median": round(
+            sorted(v for _, v in cal_samples)[len(cal_samples) // 2], 3),
+        "calibration_per_query": {
+            n: round(c, 3) for n, c in cal_per_query.items()},
     }
     print(json.dumps(out))
 

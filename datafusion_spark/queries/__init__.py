@@ -129,34 +129,24 @@ def _interleave_families() -> None:
     verified = _verified_of(latest)
     failed = _failed_of(latest)
 
-    # Hand-pinned front of the prefix for the CURRENT round (r11): entries
-    # that are NEW or materially CHANGED this round only — the whole r10
-    # pin list went driver-green in CORRECTNESS_r10 and unpinned itself
+    # Hand-pinned front of the prefix for the CURRENT round (r12): entries
+    # that are NEW or materially CHANGED this round only — the whole r11
+    # pin list went driver-green in CORRECTNESS_r11 and unpinned itself
     # (a verified pin would waste a tier-0 slot on a re-check).
     # Latest-FAIL entries are NOT listed here — they are pinned at absolute
     # positions 0..k automatically (see _failed_of).  Rotate per round;
     # harmless if a name is not yet registered (tier() is only consulted
     # for registered names).
     priority = {
-        # new r11 entries: tombstone-aware BM25 compaction (the Lucene
-        # merge applying .del files) + the IVF index lifecycle (FAISS
-        # add()/remove_ids() on the persisted inverted lists)
-        "text_bm25_index_delete_compact",
-        "similarity_ivf_ingest_delta",
-        "similarity_ivf_delete",
-        # materially changed r11, re-verify: the bucketed scratch moved
-        # to the atomic tmp+rename protocol with catalog attach over the
-        # published path (r10 judge find; plan unchanged, storage path
-        # and DDL registration new)
-        "join_bucketed_colocated",
-        # materially changed r11: the tombstone df-delta join now renames
-        # the delta key (dterm) so the unparser renders an unambiguous
-        # ON clause — same LEFT join, distinct column names
-        "text_bm25_index_delete",
-        # materially changed r11: the pinned federation oracle TEXT
-        # regenerated — array_join translation gained the
-        # NULL-preserving empty-list guard (CASE/COALESCE wrapper)
-        "compat_unparser_duckdb_federation_lists",
+        # new r12 entries: IVF delete→compact (FAISS merge_from — the
+        # vector-side analog of text_bm25_index_delete_compact, closing
+        # the lifecycle symmetry) and the filtered-ANN-over-persisted-
+        # lifecycle serve (metadata conjunct + segments + tombstones in
+        # one plan).  similarity_ivf_delete itself is UNCHANGED (its
+        # oracle text moved to a shared constant byte-identically) and
+        # stays unpinned.
+        "similarity_ivf_delete_compact",
+        "similarity_ivf_filtered_lifecycle",
     }
 
     def tier(name: str) -> int:

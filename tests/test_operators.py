@@ -774,3 +774,105 @@ def test_ivf_delete_tombstone_semantics(spark):
     recall = sum(
         len(got.get(q, set()) & ex[q]) / len(ex[q]) for q in ex) / len(ex)
     assert round(recall, 4) >= 0.6, f"tombstoned recall@5 {recall:.2f}"
+
+
+def test_ivf_delete_compact_equals_tombstoned_serving(spark):
+    """IVF tombstone-aware compaction (FAISS merge_from / the Lucene
+    merge applying .del files, vector side): serving the merged single
+    segment must equal the tombstoned serving path ROW-FOR-ROW — the
+    candidate removal is baked into the index.  The merged artifact
+    must carry an EMPTY tombstone set (reset), no deleted vec_id in the
+    lists, every original vector exactly once otherwise, and a
+    re-attach never rewrites the published files."""
+    import os
+
+    from datafusion_spark.queries import QUERIES
+    from datafusion_spark.queries.pipeline_similarity import (
+        _ensure_ivf_delete_compacted,
+    )
+    from tests.conftest import SF_ORACLE
+
+    tomb_rows = QUERIES["similarity_ivf_delete"](spark, SF_ORACLE).collect()
+    cmp_rows = QUERIES["similarity_ivf_delete_compact"](
+        spark, SF_ORACLE).collect()
+    as_tuples = lambda rows: sorted(
+        (r.qid, r.vec_id, float(r.cos_sim)) for r in rows)
+    assert as_tuples(cmp_rows) == as_tuples(tomb_rows)
+
+    base = _ensure_ivf_delete_compacted(spark, SF_ORACLE)
+    # tombstone set reset: present but EMPTY
+    assert spark.read.parquet(
+        os.path.join(base, "tombstones")).count() == 0
+    merged = spark.read.parquet(os.path.join(base, "seg"))
+    # tombstoned vectors physically dropped, everything else kept once
+    assert merged.filter("vec_id % 7 = 3").count() == 0
+    n_all = spark.read.parquet(
+        f"{SF_ORACLE}/embeddings.parquet").filter("vec_id % 7 <> 3").count()
+    assert merged.count() == n_all
+    assert merged.select("vec_id").distinct().count() == n_all
+
+    def inventory(path):
+        out = {}
+        for dirpath, _d, files in os.walk(path):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                out[p] = (st.st_ino, st.st_mtime_ns, st.st_size)
+        return out
+
+    before = inventory(base)
+    assert before, "merged segment missing"
+    assert _ensure_ivf_delete_compacted(spark, SF_ORACLE) == base
+    assert inventory(base) == before, \
+        "published merged lists were rewritten on re-attach"
+
+
+def test_ivf_filtered_lifecycle_semantics(spark):
+    """Filtered ANN over the persisted lifecycle (metadata conjunct +
+    segments + tombstones in ONE plan): (a) no deleted vec_id in any
+    result; (b) every hit shares its query's label (the payload filter
+    holds, evaluated on the label stored IN the lists); (c) recall@5 vs
+    the filtered brute force clears the floor (measured 0.80 at sf0.01;
+    floor below, rounded)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from datafusion_spark.queries import QUERIES
+    from datafusion_spark.queries.pipeline_similarity import (
+        cosine, dot_decimal, norm2_decimal,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["similarity_ivf_filtered_lifecycle"](
+        spark, SF_ORACLE).collect()
+    assert rows and all(r.vec_id % 7 != 3 for r in rows)
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding", "label")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label")
+              .filter("vec_id < 10 OR vec_id % 7 <> 3").collect()}
+    assert all(labels[r.qid] == labels[r.vec_id] for r in rows), \
+        "metadata conjunct violated"
+
+    q = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"))
+    cand = emb.filter("vec_id % 7 <> 3")
+    cos = cosine(dot_decimal(F.col("qe"), F.col("embedding")),
+                 norm2_decimal(F.col("qe")),
+                 norm2_decimal(F.col("embedding")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    bf = (q.crossJoin(cand).filter("vec_id <> qid AND label = ql")
+          .select("qid", "vec_id", cos.alias("cos_sim"))
+          .withColumn("rn", F.row_number().over(w)).filter("rn <= 5"))
+
+    def sets(rs):
+        out = {}
+        for r in rs:
+            out.setdefault(r.qid, set()).add(r.vec_id)
+        return out
+
+    ex, got = sets(bf.collect()), sets(rows)
+    recall = sum(
+        len(got.get(k, set()) & ex[k]) / len(ex[k]) for k in ex) / len(ex)
+    assert round(recall, 4) >= 0.6, f"filtered-lifecycle recall@5 {recall:.2f}"

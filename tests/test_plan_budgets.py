@@ -748,6 +748,7 @@ def test_bucketed_rebuild_is_atomic(spark):
 
 @pytest.mark.parametrize("name", [
     "similarity_ivf_ingest_delta", "similarity_ivf_delete",
+    "similarity_ivf_delete_compact", "similarity_ivf_filtered_lifecycle",
 ])
 def test_ivf_lists_probe_plan_shape(spark, name):
     """The 100 TB serving contract for the persisted-lists IVF probe:
@@ -755,11 +756,22 @@ def test_ivf_lists_probe_plan_shape(spark, name):
     scans (the probe reads only its cell's directories), (b) the query
     side is broadcast, (c) no SinglePartition exchange (per-query
     windows).  The delete stage additionally carries the tombstone
-    LeftAnti join before scoring."""
+    LeftAnti join before scoring; the delete-COMPACT stage must carry
+    NO anti-join (the correction is baked into the merged segment);
+    the filtered lifecycle carries the anti-join AND the label payload
+    conjunct inside the probed-cell equi-join."""
     df = QUERIES[name](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "no DPP on the list scans"
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan
-    if name == "similarity_ivf_delete":
+    if name in ("similarity_ivf_delete", "similarity_ivf_filtered_lifecycle"):
         assert "LeftAnti" in plan, "tombstone anti-join missing"
+    if name == "similarity_ivf_delete_compact":
+        assert "LeftAnti" not in plan, \
+            "compact serving must not re-apply tombstones"
+    if name == "similarity_ivf_filtered_lifecycle":
+        joins = [ln for ln in plan.splitlines()
+                 if "BroadcastHashJoin" in ln]
+        assert any("cluster" in ln and "label" in ln for ln in joins), \
+            "label conjunct not in the probed-cell join"

@@ -56,17 +56,40 @@ def main() -> int:
     calibrate = args.calibrate
     if calibrate is None:
         calibrate = bool(base.get("calibration_s") and new.get("calibration_s"))
+    # r12: per-query nearest-in-time kernel samples, when both files
+    # carry them — each query divides by the sample taken in ITS phase
+    # of the run, so intra-run host drift (26% within one r11 run)
+    # cancels per query instead of smearing across the whole run.
+    cpq_b = base.get("calibration_per_query") or {}
+    cpq_n = new.get("calibration_per_query") or {}
+    per_query_cal = calibrate and cpq_b and cpq_n
+
+    def spread(d: dict) -> str:
+        s = d.get("calibration_samples") or []
+        if not s:
+            return "n/a"
+        med = sorted(s)[len(s) // 2]
+        return (f"n={len(s)} min={min(s):.3f} med={med:.3f} "
+                f"max={max(s):.3f} drift={max(s) / min(s):.2f}x")
+
     if calibrate:
         cal_b = base.get("calibration_s") or 1.0
         cal_n = new.get("calibration_s") or 1.0
         if not base.get("calibration_s") or not new.get("calibration_s"):
             print("note: calibration_s missing from one side; "
                   "normalization is a no-op for that side")
-        bq = {k: v / cal_b for k, v in bq.items()}
-        nq = {k: v / cal_n for k, v in nq.items()}
+        if per_query_cal:
+            bq = {k: v / cpq_b.get(k, cal_b) for k, v in bq.items()}
+            nq = {k: v / cpq_n.get(k, cal_n) for k, v in nq.items()}
+            print("calibration (per-query nearest-in-time samples):")
+            print(f"  base: {spread(base)}")
+            print(f"  new:  {spread(new)}")
+        else:
+            bq = {k: v / cal_b for k, v in bq.items()}
+            nq = {k: v / cal_n for k, v in nq.items()}
+            print(f"calibration: base={cal_b:.3f}s new={cal_n:.3f}s "
+                  f"(values below in calibration units)")
         noise /= max(cal_b, cal_n)
-        print(f"calibration: base={cal_b:.3f}s new={cal_n:.3f}s "
-              f"(values below in calibration units)")
     regressions = []
     print(f"{'query':32s} {'base':>8s} {'new':>8s} {'delta':>8s}")
     for name in sorted(set(bq) | set(nq)):
@@ -88,8 +111,19 @@ def main() -> int:
         line = (f"shared-{len(shared)} {qkey} ratio: "
                 f"raw {raw_n / raw_b:.3f}x")
         if calibrate and cal_b and cal_n:
-            norm = (raw_n / cal_n) / (raw_b / cal_b)
-            line += f", calibration-normalized {norm:.3f}x"
+            if per_query_cal:
+                # bq/nq are already per-query-normalized above
+                tot = sum(nq[k] for k in shared) / sum(bq[k] for k in shared)
+                ratios = sorted(nq[k] / bq[k] for k in shared
+                                if bq[k] > 0.02 and nq[k] > 0.02)
+                line += f", phase-normalized total {tot:.3f}x"
+                if ratios:
+                    med = ratios[len(ratios) // 2]
+                    line += (f", median per-query {med:.3f}x "
+                             f"(over {len(ratios)} queries >20ms)")
+            else:
+                norm = (raw_n / cal_n) / (raw_b / cal_b)
+                line += f", calibration-normalized {norm:.3f}x"
         print(line)
     if regressions:
         print(f"REGRESSED: {', '.join(regressions)}")
