@@ -2242,3 +2242,148 @@ def test_decimal_chained_division_scale_accumulation(spark, duck):
     assert sdf.schema[0].dataType.simpleString() == "decimal(38,23)"
     assert str(sdf.collect()[0].r) == "0.04761904761904761428571"
     assert duck.execute(q).fetchall()[0][0] == 0.047619047619047616
+
+
+# --- axis 25 (r12): INTERVAL-type arithmetic propagation ----------------------
+#
+# The reference dedicates a whole slt family to interval arithmetic
+# (interval_arithmetic.slt: add/sub against DATE/TIMESTAMP, month-end
+# clamping, interval scaling), and this repo leans on INTERVAL literals
+# in every events/stream entry — but interval SEMANTICS are engine
+# policy, not standard-determined: Spark keeps two distinct interval
+# types (YearMonth / DayTime, microsecond-exact arithmetic), DuckDB one
+# three-component INTERVAL (months, days, micros) with PER-COMPONENT
+# integer scaling and 30-day-month normalization in comparisons.  The
+# sweep crosses boundary-heavy anchors (leap day, month ends) × single-
+# unit interval terms × +/- chains and requires TIMESTAMP value
+# equality; the four divergent classes this axis FOUND are pinned
+# explicitly below (interval/scalar division × 2, ym-vs-dt comparison,
+# DATE + ym-interval result type).  Interval×scalar terms are excluded
+# from the sweep BY the pinned findings; multi-unit SQL-standard
+# literals (YEAR TO MONTH / DAY TO SECOND) are excluded because DuckDB
+# 1.0 rejects the syntax loudly (parser error — the unparser's interval
+# renderings stay Spark-dialect-only for exactly this reason).
+
+_ITV_ANCHORS = [
+    "TIMESTAMP '2024-01-31 10:00:00'",   # +1 month clamps to leap day
+    "TIMESTAMP '2024-02-29 23:59:59'",   # leap day, end of day
+    "TIMESTAMP '2024-03-30 00:00:00'",   # -1 month clamps into February
+    "TIMESTAMP '2023-12-31 12:00:00'",   # year boundary
+    "CAST(DATE '2024-01-31' AS TIMESTAMP)",
+]
+
+_ITV_TERMS = [
+    "INTERVAL '1' MONTH", "INTERVAL '13' MONTH", "INTERVAL '2' YEAR",
+    "INTERVAL '1' DAY", "INTERVAL '45' DAY", "INTERVAL '36' HOUR",
+    "INTERVAL '90' MINUTE", "INTERVAL '3661' SECOND",
+]
+
+
+@st.composite
+def interval_expr(draw):
+    base = draw(st.sampled_from(_ITV_ANCHORS))
+    n_terms = draw(st.integers(min_value=1, max_value=2))
+    expr = base
+    for _ in range(n_terms):
+        op = draw(st.sampled_from(["+", "-"]))
+        expr = f"({expr} {op} {draw(st.sampled_from(_ITV_TERMS))})"
+    return expr
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(interval_expr())
+def test_interval_arithmetic_parity(spark, duck, expr):
+    """TIMESTAMP ± interval chains over boundary-heavy anchors must
+    agree to the microsecond — including the month-end CLAMP both
+    engines apply per term (Jan 31 + 1 month → Feb 29; the chain
+    (+1 month +1 month) lands on Mar 29 where (+2 months) lands on
+    Mar 31, and both engines agree on BOTH spellings)."""
+    q = f"SELECT {expr} AS r"
+    got = spark.sql(q).collect()[0].r
+    want = duck.execute(q).fetchall()[0][0]
+    assert got == want, (q, got, want)
+
+
+def test_interval_daytime_division_truncation_divergence(spark, duck):
+    """Pinned axis-25 finding: day-time interval / scalar is
+    microsecond-exact in Spark (INTERVAL '3' DAY / 2 = 1 day 12:00:00)
+    but PER-COMPONENT INTEGER division in DuckDB 1.0 (probed in-engine
+    via CAST(... AS VARCHAR): '1 day' — the half-day remainder is
+    DISCARDED, not carried into hours).  Applied to a timestamp the
+    same query text silently lands 12 hours apart.  Federated interval
+    scaling must be rewritten to micros arithmetic or refused."""
+    q = ("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '3' DAY / 2 "
+         "AS r")
+    got = spark.sql(q).collect()[0].r
+    want = duck.execute(q).fetchall()[0][0]
+    assert str(got) == "2024-01-02 12:00:00"
+    assert str(want) == "2024-01-02 00:00:00"
+    assert got != want
+    # in-engine confirmation, independent of client interval rendering
+    assert duck.execute(
+        "SELECT CAST(INTERVAL '3' DAY / 2 AS VARCHAR)"
+    ).fetchall()[0][0] == "1 day"
+
+
+def test_interval_yearmonth_division_rounding_divergence(spark, duck):
+    """Pinned axis-25 finding: year-month interval / scalar ROUNDS
+    HALF-UP in Spark (INTERVAL '1' MONTH / 2 = 1 month, '3' MONTH / 2 =
+    2 months) but TRUNCATES in DuckDB ('1 month'/2 = zero interval —
+    the month component integer-divides to 0 and the remainder is
+    discarded, probed in-engine).  A timestamp shifted by the quotient
+    silently diverges by a whole month."""
+    assert spark.sql(
+        "SELECT CAST(INTERVAL '1' MONTH / 2 AS STRING) AS r"
+    ).collect()[0].r == "INTERVAL '0-1' YEAR TO MONTH"
+    assert spark.sql(
+        "SELECT CAST(INTERVAL '3' MONTH / 2 AS STRING) AS r"
+    ).collect()[0].r == "INTERVAL '0-2' YEAR TO MONTH"
+    assert duck.execute(
+        "SELECT CAST(INTERVAL '1' MONTH / 2 AS VARCHAR)"
+    ).fetchall()[0][0] == "00:00:00"
+    q = ("SELECT TIMESTAMP '2024-01-15 00:00:00' + INTERVAL '1' MONTH / 2"
+         " AS r")
+    got = spark.sql(q).collect()[0].r
+    want = duck.execute(q).fetchall()[0][0]
+    assert str(got) == "2024-02-15 00:00:00"   # rounded-up month applied
+    assert str(want) == "2024-01-15 00:00:00"  # zero interval applied
+    assert got != want
+
+
+def test_interval_unit_comparison_divergence(spark, duck):
+    """Pinned axis-25 finding: comparing a year-month interval with a
+    day-time interval is a LOUD analysis error in Spark (the two
+    interval types have no common comparison) but silently TRUE in
+    DuckDB, which normalizes 1 month = 30 days inside its single
+    INTERVAL type.  Same text: one engine refuses, the other invents an
+    answer — the loud/silent split the unparser must never cross."""
+    import pytest as _pytest
+
+    from pyspark.sql.utils import AnalysisException
+
+    q = "SELECT INTERVAL '1' MONTH = INTERVAL '30' DAY AS r"
+    with _pytest.raises(AnalysisException):
+        spark.sql(q).collect()
+    assert duck.execute(q).fetchall()[0][0] is True
+    # within ONE interval class both engines agree exactly
+    q2 = "SELECT INTERVAL '1' DAY = INTERVAL '24' HOUR AS r"
+    assert spark.sql(q2).collect()[0].r is True
+    assert duck.execute(q2).fetchall()[0][0] is True
+
+
+def test_interval_date_plus_yearmonth_type_divergence(spark, duck):
+    """Pinned axis-25 finding: DATE + year-month interval KEEPS the
+    DATE type in Spark but becomes TIMESTAMP in DuckDB — values align
+    at midnight, the SCHEMA silently drifts (a federated projection
+    changes column type across engines; downstream date-only semantics
+    like grouping by the column break).  The sweep casts both sides to
+    TIMESTAMP for value comparison; this pin records the type split."""
+    q = "SELECT DATE '2024-01-31' + INTERVAL '1' MONTH AS r"
+    sdf = spark.sql(q)
+    assert sdf.schema[0].dataType.simpleString() == "date"
+    assert str(sdf.collect()[0].r) == "2024-02-29"
+    assert duck.execute(
+        "SELECT typeof(DATE '2024-01-31' + INTERVAL '1' MONTH)"
+    ).fetchall()[0][0] == "TIMESTAMP"
+    assert str(duck.execute(q).fetchall()[0][0]) == "2024-02-29 00:00:00"
