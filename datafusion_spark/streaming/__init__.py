@@ -4,6 +4,7 @@ from datafusion_spark.streaming.ops import (
     click_purchase_join,
     click_purchase_join_full,
     click_purchase_join_outer,
+    click_purchase_join_right,
     click_purchase_join_semi,
     dedup_within_watermark,
     foreach_batch_append_sink,
@@ -25,6 +26,7 @@ __all__ = [
     "click_purchase_join",
     "click_purchase_join_full",
     "click_purchase_join_outer",
+    "click_purchase_join_right",
     "click_purchase_join_semi",
     "dedup_within_watermark",
     "foreach_batch_append_sink",

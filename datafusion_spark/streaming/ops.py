@@ -382,6 +382,60 @@ def click_purchase_join_full(
     )
 
 
+def click_purchase_join_right(
+    events, within: str = "1 hour", watermark: str = "2 hours"
+):
+    """Stream-stream RIGHT OUTER join (reference: physical-plan/src/joins/
+    symmetric_hash_join.rs supports JoinType::Right) — the literal mirror
+    of click_purchase_join_outer, completing the join matrix: every
+    PURCHASE surfaces, with NULL click columns when no click from the
+    same user preceded it within ``within`` (the attribution-less
+    purchase stream).
+
+    Eviction mirrors the full-outer's right-side reasoning: a purchase
+    null-emits once the watermark passes p_ts — the condition
+    lower-bounds p_ts by c_ts, so no click at or before the purchase can
+    still arrive once its OWN timestamp is past the watermark.  Click
+    state evicts when the watermark passes c_ts + within, exactly as in
+    the inner variant.  State stays O(watermark horizon).
+
+    On batch inputs this is a plain right outer join with the same
+    condition — the stream==batch test compares matched pairs exactly
+    and requires the null-emissions to be a subset of the batch
+    unmatched purchases (tail rows whose horizon the final watermark
+    never passed are legitimately withheld).
+    """
+    from pyspark.sql import functions as F
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "rightOuter").select(
+        F.col("p_user").alias("user_id"),
+        "c_event_id",
+        "p_event_id",
+        "c_ts",
+        "p_ts",
+        "p_value",
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
     keeps state only for ids newer than the watermark horizon — the

@@ -578,3 +578,51 @@ def test_stream_stream_full_outer_join_matches_batch(spark):
         assert all(r.user_id is not None for r in got)
     finally:
         q.stop()
+
+
+def test_stream_stream_right_outer_join_matches_batch(spark):
+    """RIGHT OUTER stream-stream join (the mirror of left-outer,
+    completing the join matrix — reference symmetric_hash_join.rs
+    JoinType::Right): matched pairs identical to batch; null-emissions
+    (attribution-less purchases) a subset of the batch unmatched
+    purchases; every output row is purchase-shaped (p_event_id never
+    NULL) and carries the purchase's user_id."""
+    from datafusion_spark.streaming import (
+        click_purchase_join_right,
+        read_events_stream,
+    )
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_SMALL)
+    q = (
+        click_purchase_join_right(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+        batch = click_purchase_join_right(
+            load_table(spark, SF_SMALL, "events")
+        ).collect()
+        pairs = lambda rows: {
+            (r.c_event_id, r.p_event_id) for r in rows
+            if r.c_event_id is not None}
+        assert pairs(got) == pairs(batch) and pairs(batch)
+        got_un = {r.p_event_id for r in got if r.c_event_id is None}
+        want_un = {r.p_event_id for r in batch if r.c_event_id is None}
+        assert got_un <= want_un and want_un
+        assert all(r.p_event_id is not None for r in got)
+        assert all(r.user_id is not None for r in got)
+        # mirror check: the unmatched-purchase set equals the full
+        # outer's right-side null emissions on batch input
+        from datafusion_spark.streaming import click_purchase_join_full
+        full = click_purchase_join_full(
+            load_table(spark, SF_SMALL, "events")).collect()
+        assert want_un == {
+            r.p_event_id for r in full if r.c_event_id is None}
+    finally:
+        q.stop()
