@@ -127,6 +127,8 @@ def main() -> int:
     dk_execerr_names: list[str] = []
     reasons: Counter[str] = Counter()
     refused_names: dict[str, list[str]] = {}
+    dk_reasons: Counter[str] = Counter()
+    dk_refused_names: dict[str, list[str]] = {}
     for name in names:
         try:
             with contextlib.redirect_stderr(io.StringIO()):
@@ -170,8 +172,11 @@ def main() -> int:
         # -- federation pass: same plan, DUCKDB dialect, real execution --
         try:
             dsql = to_sql(df, DUCKDB, validate=False)
-        except DialectError:
+        except DialectError as e:
             dk_refused += 1
+            key = _reason_key(str(e))
+            dk_reasons[key] += 1
+            dk_refused_names.setdefault(key, []).append(name)
             continue
         except Exception as e:  # noqa: BLE001 - crash = sweep failure
             print(f"DUCKDB-HARDFAIL {name}: {type(e).__name__}: "
@@ -212,6 +217,11 @@ def main() -> int:
         for key, n in reasons.most_common():
             sample = " ".join(refused_names[key][:6])
             print(f"  {n:4d}  {key}   e.g. {sample}", flush=True)
+        if dk_reasons:
+            print("duckdb-dialect refusal classes:", flush=True)
+            for key, n in dk_reasons.most_common():
+                sample = " ".join(dk_refused_names[key][:6])
+                print(f"  {n:4d}  DK {key}   e.g. {sample}", flush=True)
     return 1 if (diverged or dk_diverged) else 0
 
 
