@@ -2387,3 +2387,106 @@ def test_interval_date_plus_yearmonth_type_divergence(spark, duck):
         "SELECT typeof(DATE '2024-01-31' + INTERVAL '1' MONTH)"
     ).fetchall()[0][0] == "TIMESTAMP"
     assert str(duck.execute(q).fetchall()[0][0]) == "2024-02-29 00:00:00"
+
+
+# --- axis 26 (r12): GROUPING SETS / ROLLUP / CUBE semantics -------------------
+#
+# The reference executes grouping-set plans through a dedicated
+# grouped-aggregate path (aggregates.slt's ROLLUP/CUBE/GROUPING SETS
+# batteries; physical-plan/aggregates builds one group state per set),
+# while Spark LOWERS the construct to Expand + a single hash aggregate
+# keyed on spark_grouping_id and DuckDB executes the standard's
+# per-set semantics directly — three different machines for the same
+# clause, so the axis sweeps the construct space and demands value
+# equality on the SAME SQL text: construct (ROLLUP / CUBE / explicit
+# GROUPING SETS with and without the empty set) × grouping columns
+# CONTAINING data NULLs (produced-NULL vs data-NULL must collapse
+# identically) × grouping()/grouping_id() projections (bit numbering
+# must agree) × aggregate mix.  Probed-identical corners the sweep
+# leans on: duplicate grouping sets emit duplicate rows in BOTH
+# engines, GROUPING SETS ((), ()) emits TWO grand totals in both, and
+# grouping_id(a, b) numbers bits left-to-right MSB-first in both.  The
+# one divergence this axis found is pinned below: over EMPTY input the
+# () set is 0 rows in Spark (Expand of nothing) but the standard's
+# 1-row global aggregate in DuckDB — the sweep therefore filters to
+# non-empty inputs, and the unparser guards its DuckDB renders with
+# HAVING count(*) > 0 (test_duckdb_exec_divergence_fixes_r12).
+
+_GS_TABLE = ("(VALUES (1, 'x', 5), (1, 'y', NULL), (1, 'x', 7), "
+             "(2, CAST(NULL AS STRING), 3), (2, 'y', 3), "
+             "(CAST(NULL AS INT), 'x', 9), (CAST(NULL AS INT), "
+             "CAST(NULL AS STRING), 1)) AS t(a, b, v)")
+
+_GS_CONSTRUCTS = [
+    "ROLLUP(a)", "ROLLUP(a, b)", "ROLLUP(b, a)", "CUBE(a)",
+    "CUBE(a, b)", "GROUPING SETS ((a), (b))",
+    "GROUPING SETS ((a, b), (a), ())", "GROUPING SETS ((), (a))",
+    "GROUPING SETS ((a), (a))", "GROUPING SETS ((), ())",
+]
+
+_GS_AGGS = [
+    "count(*) AS c", "count(v) AS cv", "sum(v) AS s", "min(v) AS mn",
+    "max(b) AS mb",
+]
+
+
+@st.composite
+def grouping_sets_spec(draw):
+    construct = draw(st.sampled_from(_GS_CONSTRUCTS))
+    aggs = draw(st.lists(st.sampled_from(_GS_AGGS), min_size=1,
+                         max_size=3, unique=True))
+    # only grouped columns are selectable (and max(b) aggregates b, so
+    # it stays legal either way)
+    keys = sorted((c for c in ("a", "b") if c in construct),
+                  key=construct.index)
+    sel = keys + aggs
+    if "a" in keys and draw(st.booleans()):
+        sel.append("grouping(a) AS ga")
+    if len(keys) == 2 and draw(st.booleans()):
+        # Spark REQUIRES grouping_id args in grouping-column order
+        # (GROUPING_ID_COLUMN_MISMATCH is a loud analysis error, not a
+        # divergence); DuckDB takes any order — emit the legal form
+        sel.append(f"grouping_id({', '.join(keys)}) AS gid")
+    return (f"SELECT {', '.join(sel)} FROM {_GS_TABLE} "
+            f"GROUP BY {construct}")
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(grouping_sets_spec())
+def test_grouping_sets_parity(spark, duck, sql):
+    """Same grouping-set SQL text, same multiset of rows, both engines
+    — across data-NULL grouping keys, duplicate sets, the explicit
+    empty set, and grouping()/grouping_id() projections."""
+    got = sorted(map(repr, map(tuple, spark.sql(sql).collect())))
+    want = sorted(map(repr, map(tuple, duck.execute(sql).fetchall())))
+    assert got == want, (sql, got[:5], want[:5])
+
+
+def test_grouping_sets_empty_input_divergence(spark, duck):
+    """Pinned axis-26 finding: over EMPTY input, a grouping-set clause
+    CONTAINING the empty set () emits 0 rows in Spark — the Expand
+    lowering replicates input rows, and there are none to replicate —
+    but 1 grand-total row in DuckDB (the standard: the () set is a
+    global aggregate, and a global aggregate over no rows is one row).
+    Sets with at least one key agree (0 rows both).  This is the
+    tpcds_q80 sweep divergence; the unparser's DuckDB dialect appends
+    HAVING count(*) > 0 to exactly reproduce Spark."""
+    for construct, diverges in [("ROLLUP(a)", True), ("CUBE(a, b)", True),
+                                ("GROUPING SETS ((), (a))", True),
+                                ("GROUPING SETS ((a), (b))", False)]:
+        q = (f"SELECT a, count(*) AS c, sum(v) AS s FROM {_GS_TABLE} "
+             f"WHERE v > 99 GROUP BY {construct}")
+        if "b" in construct:
+            q = q.replace("SELECT a,", "SELECT a, b,")
+        s_rows = spark.sql(q).collect()
+        d_rows = duck.execute(q).fetchall()
+        assert s_rows == [], (construct, s_rows)
+        if diverges:
+            assert len(d_rows) == 1 and d_rows[0][-1] is None, (
+                construct, d_rows)
+            # the unparser guard closes it
+            assert duck.execute(q + " HAVING count(*) > 0").fetchall() \
+                == []
+        else:
+            assert d_rows == [], (construct, d_rows)
