@@ -136,6 +136,10 @@ class _Block:
     distinct: bool = False
     where: list[str] = field(default_factory=list)
     group_by: list[str] | None = None
+    # Only set by the DUCKDB grouping-sets render (the empty-input
+    # parity guard); Catalyst HAVING arrives as a Filter node and stays
+    # a derived-table WHERE.
+    having: str | None = None
     order_by: list[str] | None = None
     limit: str | None = None
     offset: str | None = None
@@ -156,6 +160,8 @@ class _Block:
             parts.append("WHERE " + " AND ".join(self.where))
         if self.group_by:
             parts.append("GROUP BY " + ", ".join(self.group_by))
+        if self.having is not None:
+            parts.append("HAVING " + self.having)
         if self.order_by:
             parts.append("ORDER BY " + ", ".join(self.order_by))
         if self.limit is not None:
@@ -332,9 +338,9 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     "rlike": ("custom", lambda n, i: _h_rlike(n, i)),
     "regexp_like": ("custom", lambda n, i: _h_rlike(n, i)),
     "regexp": ("custom", lambda n, i: _h_rlike(n, i)),
-    "regexp_count": ("refuse", None),
+    # regexp_count translates in the r12 batch (len ∘ regexp_extract_all)
     "regexp_instr": ("refuse", None),
-    "regexp_substr": ("refuse", None),
+    "regexp_substr": ("custom", lambda n, i: _h_regexp_substr(n, i)),
     # Spark split is REGEX-based with a limit; limit -1 (the default
     # render) maps to string_split for metacharacter-free literal
     # patterns and string_split_regex for safe regexes (both keep
@@ -372,12 +378,25 @@ def _h_sequence(name, inner):
         return f"generate_series({a[0]}, {a[1]}, {a[2]})"
     if len(a) == 2:
         lits = [_re_mod.match(r"^-?\d+$", x) for x in a]
-        if all(lits) and int(a[0]) <= int(a[1]):
-            return f"generate_series({a[0]}, {a[1]})"
-        raise DialectError(
-            "sequence() without a step auto-descends in Spark but "
-            "empties in DuckDB — only provably ascending literal "
-            "bounds translate")
+        if all(lits):
+            if int(a[0]) <= int(a[1]):
+                return f"generate_series({a[0]}, {a[1]})"
+            return f"generate_series({a[0]}, {a[1]}, -1)"
+        # non-literal bounds (r12): Spark sequence(a, b) auto-descends
+        # with step -1 when a > b, where DuckDB generate_series(a, b)
+        # silently returns [] — spell the direction with a CASE (probed:
+        # both arms unify to the same list type, descending series
+        # exact).  Bounds are CAST to BIGINT because DuckDB widens
+        # sum()/cumulative-window operands to HUGEINT, which has no
+        # generate_series overload (sweep execerr on
+        # text_pack_assembly); Spark's operands are at most BIGINT so
+        # the cast is value-preserving, and a date/interval operand
+        # still fails the DuckDB binder LOUDLY, never silently.
+        lo = f"CAST({a[0]} AS BIGINT)"
+        hi = f"CAST({a[1]} AS BIGINT)"
+        return (f"(CASE WHEN ({lo}) <= ({hi}) THEN "
+                f"generate_series({lo}, {hi}) "
+                f"ELSE generate_series({lo}, {hi}, -1) END)")
     raise DialectError(f"{len(a)}-arg sequence() — not unparsable")
 
 
@@ -450,6 +469,18 @@ def _h_rlike(name, inner):
     return f"regexp_matches({a[0]}, {a[1]})"
 
 
+def _h_regexp_substr(name, inner):
+    # Spark regexp_substr is NULL on no-match where DuckDB
+    # regexp_extract returns '' (probed) — the regexp_matches guard
+    # restores the NULL exactly; same safe-regex gate as the rest
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(f"{len(a)}-arg {name}() — not unparsable")
+    _require_safe_regex(a[1], name)
+    return (f"(CASE WHEN regexp_matches({a[0]}, {a[1]}) THEN "
+            f"regexp_extract({a[0]}, {a[1]}) ELSE NULL END)")
+
+
 def _h_regexp_extract(name, inner):
     # DuckDB spells both the same way with the same group-index and
     # empty-on-no-match semantics (probed: no-match returns '' / [])
@@ -496,31 +527,17 @@ def _h_split(name, inner):
     return f"string_split_regex({a[0]}, {a[1]})"
 
 
-# Java SimpleDateFormat tokens with exact strptime equivalents; any
-# other alpha token (yy, SSS, a, EEE, z, ...) refuses — close-but-
-# different is exactly what this table must never emit.
-_JAVA_FMT_TOKENS = (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
-                    ("HH", "%H"), ("mm", "%M"), ("ss", "%S"))
+# Java SimpleDateFormat (letter, run-length) pairs with exact strptime
+# PARSING equivalents; any other letter-run (yy, SSS, a, EEE, z, ...)
+# refuses — close-but-different is exactly what this table must never
+# emit.  Run-based for the same reason as _DATE_FMT_RUNS (r12: a
+# longest-first list silently split 'MMMM' into '%m%m').
+_JAVA_PARSE_RUNS = {("y", 4): "%Y", ("M", 2): "%m", ("d", 2): "%d",
+                    ("H", 2): "%H", ("m", 2): "%M", ("s", 2): "%S"}
 
 
 def _java_fmt_to_strptime(fmt: str, fn: str) -> str:
-    out, i = [], 0
-    while i < len(fmt):
-        for tok, rep in _JAVA_FMT_TOKENS:
-            if fmt.startswith(tok, i):
-                out.append(rep)
-                i += len(tok)
-                break
-        else:
-            ch = fmt[i]
-            if ch in " -/:.T_,":
-                out.append(ch)
-                i += 1
-            else:
-                raise DialectError(
-                    f"{fn}() format token has no exact strptime "
-                    f"equivalent: {fmt[i:][:12]}")
-    return "".join(out)
+    return _java_fmt_runs(fmt, fn, _JAVA_PARSE_RUNS, punct=" -/:.T_,")
 
 
 def _h_unix_timestamp(name, inner):
@@ -898,8 +915,89 @@ def _h_sha2(name, inner):
         "sha2() only translates the 256-bit form — not unparsable")
 
 
-def _h_collect_set(name, inner):
-    return f"list(DISTINCT {inner})"
+def _h_collect(name, inner, tail):
+    """Spark's collect_set/collect_list SKIP NULL inputs and return []
+    for a fully-filtered group; DuckDB's list() keeps NULLs (sweep
+    divergence on dedup_incremental_lsh: banded CASE-projected ids
+    collapsed to [NULL] lists that passed a len(..) > 0 gate) and
+    returns NULL for an empty aggregate.  FILTER + COALESCE reproduce
+    both semantics exactly (probed).  WINDOW position refuses: the
+    COALESCE must wrap the whole windowed expression — local rewriting
+    would leave DuckDB's NULL for a frame whose every element is NULL,
+    a silent divergence."""
+    if tail.lstrip().upper().startswith("OVER"):
+        raise DialectError(
+            f"{name}() in window position cannot reproduce Spark's "
+            "NULL-skip + empty-frame-[] semantics — not unparsable")
+    distinct = "DISTINCT " if name.lower() == "collect_set" else ""
+    return (f"COALESCE(list({distinct}{inner}) "
+            f"FILTER (WHERE ({inner}) IS NOT NULL), [])")
+
+
+# Spark next_day() day-of-week names (DateTimeUtils.getDayOfWeekFromString,
+# case-insensitive 2-letter / 3-letter / full forms) → DuckDB
+# date_part('dow') numbers (Sunday=0 … Saturday=6).
+_NEXT_DAY_DOW = {}
+for _dow_n, _dow_names in enumerate(
+        (("su", "sun", "sunday"), ("mo", "mon", "monday"),
+         ("tu", "tue", "tuesday"), ("we", "wed", "wednesday"),
+         ("th", "thu", "thursday"), ("fr", "fri", "friday"),
+         ("sa", "sat", "saturday"))):
+    for _dow_name in _dow_names:
+        _NEXT_DAY_DOW[_dow_name] = _dow_n
+
+
+def _h_next_day(name, inner):
+    """DuckDB has no next_day(); spell the strictly-later next weekday
+    with dow arithmetic.  ((target - dow(d) - 1) mod 7) + 1 is the day
+    delta in 1..7 (7 when d already IS the target weekday — Spark
+    returns the NEXT occurrence, never d itself; probed both engines).
+    Only a recognized literal day name translates: Spark maps an
+    unknown name to NULL (non-ANSI), which has no faithful spelling."""
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(f"{len(a)}-arg next_day() — not unparsable")
+    m = _re_mod.fullmatch(r"'([A-Za-z]+)'", a[1])
+    dow = _NEXT_DAY_DOW.get(m.group(1).lower()) if m else None
+    if dow is None:
+        raise DialectError(
+            "next_day() day-of-week argument is not a recognized "
+            "literal day name — not unparsable")
+    d = f"CAST({a[0]} AS DATE)"
+    return (f"({d} + CAST((({dow} - date_part('dow', {d}) - 1) % 7 + 7) "
+            f"% 7 + 1 AS INT))")
+
+
+def _h_months_between(name, inner):
+    """Spark months_between() (DateTimeUtils.monthsBetween): calendar
+    month delta, plus — unless both operands share a day-of-month or are
+    both month-ends — (dayDiff * 86400 + secondOfDay1 - secondOfDay2) /
+    (31 * 86400), rounded HALF_UP to 8 places when roundOff.  Every
+    component has an exact DuckDB spelling (date_part/last_day/epoch;
+    floor() reproduces Spark's whole-second truncation of the
+    time-of-day terms); probed value-equal on month-end, same-day and
+    fractional cases.  DuckDB has no months_between at all, so the
+    expansion is the only faithful rendering."""
+    a = _split_top_args(inner)
+    if len(a) == 2:
+        a.append("true")
+    if len(a) != 3 or a[2] not in ("true", "false"):
+        raise DialectError(
+            "months_between() roundOff argument is not a boolean "
+            "literal — not unparsable")
+    t1, t2 = a[0], a[1]
+    months = (f"((date_part('year', {t1}) - date_part('year', {t2})) * 12 "
+              f"+ (date_part('month', {t1}) - date_part('month', {t2})))")
+    same = (f"((date_part('day', {t1}) = date_part('day', {t2})) OR "
+            f"(CAST({t1} AS DATE) = last_day(CAST({t1} AS DATE)) AND "
+            f"CAST({t2} AS DATE) = last_day(CAST({t2} AS DATE))))")
+    sec1 = f"floor(epoch({t1}) - epoch(date_trunc('day', {t1})))"
+    sec2 = f"floor(epoch({t2}) - epoch(date_trunc('day', {t2})))"
+    frac = (f"(((date_part('day', {t1}) - date_part('day', {t2})) * 86400 "
+            f"+ ({sec1} - {sec2})) / 2678400.0)")
+    total = (f"(CAST({months} AS DOUBLE) + CASE WHEN {same} THEN 0.0 "
+             f"ELSE {frac} END)")
+    return f"round({total}, 8)" if a[2] == "true" else total
 
 
 def _h_make_ym_interval(name, inner):
@@ -971,13 +1069,78 @@ def _h_encode(name, inner):
         f"{name}() only translates the UTF-8 charset — not unparsable")
 
 
-def _h_minmax_by(name, inner):
+def _h_minmax_by(name, inner, tail):
+    """Scalar rankings map 1:1 onto DuckDB's min_by/max_by.  A STRUCT
+    ranking (Spark's idiomatic multi-key form) has no arg_min/arg_max
+    overload in DuckDB 1.0 (probed: binder error), but DuckDB's
+    first(x ORDER BY ...) aggregate modifier spells the identical
+    semantics: Spark compares struct fields left-to-right with NULL
+    smallest, so max_by → DESC NULLS LAST per field and min_by → ASC
+    NULLS FIRST (probed on NULL-field, NULL-value and multi-key
+    cases — including that neither engine skips a NULL value at the
+    winning rank).  WINDOW position refuses: DuckDB has no ORDER BY
+    inside window aggregates (loud parser error)."""
     a = _split_top_args(inner)
     if len(a) == 2 and a[1].startswith("struct_pack("):
-        raise DialectError(
-            f"{name}() over a struct ranking — DuckDB's arg_min/arg_max "
-            "take scalar orderings, not unparsable")
+        if tail.lstrip().upper().startswith("OVER"):
+            raise DialectError(
+                f"{name}() struct ranking in window position — DuckDB "
+                "window aggregates take no ORDER BY — not unparsable")
+        fields = _split_top_args(a[1][len("struct_pack("):-1])
+        keys = []
+        for f in fields:
+            m = _re_mod.match(r'^"(?:[^"]|"")*" := (.*)$', f, _re_mod.S)
+            if not m:
+                raise DialectError(
+                    f"{name}() struct ranking field does not match the "
+                    "struct_pack render — not unparsable")
+            keys.append(m.group(1))
+        direction = ("DESC NULLS LAST" if name.lower() == "max_by"
+                     else "ASC NULLS FIRST")
+        order = ", ".join(f"{k} {direction}" for k in keys)
+        return f"first({a[0]} ORDER BY {order})"
     return f"{name}({inner})"
+
+
+def _h_substring_index(name, inner):
+    """DuckDB has no substring_index(); a literal non-empty delimiter
+    translates via string_split + list_slice + array_to_string (probed
+    against Spark on positive/negative/overflowing/zero counts, absent
+    delimiters and the empty string).  array_to_string requires a
+    CONSTANT separator in DuckDB (binder error otherwise), so a
+    non-literal delimiter refuses; the empty-delimiter literal refuses
+    too (Spark returns '' unconditionally, DuckDB string_split would
+    split per character)."""
+    a = _split_top_args(inner)
+    if len(a) != 3:
+        raise DialectError(
+            f"{len(a)}-arg substring_index() — not unparsable")
+    s_, d, n = a
+    if not _re_mod.fullmatch(r"'(?:[^']|'')+'", d):
+        raise DialectError(
+            "substring_index() delimiter is not a non-empty string "
+            "literal — DuckDB array_to_string takes only constant "
+            "separators — not unparsable")
+    parts = f"string_split({s_}, {d})"
+    # the explicit NULL arm is load-bearing twice: the n = 0 arm would
+    # return '' for a NULL input, and DuckDB's greatest() IGNORES NULL
+    # operands (probed: a NULL count otherwise returns the whole string)
+    return (f"(CASE WHEN ({s_}) IS NULL OR ({n}) IS NULL THEN NULL "
+            f"WHEN ({n}) = 0 THEN '' WHEN ({n}) > 0 THEN "
+            f"array_to_string(list_slice({parts}, 1, {n}), {d}) "
+            f"ELSE array_to_string(list_slice({parts}, "
+            f"greatest(len({parts}) + ({n}) + 1, 1), len({parts})), "
+            f"{d}) END)")
+
+
+def _h_regexp_count(name, inner):
+    """len(regexp_extract_all(...)) — gated by the same Java-vs-RE2
+    safety check every other regex translation passes through."""
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(f"{len(a)}-arg regexp_count() — not unparsable")
+    _require_safe_regex(a[1], name)
+    return f"len(regexp_extract_all({a[0]}, {a[1]}))"
 
 
 def _h_factorial(name, inner):
@@ -1020,11 +1183,159 @@ def _h_make_dt_interval(name, inner):
             f"to_seconds(CAST({a[3]} AS DOUBLE)))")
 
 
-# Java SimpleDateFormat-style tokens → strftime, longest-first; a format
-# literal with any letter outside this table refuses (silent-format class)
-_DATE_FMT_TOKENS = [("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"),
-                    ("dd", "%d"), ("HH", "%H"), ("hh", "%I"),
-                    ("mm", "%M"), ("ss", "%S"), ("a", "%p")]
+# Java SimpleDateFormat (letter, run-length) → strftime; any other
+# letter-run refuses (silent-format class).  RUN-BASED on purpose (r12
+# find, caught by this round's own regression test): Java semantics
+# attach to the whole repeated-letter RUN — 'EEEEE' is the NARROW day
+# name ('T'), 'MMMM' the full month name, 'aa' still 'PM' — while a
+# longest-first token list silently splits them into valid pairs
+# ('EEEE'+'E' → '%A%a').  E-family (probed): E/EE/EEE = short day name
+# ('Tue') = %a, EEEE = full ('Tuesday') = %A — both engines emit
+# English names under the default locale; this unlocked the tpcds
+# d_day_name derivation (the largest DuckDB-exec refusal class at 102
+# entries).
+_DATE_FMT_RUNS = {("y", 4): "%Y", ("y", 2): "%y", ("M", 2): "%m",
+                  ("d", 2): "%d", ("H", 2): "%H", ("h", 2): "%I",
+                  ("m", 2): "%M", ("s", 2): "%S", ("a", 1): "%p",
+                  ("E", 1): "%a", ("E", 2): "%a", ("E", 3): "%a",
+                  ("E", 4): "%A"}
+
+
+def _java_fmt_runs(pat: str, fn: str, table: dict,
+                   punct: str | None = None) -> str:
+    """Translate a Java date-format literal to strftime by LETTER RUNS:
+    each maximal run of a repeated letter must map as a whole (Java
+    count semantics), any unmapped run refuses.  ``punct`` restricts
+    the allowed separator characters (None = any non-letter except %,
+    which would inject strftime directives)."""
+    out: list[str] = []
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch.isalpha():
+            j = i
+            while j < len(pat) and pat[j] == ch:
+                j += 1
+            rep = table.get((ch, j - i))
+            if rep is None:
+                raise DialectError(
+                    f"{fn}() pattern token {ch * (j - i)!r} has no "
+                    "exact strftime/strptime translation — not "
+                    "unparsable")
+            out.append(rep)
+            i = j
+            continue
+        if ch == "%" or (punct is not None and ch not in punct):
+            raise DialectError(
+                f"{fn}() pattern separator {ch!r} is not translatable")
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+# Spark Catalyst scalar type SQL → DuckDB spelling (identical names
+# omitted: BOOLEAN, DATE, TINYINT/SMALLINT/INT/BIGINT, FLOAT, DOUBLE,
+# DECIMAL(p,s) all parse in DuckDB with the same meaning)
+_DUCK_SCALAR_TYPES = {"STRING": "VARCHAR", "INT": "INTEGER",
+                      "TIMESTAMP": "TIMESTAMP", "TIMESTAMP_NTZ": "TIMESTAMP",
+                      "BINARY": "BLOB"}
+
+
+def _duck_type_sql(dt) -> str:
+    """DuckDB spelling of a Catalyst DataType (r12, for the complex-cast
+    repair in the DUCKDB dialect: Spark's ARRAY<T>/MAP<K,V>/STRUCT<...>
+    generics don't parse there; DuckDB spells them T[]/MAP(K,V)/
+    STRUCT(name T)).  Unknown types refuse."""
+    cls = dt.getClass().getSimpleName()
+    if cls == "ArrayType":
+        return f"{_duck_type_sql(dt.elementType())}[]"
+    if cls == "MapType":
+        # NOTE the space before '(': the emitted type text flows through
+        # _rewrite_functions, whose tokenizer only fires on name( with
+        # no gap — 'MAP (' / 'STRUCT (' keep the type spelling out of
+        # the map()/struct() VALUE-expression rules (probed: DuckDB
+        # parses the spaced form identically)
+        return (f"MAP ({_duck_type_sql(dt.keyType())}, "
+                f"{_duck_type_sql(dt.valueType())})")
+    if cls == "StructType":
+        flds = dt.fields()
+        try:
+            fields = [(flds.apply(i).name(), flds.apply(i).dataType())
+                      for i in range(flds.size())]
+        except Exception:  # noqa: BLE001 - py4j array conversion
+            fields = [(f.name(), f.dataType()) for f in flds]
+        for nm, _t in fields:
+            if '"' in nm or "'" in nm:
+                raise DialectError(
+                    f"struct field {nm!r} not quotable in DuckDB")
+        inner = ", ".join(f'"{nm}" {_duck_type_sql(t)}' for nm, t in fields)
+        return f"STRUCT ({inner})"  # spaced: see the MapType note
+    s = dt.sql().upper()
+    if s in _DUCK_SCALAR_TYPES:
+        return _DUCK_SCALAR_TYPES[s]
+    if s in ("BOOLEAN", "DATE", "TINYINT", "SMALLINT", "BIGINT",
+             "FLOAT", "DOUBLE") or s.startswith("DECIMAL"):
+        return s
+    raise DialectError(
+        f"type {s[:40]} has no DuckDB spelling — not unparsable")
+
+
+def _require_duck_cast_pair(src, dst) -> None:
+    """Refuse nested element-cast pairs whose SCALAR semantics diverge
+    between the engines (the same classes the top-level Cast check
+    refuses: fractional→integral truncation-vs-rounding, fractional→
+    string formatting, numeric↔timestamp epoch semantics) — a complex
+    cast applies them per element, where no trunc() wrap can reach
+    (r12).  Everything else either matches (probed: DuckDB complex
+    casts are elementwise and NULL-preserving like Spark's) or fails
+    the DuckDB binder loudly."""
+    scls = src.getClass().getSimpleName()
+    dcls = dst.getClass().getSimpleName()
+    if scls == "ArrayType" and dcls == "ArrayType":
+        _require_duck_cast_pair(src.elementType(), dst.elementType())
+        return
+    if scls == "MapType" and dcls == "MapType":
+        _require_duck_cast_pair(src.keyType(), dst.keyType())
+        _require_duck_cast_pair(src.valueType(), dst.valueType())
+        return
+    if scls == "StructType" and dcls == "StructType":
+        sf, df = src.fields(), dst.fields()
+        try:
+            spairs = [(sf.apply(i).name(), sf.apply(i).dataType())
+                      for i in range(sf.size())]
+            dpairs = [(df.apply(i).name(), df.apply(i).dataType())
+                      for i in range(df.size())]
+        except Exception:  # noqa: BLE001 - py4j array conversion
+            spairs = [(f.name(), f.dataType()) for f in sf]
+            dpairs = [(f.name(), f.dataType()) for f in df]
+        if len(spairs) != len(dpairs) or any(
+                a != b for (a, _), (b, _) in zip(spairs, dpairs)):
+            raise DialectError(
+                "struct cast renames/re-shapes fields — Spark casts by "
+                "position, DuckDB semantics unproven: refuse")
+        for (_, a), (_, b) in zip(spairs, dpairs):
+            _require_duck_cast_pair(a, b)
+        return
+    if scls != dcls and (scls in ("ArrayType", "MapType", "StructType")
+                         or dcls in ("ArrayType", "MapType",
+                                     "StructType")):
+        raise DialectError(
+            "container-class-changing cast — not unparsable")
+    s, d = src.sql().upper(), dst.sql().upper()
+    frac = s in ("FLOAT", "DOUBLE") or s.startswith("DECIMAL")
+    if frac and d in ("TINYINT", "SMALLINT", "INT", "BIGINT", "STRING"):
+        raise DialectError(
+            f"element CAST({s} AS {d}) truncates in Spark but rounds/"
+            "reformats in DuckDB — not repairable inside a complex cast")
+
+    def _numt(t: str) -> bool:
+        return (t in ("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT",
+                      "DOUBLE") or t.startswith("DECIMAL"))
+    if ((_numt(s) and d.startswith("TIMESTAMP"))
+            or (s.startswith("TIMESTAMP") and _numt(d))):
+        raise DialectError(
+            f"element CAST({s} AS {d}) is epoch-seconds semantics — "
+            "not unparsable in this dialect")
 
 
 def _h_make_interval(name, inner):
@@ -1046,24 +1357,8 @@ def _h_date_format(name, inner):
     if len(a) != 2 or not re.match(r"^'[^'\\]*'$", a[1]):
         raise DialectError(
             "date_format() with a computed pattern — not unparsable")
-    pat = a[1][1:-1]
-    out: list[str] = []
-    i = 0
-    while i < len(pat):
-        for tok, rep in _DATE_FMT_TOKENS:
-            if pat.startswith(tok, i):
-                out.append(rep)
-                i += len(tok)
-                break
-        else:
-            ch = pat[i]
-            if ch.isalpha() or ch == "%":
-                raise DialectError(
-                    f"date_format() pattern token {ch!r} has no strftime "
-                    "translation — not unparsable")
-            out.append(ch)
-            i += 1
-    return f"strftime({a[0]}, '{''.join(out)}')"
+    fmt = _java_fmt_runs(a[1][1:-1], "date_format", _DATE_FMT_RUNS)
+    return f"strftime({a[0]}, '{fmt}')"
 
 
 def _rewrite_xor(txt: str) -> str:
@@ -1133,7 +1428,7 @@ _DUCKDB_FN_RULES.update({
     "char": ("rename", "chr"),
     "format_string": ("rename", "printf"),
     "array": ("rename", "list_value"),     # ARRAY( parses as a subquery
-    "collect_list": ("rename", "list"),
+    "collect_list": ("custom_tail", _h_collect),
     "filter": ("rename", "list_filter"),
     "transform": ("rename", "list_transform"),
     "size": ("rename", "len"),
@@ -1186,14 +1481,14 @@ _DUCKDB_FN_RULES.update({
     "date_diff": ("custom", _h_datediff),
     "md5": ("custom", _h_md5),
     "sha2": ("custom", _h_sha2),
-    "collect_set": ("custom", _h_collect_set),
+    "collect_set": ("custom_tail", _h_collect),
     "make_ym_interval": ("custom", _h_make_ym_interval),
     "concat": ("custom", _h_concat),
     "regexp_replace": ("custom", _h_regexp_replace),
     "encode": ("custom", _h_encode),
     "decode": ("custom", _h_encode),
-    "min_by": ("custom", _h_minmax_by),
-    "max_by": ("custom", _h_minmax_by),
+    "min_by": ("custom_tail", _h_minmax_by),
+    "max_by": ("custom_tail", _h_minmax_by),
     "factorial": ("custom", _h_factorial),
     "array_repeat": ("custom", _h_array_repeat),
     "unbase64": ("rename", "from_base64"),
@@ -1222,6 +1517,15 @@ _DUCKDB_FN_RULES.update({
                           "make_timestamp(CAST(({inner}) * 1000000 "
                           "AS BIGINT))"),
     "date_format": ("custom", _h_date_format),
+    # ---- r12 batch (fn_datetime_extended, reached once the E-run
+    # date_format unlock stopped refusing the entry upstream): DuckDB
+    # has none of these four — each expansion probed value-equal ----
+    "next_day": ("custom", _h_next_day),
+    "months_between": ("custom", _h_months_between),
+    "unix_date": ("template",
+                  "date_diff('day', DATE '1970-01-01', {inner})"),
+    "date_from_unix_date": ("template",
+                            "(DATE '1970-01-01' + CAST({inner} AS INT))"),
     "octet_length": ("rename", "strlen"),
     # exp(x)-1 / log(1+x) emulations cancel catastrophically near 0
     "expm1": ("refuse", None),
@@ -1252,7 +1556,8 @@ _DUCKDB_FN_RULES.update({
     "crc32": ("refuse", None),
     "sha1": ("refuse", None),
     "sha": ("refuse", None),
-    "substring_index": ("refuse", None),
+    "substring_index": ("custom", _h_substring_index),
+    "regexp_count": ("custom", _h_regexp_count),
     "sentences": ("refuse", None),
     "map_filter": ("refuse", None),
     "transform_values": ("refuse", None),
@@ -1429,6 +1734,11 @@ def _rewrite_functions(txt: str, rules: dict) -> str:
                     out.append(f"{arg}({inner})")
                 elif kind == "custom":
                     out.append(arg(name, inner))
+                elif kind == "custom_tail":
+                    # handler also sees the UNREWRITTEN text after the
+                    # close paren (read-only lookahead — e.g. the
+                    # aggregate-vs-window position check)
+                    out.append(arg(name, inner, txt[end + 1:]))
                 else:  # pragma: no cover - rule table is closed
                     raise DialectError(f"unknown dialect rule {kind}")
                 i = end + 1
@@ -1882,22 +2192,36 @@ class _Unparser:
                             and not n.dataType().sameType(
                                 n.child().dataType())
                             and n.sql() == n.child().sql()):
-                        if self.dialect.name != "spark":
+                        if self.dialect.name == "duckdb":
+                            # r12: repairable in DuckDB too — the target
+                            # type re-spells as T[]/MAP(K,V)/STRUCT(..)
+                            # (probed: DuckDB complex casts are
+                            # elementwise and NULL-preserving exactly
+                            # like Spark's) after refusing any nested
+                            # scalar pair whose semantics diverge
+                            # (frac→int/string, numeric↔timestamp).
+                            _require_duck_cast_pair(
+                                n.child().dataType(), n.dataType())
+                            self._cast_drop_candidates.append(
+                                (n.sql(), _duck_type_sql(n.dataType())))
+                        elif self.dialect.name != "spark":
                             # the repair re-emits the target type in
                             # SPARK type syntax (ARRAY<DOUBLE>), which
                             # other dialects don't parse — refuse there
                             raise DialectError(
                                 "complex-type CAST target is dropped by "
                                 f"Expression.sql: {n.toString()[:100]}")
-                        # Spark dialect: repairable — record the lossy
-                        # render; _fix_cast_drops wraps its unique
-                        # occurrence back into an explicit CAST (same
-                        # adjudication protocol as the struct-name
-                        # repair: candidates in replacement subtrees
-                        # that never render are ignored, ambiguous
-                        # multi-occurrence anchors refuse).
-                        self._cast_drop_candidates.append(
-                            (n.sql(), n.dataType().sql()))
+                        else:
+                            # Spark dialect: repairable — record the
+                            # lossy render; _fix_cast_drops wraps its
+                            # unique occurrence back into an explicit
+                            # CAST (same adjudication protocol as the
+                            # struct-name repair: candidates in
+                            # replacement subtrees that never render are
+                            # ignored, ambiguous multi-occurrence
+                            # anchors refuse).
+                            self._cast_drop_candidates.append(
+                                (n.sql(), n.dataType().sql()))
                 except DialectError:
                     raise
                 except Exception:  # noqa: BLE001 - variant w/o accessors
@@ -2250,10 +2574,13 @@ class _Unparser:
                                      "BIGINT"):
                     return f"{kw}(trunc({inner_txt}) AS {dst})"
                 if dstu.startswith(("ARRAY", "MAP", "STRUCT")):
-                    raise DialectError(
-                        f"CAST target {dstu[:40]} is Spark type syntax "
-                        "with no DuckDB spelling — not unparsable in "
-                        "this dialect")
+                    # r12: re-spell the target in DuckDB type syntax
+                    # (elementwise semantics probed identical), refusing
+                    # divergent nested scalar pairs
+                    _require_duck_cast_pair(e.child().dataType(),
+                                            e.dataType())
+                    return (f"{kw}({inner_txt} AS "
+                            f"{_duck_type_sql(e.dataType())})")
 
                 def _numt(t: str) -> bool:
                     return (t in ("TINYINT", "SMALLINT", "INT", "BIGINT",
@@ -2991,6 +3318,18 @@ class _Unparser:
             b = self._derive(b, proj_child.child())
         b.select = sel
         b.group_by = [f"GROUPING SETS ({', '.join(sets)})"]
+        if self.dialect.name == "duckdb" and "()" in sets:
+            # Empty-input parity (sweep divergence on tpcds_q80, whose
+            # sf0.001 date window filters every fact row): Spark lowers
+            # grouping sets to Expand + a grouped Aggregate keyed on
+            # spark_grouping_id, so an EMPTY input yields 0 rows for
+            # every set including (); DuckDB follows the standard where
+            # the () set is a global aggregate and emits its 1 all-NULL
+            # grand-total row.  count(*) ≥ 1 for every group an engine
+            # actually materializes from rows, so this HAVING drops
+            # exactly the empty-input () row and nothing else.  Spark
+            # dialect keeps its native semantics — no guard.
+            b.having = "count(*) > 0"
         return b
 
     # -- relations ---------------------------------------------------------
@@ -3234,30 +3573,124 @@ class _Unparser:
             qual = node.qualifier()
             alias = qual.get() if qual.isDefined() else self._alias()
             if self.dialect.name == "duckdb":
-                if (gen.getClass().getSimpleName() != "Explode"
-                        or len(out_cols) != 1):
-                    raise DialectError(
-                        "only single-column array explode() has a "
-                        "DuckDB lateral-unnest spelling — not "
-                        "unparsable")
+                # r12: beyond single-column array explode, the multi-
+                # column generators translate too — each probed exact:
+                #   posexplode(arr)  → LATERAL (SELECT CAST(unnest(
+                #       generate_series(1, len(a))) - 1 AS INT) AS pos,
+                #       unnest(a) AS col) — the two parallel unnests ZIP
+                #       (probed), 0-based pos, inner drops NULL/empty
+                #       under CROSS JOIN LATERAL, outer null-emits under
+                #       LEFT JOIN LATERAL ... ON true (WITH ORDINALITY
+                #       is unimplemented in DuckDB 1.0);
+                #   explode(map)    → unnest(map_entries(m)) AS t(e) +
+                #       e.key/e.value projected (entry order preserved
+                #       by both engines);
+                #   inline(arr<struct>) → unnest(a) AS t(u) + u.f
+                #       field-access projections, positionally paired
+                #       with the declared output names (DuckDB's
+                #       AS t(a, b) multi-name form SILENTLY binds only
+                #       the first name to the whole struct — probed —
+                #       so field unpacking must be explicit).
+                # stack()/json_tuple() refuse (no DuckDB analog).
+                gcls = gen.getClass().getSimpleName()
                 b = self.visit(node.child())
                 if (b.select is not None or b.distinct
                         or b.group_by is not None
                         or b.order_by is not None
                         or b.limit is not None or b.offset is not None):
                     b = self._derive(b, node.child())
-                arr_sql = self._expr_sql(gen.child())
                 one_row = b.from_ is None
                 if one_row:
                     b = _Block(from_=f"(SELECT 1 AS {q}__one__{q}) "
                                      f"AS {self._alias()}")
                 join = ("LEFT JOIN" if node.outer() else "CROSS JOIN")
                 on = " ON true" if node.outer() else ""
-                b.from_ += (f" {join} unnest({arr_sql}) "
-                            f"AS {q}{alias}{q}({out_cols[0]}){on}")
-                if one_row:
-                    b.select = out_cols
-                return b
+                if gcls == "Explode" and len(out_cols) == 1:
+                    arr_sql = self._expr_sql(gen.child())
+                    b.from_ += (f" {join} unnest({arr_sql}) "
+                                f"AS {q}{alias}{q}({out_cols[0]}){on}")
+                    if one_row:
+                        b.select = out_cols
+                    return b
+                if gcls == "PosExplode" and len(out_cols) == 2:
+                    # array posexplode only (a map's 3-column variant
+                    # falls through to the refusal below)
+                    arr_sql = self._expr_sql(gen.child())
+                    lat = (f"LATERAL (SELECT CAST(unnest(generate_series"
+                           f"(1, len({arr_sql}))) - 1 AS INT) AS "
+                           f"{out_cols[0]}, unnest({arr_sql}) AS "
+                           f"{out_cols[1]}) AS {q}{alias}{q}")
+                    b.from_ += f" {join} {lat}{on}"
+                    if one_row:
+                        b.select = out_cols
+                    return b
+                if gcls in ("Explode", "Inline") and (
+                        gcls == "Inline" or len(out_cols) == 2):
+                    # map explode (key, value) / struct-array inline:
+                    # unnest to a fresh struct column, then project the
+                    # child columns plus explicit field accesses — the
+                    # select flushes to a derived table downstream, so
+                    # upstream references resolve by bare name.
+                    try:
+                        ct = gen.child().dataType()
+                        ctsql = ct.sql().upper()
+                    except Exception as e:  # noqa: BLE001
+                        raise DialectError(
+                            f"generator input type unreadable: {e}")
+                    arr_sql = self._expr_sql(gen.child())
+                    u = self._alias()
+                    if gcls == "Explode":
+                        if not ctsql.startswith("MAP"):
+                            raise DialectError(
+                                "2-column explode over a non-map input "
+                                "— not unparsable in this dialect")
+                        factor = (f"unnest(map_entries({arr_sql})) "
+                                  f"AS {q}{alias}{q}({q}{u}{q})")
+                        fields = ["key", "value"]
+                    else:
+                        try:
+                            et = ct.elementType()
+                            flds = et.fields()
+                            try:  # Scala Seq vs py4j-converted array
+                                fields = [f.name() for f
+                                          in self._seq(flds)]
+                            except Exception:  # noqa: BLE001
+                                fields = [f.name() for f in flds]
+                        except Exception as e:  # noqa: BLE001
+                            raise DialectError(
+                                f"inline() element type unreadable: {e}")
+                        if len(fields) != len(out_cols):
+                            raise DialectError(
+                                "inline() output arity does not match "
+                                "the element struct — not unparsable")
+                        if any(q in f or "`" in f for f in fields):
+                            raise DialectError(
+                                "inline() struct field not quotable")
+                        factor = (f"unnest({arr_sql}) "
+                                  f"AS {q}{alias}{q}({q}{u}{q})")
+                    child_cols = [a.name() for a
+                                  in self._seq(node.child().output())]
+                    gen_names = [c.strip(q) for c in out_cols]
+                    if (len(set(child_cols + gen_names))
+                            != len(child_cols) + len(gen_names)):
+                        raise DialectError(
+                            "generator output name collides with a "
+                            "child column — bare-name projection is "
+                            "ambiguous, not unparsable")
+                    if any(q in c or "`" in c for c in child_cols):
+                        raise DialectError(
+                            "child column not quotable in this dialect")
+                    b.from_ += f" {join} {factor}{on}"
+                    sel = ([] if one_row
+                           else [f"{q}{c}{q}" for c in child_cols])
+                    sel += [f"{q}{u}{q}.{q}{f}{q} AS {oc}"
+                            for f, oc in zip(fields, out_cols)]
+                    b.select = sel
+                    return b
+                raise DialectError(
+                    "generator has no faithful DuckDB lateral-unnest "
+                    f"spelling: {gcls}/{len(out_cols)} cols — not "
+                    "unparsable")
             if self.dialect.name != "spark":
                 raise DialectError(
                     f"dialect {self.dialect.name} has no LATERAL VIEW")

@@ -147,6 +147,10 @@ def _interleave_families() -> None:
         # stays unpinned.
         "similarity_ivf_delete_compact",
         "similarity_ivf_filtered_lifecycle",
+        # re-verify: its pinned DuckDB federation text regenerated for
+        # the r12 collect_list NULL-skip guard (COALESCE/FILTER wrapper
+        # — values identical, text materially changed)
+        "compat_unparser_duckdb_federation_lists",
     }
 
     def tier(name: str) -> int:

@@ -836,15 +836,23 @@ def _duckdb_fed_lists_plan(spark, sf_dir):
 # array_join translation gained the NULL-preserving empty-list guard
 # (DuckDB array_to_string([]) is NULL where Spark array_join([]) is
 # '' — exec-pass find), so the pinned text carries the CASE/COALESCE
-# wrapper around the same inner translation.
+# wrapper around the same inner translation.  r12: collect_list gained
+# the NULL-skip + empty-group-[] parity wrapper (Spark's collect_list
+# SKIPS NULL inputs and returns [] for a fully-NULL group; DuckDB's
+# list() keeps NULLs and returns NULL — sweep divergence on
+# dedup_incremental_lsh), so list(..) is now COALESCE(list(..) FILTER
+# (WHERE .. IS NOT NULL), []).
 _DUCKDB_FED_LISTS_SQL = (
     "SELECT event_type, CASE WHEN (list_transform(list_reverse("
-    "list_sort(list((event_id % CAST(1000 AS BIGINT))), 'ASC', "
-    "'NULLS FIRST')), lv1 -> CAST(lv1 AS STRING))) IS NULL THEN NULL "
+    "list_sort(COALESCE(list((event_id % CAST(1000 AS BIGINT))) "
+    "FILTER (WHERE ((event_id % CAST(1000 AS BIGINT))) IS NOT NULL), "
+    "[]), 'ASC', 'NULLS FIRST')), lv1 -> CAST(lv1 AS STRING))) IS NULL "
+    "THEN NULL "
     "ELSE COALESCE(array_to_string(list_transform(list_reverse("
-    "list_sort(list((event_id % CAST(1000 AS BIGINT))), 'ASC', "
-    "'NULLS FIRST')), lv1 -> CAST(lv1 AS STRING)), ','), '') END "
-    "AS ids_desc, "
+    "list_sort(COALESCE(list((event_id % CAST(1000 AS BIGINT))) "
+    "FILTER (WHERE ((event_id % CAST(1000 AS BIGINT))) IS NOT NULL), "
+    "[]), 'ASC', 'NULLS FIRST')), lv1 -> CAST(lv1 AS STRING)), ','), "
+    "'') END AS ids_desc, "
     "reverse(min(event_type)) AS rev_type "
     "FROM read_parquet('/root/testdata/sf0.01/events.parquet') AS t1 "
     "WHERE (event_id > CAST(-9223372036854775808 AS BIGINT)) "

@@ -1172,8 +1172,9 @@ def test_duckdb_lateral_unnest_explode(spark):
     """r11 ADVICE #4: in-repo coverage for the Generate→DuckDB
     lateral-unnest translation — inner and OUTER explode over NULL and
     empty arrays executed in DuckDB and value-compared (inner drops the
-    NULL/empty rows, outer keeps them with a NULL element), and the
-    multi-column generator (posexplode) refusal."""
+    NULL/empty rows, outer keeps them with a NULL element).  Multi-column
+    generators translate as of r12 (test_duckdb_multicolumn_generators);
+    stack() remains the pinned refusal."""
     import duckdb
 
     base = ("VALUES (1, array(10, 20)), (2, array()), "
@@ -1188,7 +1189,7 @@ def test_duckdb_lateral_unnest_explode(spark):
                       key=lambda r: (r[0], r[1] is None, r[1]))
         assert got == want and len(got) == nrows, (verb, sql, got)
     with pytest.raises(DialectError):
-        to_sql(spark.sql(f"SELECT k, posexplode(xs) FROM {base}"),
+        to_sql(spark.sql("SELECT stack(2, 1, 2, 3, 4) AS (a, b)"),
                DUCKDB, validate=False)
 
 
@@ -1255,3 +1256,217 @@ def test_regex_dollar_and_zero_width_refusals(spark):
     sql = to_sql(df, DUCKDB, validate=False)
     assert duckdb.sql(sql).fetchall() == [(True,)] == \
         [tuple(r) for r in df.collect()]
+
+
+def test_duckdb_multicolumn_generators(spark):
+    """r12: the multi-column generators translate to DuckDB (each probed
+    and value-compared): posexplode(+outer) via a LATERAL zip of two
+    parallel unnests (generate_series 0-based pos CAST to INT — DuckDB
+    1.0 lacks WITH ORDINALITY), map explode(+outer) via
+    unnest(map_entries) + key/value field projection, inline(+outer)
+    via a fresh struct column + explicit field-access projections
+    (DuckDB's AS t(a, b) multi-name form silently binds only the first
+    name to the whole struct, so unpacking must be explicit).  Inner
+    variants drop NULL/empty inputs, outer variants null-emit — exactly
+    Spark's semantics.  stack() keeps refusing."""
+    import duckdb
+
+    base = ("VALUES (1, array(10, 20)), (2, array()), "
+            "(3, CAST(NULL AS ARRAY<INT>)) AS t(k, xs)")
+    mbase = ("VALUES (1, map('a', 1, 'b', 2)), "
+             "(2, CAST(NULL AS MAP<STRING,INT>)) AS t(k, m)")
+    sbase = ("VALUES (1, array(named_struct('a', 1, 'b', 'x'), "
+             "named_struct('a', 2, 'b', 'y'))), "
+             "(2, CAST(NULL AS ARRAY<STRUCT<a:INT, b:STRING>>)) AS t(k, xs)")
+    cases = [
+        (f"SELECT k, posexplode(xs) FROM {base}", 2),
+        (f"SELECT k, posexplode_outer(xs) FROM {base}", 4),
+        (f"SELECT k, explode(m) FROM {mbase}", 2),
+        (f"SELECT k, explode_outer(m) FROM {mbase}", 3),
+        (f"SELECT k, inline(xs) FROM {sbase}", 2),
+        (f"SELECT k, inline_outer(xs) FROM {sbase}", 3),
+        ("SELECT posexplode(array(5, 6)) AS (p, c)", 2),
+        (f"SELECT k, pos + 1 AS p1, col FROM "
+         f"(SELECT k, posexplode(xs) FROM {base})", 2),
+    ]
+    norm = lambda rows: sorted(
+        tuple("NULL" if x is None else x for x in r) for r in rows)
+    for q, nrows in cases:
+        df = spark.sql(q)
+        sql = to_sql(df, DUCKDB, validate=False)
+        got = norm(duckdb.sql(sql).fetchall())
+        want = norm(map(tuple, df.collect()))
+        assert got == want and len(got) == nrows, (q, sql, got, want)
+    with pytest.raises(DialectError):
+        to_sql(spark.sql("SELECT stack(2, 1, 2, 3, 4) AS (a, b)"),
+               DUCKDB, validate=False)
+
+
+def test_duckdb_translation_batch_r12(spark):
+    """r12 DuckDB translation batch, each executed and value-compared:
+    date_format E-family tokens (E/EE/EEE → %a short day name, EEEE →
+    %A full name — unlocked the tpcds d_day_name derivation, the
+    largest exec-refusal class at 102 entries), sequence() without a
+    step over computed bounds (CASE on direction — Spark auto-descends
+    where DuckDB generate_series silently empties), and complex-type
+    CAST targets re-spelled in DuckDB syntax (T[] / MAP (K,V) /
+    STRUCT (f T), spaced so the type text stays out of the map()/
+    struct() value-expression rewrite rules; elementwise + NULL-
+    preserving semantics probed identical).  Divergent nested element
+    casts keep refusing (frac→int truncation class)."""
+    import duckdb
+
+    cases = [
+        "SELECT date_format(DATE '2024-03-05', 'EEEE') AS dn,"
+        " date_format(DATE '2024-03-05', 'E') AS sn,"
+        " date_format(TIMESTAMP '2024-03-09 13:05:00', 'yyyy-MM-dd EEE')"
+        " AS mix",
+        "SELECT sequence(5, 2) AS d, sequence(1, 3) AS a",
+        "SELECT k, sequence(k, 2) AS s FROM VALUES (5), (1) AS t(k)",
+        "SELECT CAST(array(1, 2, NULL) AS ARRAY<DOUBLE>) AS a",
+        "SELECT CAST(array(array('1'), array('2', '3'))"
+        " AS ARRAY<ARRAY<INT>>) AS aa",
+        "SELECT CAST(named_struct('x', 1, 'y', '2')"
+        " AS STRUCT<x: BIGINT, y: STRING>).x AS sx",
+    ]
+    norm = lambda rows: sorted(
+        repr(tuple(list(x) if isinstance(x, list) else x for x in r))
+        for r in rows)
+    for q in cases:
+        df = spark.sql(q)
+        sql = to_sql(df, DUCKDB, validate=False)
+        assert norm(duckdb.sql(sql).fetchall()) == norm(
+            map(tuple, df.collect())), (q, sql)
+    with pytest.raises(DialectError, match="not repairable|truncates"):
+        to_sql(spark.sql("SELECT CAST(array(1.5) AS ARRAY<INT>) AS a"),
+               DUCKDB, validate=False)
+    with pytest.raises(DialectError, match="strftime"):
+        to_sql(spark.sql("SELECT date_format(DATE '2024-03-05', 'EEEEE')"
+                         " AS narrow"), DUCKDB, validate=False)
+
+
+def test_duckdb_exec_divergence_fixes_r12(spark):
+    """r12 sweep-found divergence/execerr classes, each executed in
+    DuckDB and value-compared: collect_list/collect_set keep NULL
+    elements in DuckDB's list() where Spark skips them (FILTER clause
+    reproduces the skip, in aggregate AND window position);
+    grouping-sets containing the empty set emit DuckDB's standard
+    1-row grand total over EMPTY input where Spark's Expand lowering
+    emits 0 rows (HAVING count(*) > 0 guard, non-empty input
+    untouched); sequence() bounds fed by sum() bind as HUGEINT with no
+    generate_series overload (CAST AS BIGINT); and the four
+    DuckDB-absent datetime functions expand faithfully
+    (months_between incl. month-end/fractional/roundOff=false cases,
+    next_day strictly-later semantics, unix_date,
+    date_from_unix_date)."""
+    import duckdb
+
+    cases = [
+        # collect_list/set NULL skip (agg + window position)
+        "SELECT k, sort_array(collect_list(v)) AS l,"
+        " sort_array(collect_set(v)) AS s FROM VALUES (1, 1), (1, NULL),"
+        " (1, 1), (2, CAST(NULL AS INT)) AS t(k, v) GROUP BY k",
+        # grouping sets over empty and non-empty input
+        "SELECT k, count(*) AS c FROM VALUES (1), (2) AS t(k)"
+        " WHERE k > 99 GROUP BY ROLLUP(k)",
+        "SELECT k, count(*) AS c FROM VALUES (1), (2) AS t(k)"
+        " GROUP BY ROLLUP(k)",
+        # sequence over HUGEINT-widened aggregate bounds
+        "SELECT sequence(a, b) AS s FROM (SELECT sum(k) AS a,"
+        " sum(k) + 2 AS b FROM VALUES (1), (2) AS t(k))",
+        # DuckDB-absent datetime functions
+        "SELECT months_between(TIMESTAMP '2024-03-17 12:00:00',"
+        " TIMESTAMP '2024-01-15 00:00:00') AS frac,"
+        " months_between(DATE '2024-03-31', DATE '2024-02-29') AS ends,"
+        " months_between(DATE '2024-01-15', DATE '2024-03-15') AS neg,"
+        " months_between(TIMESTAMP '2024-03-17 12:00:00',"
+        " TIMESTAMP '2024-01-15 00:00:00', false) AS unrounded,"
+        " months_between(CAST(NULL AS DATE), DATE '2024-01-01') AS n",
+        "SELECT next_day(DATE '2024-01-14', 'Mon') AS from_sun,"
+        " next_day(DATE '2024-01-15', 'Mon') AS strictly_later,"
+        " next_day(DATE '2024-01-15', 'saturday') AS full_name,"
+        " unix_date(DATE '2024-01-15') AS ud,"
+        " date_from_unix_date(19737) AS dfu",
+    ]
+    norm = lambda rows: sorted(
+        repr(tuple(list(x) if isinstance(x, list) else x for x in r))
+        for r in rows)
+    for q in cases:
+        df = spark.sql(q)
+        sql = to_sql(df, DUCKDB, validate=False)
+        assert norm(duckdb.sql(sql).fetchall()) == norm(
+            map(tuple, df.collect())), (q, sql)
+    # Spark dialect text stays guard-free and native-semantics
+    sql = to_sql(spark.sql(cases[2]), SPARK)
+    assert "HAVING" not in sql
+    with pytest.raises(DialectError, match="day name"):
+        to_sql(spark.sql("SELECT next_day(DATE '2024-01-14', 'Xy') AS d"),
+               DUCKDB, validate=False)
+    # window-position collect_list refuses (COALESCE-over-empty-frame
+    # has no local spelling; DuckDB would NULL where Spark emits [])
+    with pytest.raises(DialectError, match="window position"):
+        to_sql(spark.sql(
+            "SELECT k, collect_list(v) OVER (ORDER BY k) AS l"
+            " FROM VALUES (1, 1), (2, CAST(NULL AS INT)) AS t(k, v)"),
+            DUCKDB, validate=False)
+
+
+def test_duckdb_translation_batch_r12b(spark):
+    """Second r12 DuckDB translation batch, executed and value-compared:
+    min_by/max_by over STRUCT rankings via first(x ORDER BY fields)
+    (DuckDB's arg_min/arg_max have no struct overload; field-wise
+    NULL-smallest ordering matches Spark's struct comparator — probed
+    on NULL-field, NULL-value and multi-key cases), substring_index
+    with a literal delimiter via string_split + list_slice (NULL count
+    guarded explicitly: DuckDB greatest() ignores NULL operands), and
+    regexp_count via len(regexp_extract_all) behind the safe-regex
+    gate.  Window-position struct rankings refuse (DuckDB parser has
+    no ORDER BY in window aggregates); non-literal delimiters refuse
+    (array_to_string takes constant separators only)."""
+    import duckdb
+
+    cases = [
+        "SELECT k, max_by(x, struct(a, b)) AS mx,"
+        " min_by(x, struct(a, b)) AS mn FROM VALUES"
+        " (1, 'p', 1, 2), (1, 'q', 1, 3), (1, 'r', 0, 9),"
+        " (2, 'u', CAST(NULL AS INT), 0), (2, 'v', 7, 7)"
+        " AS t(k, x, a, b) GROUP BY k",
+        "SELECT min_by(x, a) AS scalar_form FROM"
+        " VALUES ('p', 3), ('q', 1) AS t(x, a)",
+        "SELECT substring_index('a.b.c.d', '.', 2) AS p,"
+        " substring_index('a.b.c.d', '.', -2) AS m,"
+        " substring_index('a::b::c', '::', -1) AS mc,"
+        " substring_index('abc', '.', 5) AS whole",
+        "SELECT k, substring_index(s, '.', n) AS r FROM VALUES"
+        " (1, 'x.y.z', 1), (2, 'x.y.z', -9), (3, 'x.y.z',"
+        " CAST(NULL AS INT)), (4, CAST(NULL AS STRING), 0) AS t(k, s, n)",
+        "SELECT regexp_count('ababab', 'ab') AS c1,"
+        " regexp_count('aaa', 'a+') AS c2, regexp_count('xyz', 'q') AS c0",
+        # regexp_substr: Spark NULL on no-match vs DuckDB '' — guarded
+        "SELECT regexp_substr('foo12bar', '[0-9]+') AS hit,"
+        " regexp_substr('xyz', '[0-9]+') AS miss,"
+        " regexp_substr(CAST(NULL AS STRING), 'a') AS ns",
+    ]
+    norm = lambda rows: sorted(
+        repr(tuple(list(x) if isinstance(x, list) else x for x in r))
+        for r in rows)
+    for q in cases:
+        df = spark.sql(q)
+        sql = to_sql(df, DUCKDB, validate=False)
+        assert norm(duckdb.sql(sql).fetchall()) == norm(
+            map(tuple, df.collect())), (q, sql)
+    # WINDOW-position struct ranking: Catalyst pre-projects the struct
+    # into a _wN column, so the handler sees a bare attribute (the
+    # struct_pack branch and its refusal guard the aggregate path);
+    # DuckDB's binder then rejects max_by over a struct column LOUDLY —
+    # never a silent divergence.  Pin the loud-failure posture.
+    wsql = to_sql(spark.sql(
+        "SELECT max_by(x, struct(a)) OVER (PARTITION BY k) AS r"
+        " FROM VALUES (1, 'p', 1) AS t(k, x, a)"),
+        DUCKDB, validate=False)
+    with pytest.raises(Exception, match="[Bb]inder|No function"):
+        duckdb.sql(wsql).fetchall()
+    with pytest.raises(DialectError, match="literal"):
+        to_sql(spark.sql(
+            "SELECT substring_index(s, s, 1) AS r FROM"
+            " VALUES ('a.b') AS t(s)"), DUCKDB, validate=False)
