@@ -921,15 +921,33 @@ def _h_collect(name, inner, tail):
     divergence on dedup_incremental_lsh: banded CASE-projected ids
     collapsed to [NULL] lists that passed a len(..) > 0 gate) and
     returns NULL for an empty aggregate.  FILTER + COALESCE reproduce
-    both semantics exactly (probed).  WINDOW position refuses: the
-    COALESCE must wrap the whole windowed expression — local rewriting
-    would leave DuckDB's NULL for a frame whose every element is NULL,
-    a silent divergence."""
-    if tail.lstrip().upper().startswith("OVER"):
-        raise DialectError(
-            f"{name}() in window position cannot reproduce Spark's "
-            "NULL-skip + empty-frame-[] semantics — not unparsable")
+    both semantics exactly (probed).  WINDOW position ABSORBS the OVER
+    clause and duplicates it into an emptiness guard — a bare
+    list(..) FILTER OVER would leave DuckDB's NULL for a frame whose
+    every element is NULL where Spark emits [] (probed both engines on
+    all-NULL, empty and FOLLOWING-only frames; count(x) already skips
+    NULLs so it is exactly the emptiness test).  A named-window
+    OVER w reference (never Catalyst-rendered) refuses."""
     distinct = "DISTINCT " if name.lower() == "collect_set" else ""
+    stripped = tail.lstrip()
+    if stripped.upper().startswith("OVER"):
+        pad = len(tail) - len(stripped)
+        j = pad + 4
+        while j < len(tail) and tail[j] == " ":
+            j += 1
+        if j >= len(tail) or tail[j] != "(":
+            raise DialectError(
+                f"{name}() OVER a named window reference — not "
+                "unparsable")
+        close = _balanced_close(tail, j)
+        # the absorbed window spec skips the call site's arg rewriting —
+        # run it through the same rule table (ORDER BY keys may contain
+        # translated functions)
+        over = _rewrite_functions(tail[j:close + 1], _DUCKDB_FN_RULES)
+        return (f"(CASE WHEN count({inner}) OVER {over} = 0 THEN [] "
+                f"ELSE list({distinct}{inner}) "
+                f"FILTER (WHERE ({inner}) IS NOT NULL) OVER {over} END)",
+                close + 1)
     return (f"COALESCE(list({distinct}{inner}) "
             f"FILTER (WHERE ({inner}) IS NOT NULL), [])")
 
@@ -1736,9 +1754,17 @@ def _rewrite_functions(txt: str, rules: dict) -> str:
                     out.append(arg(name, inner))
                 elif kind == "custom_tail":
                     # handler also sees the UNREWRITTEN text after the
-                    # close paren (read-only lookahead — e.g. the
-                    # aggregate-vs-window position check)
-                    out.append(arg(name, inner, txt[end + 1:]))
+                    # close paren (lookahead — e.g. the aggregate-vs-
+                    # window position check).  A (replacement, consumed)
+                    # return ABSORBS `consumed` tail characters into the
+                    # replacement (the windowed-collect_list OVER-clause
+                    # duplication needs the window spec inside its
+                    # emptiness guard).
+                    rep = arg(name, inner, txt[end + 1:])
+                    if isinstance(rep, tuple):
+                        rep, consumed = rep
+                        end += consumed
+                    out.append(rep)
                 else:  # pragma: no cover - rule table is closed
                     raise DialectError(f"unknown dialect rule {kind}")
                 i = end + 1

@@ -1354,8 +1354,10 @@ def test_duckdb_exec_divergence_fixes_r12(spark):
     1-row grand total over EMPTY input where Spark's Expand lowering
     emits 0 rows (HAVING count(*) > 0 guard, non-empty input
     untouched); sequence() bounds fed by sum() bind as HUGEINT with no
-    generate_series overload (CAST AS BIGINT); and the four
-    DuckDB-absent datetime functions expand faithfully
+    generate_series overload (CAST AS BIGINT); window-position
+    collect_list/set absorb their OVER clause into a count-emptiness
+    guard; and the four DuckDB-absent datetime functions expand
+    faithfully
     (months_between incl. month-end/fractional/roundOff=false cases,
     next_day strictly-later semantics, unix_date,
     date_from_unix_date)."""
@@ -1402,13 +1404,21 @@ def test_duckdb_exec_divergence_fixes_r12(spark):
     with pytest.raises(DialectError, match="day name"):
         to_sql(spark.sql("SELECT next_day(DATE '2024-01-14', 'Xy') AS d"),
                DUCKDB, validate=False)
-    # window-position collect_list refuses (COALESCE-over-empty-frame
-    # has no local spelling; DuckDB would NULL where Spark emits [])
-    with pytest.raises(DialectError, match="window position"):
-        to_sql(spark.sql(
-            "SELECT k, collect_list(v) OVER (ORDER BY k) AS l"
-            " FROM VALUES (1, 1), (2, CAST(NULL AS INT)) AS t(k, v)"),
-            DUCKDB, validate=False)
+    # window-position collect_list/set ABSORB the OVER clause into a
+    # count-emptiness guard (DuckDB list() FILTER OVER is NULL for an
+    # all-NULL or empty frame where Spark emits []) — value-compared
+    # across all-NULL, mixed and FOLLOWING-only-frame rows
+    for q in [
+        "SELECT k, collect_list(v) OVER (ORDER BY k) AS l FROM VALUES"
+        " (1, CAST(NULL AS INT)), (2, 2), (3, NULL) AS t(k, v)",
+        "SELECT k, collect_set(v) OVER (ORDER BY k ROWS BETWEEN 1"
+        " FOLLOWING AND 2 FOLLOWING) AS s FROM VALUES (1, 1), (2, 1)"
+        " AS t(k, v)",
+    ]:
+        df = spark.sql(q)
+        sql = to_sql(df, DUCKDB, validate=False)
+        assert norm(duckdb.sql(sql).fetchall()) == norm(
+            map(tuple, df.collect())), (q, sql)
 
 
 def test_duckdb_translation_batch_r12b(spark):
