@@ -341,6 +341,14 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     # regexp_count translates in the r12 batch (len ∘ regexp_extract_all)
     "regexp_instr": ("refuse", None),
     "regexp_substr": ("custom", lambda n, i: _h_regexp_substr(n, i)),
+    "upper": ("custom", lambda n, i: _h_case_fold(n, i)),
+    "lower": ("custom", lambda n, i: _h_case_fold(n, i)),
+    "ucase": ("custom", lambda n, i: _h_case_fold(n, i)),
+    "lcase": ("custom", lambda n, i: _h_case_fold(n, i)),
+    # axis-27 find: DuckDB levenshtein counts BYTES, Spark CODE POINTS
+    # (7 vs 13 on a surrogate-pair emoji string) — same non-ASCII gate;
+    # ASCII arguments are byte == code point and agree exactly
+    "levenshtein": ("custom", lambda n, i: _h_case_fold(n, i)),
     # Spark split is REGEX-based with a limit; limit -1 (the default
     # render) maps to string_split for metacharacter-free literal
     # patterns and string_split_regex for safe regexes (both keep
@@ -467,6 +475,28 @@ def _h_rlike(name, inner):
         raise DialectError(f"{len(a)}-arg {name}() — not unparsable")
     _require_safe_regex(a[1], name)
     return f"regexp_matches({a[0]}, {a[1]})"
+
+
+def _h_case_fold(name, inner):
+    """upper()/lower() pass through — with one gate.  Java (Spark) uses
+    FULL Unicode case mapping where DuckDB uses simple mapping, so the
+    engines diverge on exactly the code points functions_edge.py:13
+    documents as differing by design between runtimes: upper('ß') =
+    'SS' vs 'ẞ', lower('İ') keeps the combining dot vs plain 'i',
+    ligature expansion upper('ﬁ') = 'FI' vs 'ﬁ' (probed; pinned in
+    fuzz axis 27).  Any non-ASCII character in the rendered argument
+    (literal or identifier) refuses; ASCII-only arguments over ASCII
+    data agree exactly, and the testdata corpus is ASCII — a
+    non-ASCII-bearing COLUMN would still silently diverge, which is
+    why the tolerance is documented here rather than assumed."""
+    if any(ord(c) > 127 for c in inner):
+        why = ("DuckDB counts bytes where Spark counts code points"
+               if name.lower() == "levenshtein" else
+               "Java full case mapping (SS/İ/ligatures) differs from "
+               "DuckDB's simple mapping")
+        raise DialectError(
+            f"{name}() over non-ASCII text — {why} — not unparsable")
+    return f"{name}({inner})"
 
 
 def _h_regexp_substr(name, inner):
@@ -699,6 +729,16 @@ def _h_reverse(name, inner):
         raise DialectError("multi-arg reverse() — not unparsable")
     if inner.lstrip().lower().startswith(_REVERSE_LIST_HEADS):
         return f"list_reverse({inner})"
+    if any(ord(c) > 127 for c in inner):
+        # axis-27 find: Spark reverses CODE POINTS (a combining mark or
+        # skin-tone modifier detaches and travels), DuckDB reverses
+        # GRAPHEME CLUSTERS (the cluster stays intact) — silent value
+        # divergence on any multi-code-point grapheme.  Same gate
+        # posture as upper()/lower(): non-ASCII rendered arguments
+        # refuse, ASCII text agrees exactly.
+        raise DialectError(
+            "reverse() over non-ASCII text — Spark reverses code "
+            "points, DuckDB grapheme clusters — not unparsable")
     return f"reverse({inner})"
 
 
@@ -1443,7 +1483,18 @@ _DUCKDB_FN_RULES.update({
     "startswith": ("rename", "starts_with"),
     "endswith": ("rename", "ends_with"),
     "signum": ("rename", "sign"),
-    "char": ("rename", "chr"),
+    # Spark char()/chr() is the LATIN-1 constructor: negative → '',
+    # n ≥ 256 wraps mod 256 (char(321) = 'A', char(8364) = '¬'), where
+    # DuckDB chr() is the full UNICODE code-point constructor
+    # (chr(8364) = '€') — a silent value divergence the bare rename
+    # shipped until r12 (axis-27 find).  The guard reproduces Spark
+    # exactly (probed on negative/0/wrap/NULL).
+    "char": ("template",
+             "(CASE WHEN ({inner}) < 0 THEN '' ELSE "
+             "chr(CAST(({inner}) % 256 AS INT)) END)"),
+    "chr": ("template",
+            "(CASE WHEN ({inner}) < 0 THEN '' ELSE "
+            "chr(CAST(({inner}) % 256 AS INT)) END)"),
     "format_string": ("rename", "printf"),
     "array": ("rename", "list_value"),     # ARRAY( parses as a subquery
     "collect_list": ("custom_tail", _h_collect),

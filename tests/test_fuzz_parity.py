@@ -2490,3 +2490,161 @@ def test_grouping_sets_empty_input_divergence(spark, duck):
                 == []
         else:
             assert d_rows == [], (construct, d_rows)
+
+
+# --- axis 27 (r12): Unicode string-function semantics -------------------------
+#
+# The reference's string batteries (functions.slt / expr.slt UTF-8
+# cases) exercise multibyte code points through length/substr/reverse;
+# both Spark and DuckDB index strings by CODE POINT, so the structural
+# functions should agree on any text — but CASE MAPPING is a policy
+# choice: Java (Spark) applies the full Unicode mapping, DuckDB the
+# simple one.  The axis sweeps structural functions over a
+# boundary-heavy corpus (combining accents, CJK, surrogate-pair emoji
+# + skin-tone modifier, fullwidth forms, BOM, final sigma) and demands
+# same-text value equality; the FOUR divergent classes it found are
+# pinned below — full-vs-simple case mapping, the Latin-1 chr()
+# constructor, grapheme-cluster-vs-code-point reverse(), and
+# byte-vs-code-point levenshtein() — every one now guarded in the
+# unparser (non-ASCII gates / the chr mod-256 CASE), plus Java's
+# contextual final-sigma lowering recorded as a corner.
+
+_UNI_CORPUS = [
+    "'héllo wörld'", "'日本語テスト'", "'👍🏽 emoji'", "'Ａｂｃ fullwidth'",
+    "'mixed ASCII 123'", "'éx combining'", "''",
+]
+
+# reverse() and levenshtein() are EXCLUDED from the sweep BY the pinned
+# findings below (grapheme-vs-code-point reversal, byte-vs-code-point
+# distance) — the structural remainder agrees on any text.
+_UNI_FNS = [
+    "length({s})", "substring({s}, 2, 4)",
+    "left({s}, 3)", "right({s}, 3)", "instr({s}, 'l')",
+    "lpad({s}, 12, '*')", "rpad({s}, 12, '*')",
+    "translate({s}, 'lo', 'LO')",
+    "split_part({s}, ' ', 1)", "trim({s})", "ascii({s})",
+]
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.sampled_from(_UNI_FNS), st.sampled_from(_UNI_CORPUS))
+def test_unicode_string_structural_parity(spark, duck, fn, lit):
+    """Structural string functions agree code-point-for-code-point on
+    the same SQL text over multibyte/combining/surrogate content."""
+    q = f"SELECT {fn.format(s=lit)} AS r"
+    got = spark.sql(q).collect()[0].r
+    want = duck.execute(q).fetchall()[0][0]
+    assert got == want, (q, got, want)
+
+
+def test_unicode_case_mapping_divergence(spark, duck):
+    """Pinned axis-27 finding: Java FULL case mapping vs DuckDB simple
+    mapping — upper('straße') is 'STRASSE' (1:2 expansion) in Spark
+    but 'STRAẞE' (U+1E9E capital sharp s) in DuckDB; lower('İstanbul')
+    keeps the combining dot (i̇) in Spark but not DuckDB; ligature
+    upper('ﬁle') expands to 'FILE' in Spark, stays 'ﬁLE' in DuckDB.
+    ASCII-only inputs agree exactly — which is precisely the unparser's
+    r12 gate: upper()/lower() refuse when the rendered argument
+    carries any non-ASCII character (functions_edge.py:13 documents
+    the same class as differing by design between runtimes)."""
+    from datafusion_spark.compat.dialect import DialectError
+    from datafusion_spark.compat.unparser import DUCKDB, to_sql
+
+    assert spark.sql("SELECT upper('straße') AS r").collect()[0].r \
+        == "STRASSE"
+    assert duck.execute("SELECT upper('straße')").fetchall()[0][0] \
+        == "STRAẞE"
+    assert spark.sql("SELECT upper('ﬁle') AS r").collect()[0].r == "FILE"
+    assert duck.execute("SELECT upper('ﬁle')").fetchall()[0][0] != "FILE"
+    # ASCII agreement both engines
+    q = "SELECT upper('MixedCase 123') AS u, lower('MixedCase 123') AS l"
+    assert tuple(spark.sql(q).collect()[0]) \
+        == duck.execute(q).fetchall()[0]
+    # and the unparser refuses the non-ASCII literal form
+    with pytest.raises(DialectError, match="non-ASCII"):
+        to_sql(spark.sql("SELECT upper('straße') AS u"), DUCKDB,
+               validate=False)
+
+
+def test_chr_latin1_wrap_divergence(spark, duck):
+    """Pinned axis-27 finding: Spark char()/chr() is the LATIN-1
+    constructor — negative yields '', n >= 256 wraps mod 256
+    (char(321) = 'A', char(8364) = '¬') — where DuckDB chr() is the
+    full Unicode code-point constructor (chr(8364) = '€').  The bare
+    rename shipped this divergence until r12; the unparser now emits
+    the mod-256 CASE guard, value-compared here."""
+    import duckdb as _duckdb
+
+    from datafusion_spark.compat.unparser import DUCKDB, to_sql
+
+    assert spark.sql("SELECT char(8364) AS r").collect()[0].r == "¬"
+    assert duck.execute("SELECT chr(8364)").fetchall()[0][0] == "€"
+    q = ("SELECT char(-5) AS a, char(0) AS b, char(65) AS c,"
+         " char(256) AS d, char(321) AS e, char(8364) AS f")
+    df = spark.sql(q)
+    sql = to_sql(df, DUCKDB, validate=False)
+    assert [tuple(r) for r in df.collect()] \
+        == [tuple(r) for r in _duckdb.sql(sql).fetchall()]
+
+
+def test_final_sigma_lowering_parity(spark, duck):
+    """Axis-27 corner: Java lowercases a FINAL capital sigma to the
+    final form ς ('ΣΟΦΟΣ' → 'σοφος') — a contextual rule from the full
+    mapping.  Record both engines' behavior; if DuckDB's simple
+    mapping emits the medial σ everywhere this is one more instance of
+    the pinned case-mapping class (covered by the same unparser
+    gate)."""
+    s_val = spark.sql("SELECT lower('ΣΟΦΟΣ') AS r").collect()[0].r
+    d_val = duck.execute("SELECT lower('ΣΟΦΟΣ')").fetchall()[0][0]
+    assert s_val == "σοφος"          # Java contextual final sigma
+    assert d_val in ("σοφος", "σοφοσ")  # either way, gate covers it
+
+
+def test_reverse_grapheme_divergence(spark, duck):
+    """Pinned axis-27 finding: Spark reverse() reverses CODE POINTS —
+    a combining accent or skin-tone modifier DETACHES from its base
+    and attaches to the preceding character — where DuckDB reverses
+    GRAPHEME CLUSTERS and keeps them intact.  reverse of a decomposed 'e'+COMBINING ACUTE+'x' puts the
+    mark on the 'x' in Spark but keeps the cluster in DuckDB; same for emoji
+    modifiers.  The unparser's string-reverse branch refuses non-ASCII
+    rendered arguments as of r12 (list reverse is untouched —
+    list_reverse has no grapheme notion)."""
+    from datafusion_spark.compat.dialect import DialectError
+    from datafusion_spark.compat.unparser import DUCKDB, to_sql
+
+    dec = "e" + chr(0x301) + "x"
+    s_val = spark.sql(f"SELECT reverse('{dec}') AS r").collect()[0].r
+    d_val = duck.execute(f"SELECT reverse('{dec}')").fetchall()[0][0]
+    assert s_val == "x" + chr(0x301) + "e"     # mark travels (Spark)
+    assert d_val == "xe" + chr(0x301)          # cluster intact (DuckDB)
+    with pytest.raises(DialectError, match="grapheme"):
+        to_sql(spark.sql(f"SELECT reverse('{dec}') AS r"), DUCKDB,
+               validate=False)
+    # ASCII reverse still translates and value-matches
+    import duckdb as _duckdb
+    df = spark.sql("SELECT reverse('abc') AS r")
+    assert _duckdb.sql(to_sql(df, DUCKDB, validate=False)).fetchall() \
+        == [("cba",)]
+
+
+def test_levenshtein_byte_divergence(spark, duck):
+    """Pinned axis-27 finding: DuckDB levenshtein counts BYTES, Spark
+    CODE POINTS — levenshtein over a surrogate-pair emoji string vs 'hello' is
+    7 in Spark (2 emoji code points) and 13 in DuckDB (8 emoji UTF-8
+    bytes).  ASCII arguments are byte == code point and agree exactly;
+    the unparser refuses non-ASCII rendered arguments as of r12."""
+    from datafusion_spark.compat.dialect import DialectError
+    from datafusion_spark.compat.unparser import DUCKDB, to_sql
+
+    e = "\U0001F44D\U0001F3FD emoji"
+    q = f"SELECT levenshtein('{e}', 'hello') AS r"
+    assert spark.sql(q).collect()[0].r == 7
+    assert duck.execute(q).fetchall()[0][0] == 13
+    with pytest.raises(DialectError, match="bytes"):
+        to_sql(spark.sql(q), DUCKDB, validate=False)
+    q2 = "SELECT levenshtein('kitten', 'sitting') AS r"
+    import duckdb as _duckdb
+    df = spark.sql(q2)
+    assert _duckdb.sql(to_sql(df, DUCKDB, validate=False)).fetchall() \
+        == [(3,)]
