@@ -499,6 +499,35 @@ def _h_case_fold(name, inner):
     return f"{name}({inner})"
 
 
+def _h_get_json_object(name, inner):
+    """json_extract_string with two r12 guards (probe finds on the bare
+    rename): (1) DuckDB ERRORS on malformed JSON where Spark returns
+    NULL — data-dependent runtime failure in the emitted text; the
+    json_valid() CASE restores Spark's NULL (probed).  (2) a WILDCARD
+    or recursive path ('[*]', '..') returns the matched JSON TEXT in
+    Spark ('[1,2]') but a LIST in DuckDB (['1','2']) — a silent
+    type+value divergence; literal paths carrying either construct
+    refuse, as do non-literal paths (uncheckable, and Spark maps an
+    invalid path to NULL where DuckDB raises)."""
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(
+            f"{len(a)}-arg get_json_object() — not unparsable")
+    doc, path = a
+    m = _re_mod.fullmatch(r"'((?:[^']|'')*)'", path)
+    if not m:
+        raise DialectError(
+            "get_json_object() path is not a string literal — Spark "
+            "maps invalid paths to NULL where DuckDB raises — not "
+            "unparsable")
+    if "*" in m.group(1) or ".." in m.group(1):
+        raise DialectError(
+            "get_json_object() wildcard/recursive path returns JSON "
+            "text in Spark but a LIST in DuckDB — not unparsable")
+    return (f"(CASE WHEN json_valid({doc}) THEN "
+            f"json_extract_string({doc}, {path}) ELSE NULL END)")
+
+
 def _h_regexp_substr(name, inner):
     # Spark regexp_substr is NULL on no-match where DuckDB
     # regexp_extract returns '' (probed) — the regexp_matches guard
@@ -1501,7 +1530,7 @@ _DUCKDB_FN_RULES.update({
     "filter": ("rename", "list_filter"),
     "transform": ("rename", "list_transform"),
     "size": ("rename", "len"),
-    "get_json_object": ("rename", "json_extract_string"),
+    "get_json_object": ("custom", lambda n, i: _h_get_json_object(n, i)),
     "char_length": ("rename", "length"),
     "character_length": ("rename", "length"),
     "map_from_arrays": ("rename", "map"),

@@ -1480,3 +1480,33 @@ def test_duckdb_translation_batch_r12b(spark):
         to_sql(spark.sql(
             "SELECT substring_index(s, s, 1) AS r FROM"
             " VALUES ('a.b') AS t(s)"), DUCKDB, validate=False)
+
+
+def test_duckdb_get_json_object_guards(spark):
+    """r12 probe finds on the bare json_extract_string rename:
+    (1) malformed JSON — Spark returns NULL, DuckDB raises; the
+    json_valid() CASE restores the NULL (value-compared over valid,
+    malformed and NULL docs).  (2) wildcard/recursive paths — Spark
+    returns the matched JSON TEXT ('[1,2]'), DuckDB a LIST
+    (['1','2']): silent type+value divergence, refused.  Non-literal
+    paths refuse (Spark maps invalid paths to NULL where DuckDB
+    raises)."""
+    import duckdb
+
+    q = ("SELECT get_json_object(j, '$.a') AS a,"
+         " get_json_object(j, '$.b.c') AS bc FROM VALUES"
+         " ('{\"a\": 1, \"b\": {\"c\": \"x\"}}'), ('not json'),"
+         " (CAST(NULL AS STRING)) AS t(j)")
+    df = spark.sql(q)
+    sql = to_sql(df, DUCKDB, validate=False)
+    norm = lambda rows: sorted(map(repr, map(tuple, rows)))
+    assert norm(duckdb.sql(sql).fetchall()) == norm(
+        map(tuple, df.collect())), sql
+    with pytest.raises(DialectError, match="wildcard"):
+        to_sql(spark.sql(
+            "SELECT get_json_object('{\"a\":[1,2]}', '$.a[*]') AS r"),
+            DUCKDB, validate=False)
+    with pytest.raises(DialectError, match="string literal"):
+        to_sql(spark.sql(
+            "SELECT get_json_object(j, j) AS r FROM VALUES ('{}')"
+            " AS t(j)"), DUCKDB, validate=False)
