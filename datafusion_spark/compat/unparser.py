@@ -1511,7 +1511,17 @@ _DUCKDB_FN_RULES.update({
     # refuse instead) ----
     "startswith": ("rename", "starts_with"),
     "endswith": ("rename", "ends_with"),
-    "signum": ("rename", "sign"),
+    # Spark signum()/sign() always returns DOUBLE and propagates NaN;
+    # DuckDB sign() returns the input's integer class and maps NaN to 0
+    # (probe find) — the isnan CASE + DOUBLE cast restore both exactly
+    "signum": ("template",
+               "(CASE WHEN isnan(CAST(({inner}) AS DOUBLE)) THEN "
+               "CAST('NaN' AS DOUBLE) ELSE "
+               "CAST(sign({inner}) AS DOUBLE) END)"),
+    "sign": ("template",
+             "(CASE WHEN isnan(CAST(({inner}) AS DOUBLE)) THEN "
+             "CAST('NaN' AS DOUBLE) ELSE "
+             "CAST(sign({inner}) AS DOUBLE) END)"),
     # Spark char()/chr() is the LATIN-1 constructor: negative → '',
     # n ≥ 256 wraps mod 256 (char(321) = 'A', char(8364) = '¬'), where
     # DuckDB chr() is the full UNICODE code-point constructor

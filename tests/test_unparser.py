@@ -1510,3 +1510,21 @@ def test_duckdb_get_json_object_guards(spark):
         to_sql(spark.sql(
             "SELECT get_json_object(j, j) AS r FROM VALUES ('{}')"
             " AS t(j)"), DUCKDB, validate=False)
+
+
+def test_duckdb_signum_nan_guard(spark):
+    """r12 probe find: Spark signum()/sign() always returns DOUBLE and
+    propagates NaN; DuckDB sign() returns an integer class and maps
+    NaN to 0 — a silent value divergence.  The emitted isnan CASE +
+    DOUBLE cast reproduce Spark exactly (value-compared over negative,
+    zero, NaN, positive and NULL inputs)."""
+    import duckdb
+
+    q = ("SELECT signum(x) AS s, sign(x) AS s2 FROM VALUES (-2.5),"
+         " (0.0), (CAST('NaN' AS DOUBLE)), (3.0),"
+         " (CAST(NULL AS DOUBLE)) AS t(x)")
+    df = spark.sql(q)
+    sql = to_sql(df, DUCKDB, validate=False)
+    norm = lambda rows: sorted(map(repr, map(tuple, rows)))
+    assert norm(duckdb.sql(sql).fetchall()) == norm(
+        map(tuple, df.collect())), sql
