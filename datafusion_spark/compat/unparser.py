@@ -341,6 +341,12 @@ _DUCKDB_FN_RULES: dict[str, tuple[str, str | None]] = {
     # regexp_count translates in the r12 batch (len ∘ regexp_extract_all)
     "regexp_instr": ("refuse", None),
     "regexp_substr": ("custom", lambda n, i: _h_regexp_substr(n, i)),
+    "left": ("custom", lambda n, i: _h_left_right(n, i)),
+    "right": ("custom", lambda n, i: _h_left_right(n, i)),
+    "substring": ("custom", lambda n, i: _h_substring(n, i)),
+    "substr": ("custom", lambda n, i: _h_substring(n, i)),
+    "lpad": ("custom", lambda n, i: _h_pad(n, i)),
+    "rpad": ("custom", lambda n, i: _h_pad(n, i)),
     "upper": ("custom", lambda n, i: _h_case_fold(n, i)),
     "lower": ("custom", lambda n, i: _h_case_fold(n, i)),
     "ucase": ("custom", lambda n, i: _h_case_fold(n, i)),
@@ -497,6 +503,56 @@ def _h_case_fold(name, inner):
         raise DialectError(
             f"{name}() over non-ASCII text — {why} — not unparsable")
     return f"{name}({inner})"
+
+
+def _h_left_right(name, inner):
+    # Spark left()/right() return '' for n <= 0; DuckDB interprets a
+    # NEGATIVE n as "all but n from the other end" (probe find:
+    # left('abcde', -1) = 'abcd') — silent value divergence.  The
+    # guard reproduces Spark; positive n is identical in both.
+    a = _split_top_args(inner)
+    if len(a) != 2:
+        raise DialectError(f"{len(a)}-arg {name}() — not unparsable")
+    return (f"(CASE WHEN ({a[1]}) <= 0 THEN '' "
+            f"ELSE {name}({a[0]}, {a[1]}) END)")
+
+
+def _h_substring(name, inner):
+    # Two probe finds on the pass-through: Spark treats position 0 as
+    # position 1 (substring('abcde', 0, 2) = 'ab') where DuckDB's
+    # window covers the empty pre-string slot ('a'); and Spark returns
+    # '' for a NEGATIVE length where DuckDB reads it end-relative
+    # (substr('abcde', 2, -1) = 'a').  Negative positions and zero
+    # length agree exactly (probed) — map pos 0 → 1 and clamp the
+    # length at 0.
+    a = _split_top_args(inner)
+    if len(a) == 2:
+        a.append("2147483647")  # Catalyst's own to-end sentinel
+    if len(a) != 3:
+        raise DialectError(f"{len(a)}-arg {name}() — not unparsable")
+    s_, pos, ln = a
+    return (f"{name}({s_}, (CASE WHEN ({pos}) = 0 THEN 1 "
+            f"ELSE ({pos}) END), greatest(({ln}), 0))")
+
+
+def _h_pad(name, inner):
+    # Spark lpad/rpad with an EMPTY pad string return the (length-
+    # clamped) input; DuckDB raises "Insufficient padding" (probe
+    # find — loud, but a runtime failure on rows Spark handles).
+    # Both engines agree on truncation and on negative lengths with a
+    # non-empty pad (probed), so only the empty-pad arm needs the
+    # left() spelling.
+    a = _split_top_args(inner)
+    if len(a) != 3:
+        raise DialectError(f"{len(a)}-arg {name}() — not unparsable")
+    s_, n, pad = a
+    if _re_mod.fullmatch(r"'(?:[^']|'')+'", pad):
+        return f"{name}({inner})"          # provably non-empty literal
+    if pad == "''":
+        return f"left({s_}, greatest(({n}), 0))"
+    return (f"(CASE WHEN ({pad}) = '' THEN "
+            f"left({s_}, greatest(({n}), 0)) "
+            f"ELSE {name}({s_}, {n}, {pad}) END)")
 
 
 def _h_get_json_object(name, inner):

@@ -1528,3 +1528,41 @@ def test_duckdb_signum_nan_guard(spark):
     norm = lambda rows: sorted(map(repr, map(tuple, rows)))
     assert norm(duckdb.sql(sql).fetchall()) == norm(
         map(tuple, df.collect())), sql
+
+
+def test_duckdb_positional_string_guards(spark):
+    """r12 probe finds on pass-through positional string functions,
+    each value-compared after the guard: left()/right() return '' for
+    n <= 0 in Spark where DuckDB reads negative n as all-but-n-from-
+    the-other-end (left('abcde', -1) = 'abcd'); Spark treats substring
+    position 0 as position 1 ('ab' vs DuckDB's 'a') and returns ''
+    for a negative LENGTH where DuckDB reads it end-relative
+    (substr('abcde', 2, -1) = 'a'); lpad/rpad with an EMPTY pad
+    return the clamped input in Spark where DuckDB raises
+    Insufficient-padding (non-empty literal pads skip the guard;
+    negative positions, zero lengths and truncation agree exactly)."""
+    import duckdb
+
+    cases = [
+        "SELECT left(s, n) AS l, right(s, n) AS r FROM VALUES"
+        " ('abcde', -1), ('abcde', 0), ('abcde', 3), ('abcde', 99),"
+        " (CAST(NULL AS STRING), 1), ('abc', CAST(NULL AS INT))"
+        " AS t(s, n)",
+        "SELECT substring(s, p, n) AS x FROM VALUES ('abcde', 0, 2),"
+        " ('abcde', 2, -1), ('abcde', -2, 2), ('abcde', -2, 4),"
+        " ('abcde', 1, 0), ('abcde', 3, 99), ('abcde', -9, 3)"
+        " AS t(s, p, n)",
+        "SELECT lpad(s, n, p) AS lp, rpad(s, n, p) AS rp FROM VALUES"
+        " ('abc', 6, ''), ('abc', 2, ''), ('abc', -1, 'x'),"
+        " ('abc', 6, 'xy'), ('abc', 2, 'x') AS t(s, n, p)",
+    ]
+    norm = lambda rows: sorted(map(repr, map(tuple, rows)))
+    for q in cases:
+        df = spark.sql(q)
+        sql = to_sql(df, DUCKDB, validate=False)
+        assert norm(duckdb.sql(sql).fetchall()) == norm(
+            map(tuple, df.collect())), (q, sql)
+    # a provably non-empty literal pad stays a bare lpad (no CASE arm)
+    sql = to_sql(spark.sql("SELECT lpad('a', 5, 'x') AS p"), DUCKDB,
+                 validate=False)
+    assert "CASE" not in sql
