@@ -312,3 +312,35 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpcds_prelude_pruning_exact_and_equivalent(spark):
+    """The per-query pruned TPC-DS prelude (r12: the full 24-CTE derive cost
+    ~2 s of driver analysis PER EXECUTION) must (a) partition the original
+    derive text exactly, (b) keep every CTE a body references, and (c)
+    produce the same rows as the unpruned spelling."""
+    import re
+
+    import datafusion_spark.queries.tpcds_exec as tx
+
+    # (a) the split reconstructs the original WITH list byte-exactly
+    joined = ",\n".join(t for _, t in tx._CTES)
+    orig = tx._SPARK_DERIVE[re.search(r"\bWITH\b", tx._SPARK_DERIVE).end():]
+    norm = lambda s: re.sub(r"[\s,]+", "", s)
+    assert norm(joined) == norm(orig)
+    assert len(tx._CTES) == 24
+
+    # (b) pruning keeps referenced names (spot: q14's three channels + dims)
+    pruned = tx._pruned_prelude(" FROM store_sales, web_sales x, item i "
+                                "JOIN date_dim ON 1=1 ")
+    for n in ("store_sales", "web_sales", "item", "date_dim"):
+        assert f"{n} AS (" in pruned
+    assert "inventory AS (" not in pruned
+
+    # (c) pruned and full spellings return identical rows (q3 at sf0.001)
+    body = QUERIES["tpcds_q3"].__defaults__[0]
+    body_tail = body[body.index("SELECT dt.d_year"):]
+    full_sql = (tx._SPARK_DERIVE + body_tail).replace("__SF__", SF_SMALL)
+    got_pruned = [tuple(r) for r in QUERIES["tpcds_q3"](spark, SF_SMALL).collect()]
+    got_full = [tuple(r) for r in spark.sql(full_sql).collect()]
+    assert got_pruned == got_full
