@@ -876,3 +876,57 @@ def test_ivf_filtered_lifecycle_semantics(spark):
     recall = sum(
         len(got.get(k, set()) & ex[k]) / len(ex[k]) for k in ex) / len(ex)
     assert round(recall, 4) >= 0.6, f"filtered-lifecycle recall@5 {recall:.2f}"
+
+
+def test_repetition_filter_rowlocal_rewrite_semantics(spark):
+    """r12 zero-shuffle rewrite pins: the row-local top-bigram fold equals
+    the exploded groupBy count (ties and runs), docs with <2 words are
+    excluded exactly as the old inner join excluded them, and the plan
+    carries no Exchange at all."""
+    from datafusion_spark.catalog import load_table
+    from datafusion_spark.queries import QUERIES
+    from datafusion_spark.plans import shuffle_count
+    from tests.conftest import SF_SMALL
+
+    df = QUERIES["text_repetition_filter"](spark, SF_SMALL)
+    # the only allowed exchange is fan_out's single-split spread; the old
+    # shape had keyed exchanges for the window, two aggregations and a join
+    assert shuffle_count(df) <= 1, "rewrite must stay narrow per-row"
+
+    rows = {r.doc_id: r for r in df.collect()}
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    # independent per-doc recomputation in python for a sample
+    import collections
+    for d in docs.limit(40).collect():
+        toks = d.text.split(" ")
+        if len(toks) < 2:
+            assert d.doc_id not in rows
+            continue
+        r = rows[d.doc_id]
+        bgs = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        top = max(collections.Counter(bgs).values())
+        assert r.n_words == len(toks)
+        assert r.distinct_ratio == len(set(toks)) / len(toks)
+        assert r.top_bigram_frac == top / len(bgs)
+
+
+def test_substring_windows_per_doc_distinct_rewrite(spark):
+    """r12: per-doc array_distinct replaces the pair-set .distinct()
+    exchange — counts must equal the distinct-window definition."""
+    import hashlib
+
+    from datafusion_spark.catalog import load_table
+    from datafusion_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = {r.doc_id: r for r in
+            QUERIES["dedup_substring_windows"](spark, SF_SMALL).collect()}
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    for d in docs.limit(25).collect():
+        toks = d.text.split(" ")
+        if len(toks) < 8:
+            assert d.doc_id not in rows
+            continue
+        wins = {hashlib.md5(" ".join(toks[i:i + 8]).encode()).hexdigest()
+                for i in range(len(toks) - 7)}
+        assert rows[d.doc_id].total_windows == len(wins)
