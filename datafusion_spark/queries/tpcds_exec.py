@@ -44,9 +44,18 @@ broadcast into the star join exactly as a real TPC-DS plan would.
 
 from __future__ import annotations
 
+import itertools
+import os
 import re
+import tempfile
 
 from datafusion_spark.queries.registry import query
+
+# process-local scratch for per-invocation CTE materializations (see
+# _register_shared_cte): fresh directory per call, nothing reused across
+# invocations, cleaned with the sandbox /tmp
+_MAT_TMP = tempfile.mkdtemp(prefix="dfspark_tpcds_mat_")
+_MAT_SEQ = itertools.count()
 
 _DATE_LO, _DATE_HI = "1995-01-01", "2001-12-31"
 
@@ -964,6 +973,46 @@ def _register(name: str, body: str, doc: str) -> None:
 
     def fn(spark, sf_dir, _sql=pruned_sql):
         return spark.sql(_sql.replace("__SF__", sf_dir))
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    tags = ("tpcds", "exec", "bench") if name in _BENCH_TPCDS else ("tpcds", "exec")
+    query(name, oracle=_DUCK_DERIVE + body, tags=tags)(fn)
+
+
+def _register_shared_cte(name: str, body: str, doc: str, *,
+                         cte: str, final_marker: str,
+                         ref_prefix: str) -> None:
+    """Register a query whose final statement consumes one heavy CTE many
+    times, materializing that CTE ONCE per invocation (r12, guide §3.3).
+
+    Spark inlines WITH-CTEs, so ``year_total`` consumed six ways in q4 ran
+    the three-channel fact aggregation six times (each copy pruned to one
+    channel-year by pushdown).  The rewrite computes the CTE once — all
+    channels, both years — writes it to a process-local temp parquet
+    (customer-grain rows, far smaller than the facts it aggregates; at
+    100 TB this spill-to-storage materialization is exactly what engines
+    with CTE materialization do), and the final self-join reads that.
+    Interleaved A/B at sf0.1: q4 2.85 s → 2.35 s.  Fresh directory per
+    invocation — nothing persists across runs (the write is inside the
+    timed region), and the plan stays a plain parquet scan so the
+    unparser round-trip is preserved (a localCheckpoint would analyze to
+    LogicalRDD, a refusal class).  Results identical; same oracle.
+    """
+    idx = body.index(final_marker)
+    ctes_part, final_part = body[:idx], body[idx:]
+    mat_sql = _pruned_prelude(body) + ctes_part + f" SELECT * FROM {cte}"
+    view = f"{cte}_{name}"
+    final_sql = final_part.replace(f"{cte} {ref_prefix}", f"{view} {ref_prefix}")
+    assert f"{cte} {ref_prefix}" not in final_sql
+
+    def fn(spark, sf_dir, _mat=mat_sql, _final=final_sql, _view=view):
+        dest = os.path.join(
+            _MAT_TMP, f"{name}_{os.getpid()}_{next(_MAT_SEQ)}")
+        spark.sql(_mat.replace("__SF__", sf_dir)).write.mode(
+            "overwrite").parquet(dest)
+        spark.read.parquet(dest).createOrReplaceTempView(_view)
+        return spark.sql(_final.replace("__SF__", sf_dir))
 
     fn.__name__ = name
     fn.__doc__ = doc
@@ -2416,7 +2465,7 @@ _YEAR_TOTAL_SIMPLE = """
     )
 """
 
-_register(
+_register_shared_cte(
     "tpcds_q74",
     _YEAR_TOTAL_SIMPLE + """
     SELECT t_s_secyear.customer_id,
@@ -2454,6 +2503,8 @@ _register(
     exact row values (bit-identical cross-engine).  Years retarget
     2001 -> 2000 (last full calendar pair); 'year' alias spelled dyear
     as in the reference's own q11 to stay reserved-word-safe.""",
+    cte="year_total", final_marker="SELECT t_s_secyear.customer_id",
+    ref_prefix="t_",
 )
 
 _YEAR_TOTAL_FULL = """
@@ -2492,7 +2543,7 @@ _YEAR_TOTAL_FULL = """
     )
 """
 
-_register(
+_register_shared_cte(
     "tpcds_q11",
     _YEAR_TOTAL_FULL + """
     SELECT t_s_secyear.customer_id,
@@ -2532,9 +2583,11 @@ _register(
     SUM(ext_list_price − ext_discount_amt) totals — accumulated in
     DECIMAL then compared as DOUBLE ratios (house rule).  Years
     retarget 2001 -> 2000.""",
+    cte="year_total", final_marker="SELECT t_s_secyear.customer_id",
+    ref_prefix="t_",
 )
 
-_register(
+_register_shared_cte(
     "tpcds_q4",
     """
     , year_total AS (
@@ -2622,6 +2675,8 @@ _register(
     growth.  Row-level halving stays in IEEE doubles (deterministic per
     row); per-year totals accumulate in DECIMAL then compare as DOUBLE
     ratios.  Years retarget 2001 -> 2000.""",
+    cte="year_total", final_marker="SELECT t_s_secyear.customer_id",
+    ref_prefix="t_",
 )
 
 _register(

@@ -344,3 +344,28 @@ def test_tpcds_prelude_pruning_exact_and_equivalent(spark):
     got_pruned = [tuple(r) for r in QUERIES["tpcds_q3"](spark, SF_SMALL).collect()]
     got_full = [tuple(r) for r in spark.sql(full_sql).collect()]
     assert got_pruned == got_full
+
+
+def test_tpcds_shared_cte_materialization_equivalent(spark):
+    """r12: q4/q11/q74 materialize year_total once per invocation instead
+    of inlining it per reference.  The materialized spelling must return
+    exactly the inline spelling's rows, and each invocation must write a
+    FRESH scratch directory (no cross-run reuse)."""
+    import os
+
+    import datafusion_spark.queries.tpcds_exec as tx
+
+    # inline spelling, reconstructed from the registered body pieces
+    mat_sql = QUERIES["tpcds_q74"].__defaults__[0]
+    final_sql = QUERIES["tpcds_q74"].__defaults__[1]
+    inline_sql = (
+        mat_sql[: mat_sql.index(" SELECT * FROM year_total")]
+        + final_sql.replace("year_total_tpcds_q74 t_", "year_total t_")
+    ).replace("__SF__", SF_SMALL)
+    got_inline = [tuple(r) for r in spark.sql(inline_sql).collect()]
+    before = set(os.listdir(tx._MAT_TMP)) if os.path.isdir(tx._MAT_TMP) else set()
+    got_mat = [tuple(r) for r in QUERIES["tpcds_q74"](spark, SF_SMALL).collect()]
+    got_mat2 = [tuple(r) for r in QUERIES["tpcds_q74"](spark, SF_SMALL).collect()]
+    after = set(os.listdir(tx._MAT_TMP))
+    assert got_mat == got_inline == got_mat2
+    assert len(after - before) == 2, "each invocation must write fresh scratch"
