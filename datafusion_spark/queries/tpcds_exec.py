@@ -49,6 +49,7 @@ import os
 import re
 import tempfile
 
+from datafusion_spark.catalog import load_table, register_views
 from datafusion_spark.queries.registry import query
 
 # process-local scratch for per-invocation CTE materializations (see
@@ -56,6 +57,26 @@ from datafusion_spark.queries.registry import query
 # invocations, cleaned with the sandbox /tmp
 _MAT_TMP = tempfile.mkdtemp(prefix="dfspark_tpcds_mat_")
 _MAT_SEQ = itertools.count()
+
+# The derive prelude defines a CTE named `customer` (the TPC-DS customer,
+# derived FROM the TPC-H base table).  A later CTE (customer_address) also
+# reads the BASE table — a bare `customer` there would capture the preceding
+# CTE, not the view, so base-customer reads go through this alias view.
+_BASE_ALIAS_STATE: dict[str, str] = {}  # applicationId -> sf_dir registered
+
+
+def _ensure_views(spark, sf_dir: str) -> None:
+    """Session temp views for the derive prelude (r12): a view lookup reuses
+    the relation resolved at registration, where an inline parquet.`path`
+    ref pays ~0.15 s of driver-side listing + footer schema inference on
+    EVERY spark.sql() analysis (measured: q14 full run 4.05 -> 3.04 s).
+    Execution still scans the parquet inputs — this caches metadata only."""
+    register_views(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    if _BASE_ALIAS_STATE.get(app) != sf_dir:
+        load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+            "customer_base")
+        _BASE_ALIAS_STATE[app] = sf_dir
 
 _DATE_LO, _DATE_HI = "1995-01-01", "2001-12-31"
 
@@ -105,7 +126,7 @@ item AS (
          CASE p_size % 5 WHEN 0 THEN 'petite' WHEN 1 THEN 'medium'
               WHEN 2 THEN 'small' WHEN 3 THEN 'large'
               ELSE 'N/A' END AS i_size
-  FROM parquet.`__SF__/part.parquet`
+  FROM part
 ),
 store_sales AS (
   SELECT datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') + 2450000
@@ -134,8 +155,8 @@ store_sales AS (
          l_extendedprice - l_discount AS ss_net_paid,
          l_discount AS ss_coupon_amt,
          l_tax AS ss_sales_price
-  FROM parquet.`__SF__/lineitem.parquet`
-  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
 ),
 time_dim AS (
   SELECT id AS t_time_sk, id AS t_time, CAST(id div 3600 AS INT) AS t_hour,
@@ -209,7 +230,7 @@ customer AS (
          CAST(c_custkey % 1000 + 1 AS INT) AS c_current_cdemo_sk,
          CAST((c_custkey * 7 + 3) % 7200 + 1 AS INT) AS c_current_hdemo_sk,
          c_custkey AS c_current_addr_sk
-  FROM parquet.`__SF__/customer.parquet`
+  FROM customer_base
 ),
 customer_address AS (
   SELECT c_custkey AS ca_address_sk,
@@ -230,7 +251,7 @@ customer_address AS (
          CASE c_custkey % 3 WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo'
               ELSE 'single family' END AS ca_location_type,
          CAST(-8 + c_custkey % 3 AS INT) AS ca_gmt_offset
-  FROM parquet.`__SF__/customer.parquet`
+  FROM customer_base
 ),
 customer_demographics AS (
   SELECT id AS cd_demo_sk,
@@ -295,8 +316,8 @@ web_sales AS (
               ELSE CAST(l_orderkey % 12 + 1 AS INT) END
              AS ws_web_page_sk,
          l_extendedprice - l_quantity AS ws_net_profit
-  FROM parquet.`__SF__/lineitem.parquet`
-  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1
 ),
 catalog_sales AS (
@@ -337,8 +358,8 @@ catalog_sales AS (
          l_extendedprice - l_discount + l_tax AS cs_net_paid_inc_tax,
          CAST((o_custkey * 31 + l_linenumber * 11) % 7200 + 1 AS INT)
              AS cs_bill_hdemo_sk
-  FROM parquet.`__SF__/lineitem.parquet`
-  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2
 ),
 warehouse AS (
@@ -411,8 +432,8 @@ store_returns AS (
          l_extendedprice * 0.05 + l_tax AS sr_net_loss,
          CAST(o_custkey % 1000 + 1 AS INT) AS sr_cdemo_sk,
          CAST(l_partkey % 35 + 1 AS INT) AS sr_reason_sk
-  FROM parquet.`__SF__/lineitem.parquet`
-  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
 ),
 inventory AS (
@@ -422,7 +443,7 @@ inventory AS (
          CAST(p_partkey % 5 + 1 AS INT) AS inv_warehouse_sk,
          CAST((p_partkey * 7 + datediff(CAST(wd AS DATE), DATE '1992-01-01'))
               % 1000 AS INT) AS inv_quantity_on_hand
-  FROM parquet.`__SF__/part.parquet`
+  FROM part
   CROSS JOIN (SELECT explode(sequence(DATE '1995-01-03', DATE '2001-12-31',
                                       INTERVAL 7 DAY)) AS wd)
 ),
@@ -452,8 +473,8 @@ web_returns AS (
          CAST(o_custkey % 1000 + 1 AS INT) AS wr_refunded_cdemo_sk,
          CAST((o_custkey + 1) % 1000 + 1 AS INT) AS wr_returning_cdemo_sk,
          o_custkey + l_linenumber % 2 AS wr_refunded_addr_sk
-  FROM parquet.`__SF__/lineitem.parquet`
-  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 1 AND l_returnflag = 'R'
 ),
 catalog_returns AS (
@@ -476,8 +497,8 @@ catalog_returns AS (
              AS cr_catalog_page_sk,
          l_extendedprice * 0.015 AS cr_reversed_charge,
          l_extendedprice * 0.01 AS cr_store_credit
-  FROM parquet.`__SF__/lineitem.parquet`
-  JOIN parquet.`__SF__/orders.parquet` ON l_orderkey = o_orderkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
   WHERE l_suppkey % 4 = 2 AND l_returnflag = 'R'
 )
 """
@@ -972,6 +993,7 @@ def _register(name: str, body: str, doc: str) -> None:
     pruned_sql = _pruned_prelude(body) + body
 
     def fn(spark, sf_dir, _sql=pruned_sql):
+        _ensure_views(spark, sf_dir)
         return spark.sql(_sql.replace("__SF__", sf_dir))
 
     fn.__name__ = name
@@ -1007,6 +1029,7 @@ def _register_shared_cte(name: str, body: str, doc: str, *,
     assert f"{cte} {ref_prefix}" not in final_sql
 
     def fn(spark, sf_dir, _mat=mat_sql, _final=final_sql, _view=view):
+        _ensure_views(spark, sf_dir)  # derive CTEs read the cached views
         dest = os.path.join(
             _MAT_TMP, f"{name}_{os.getpid()}_{next(_MAT_SEQ)}")
         spark.sql(_mat.replace("__SF__", sf_dir)).write.mode(

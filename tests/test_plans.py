@@ -341,6 +341,7 @@ def test_tpcds_prelude_pruning_exact_and_equivalent(spark):
     body = QUERIES["tpcds_q3"].__defaults__[0]
     body_tail = body[body.index("SELECT dt.d_year"):]
     full_sql = (tx._SPARK_DERIVE + body_tail).replace("__SF__", SF_SMALL)
+    tx._ensure_views(spark, SF_SMALL)  # derive CTEs read the session views
     got_pruned = [tuple(r) for r in QUERIES["tpcds_q3"](spark, SF_SMALL).collect()]
     got_full = [tuple(r) for r in spark.sql(full_sql).collect()]
     assert got_pruned == got_full
@@ -362,6 +363,7 @@ def test_tpcds_shared_cte_materialization_equivalent(spark):
         mat_sql[: mat_sql.index(" SELECT * FROM year_total")]
         + final_sql.replace("year_total_tpcds_q74 t_", "year_total t_")
     ).replace("__SF__", SF_SMALL)
+    tx._ensure_views(spark, SF_SMALL)  # derive CTEs read the session views
     got_inline = [tuple(r) for r in spark.sql(inline_sql).collect()]
     before = set(os.listdir(tx._MAT_TMP)) if os.path.isdir(tx._MAT_TMP) else set()
     got_mat = [tuple(r) for r in QUERIES["tpcds_q74"](spark, SF_SMALL).collect()]
