@@ -112,6 +112,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Resolved-relation cache for a persisted parquet ARTIFACT path (index
+    codes, trained-model tables): same metadata-only reuse as load_table,
+    keyed by the path's mtime_ns so any rewrite re-resolves.  Use only for
+    artifacts that are stable within a session — per-invocation scratch
+    (fresh directory each call) gains nothing and would grow the cache."""
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (spark.sparkContext.applicationId, "", path, mtime)
+    cached = _RELATION_CACHE.get(key)
+    if cached is None:
+        cached = spark.read.parquet(path)
+        _RELATION_CACHE[key] = cached
+    return cached
+
+
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
