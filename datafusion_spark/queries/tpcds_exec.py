@@ -978,6 +978,13 @@ def _pruned_prelude(body: str) -> str:
     text to the tables the query touches.  A missed reference fails loudly
     (TABLE_OR_VIEW_NOT_FOUND), never silently.
     """
+    kept = [text for _, text in _kept_ctes(body)]
+    return "\nWITH " + ",\n".join(kept) + "\n"
+
+
+def _kept_ctes(body: str) -> list[tuple[str, str]]:
+    """The (name, text) derive CTEs ``body`` references, transitively,
+    in original prelude order (the closure _pruned_prelude keeps)."""
     used = {n for n in _CTE_NAMES if re.search(rf"\b{re.escape(n)}\b", body)}
     frontier = list(used)
     while frontier:
@@ -985,8 +992,7 @@ def _pruned_prelude(body: str) -> str:
             if dep not in used:
                 used.add(dep)
                 frontier.append(dep)
-    kept = [text for n, text in _CTES if n in used]
-    return "\nWITH " + ",\n".join(kept) + "\n"
+    return [(n, text) for n, text in _CTES if n in used]
 
 
 def _register(name: str, body: str, doc: str) -> None:
@@ -1034,6 +1040,144 @@ def _register_shared_cte(name: str, body: str, doc: str, *,
             _MAT_TMP, f"{name}_{os.getpid()}_{next(_MAT_SEQ)}")
         spark.sql(_mat.replace("__SF__", sf_dir)).write.mode(
             "overwrite").parquet(dest)
+        spark.read.parquet(dest).createOrReplaceTempView(_view)
+        return spark.sql(_final.replace("__SF__", sf_dir))
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    tags = ("tpcds", "exec", "bench") if name in _BENCH_TPCDS else ("tpcds", "exec")
+    query(name, oracle=_DUCK_DERIVE + body, tags=tags)(fn)
+
+
+# Every TPC-DS fact CTE (3 sales + 3 returns channels) is a projection +
+# filter of the SAME base join — this pattern anchors the shared-fact
+# materialization below; a derive edit that breaks it fails loudly at import.
+_FACT_SRC_RE = re.compile(
+    r"^(\w+) AS \(\s*SELECT\s+(.*?)\s*"
+    r"FROM lineitem\s+JOIN orders ON l_orderkey = o_orderkey\s*"
+    r"(?:WHERE\s+(.*?))?\s*\)$",
+    re.DOTALL)
+
+
+def _split_select_list(sel: str) -> list[str]:
+    """Split a SELECT list on top-level commas (depth-aware; the derive's
+    expressions contain commas only inside parens)."""
+    out, depth, cur = [], 0, []
+    for ch in sel:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur).strip())
+    return out
+
+
+def _register_shared_fact(name: str, body: str, doc: str, *,
+                          facts: list[str],
+                          mat_where: str | None = None,
+                          fact_where: dict[str, str] | None = None) -> None:
+    """Register a query whose body consumes several fact-channel CTEs,
+    materializing their SHARED base join once per invocation (r12,
+    guide §2.4/§3.3: do fewer passes — every channel is a projection of
+    the one lineitem⋈orders join, so N textual fact references need ONE
+    physical pass, not N).
+
+    Mechanics: at registration, each fact CTE named in ``facts`` is parsed
+    into its per-column expressions and channel predicate (they all match
+    _FACT_SRC_RE by construction).  The invocation (a) executes ONE
+    ``SELECT <base cols> FROM lineitem JOIN orders`` pass — base cols
+    pruned to what the body-referenced channel columns actually derive
+    from — into a fresh process-local temp parquet, then (b) runs the
+    UNCHANGED body under a prelude in which each fact CTE is redefined to
+    compute its original column expressions FROM that materialization
+    (original channel WHERE kept verbatim).  The body text is
+    byte-identical to the inline spelling, so results are identical as
+    long as each redefined CTE produces the same rows — which it does by
+    construction, column for column.
+
+    ``mat_where`` / ``fact_where`` optionally push a date predicate that
+    the BODY already implies into the shared scan / one channel's
+    redefinition (e.g. every q14 fact reference joins date_dim on
+    sold_date_sk with d_year constrained; sold_date_sk = f(o_orderdate)
+    with f injective, so the o_orderdate window is exactly the rows that
+    can survive).  Each caller documents its implication; the DuckDB
+    oracle (which runs the original inline text) plus the
+    rewritten==inline row pin in tests/test_plans.py enforce it.
+
+    Fresh scratch dir per invocation — the materialization write happens
+    inside the timed region and nothing persists across runs.
+    """
+    fact_where = fact_where or {}
+    cte_map = dict(_CTES)
+    parsed: dict[str, tuple[dict[str, str], str | None]] = {}
+    for f in facts:
+        m = _FACT_SRC_RE.match(cte_map[f])
+        assert m, f"{name}: fact CTE {f} no longer matches the shared-join pattern"
+        amap: dict[str, str] = {}
+        for item in _split_select_list(m.group(2)):
+            am = re.search(r"\bAS\s+(\w+)\s*$", item)
+            assert am, f"{name}: unaliased column in {f}: {item!r}"
+            amap[am.group(1)] = item[: am.start()].rstrip()
+        parsed[f] = (amap, m.group(3))
+
+    used_cols: dict[str, list[str]] = {}
+    base_cols: set[str] = set()
+    for f in facts:
+        amap, pred = parsed[f]
+        used = [a for a in amap if re.search(rf"\b{a}\b", body)]
+        assert used, f"{name}: no column of {f} referenced by the body"
+        used_cols[f] = used
+        texts = [amap[a] for a in used]
+        texts += [p for p in (pred, fact_where.get(f)) if p]
+        for t in texts:
+            base_cols.update(re.findall(r"\b[lo]_\w+\b", t))
+    if mat_where:
+        base_cols.update(re.findall(r"\b[lo]_\w+\b", mat_where))
+
+    # The materialization only needs rows SOME consumer keeps: when every
+    # fact carries a predicate, their disjunction prunes the shared write
+    # (each channel re-applies its own conjunction on read, so a row that
+    # satisfies no channel's predicate is dead weight).  Single-table
+    # conjuncts (e.g. q95's shared l_suppkey % 4 = 1) additionally push
+    # below the join and shrink the join itself.  Skipped when any fact is
+    # unfiltered (the disjunction would be vacuously true).
+    per_fact_conj = []
+    for f in facts:
+        preds = [p for p in (parsed[f][1], fact_where.get(f)) if p]
+        per_fact_conj.append(" AND ".join(f"({p})" for p in preds)
+                             if preds else None)
+    mat_preds = [p for p in (mat_where,) if p]
+    if all(per_fact_conj):
+        mat_preds.append("(" + " OR ".join(f"({c})" for c in per_fact_conj)
+                         + ")")
+    mat_sql = ("SELECT " + ", ".join(sorted(base_cols))
+               + "\nFROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+               + ("\nWHERE " + " AND ".join(mat_preds) if mat_preds else ""))
+    matview = f"shared_fact_{name}"
+    redefs: dict[str, str] = {}
+    for f in facts:
+        amap, pred = parsed[f]
+        sel = ",\n         ".join(f"{amap[a]} AS {a}" for a in used_cols[f])
+        preds = [p for p in (pred, fact_where.get(f)) if p]
+        w = ("\n  WHERE " + " AND ".join(f"({p})" for p in preds)) if preds else ""
+        redefs[f] = f"{f} AS (\n  SELECT {sel}\n  FROM {matview}{w}\n)"
+    kept = _kept_ctes(body)
+    kept_names = {n for n, _ in kept}
+    assert all(f in kept_names for f in facts), f"{name}: fact not in closure"
+    prelude = "\nWITH " + ",\n".join(
+        redefs.get(n, text) for n, text in kept) + "\n"
+    final_sql = prelude + body
+
+    def fn(spark, sf_dir, _mat=mat_sql, _final=final_sql, _view=matview):
+        _ensure_views(spark, sf_dir)  # lineitem/orders session views
+        dest = os.path.join(
+            _MAT_TMP, f"{name}_{os.getpid()}_{next(_MAT_SEQ)}")
+        spark.sql(_mat).write.mode("overwrite").parquet(dest)
         spark.read.parquet(dest).createOrReplaceTempView(_view)
         return spark.sql(_final.replace("__SF__", sf_dir))
 
@@ -3992,7 +4136,7 @@ _register(
     ca_state 'TX' and the 60-day 1999 window verbatim.""",
 )
 
-_register(
+_register_shared_fact(
     "tpcds_q95",
     """
     , ws_wh AS (
@@ -4027,6 +4171,11 @@ _register(
     subqueries (the second joining returns to the pair set).
     ca_state 'IL' -> 'GA' (derived domain); everything else
     verbatim.""",
+    # web_sales is consumed four ways (ws1 spine + the ws_wh self-join
+    # pair, with ws_wh itself referenced twice); the self-join carries no
+    # date predicate, so the materialization stays unfiltered — the win
+    # is ONE lineitem⋈orders derivation instead of four.
+    facts=["web_sales", "web_returns"],
 )
 
 _DEMOGRAPHIC_EXISTS = """
@@ -4687,7 +4836,7 @@ def _q49_channel(alias: str) -> str:
     """
 
 
-_register(
+_register_shared_fact(
     "tpcds_q49",
     ", "
     + _q49_in("web", "web_sales", "web_returns", "ws", "wr").lstrip()
@@ -4728,6 +4877,22 @@ _register(
     threshold retargets to > 1000 (the derived 0.1x-extendedprice
     refunds cap near 10k, selecting nothing); ordinal ORDER BY
     1,4,5,2 verbatim.""",
+    facts=["store_sales", "web_sales", "catalog_sales",
+           "store_returns", "web_returns", "catalog_returns"],
+    # Each in_* leg constrains its SALES side with {p}_sold_date_sk =
+    # d_date_sk AND d_year = 2000 AND d_moy = 12 (December 2000 lies in
+    # date_dim's domain; the sk mapping is injective in o_orderdate), so
+    # sales rows outside that month never join.  The RETURNS sides carry
+    # no date predicate of their own (they are keyed to the sales rows by
+    # order/item), so they stay unfiltered.
+    fact_where={
+        "store_sales": "o_orderdate >= DATE '2000-12-01'"
+                       " AND o_orderdate <= DATE '2000-12-31'",
+        "web_sales": "o_orderdate >= DATE '2000-12-01'"
+                     " AND o_orderdate <= DATE '2000-12-31'",
+        "catalog_sales": "o_orderdate >= DATE '2000-12-01'"
+                         " AND o_orderdate <= DATE '2000-12-31'",
+    },
 )
 
 
@@ -5292,7 +5457,7 @@ _register(
     diff keys so the LIMIT cut is deterministic under ties.""",
 )
 
-_register(
+_register_shared_fact(
     "tpcds_q78",
     """
     , ws AS (
@@ -5371,6 +5536,24 @@ _register(
     engines.  The three channel aggregations shuffle once each on
     (year, item, customer) and the two LEFT JOINs reuse that
     partitioning.""",
+    facts=["store_sales", "web_sales", "catalog_sales",
+           "store_returns", "web_returns", "catalog_returns"],
+    # The ss aggregate groups by d_year and the final WHERE keeps only
+    # ss_sold_year = 2000, so store fact rows outside calendar-2000 feed
+    # only discarded groups; ws/cs groups join ss on ws/cs_sold_year =
+    # ss_sold_year (= 2000), so their other-year groups never match the
+    # LEFT JOIN either — dropping those input rows removes whole
+    # non-matching groups and nothing else.  The RETURNS channels feed
+    # the never-returned anti-joins (IS NULL) with no date constraint:
+    # a return in ANY year disqualifies a sale, so they stay unfiltered.
+    fact_where={
+        "store_sales": "o_orderdate >= DATE '2000-01-01'"
+                       " AND o_orderdate <= DATE '2000-12-31'",
+        "web_sales": "o_orderdate >= DATE '2000-01-01'"
+                     " AND o_orderdate <= DATE '2000-12-31'",
+        "catalog_sales": "o_orderdate >= DATE '2000-01-01'"
+                         " AND o_orderdate <= DATE '2000-12-31'",
+    },
 )
 
 
@@ -5518,7 +5701,7 @@ def _q14_channel(channel: str, fact: str, p: str) -> str:
               > (SELECT average_sales FROM avg_sales)"""
 
 
-_register(
+_register_shared_fact(
     "tpcds_q14",
     """
     , cross_items AS (
@@ -5595,6 +5778,17 @@ _register(
     list_price products decimal-exact (q17 macro shape); the unnamed
     sum()s alias sum_sales / sum_number_sales on both sides; NULLS
     FIRST pins the rollup under LIMIT 100.  Constants verbatim.""",
+    facts=["store_sales", "web_sales", "catalog_sales"],
+    # Every q14 fact reference joins date_dim on {p}_sold_date_sk =
+    # d_date_sk with d_year BETWEEN 1998 AND 2000 (cross_items,
+    # avg_sales) or d_year = 2000 AND d_moy = 11 (channel legs).
+    # sold_date_sk = datediff(o_orderdate,'1992-01-01') + 2450000 and
+    # d_date_sk is the same injective function of d_date, whose domain
+    # [1995-01-01, 2001-12-31] covers 1998-2000 — so the join match set
+    # is exactly o_orderdate in the window below; rows outside it can
+    # never reach any of the nine fact consumptions.
+    mat_where="o_orderdate >= DATE '1998-01-01'"
+              " AND o_orderdate <= DATE '2000-12-31'",
 )
 
 _Q23_CTES = """

@@ -371,3 +371,37 @@ def test_tpcds_shared_cte_materialization_equivalent(spark):
     after = set(os.listdir(tx._MAT_TMP))
     assert got_mat == got_inline == got_mat2
     assert len(after - before) == 2, "each invocation must write fresh scratch"
+
+
+def test_tpcds_shared_fact_materialization_equivalent(spark):
+    """r12: q14/q49/q78/q95 materialize the shared lineitem⋈orders fact
+    base once per invocation; every consuming channel CTE is redefined to
+    project its original expressions from that materialization (body text
+    unchanged).  The rewritten spelling must return exactly the inline
+    spelling's rows — including under the per-channel date predicates the
+    registration pushes into the materialization — and each invocation
+    must write a FRESH scratch directory (no cross-run reuse)."""
+    import os
+    from collections import Counter
+
+    import datafusion_spark.queries.tpcds_exec as tx
+    from datafusion_spark.queries import ORACLES
+
+    tx._ensure_views(spark, SF_SMALL)
+    for name in ("tpcds_q14", "tpcds_q49"):
+        body = ORACLES[name][len(tx._DUCK_DERIVE):]
+        inline_sql = (tx._pruned_prelude(body) + body).replace("__SF__", SF_SMALL)
+        got_inline = Counter(map(repr, spark.sql(inline_sql).collect()))
+        before = set(os.listdir(tx._MAT_TMP)) if os.path.isdir(tx._MAT_TMP) else set()
+        got_mat = Counter(map(repr, QUERIES[name](spark, SF_SMALL).collect()))
+        after = set(os.listdir(tx._MAT_TMP))
+        assert got_mat == got_inline, name
+        assert len(after - before) == 1, "each invocation must write fresh scratch"
+        # the registered final statement reads the shared view, never the join
+        final_sql = QUERIES[name].__defaults__[1]
+        assert f"shared_fact_{name}" in final_sql
+        assert "JOIN orders" not in final_sql
+        # the materialization statement is the single base-join pass, pruned
+        mat_sql = QUERIES[name].__defaults__[0]
+        assert mat_sql.count("JOIN orders") == 1
+        assert "l_linenumber" not in mat_sql  # q14/q49 never derive from it
