@@ -4136,7 +4136,7 @@ _register(
     ca_state 'TX' and the 60-day 1999 window verbatim.""",
 )
 
-_register_shared_fact(
+_register(
     "tpcds_q95",
     """
     , ws_wh AS (
@@ -4171,11 +4171,6 @@ _register_shared_fact(
     subqueries (the second joining returns to the pair set).
     ca_state 'IL' -> 'GA' (derived domain); everything else
     verbatim.""",
-    # web_sales is consumed four ways (ws1 spine + the ws_wh self-join
-    # pair, with ws_wh itself referenced twice); the self-join carries no
-    # date predicate, so the materialization stays unfiltered — the win
-    # is ONE lineitem⋈orders derivation instead of four.
-    facts=["web_sales", "web_returns"],
 )
 
 _DEMOGRAPHIC_EXISTS = """
