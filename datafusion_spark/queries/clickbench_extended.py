@@ -24,12 +24,14 @@ scan-side expression evaluation (zero shuffles).
 from __future__ import annotations
 
 from datafusion_spark.catalog import load_table
-from datafusion_spark.queries.clickbench_full import _hits_select
+from datafusion_spark.queries.clickbench_full import _hits_select, _pruned_hits_spark
 from datafusion_spark.queries.registry import query
 
 
 def _cbx(n: int, body: str, duck_body: str | None = None, tags: tuple = ()):
-    spark_sql = f"WITH hits AS ({_hits_select('spark')})\n{body}"
+    # Spark side: hits CTE pruned to the referenced columns (analysis-cost
+    # optimization, see _pruned_hits_spark); DuckDB oracle text untouched.
+    spark_sql = f"WITH hits AS ({_pruned_hits_spark(body)})\n{body}"
     duck_sql = f"WITH hits AS ({_hits_select('duck')})\n{duck_body or body}"
 
     def fn(spark, sf_dir, _sql=spark_sql):

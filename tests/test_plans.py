@@ -347,6 +347,50 @@ def test_tpcds_prelude_pruning_exact_and_equivalent(spark):
     assert got_pruned == got_full
 
 
+def test_clickbench_hits_pruning_exact_and_equivalent(spark):
+    """r12: the Spark-side hits CTE is pruned per query to the referenced
+    columns (the full 44-column projection cost 130–160 ms of driver
+    analysis per run).  The split must (a) reconstruct the full CTE
+    byte-exactly, (b) keep referenced / drop unreferenced columns, and
+    (c) every cb_q*/cbx_q* entry must return exactly the full-CTE
+    spelling's rows.  The DuckDB oracle text is untouched by design."""
+    import re
+
+    import datafusion_spark.queries.clickbench_full as cf
+
+    # (a) byte-exact reconstruction of the full CTE from the split
+    head, _, tail = cf._HITS_SPARK_FULL.partition("SELECT")
+    chunk_body, _, src = tail.rpartition("\nFROM ")
+    rebuilt = head + "SELECT" + ",".join(c for _, c in cf._HITS_SPARK_COLS) \
+        + "\nFROM " + src
+    assert rebuilt == cf._HITS_SPARK_FULL
+    assert len(cf._HITS_SPARK_COLS) == 43
+
+    # (b) referenced kept, unreferenced dropped, word-boundary respected
+    pruned = cf._pruned_hits_spark(
+        "SELECT URL, COUNT(*) FROM hits WHERE SearchPhrase <> ''")
+    assert re.search(r"\bAS URL\b", pruned)
+    assert "AS SearchPhrase" in pruned
+    assert "AS URLHash" not in pruned  # \bURL\b must not match URLHash
+    assert "AS Age" not in pruned
+
+    # (c) pruned and full spellings return identical rows for every entry
+    full_cte = f"WITH hits AS ({cf._HITS_SPARK_FULL})"
+    names = sorted(n for n in QUERIES
+                   if re.fullmatch(r"cbx?_q\d+", n))
+    assert len(names) == 57
+    for name in names:
+        fn = QUERIES[name]
+        got_pruned = sorted(
+            map(tuple, fn(spark, SF_SMALL).collect()))  # registers events_cb
+        sql = fn.__defaults__[0]
+        _, sep, body = sql.partition("\nFROM events_cb\n)\n")
+        assert sep, f"{name}: unexpected spark_sql shape"
+        got_full = sorted(
+            map(tuple, spark.sql(f"{full_cte}\n{body}").collect()))
+        assert got_pruned == got_full, name
+
+
 def test_tpcds_shared_cte_materialization_equivalent(spark):
     """r12: q4/q11/q74 materialize year_total once per invocation instead
     of inlining it per reference.  The materialized spelling must return
