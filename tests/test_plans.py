@@ -440,11 +440,18 @@ def test_tpcds_shared_fact_materialization_equivalent(spark):
         got_mat = Counter(map(repr, QUERIES[name](spark, SF_SMALL).collect()))
         after = set(os.listdir(tx._MAT_TMP))
         assert got_mat == got_inline, name
-        assert len(after - before) == 1, "each invocation must write fresh scratch"
+        n_mats = 1 + len(QUERIES[name].__defaults__[3])  # fact mat + cte mats
+        assert len(after - before) == n_mats, "each invocation writes fresh scratch"
         # the registered final statement reads the shared view, never the join
         final_sql = QUERIES[name].__defaults__[1]
         assert f"shared_fact_{name}" in final_sql
         assert "JOIN orders" not in final_sql
+        if name == "tpcds_q14":
+            # cross_items is second-level materialized: the 3-channel
+            # INTERSECT runs once in its mat, never in the final statement
+            assert "INTERSECT" not in final_sql
+            assert "cross_items AS (SELECT * FROM cross_items_m_tpcds_q14)" \
+                in final_sql
         # the materialization statement is the single base-join pass, pruned
         mat_sql = QUERIES[name].__defaults__[0]
         assert mat_sql.count("JOIN orders") == 1
