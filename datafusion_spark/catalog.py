@@ -112,20 +112,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Resolved-relation cache for a persisted parquet ARTIFACT path (index
-    codes, trained-model tables): same metadata-only reuse as load_table,
-    keyed by the path's mtime_ns so any rewrite re-resolves.  Use only for
-    artifacts that are stable within a session — per-invocation scratch
-    (fresh directory each call) gains nothing and would grow the cache."""
-    try:
-        mtime = os.stat(path).st_mtime_ns
-    except OSError:
-        mtime = -1
-    key = (spark.sparkContext.applicationId, "", path, mtime)
+def cached_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Resolved-relation cache for persisted parquet ARTIFACT path(s) (index
+    segments, codes, trained-model tables): same metadata-only reuse as
+    load_table — the ~0.15-0.4 s of driver-side listing + footer schema
+    inference per spark.read.parquet call — keyed by each path's mtime_ns
+    so any rewrite re-resolves.  Execution still scans the parquet files
+    fresh on every action.  Use only for artifacts that are stable within
+    a session — per-invocation scratch (fresh directory each call) gains
+    nothing and would grow the cache."""
+    def _mt(p: str) -> int:
+        try:
+            return os.stat(p).st_mtime_ns
+        except OSError:
+            return -1
+    key = (spark.sparkContext.applicationId, "",
+           tuple((p, _mt(p)) for p in paths))
     cached = _RELATION_CACHE.get(key)
     if cached is None:
-        cached = spark.read.parquet(path)
+        cached = spark.read.parquet(*paths)
         _RELATION_CACHE[key] = cached
     return cached
 

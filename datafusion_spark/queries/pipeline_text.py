@@ -21,7 +21,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_spark.catalog import load_table
+from datafusion_spark.catalog import cached_parquet, load_table
 from datafusion_spark.queries.helpers import fan_out
 from datafusion_spark.queries.registry import query
 from datafusion_spark.queries.helpers import values_df
@@ -1466,20 +1466,24 @@ def _bm25_serve_plan(spark, segs: list[str], n_docs: int, total_len: int,
         "qid int, term string",
     )
     terms = sorted({t for ts in queries.values() for t in ts})
-    postings = (spark.read.parquet(*[os.path.join(s, "postings")
-                                     for s in segs])
+    # cached_parquet: resolved-relation reuse for the write-once index
+    # artifacts (r12 — each spark.read.parquet cost 0.15-0.4 s of driver
+    # listing/schema inference per serve call; execution still scans the
+    # files fresh, mtime keying re-resolves any republished artifact)
+    postings = (cached_parquet(spark, *[os.path.join(s, "postings")
+                                        for s in segs])
                 .filter(F.col("term").isin(terms)))
     if tomb is not None:
-        dead = spark.read.parquet(os.path.join(tomb, "tombstones"))
+        dead = cached_parquet(spark, os.path.join(tomb, "tombstones"))
         postings = postings.join(dead, "doc_id", "left_anti")
-    dl = spark.read.parquet(*[os.path.join(s, "doclen") for s in segs])
+    dl = cached_parquet(spark, *[os.path.join(s, "doclen") for s in segs])
     # Prune term_stats to the query-term set BEFORE broadcasting (same
     # IN-filter the postings scan gets): the unfiltered table is
     # vocabulary-sized — 1e8+ terms at a 100 TB corpus — and a full-vocab
     # broadcast OOMs the executors (r9 judge find).  Pruned, it is
     # |union of query terms| rows, bounded by the batch.
-    tstats = (spark.read.parquet(*[os.path.join(s, "term_stats")
-                                   for s in segs])
+    tstats = (cached_parquet(spark, *[os.path.join(s, "term_stats")
+                                      for s in segs])
               .filter(F.col("term").isin(terms))
               .groupBy("term").agg(F.sum("df").alias("df")))
     if tomb is not None:
@@ -1489,7 +1493,7 @@ def _bm25_serve_plan(spark, segs: list[str], n_docs: int, total_len: int,
         # distinct column names — the unparser then renders an
         # unambiguous ON clause (r11: same-named outer-join keys were
         # the entry's last AMBIGUOUS_REFERENCE refusal).
-        ddf = (spark.read.parquet(os.path.join(tomb, "term_stats"))
+        ddf = (cached_parquet(spark, os.path.join(tomb, "term_stats"))
                .filter(F.col("term").isin(terms))
                .select(F.col("term").alias("dterm"),
                        F.col("df").alias("ddf")))
