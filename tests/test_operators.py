@@ -930,3 +930,57 @@ def test_substring_windows_per_doc_distinct_rewrite(spark):
         wins = {hashlib.md5(" ".join(toks[i:i + 8]).encode()).hexdigest()
                 for i in range(len(toks) - 7)}
         assert rows[d.doc_id].total_windows == len(wins)
+
+
+def test_expr_fold_helpers_bit_equal(spark):
+    """r12 §12 pins: cos_expr/l2sq_expr (single-parse F.expr spellings of
+    the lambda-built folds — ~110 ms of py4j round-trips per cosine
+    collapsed to one gateway call) are BIT-equal to the Column spellings
+    and optimize to the identical plan modulo expression IDs and lambda
+    variable names, on vectors exercising negatives, zeros and non-dyadic
+    fractions."""
+    import re
+
+    from datafusion_spark.queries.pipeline_similarity import (
+        cos_expr,
+        cosine,
+        dot_decimal,
+        l2sq_expr,
+        norm2_decimal,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, -2.5, 3.75, 0.0], [1.1, 0.3, -0.2, 9.25]),
+            (2, [1e-9, 2e9, -0.125, 7.5], [0.1, 0.1, 0.1, 0.1]),
+            (3, [-1.0, -1.0, 4.5, 2.25], [3.0, -0.7, 0.33, 1e-3]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    old = df.select(
+        "id",
+        cosine(
+            dot_decimal(F.col("a"), F.col("b")),
+            norm2_decimal(F.col("a")),
+            norm2_decimal(F.col("b")),
+        ).alias("c"),
+        F.aggregate(
+            F.zip_with(F.col("a"), F.col("b"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d"),
+    )
+    new = df.select(
+        "id", cos_expr("a", "b").alias("c"), l2sq_expr("a", "b").alias("d")
+    )
+    ro, rn = old.collect(), new.collect()
+    assert [(r.id, r.c, r.d) for r in ro] == [(r.id, r.c, r.d) for r in rn]
+
+    def norm(d):
+        p = d._jdf.queryExecution().optimizedPlan().toString()
+        p = re.sub(r"#\d+", "#N", p)
+        p = re.sub(r"lambda '?\w+", "lambda V", p)
+        p = re.sub(r"\b(x|y|acc|v)_?\d*\b", "V", p)
+        return p
+
+    assert norm(old) == norm(new)
