@@ -995,7 +995,13 @@ def _kept_ctes(body: str) -> list[tuple[str, str]]:
     return [(n, text) for n, text in _CTES if n in used]
 
 
+# raw body text per registered query — the inline spelling every rewrite
+# must stay row-identical to (used by tests and same-JVM A/B harnesses)
+_BODIES: dict[str, str] = {}
+
+
 def _register(name: str, body: str, doc: str) -> None:
+    _BODIES[name] = body
     pruned_sql = _pruned_prelude(body) + body
 
     def fn(spark, sf_dir, _sql=pruned_sql):
@@ -1010,7 +1016,8 @@ def _register(name: str, body: str, doc: str) -> None:
 
 def _register_shared_cte(name: str, body: str, doc: str, *,
                          cte: str, final_marker: str,
-                         ref_prefix: str) -> None:
+                         ref_prefix: str | tuple[str, ...],
+                         mat_where: str | None = None) -> None:
     """Register a query whose final statement consumes one heavy CTE many
     times, materializing that CTE ONCE per invocation (r12, guide §3.3).
 
@@ -1027,12 +1034,22 @@ def _register_shared_cte(name: str, body: str, doc: str, *,
     unparser round-trip is preserved (a localCheckpoint would analyze to
     LogicalRDD, a refusal class).  Results identical; same oracle.
     """
+    _BODIES[name] = body
     idx = body.index(final_marker)
     ctes_part, final_part = body[:idx], body[idx:]
-    mat_sql = _pruned_prelude(body) + ctes_part + f" SELECT * FROM {cte}"
+    # ``mat_where`` (r13) prunes the materialization to rows the final
+    # statement can consume, when the final statement's own predicates
+    # imply it (e.g. q64 reads only syear 2000/2001 of cross_sales) — the
+    # filter is on CTE OUTPUT columns, so equivalence is plain predicate
+    # pushdown; the DuckDB oracle runs the inline text and the
+    # rewritten==inline row pin in tests/test_plans.py enforces it.
+    mat_sql = (_pruned_prelude(body) + ctes_part + f" SELECT * FROM {cte}"
+               + (f" WHERE {mat_where}" if mat_where else ""))
     view = f"{cte}_{name}"
-    final_sql = final_part.replace(f"{cte} {ref_prefix}", f"{view} {ref_prefix}")
-    assert f"{cte} {ref_prefix}" not in final_sql
+    final_sql = final_part
+    for rp in ((ref_prefix,) if isinstance(ref_prefix, str) else ref_prefix):
+        final_sql = final_sql.replace(f"{cte} {rp}", f"{view} {rp}")
+        assert f"{cte} {rp}" not in final_sql
 
     def fn(spark, sf_dir, _mat=mat_sql, _final=final_sql, _view=view):
         _ensure_views(spark, sf_dir)  # derive CTEs read the cached views
@@ -1131,6 +1148,7 @@ def _register_shared_fact(name: str, body: str, doc: str, *,
     Fresh scratch dir per invocation — the materialization write happens
     inside the timed region and nothing persists across runs.
     """
+    _BODIES[name] = body
     fact_where = fact_where or {}
     cte_map = dict(_CTES)
     parsed: dict[str, tuple[dict[str, str], str | None]] = {}

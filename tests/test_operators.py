@@ -976,6 +976,11 @@ def test_expr_fold_helpers_bit_equal(spark):
     ro, rn = old.collect(), new.collect()
     assert [(r.id, r.c, r.d) for r in ro] == [(r.id, r.c, r.d) for r in rn]
 
+    # the lambda-variable rewrite below would also hit real columns named
+    # x/y/acc/v and could mask a genuine plan difference (r12 ADVICE) —
+    # fail loudly if the test schema ever grows such a column
+    assert not set(df.columns) & {"x", "y", "acc", "v"}
+
     def norm(d):
         p = d._jdf.queryExecution().optimizedPlan().toString()
         p = re.sub(r"#\d+", "#N", p)
