@@ -966,7 +966,7 @@ _CTE_DEPS = {
 }
 
 
-def _pruned_prelude(body: str) -> str:
+def _pruned_prelude(body: str, cte_where: dict[str, str] | None = None) -> str:
     """The derive prelude restricted to the CTEs ``body`` references.
 
     spark.sql() re-analyzes its whole text on EVERY execution, and the full
@@ -977,9 +977,55 @@ def _pruned_prelude(body: str) -> str:
     exactly what the analyzer itself would discard) and cuts the analyzed
     text to the tables the query touches.  A missed reference fails loudly
     (TABLE_OR_VIEW_NOT_FOUND), never silently.
+
+    ``cte_where`` (r13, guide §2.3 "shuffle fewer bytes"): extra predicate
+    appended to a named derive CTE, for pushing a date window the BODY
+    already implies below the fact's base join (the body's d_* constraint
+    reaches the fact only at the date_dim broadcast join — AFTER the
+    lineitem⋈orders pass; sold_date_sk = f(o_orderdate) with f injective,
+    so the o_orderdate window keeps exactly the rows that can survive).
+    Each call site documents its implication; the DuckDB oracle runs the
+    UNMODIFIED body and the rewritten==inline row pins in tests/
+    test_plans.py enforce equivalence.
     """
-    kept = [text for _, text in _kept_ctes(body)]
-    return "\nWITH " + ",\n".join(kept) + "\n"
+    kept = _kept_ctes(body)
+    if cte_where:
+        missing = set(cte_where) - {n for n, _ in kept}
+        assert not missing, f"cte_where targets not in closure: {missing}"
+        kept = [(n, _append_where(text, n, cte_where[n]))
+                if n in cte_where else (n, text) for n, text in kept]
+    return "\nWITH " + ",\n".join(text for _, text in kept) + "\n"
+
+
+def _append_where(text: str, name: str, pred: str) -> str:
+    """CTE text with ``pred`` conjoined to its WHERE clause (the predicate
+    references BASE-table columns like o_orderdate, which the CTE's
+    projection drops — so it must land inside the CTE, not around it).
+    Depth-aware scan for an existing top-level WHERE; the derive CTEs this
+    targets are plain SELECT..FROM..[WHERE] shapes (asserted)."""
+    prefix = f"{name} AS ("
+    assert text.startswith(prefix) and text.rstrip().endswith(")"), text[:60]
+    inner = text.rstrip()[len(prefix):-1]
+    depth, has_where = 0, False
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and inner[i:i + 6] == "WHERE " and (
+                i == 0 or not (inner[i - 1].isalnum() or inner[i - 1] == "_")):
+            has_where = True
+    for kw in ("GROUP BY", "HAVING", "ORDER BY", "LIMIT"):
+        d = 0
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            assert not (d == 0 and inner[i:i + len(kw)] == kw), \
+                f"{name}: cte_where cannot target a CTE with top-level {kw}"
+    conj = "AND" if has_where else "WHERE"
+    return f"{prefix}{inner}\n  {conj} ({pred})\n)"
 
 
 def _kept_ctes(body: str) -> list[tuple[str, str]]:
@@ -1000,9 +1046,17 @@ def _kept_ctes(body: str) -> list[tuple[str, str]]:
 _BODIES: dict[str, str] = {}
 
 
-def _register(name: str, body: str, doc: str) -> None:
+def _register(name: str, body: str, doc: str, *,
+              spark_body: str | None = None,
+              cte_where: dict[str, str] | None = None) -> None:
+    """``spark_body`` (r13): an equivalent respelling executed Spark-side
+    while the DuckDB oracle keeps running ``body`` verbatim (e.g. q67's
+    two-phase rollup).  Every divergence between the two texts must carry a
+    call-site equivalence argument and a rewritten==inline row pin in
+    tests/test_plans.py; the oracle check enforces it on every run."""
     _BODIES[name] = body
-    pruned_sql = _pruned_prelude(body) + body
+    sbody = spark_body or body
+    pruned_sql = _pruned_prelude(sbody, cte_where) + sbody
 
     def fn(spark, sf_dir, _sql=pruned_sql):
         _ensure_views(spark, sf_dir)
@@ -1017,7 +1071,8 @@ def _register(name: str, body: str, doc: str) -> None:
 def _register_shared_cte(name: str, body: str, doc: str, *,
                          cte: str, final_marker: str,
                          ref_prefix: str | tuple[str, ...],
-                         mat_where: str | None = None) -> None:
+                         mat_where: str | None = None,
+                         cte_where: dict[str, str] | None = None) -> None:
     """Register a query whose final statement consumes one heavy CTE many
     times, materializing that CTE ONCE per invocation (r12, guide §3.3).
 
@@ -1043,7 +1098,8 @@ def _register_shared_cte(name: str, body: str, doc: str, *,
     # filter is on CTE OUTPUT columns, so equivalence is plain predicate
     # pushdown; the DuckDB oracle runs the inline text and the
     # rewritten==inline row pin in tests/test_plans.py enforces it.
-    mat_sql = (_pruned_prelude(body) + ctes_part + f" SELECT * FROM {cte}"
+    mat_sql = (_pruned_prelude(body, cte_where) + ctes_part
+               + f" SELECT * FROM {cte}"
                + (f" WHERE {mat_where}" if mat_where else ""))
     view = f"{cte}_{name}"
     final_sql = final_part
@@ -4786,16 +4842,17 @@ _register(
     FIRST on the rollup-NULL order key.""",
 )
 
-_register(
-    "tpcds_q67",
-    """
-    SELECT * FROM
-      (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
-              d_moy, s_store_id,
-              CAST(sumsales AS DOUBLE) AS sumsales,
-              CAST(rank() OVER (PARTITION BY i_category
-                                ORDER BY sumsales DESC) AS BIGINT) AS rk
-       FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+# q67 body (oracle + equivalence baseline) and its Spark-side respelling.
+# The inner aggregate is replaced by a TWO-PHASE rollup for execution:
+# finest-grain GROUP BY first, then ROLLUP over the partial sums.  Every
+# rollup level is a coarsening of the 8-column finest grain and DECIMAL
+# addition is exact and associative, so SUM(ps) per grouping set equals the
+# inline SUM — rows identical (pinned at 2 SFs in test_plans.py; measured
+# r13 interleaved A/B at sf0.1: inline 2.59 s -> two-phase 1.79 s min).
+# At 100 TB the win is the same §2.3 story: Expand(9x) runs over the
+# compacted finest-grain groups, not over every fact row, so the map-side
+# hash aggregate processes ~9x fewer rows.
+_Q67_INNER = """(SELECT i_category, i_class, i_brand, i_product_name, d_year,
                     d_qoy, d_moy, s_store_id,
                     SUM(CAST(coalesce(ss_sales_price * ss_quantity, 0)
                              AS DECIMAL(38,6))) AS sumsales
@@ -4805,7 +4862,33 @@ _register(
                AND ss_store_sk = s_store_sk
                AND d_month_seq BETWEEN 1248 AND 1248 + 11
              GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
-                             d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+                             d_year, d_qoy, d_moy, s_store_id)) dw1"""
+
+_Q67_INNER_TWOPHASE = """(SELECT i_category, i_class, i_brand,
+                    i_product_name, d_year, d_qoy, d_moy, s_store_id,
+                    SUM(ps) AS sumsales
+             FROM (SELECT i_category, i_class, i_brand, i_product_name,
+                          d_year, d_qoy, d_moy, s_store_id,
+                          SUM(CAST(coalesce(ss_sales_price * ss_quantity, 0)
+                                   AS DECIMAL(38,6))) AS ps
+                   FROM store_sales, date_dim, store, item
+                   WHERE ss_sold_date_sk = d_date_sk
+                     AND ss_item_sk = i_item_sk
+                     AND ss_store_sk = s_store_sk
+                     AND d_month_seq BETWEEN 1248 AND 1248 + 11
+                   GROUP BY i_category, i_class, i_brand, i_product_name,
+                            d_year, d_qoy, d_moy, s_store_id) base
+             GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
+                             d_year, d_qoy, d_moy, s_store_id)) dw1"""
+
+_Q67_BODY = f"""
+    SELECT * FROM
+      (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+              d_moy, s_store_id,
+              CAST(sumsales AS DOUBLE) AS sumsales,
+              CAST(rank() OVER (PARTITION BY i_category
+                                ORDER BY sumsales DESC) AS BIGINT) AS rk
+       FROM {_Q67_INNER}) dw2
     WHERE rk <= 100
     ORDER BY i_category ASC NULLS FIRST, i_class ASC NULLS FIRST,
              i_brand ASC NULLS FIRST, i_product_name ASC NULLS FIRST,
@@ -4813,13 +4896,30 @@ _register(
              d_moy ASC NULLS FIRST, s_store_id ASC NULLS FIRST,
              sumsales, rk
     LIMIT 100
-    """,
+    """
+
+_register(
+    "tpcds_q67",
+    _Q67_BODY,
     doc="""TPC-DS q67 (reference tpcds_sql/67.sql) executed: top-100
     revenue rows per category over an EIGHT-level rollup — the rank
     window runs over the rollup output itself (partition boundaries
     include the all-NULL super-aggregate rows).  Rank orders by the
     exact DECIMAL sum; the LIMIT's ORDER BY spells NULLS FIRST on
-    every rollup key (cut rule); month-seq 1212 -> 1248.""",
+    every rollup key (cut rule); month-seq 1212 -> 1248.
+    Spark-side execution (r13): two-phase rollup + the o_orderdate
+    window pushed below the fact base join (equivalence arguments at
+    the spelling definitions above and in _pruned_prelude).""",
+    spark_body=_Q67_BODY.replace(_Q67_INNER, _Q67_INNER_TWOPHASE),
+    # d_month_seq BETWEEN 1248 AND 1259 == calendar months 1996-01..
+    # 1996-12 (d_month_seq = 1200 + (year-1992)*12 + month-1), and
+    # ss_sold_date_sk = datediff(o_orderdate,'1992-01-01') + 2450000 =
+    # d_date_sk forces o_orderdate = d_date — so the 1996 o_orderdate
+    # window keeps exactly the fact rows the d_month_seq join keeps,
+    # now pruned BEFORE the lineitem⋈orders pass (r13 A/B at sf0.1:
+    # with two-phase, min 1.79 -> 1.37 s; rows identical all cycles).
+    cte_where={"store_sales": "o_orderdate BETWEEN DATE '1996-01-01' "
+                              "AND DATE '1996-12-31'"},
 )
 
 
@@ -5984,7 +6084,7 @@ _register(
     than DuckDB); netpaid stays decimal until comparison/output.""",
 )
 
-_register(
+_register_shared_cte(
     "tpcds_q64",
     """
     , cs_ui AS (
@@ -6086,7 +6186,27 @@ _register(
     921..985 (derived 900-1000 retail domain).  cs2 duplicate
     column names (syear, cnt) alias syear2/cnt2 so the driver frame
     is hashable; money decimal-exact to the final CASTs.  No LIMIT:
-    the hash compare is order-insensitive, ORDER BY kept verbatim.""",
+    the hash compare is order-insensitive, ORDER BY kept verbatim.
+
+    Execution shape (r13, guide §3.3/§2.3): cross_sales — consumed
+    twice by the year-over-year self-join — is materialized ONCE per
+    invocation (Spark inlines the CTE, so the inline spelling ran the
+    whole 17-relation chain, its fact pass, cs_ui and ~15 dimension
+    broadcast builds TWICE; the r13 stage profile shows the two
+    duplicated agg stages reading the same 22 MB fact shuffle).  The
+    mat keeps only syear IN (2000, 2001) — the final statement's own
+    cs1.syear = 2000 / cs2.syear = 2001 predicates — and the
+    equivalent o_orderdate >= DATE '2000-01-01' window is pushed
+    below the fact base join (ss_sold_date_sk = f(o_orderdate),
+    f injective, calendar ends 2001-12-31, so the window keeps
+    exactly the rows whose d1 join can satisfy the syear filter).
+    r13 interleaved A/B at sf0.1: inline 2.70/3.87 (min/med) ->
+    2.28/2.36 s, rows identical every cycle; pinned at 2 SFs.""",
+    cte="cross_sales",
+    final_marker="SELECT cs1.product_name",
+    ref_prefix=("cs1", "cs2"),
+    mat_where="syear IN (2000, 2000 + 1)",
+    cte_where={"store_sales": "o_orderdate >= DATE '2000-01-01'"},
 )
 
 

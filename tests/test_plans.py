@@ -456,3 +456,46 @@ def test_tpcds_shared_fact_materialization_equivalent(spark):
         mat_sql = QUERIES[name].__defaults__[0]
         assert mat_sql.count("JOIN orders") == 1
         assert "l_linenumber" not in mat_sql  # q14/q49 never derive from it
+
+
+def test_tpcds_q64_q67_rewrite_equivalent(spark):
+    """r13: q64 materializes cross_sales once per invocation with the
+    syear window pruned into the mat and the equivalent o_orderdate window
+    pushed below the fact base join; q67 executes a two-phase rollup with
+    the same o_orderdate push.  Both rewrites must return exactly the
+    inline spelling's rows (the spelling the DuckDB oracle runs) at two
+    SFs, and q64 must write fresh scratch per invocation."""
+    import os
+    from collections import Counter
+
+    import datafusion_spark.queries.tpcds_exec as tx
+
+    for sf in (SF_SMALL, "/root/testdata/sf0.01"):
+        tx._ensure_views(spark, sf)
+        for name in ("tpcds_q64", "tpcds_q67"):
+            body = tx._BODIES[name]
+            inline_sql = (tx._pruned_prelude(body) + body).replace("__SF__", sf)
+            got_inline = Counter(map(repr, spark.sql(inline_sql).collect()))
+            before = (set(os.listdir(tx._MAT_TMP))
+                      if os.path.isdir(tx._MAT_TMP) else set())
+            got_new = Counter(map(repr, QUERIES[name](spark, sf).collect()))
+            after = set(os.listdir(tx._MAT_TMP))
+            assert got_new == got_inline, (name, sf)
+            if name == "tpcds_q64":
+                assert len(after - before) == 1, "q64 writes fresh scratch"
+
+    # structural pins: the executed texts carry the pushed windows and the
+    # two-phase shape; the oracle bodies do NOT (they stay the inline text)
+    q64_mat = QUERIES["tpcds_q64"].__defaults__[0]
+    q64_final = QUERIES["tpcds_q64"].__defaults__[1]
+    assert "o_orderdate >= DATE '2000-01-01'" in q64_mat
+    assert "syear IN (2000, 2000 + 1)" in q64_mat
+    assert "cross_sales_tpcds_q64 cs1" in q64_final
+    assert "cross_sales" not in q64_final.replace("cross_sales_tpcds_q64", "")
+    q67_sql = QUERIES["tpcds_q67"].__defaults__[0]
+    assert "o_orderdate BETWEEN DATE '1996-01-01'" in q67_sql
+    assert q67_sql.count("GROUP BY ROLLUP") == 1
+    assert "SUM(ps) AS sumsales" in q67_sql  # two-phase: ROLLUP over sums
+    for name in ("tpcds_q64", "tpcds_q67"):
+        assert "o_orderdate" not in tx._BODIES[name]
+        assert "SUM(ps)" not in tx._BODIES[name]

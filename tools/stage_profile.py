@@ -34,10 +34,15 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
-    from datafusion_spark import get_spark
-    from datafusion_spark.queries import QUERIES
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("stage-profile")
+    from datafusion_spark.queries import QUERIES
+    from datafusion_spark.session import _DEF_CPUS, tune
+
+    # same tuned session as get_spark, but with the UI (REST API) enabled
+    spark = (tune(SparkSession.builder.appName("stage-profile")
+                  .master(f"local[{_DEF_CPUS}]"))
+             .config("spark.ui.enabled", "true").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(os.path.join(args.sf, "lineitem.parquet")).count()
     base = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
