@@ -2787,9 +2787,16 @@ _register_shared_cte(
     decimal detour is needed; the growth-ratio comparison divides two
     exact row values (bit-identical cross-engine).  Years retarget
     2001 -> 2000 (last full calendar pair); 'year' alias spelled dyear
-    as in the reference's own q11 to stay reserved-word-safe.""",
+    as in the reference's own q11 to stay reserved-word-safe.
+    r13: year_total's own d_year IN (2000, 2001) reaches the facts only
+    at the date_dim joins; the equivalent o_orderdate window is pushed
+    below both channel base joins (injective sold_date_sk = f(o_orderdate),
+    calendar ends 2001-12-31).  A/B at sf0.1: 0.82 -> 0.72 s min, rows
+    identical; pinned with q4/q11 in test_plans.py.""",
     cte="year_total", final_marker="SELECT t_s_secyear.customer_id",
     ref_prefix="t_",
+    cte_where={"store_sales": "o_orderdate >= DATE '2000-01-01'",
+               "web_sales": "o_orderdate >= DATE '2000-01-01'"},
 )
 
 _YEAR_TOTAL_FULL = """
@@ -2867,9 +2874,14 @@ _register_shared_cte(
     birth country, login, email all derived deterministically) and
     SUM(ext_list_price − ext_discount_amt) totals — accumulated in
     DECIMAL then compared as DOUBLE ratios (house rule).  Years
-    retarget 2001 -> 2000.""",
+    retarget 2001 -> 2000.
+    r13: o_orderdate >= 2000-01-01 pushed below both channel base joins
+    (same injectivity argument as q74).  A/B at sf0.1: 1.42 -> 1.21 s
+    min, rows identical.""",
     cte="year_total", final_marker="SELECT t_s_secyear.customer_id",
     ref_prefix="t_",
+    cte_where={"store_sales": "o_orderdate >= DATE '2000-01-01'",
+               "web_sales": "o_orderdate >= DATE '2000-01-01'"},
 )
 
 _register_shared_cte(
@@ -2959,9 +2971,15 @@ _register_shared_cte(
     consumed SIX times.  Catalog growth must beat both store and web
     growth.  Row-level halving stays in IEEE doubles (deterministic per
     row); per-year totals accumulate in DECIMAL then compare as DOUBLE
-    ratios.  Years retarget 2001 -> 2000.""",
+    ratios.  Years retarget 2001 -> 2000.
+    r13: o_orderdate >= 2000-01-01 pushed below all three channel base
+    joins (same injectivity argument as q74).  A/B at sf0.1:
+    1.64 -> 1.38 s min, rows identical.""",
     cte="year_total", final_marker="SELECT t_s_secyear.customer_id",
     ref_prefix="t_",
+    cte_where={"store_sales": "o_orderdate >= DATE '2000-01-01'",
+               "web_sales": "o_orderdate >= DATE '2000-01-01'",
+               "catalog_sales": "o_orderdate >= DATE '2000-01-01'"},
 )
 
 _register(

@@ -392,29 +392,32 @@ def test_clickbench_hits_pruning_exact_and_equivalent(spark):
 
 
 def test_tpcds_shared_cte_materialization_equivalent(spark):
-    """r12: q4/q11/q74 materialize year_total once per invocation instead
-    of inlining it per reference.  The materialized spelling must return
-    exactly the inline spelling's rows, and each invocation must write a
-    FRESH scratch directory (no cross-run reuse)."""
+    """r12 (+r13 o_orderdate push): q4/q11/q74 materialize year_total once
+    per invocation instead of inlining it per reference, with the year
+    window pushed below the fact base joins.  The materialized spelling
+    must return exactly the INLINE spelling's rows (the unmodified body
+    the DuckDB oracle runs — no pushed predicate), and each invocation
+    must write a FRESH scratch directory (no cross-run reuse)."""
     import os
 
     import datafusion_spark.queries.tpcds_exec as tx
 
-    # inline spelling, reconstructed from the registered body pieces
-    mat_sql = QUERIES["tpcds_q74"].__defaults__[0]
-    final_sql = QUERIES["tpcds_q74"].__defaults__[1]
-    inline_sql = (
-        mat_sql[: mat_sql.index(" SELECT * FROM year_total")]
-        + final_sql.replace("year_total_tpcds_q74 t_", "year_total t_")
-    ).replace("__SF__", SF_SMALL)
     tx._ensure_views(spark, SF_SMALL)  # derive CTEs read the session views
-    got_inline = [tuple(r) for r in spark.sql(inline_sql).collect()]
-    before = set(os.listdir(tx._MAT_TMP)) if os.path.isdir(tx._MAT_TMP) else set()
-    got_mat = [tuple(r) for r in QUERIES["tpcds_q74"](spark, SF_SMALL).collect()]
-    got_mat2 = [tuple(r) for r in QUERIES["tpcds_q74"](spark, SF_SMALL).collect()]
-    after = set(os.listdir(tx._MAT_TMP))
-    assert got_mat == got_inline == got_mat2
-    assert len(after - before) == 2, "each invocation must write fresh scratch"
+    for name in ("tpcds_q74", "tpcds_q11", "tpcds_q4"):
+        body = tx._BODIES[name]
+        assert "o_orderdate" not in body  # the oracle body carries no push
+        inline_sql = (tx._pruned_prelude(body) + body).replace(
+            "__SF__", SF_SMALL)
+        got_inline = [tuple(r) for r in spark.sql(inline_sql).collect()]
+        mat_sql = QUERIES[name].__defaults__[0]
+        assert "o_orderdate >= DATE '2000-01-01'" in mat_sql  # push present
+        before = (set(os.listdir(tx._MAT_TMP))
+                  if os.path.isdir(tx._MAT_TMP) else set())
+        got_mat = [tuple(r) for r in QUERIES[name](spark, SF_SMALL).collect()]
+        got_mat2 = [tuple(r) for r in QUERIES[name](spark, SF_SMALL).collect()]
+        after = set(os.listdir(tx._MAT_TMP))
+        assert got_mat == got_inline == got_mat2, name
+        assert len(after - before) == 2, "each invocation must write fresh scratch"
 
 
 def test_tpcds_shared_fact_materialization_equivalent(spark):
