@@ -475,7 +475,7 @@ def test_tpcds_q64_q67_rewrite_equivalent(spark):
 
     for sf in (SF_SMALL, "/root/testdata/sf0.01"):
         tx._ensure_views(spark, sf)
-        for name in ("tpcds_q64", "tpcds_q67"):
+        for name in ("tpcds_q64", "tpcds_q67", "tpcds_q51"):
             body = tx._BODIES[name]
             inline_sql = (tx._pruned_prelude(body) + body).replace("__SF__", sf)
             got_inline = Counter(map(repr, spark.sql(inline_sql).collect()))
@@ -499,6 +499,8 @@ def test_tpcds_q64_q67_rewrite_equivalent(spark):
     assert "o_orderdate BETWEEN DATE '1996-01-01'" in q67_sql
     assert q67_sql.count("GROUP BY ROLLUP") == 1
     assert "SUM(ps) AS sumsales" in q67_sql  # two-phase: ROLLUP over sums
-    for name in ("tpcds_q64", "tpcds_q67"):
+    q51_sql = QUERIES["tpcds_q51"].__defaults__[0]
+    assert q51_sql.count("o_orderdate BETWEEN DATE '1996-01-01'") == 2
+    for name in ("tpcds_q64", "tpcds_q67", "tpcds_q51"):
         assert "o_orderdate" not in tx._BODIES[name]
         assert "SUM(ps)" not in tx._BODIES[name]

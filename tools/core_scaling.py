@@ -31,12 +31,24 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default=os.path.join(_ROOT, ".scale", "sf1"))
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--max-part-bytes", type=int, default=0,
+                    help="probe-only spark.sql.files.maxPartitionBytes "
+                         "override: the sf1 scratch tables are ~5-110 MB "
+                         "of compressed parquet, which packs into 1-2 scan "
+                         "splits at the default 128 MB — the scan stages "
+                         "then run 1-2 tasks at ANY core count and mask "
+                         "the parallelism this probe exists to measure.  "
+                         "At 100 TB inputs arrive in thousands of splits; "
+                         "a small split size reproduces that shape locally.")
     args = ap.parse_args()
 
     from datafusion_spark import get_spark
     from datafusion_spark.queries import QUERIES
 
     spark = get_spark("core-scaling")
+    if args.max_part_bytes:
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       str(args.max_part_bytes))
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(os.path.join(args.sf, "lineitem.parquet")).count()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -59,7 +71,9 @@ def main() -> None:
         out[name] = round(min(runs), 3)
         print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
     print(json.dumps({"cpus": int(cpus), "sf_dir": args.sf, "sink": "noop",
-                      "runs": args.runs, "queries": out}))
+                      "runs": args.runs,
+                      "max_part_bytes": args.max_part_bytes or None,
+                      "queries": out}))
 
 
 if __name__ == "__main__":
